@@ -1,0 +1,146 @@
+"""Deformer: the solve-once / eval-many user API (component B's core loop).
+
+Wraps fit (ops/fit.py) and the deformation application semantics of the
+reference's eval loop (src/SOP_FaceDeform.cpp:404-439):
+
+    for each mesh point:
+        skip if captured d2 > radius^2                      (:408)
+        disp = rbfcalc(P)                                   (:414)
+        optional tangent projection                         (:416-422)
+        falloff = (1 - min(d2/r^2, 1))^rate                 (:423-424)
+        write fd_falloff; P += falloff * disp               (:425, :437-438)
+
+restricted to the optional point group (:485).  The Deformer object is a
+thin host-side wrapper; `apply_fn` below is the pure jittable core.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facedeform_tpu.config import DeformConfig, DeformParams
+from facedeform_tpu.ops import fit as fit_mod
+from facedeform_tpu.ops.evaluate import evaluate
+from facedeform_tpu.ops.falloff import falloff_weight
+from facedeform_tpu.ops.fit import RBFModel
+from facedeform_tpu.ops.solve import SolveReport
+from facedeform_tpu.ops.tangent import project_to_tangents
+from facedeform_tpu.utils import errors
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def apply_fn(
+    model: RBFModel,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    frame: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]],
+    group_mask: Optional[jnp.ndarray],
+    cfg: DeformConfig,
+    params: DeformParams,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure deformation step: (new_points, fd_falloff), both (V, ...) f32.
+
+    None-valued frame/group_mask change the pytree structure, so jit
+    re-specializes automatically — no static flags needed.
+    """
+    params = params.clamped()
+    points = points.astype(jnp.float32)
+    kernel = fit_mod.effective_kernel(cfg)
+    disp = evaluate(model, points, kernel, cfg.term)
+    if cfg.tangent and frame is not None:
+        u, v, n = frame
+        disp = project_to_tangents(u, v, n, disp)
+    w, active = falloff_weight(
+        dist2, params.radius, params.falloffrate, strict_parity=cfg.strict_parity
+    )
+    if group_mask is not None:
+        active = jnp.logical_and(active, group_mask)
+    w = jnp.where(active, w, 0.0)
+    new_points = points + disp * w[:, None]
+    return new_points, w
+
+
+@dataclasses.dataclass(frozen=True)
+class Deformer:
+    """A solved RBF deformation: model pytree + config; eval-many across frames.
+
+    The reference re-solves every cook; this object is the explicit
+    "solve-once" artifact (the rbfmodel the disabled threaded path would
+    have serialized, src/SOP_FaceDeform.hpp:132-133) and pickles/orbax-saves
+    as a plain pytree (utils/checkpoint.py).
+    """
+
+    model: RBFModel
+    cfg: DeformConfig
+    params: DeformParams
+    report: SolveReport
+
+    @classmethod
+    def fit(
+        cls,
+        rest_ctrl: np.ndarray,
+        deformed_ctrl: np.ndarray,
+        cfg: DeformConfig = DeformConfig(),
+        params: DeformParams = DeformParams(),
+        check: bool = True,
+    ) -> "Deformer":
+        """Solve the RBF system mapping rest_ctrl -> deformed_ctrl.
+
+        Raises ShapeMismatchError on rig count mismatch (the reference's
+        input contract, src/SOP_FaceDeform.cpp:231-234) and SolveFailedError
+        on solver blow-up (:363-368).
+        """
+        rest_ctrl = jnp.asarray(rest_ctrl, jnp.float32)
+        deformed_ctrl = jnp.asarray(deformed_ctrl, jnp.float32)
+        if rest_ctrl.shape != deformed_ctrl.shape:
+            raise errors.ShapeMismatchError(
+                f"rest and deform rigs must match: {rest_ctrl.shape} vs "
+                f"{deformed_ctrl.shape}"
+            )
+        model, report = fit_mod.fit(rest_ctrl, deformed_ctrl, cfg, params)
+        if check:
+            errors.check_solve(report)
+        return cls(model=model, cfg=cfg, params=params, report=report)
+
+    def displacement(self, points) -> jnp.ndarray:
+        """Raw RBF displacement field at arbitrary points (V, 3) -> (V, 3)."""
+        kernel = fit_mod.effective_kernel(self.cfg)
+        return evaluate(
+            self.model, jnp.asarray(points, jnp.float32), kernel, self.cfg.term
+        )
+
+    def apply(
+        self,
+        points,
+        dist2=None,
+        frame=None,
+        group_mask=None,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Deform points; returns (new_points (V,3), fd_falloff (V,)).
+
+        Args:
+          points: (V, 3) positions to deform.
+          dist2: optional (V,) captured squared distances (capture attr,
+            capture.cpp:88).  Default zeros == everything deforms fully
+            (reference quirk 1).
+          frame: optional (u, v, n) tangent attributes for cfg.tangent.
+          group_mask: optional (V,) bool point-group restriction.
+        """
+        points = jnp.asarray(points, jnp.float32)
+        if dist2 is None:
+            dist2 = jnp.zeros(points.shape[0], jnp.float32)
+        else:
+            dist2 = jnp.asarray(dist2, jnp.float32)
+        if frame is not None:
+            frame = tuple(jnp.asarray(f, jnp.float32) for f in frame)
+        if group_mask is not None:
+            group_mask = jnp.asarray(group_mask, bool)
+        return apply_fn(
+            self.model, points, dist2, frame, group_mask, self.cfg, self.params
+        )

@@ -1,0 +1,122 @@
+"""Geometry substrate: a thin numpy point-attribute mesh (replaces HDK L1).
+
+The reference leans on Houdini's GU_Detail/GA attribute machinery for
+geometry storage (every file; SURVEY.md section 1, layer L1).  The rebuild
+needs only: point positions, optional polygonal topology, named point/detail
+attributes, and the data-ID change tracking the SOP uses for cache
+invalidation (SOP_FaceDeform.hpp:47-64 caches posID/topID per input;
+cookMySop bumps P's data id at src/SOP_FaceDeform.cpp:485-486).
+
+Host-side container (numpy) by design: device code takes plain arrays, the
+Mesh is the I/O + caching boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+_ID_COUNTER = [0]
+
+
+def _next_id() -> int:
+    _ID_COUNTER[0] += 1
+    return _ID_COUNTER[0]
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Point-attribute geometry container.
+
+    Attributes:
+      points: (V, 3) float32 positions (the `P` attribute).
+      faces: optional (F, k) int32 polygon vertex indices (triangles k=3 or
+        quads k=4), or None for a point cloud (e.g. a control rig).
+      point_attrs: named per-point arrays, first axis V (e.g. `N`,
+        `tangentu`, `tangentv`, `class`, `rest`, `fd_falloff`, `Cd`).
+      detail_attrs: named whole-mesh values (e.g. the DBSE `weights` array,
+        src/SOP_FaceDeform.cpp:474-480).
+    """
+
+    points: np.ndarray
+    faces: Optional[np.ndarray] = None
+    point_attrs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    detail_attrs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    _pos_id: int = dataclasses.field(default_factory=_next_id)
+    _top_id: int = dataclasses.field(default_factory=_next_id)
+
+    def __post_init__(self):
+        self.points = np.ascontiguousarray(self.points, dtype=np.float32)
+        if self.points.ndim != 2 or self.points.shape[1] != 3:
+            raise ValueError(f"points must be (V, 3), got {self.points.shape}")
+        if self.faces is not None:
+            self.faces = np.ascontiguousarray(self.faces, dtype=np.int32)
+
+    # ------------------------------------------------------------------ ids
+    @property
+    def num_points(self) -> int:
+        return self.points.shape[0]
+
+    @property
+    def pos_id(self) -> int:
+        """Monotone id bumped whenever positions change (HDK getDataId analogue)."""
+        return self._pos_id
+
+    @property
+    def top_id(self) -> int:
+        """Monotone id bumped whenever topology changes."""
+        return self._top_id
+
+    def set_points(self, points: np.ndarray) -> None:
+        """Replace positions and bump the position data id."""
+        points = np.ascontiguousarray(points, dtype=np.float32)
+        if points.shape != self.points.shape:
+            raise ValueError("set_points cannot change point count; rebuild the Mesh")
+        self.points = points
+        self._pos_id = _next_id()
+
+    def set_faces(self, faces: Optional[np.ndarray]) -> None:
+        self.faces = None if faces is None else np.ascontiguousarray(faces, np.int32)
+        self._top_id = _next_id()
+
+    # ---------------------------------------------------------------- attrs
+    def attr(self, name: str) -> Optional[np.ndarray]:
+        return self.point_attrs.get(name)
+
+    def set_attr(self, name: str, value: np.ndarray) -> None:
+        value = np.asarray(value)
+        if value.shape[0] != self.num_points:
+            raise ValueError(
+                f"attr {name!r} first axis {value.shape[0]} != V={self.num_points}"
+            )
+        self.point_attrs[name] = value
+
+    def has_tangent_frame(self) -> bool:
+        """True if the tangentu/tangentv/N attributes the reference requires
+        for tangent projection are present (src/SOP_FaceDeform.cpp:289-297)."""
+        return all(k in self.point_attrs for k in ("tangentu", "tangentv", "N"))
+
+    # ----------------------------------------------------------------- misc
+    def copy(self) -> "Mesh":
+        """Deep copy with fresh data ids (duplicatePointSource analogue,
+        src/SOP_FaceDeform.cpp:226)."""
+        return Mesh(
+            points=self.points.copy(),
+            faces=None if self.faces is None else self.faces.copy(),
+            point_attrs={k: v.copy() for k, v in self.point_attrs.items()},
+            detail_attrs={k: np.copy(v) for k, v in self.detail_attrs.items()},
+        )
+
+    def triangles(self) -> Optional[np.ndarray]:
+        """Topology as triangles; quads are fanned. None for point clouds."""
+        if self.faces is None or len(self.faces) == 0:
+            return None
+        f = self.faces
+        if f.shape[1] == 3:
+            return f
+        tris = []
+        for i in range(1, f.shape[1] - 1):
+            tris.append(np.stack([f[:, 0], f[:, i], f[:, i + 1]], axis=1))
+        return np.concatenate(tris, axis=0).astype(np.int32)

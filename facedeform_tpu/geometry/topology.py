@@ -1,0 +1,89 @@
+"""Topology utilities: edges, adjacency, tangent frames.
+
+Stand-ins for HDK's GQ_Detail edge structure (capture.cpp:24) and the
+PolyFrame SOP the reference tells users to append for tangent attributes
+(src/SOP_FaceDeform.cpp:295-297).  All host-side numpy; results are cached
+by callers keyed on Mesh.top_id.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from facedeform_tpu.geometry.mesh import Mesh
+
+
+def unique_edges(faces: np.ndarray) -> np.ndarray:
+    """(E, 2) sorted unique undirected edges from an (F, k) face array."""
+    k = faces.shape[1]
+    pairs = []
+    for i in range(k):
+        pairs.append(np.stack([faces[:, i], faces[:, (i + 1) % k]], axis=1))
+    e = np.concatenate(pairs, axis=0)
+    e = np.sort(e, axis=1)
+    return np.unique(e, axis=0).astype(np.int32)
+
+
+def adjacency_csr(num_points: int, edges: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric CSR adjacency (indptr, indices) from an undirected edge list."""
+    src = np.concatenate([edges[:, 0], edges[:, 1]])
+    dst = np.concatenate([edges[:, 1], edges[:, 0]])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    counts = np.bincount(src, minlength=num_points)
+    indptr = np.zeros(num_points + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, dst.astype(np.int32)
+
+
+def mesh_adjacency(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
+    if mesh.faces is None or len(mesh.faces) == 0:
+        return np.zeros(mesh.num_points + 1, np.int64), np.zeros(0, np.int32)
+    return adjacency_csr(mesh.num_points, unique_edges(mesh.faces))
+
+
+def vertex_normals(mesh: Mesh) -> np.ndarray:
+    """Area-weighted per-vertex normals from triangulated faces; (V, 3) f32."""
+    tris = mesh.triangles()
+    n = np.zeros((mesh.num_points, 3), np.float64)
+    if tris is None:
+        n[:, 2] = 1.0
+        return n.astype(np.float32)
+    p = mesh.points.astype(np.float64)
+    fn = np.cross(p[tris[:, 1]] - p[tris[:, 0]], p[tris[:, 2]] - p[tris[:, 0]])
+    for c in range(3):
+        np.add.at(n, tris[:, c], fn)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    n = np.where(norm > 1e-20, n / np.maximum(norm, 1e-20), [0.0, 0.0, 1.0])
+    return n.astype(np.float32)
+
+
+def compute_tangent_frame(mesh: Mesh) -> None:
+    """Populate N/tangentu/tangentv point attributes (PolyFrame analogue).
+
+    tangentu follows the first incident edge projected onto the tangent
+    plane; tangentv = N x tangentu.  Writes the three attributes the
+    reference's tangent path consumes (src/SOP_FaceDeform.cpp:289-297).
+    """
+    n = vertex_normals(mesh)
+    indptr, indices = mesh_adjacency(mesh)
+    p = mesh.points
+    u = np.zeros_like(p)
+    has_nb = indptr[1:] > indptr[:-1]
+    first_nb = np.where(has_nb, indices[np.minimum(indptr[:-1], len(indices) - 1)] if len(indices) else 0, 0)
+    e = p[first_nb] - p
+    # Project the edge onto the tangent plane of each vertex.
+    e = e - np.sum(e * n, axis=1, keepdims=True) * n
+    norm = np.linalg.norm(e, axis=1, keepdims=True)
+    fallback = np.cross(n, np.broadcast_to(np.float32([1.0, 0.0, 0.0]), n.shape))
+    fb_norm = np.linalg.norm(fallback, axis=1, keepdims=True)
+    fallback2 = np.cross(n, np.broadcast_to(np.float32([0.0, 1.0, 0.0]), n.shape))
+    fallback = np.where(fb_norm > 1e-6, fallback, fallback2)
+    fallback /= np.maximum(np.linalg.norm(fallback, axis=1, keepdims=True), 1e-20)
+    u = np.where(norm > 1e-10, e / np.maximum(norm, 1e-20), fallback)
+    v = np.cross(n, u)
+    mesh.set_attr("N", n.astype(np.float32))
+    mesh.set_attr("tangentu", u.astype(np.float32))
+    mesh.set_attr("tangentv", v.astype(np.float32))

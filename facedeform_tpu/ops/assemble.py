@@ -1,0 +1,77 @@
+"""RBF interpolation system assembly.
+
+The reference hands system assembly to ALGLIB (rbfsetpoints + rbfbuildmodel,
+src/SOP_FaceDeform.cpp:336,363).  Here the system is explicit:
+
+    [ Phi + lam*I   P ] [ w ]   [ delta ]
+    [ P^T           0 ] [ c ] = [   0   ]
+
+with Phi[i,j] = phi(||x_i - x_j|| / eps_j), P the polynomial tail selected by
+the reference's `term` parameter (rbfset{lin,const,zero}term,
+src/SOP_FaceDeform.cpp:351-361), and lam the ridge standing in for QNN's q/z
+smoothing and multilayer's lambda.
+
+Everything here is pure f32 JAX, jit-friendly, static shapes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from facedeform_tpu.config import PolyTerm, RBFKernel
+from facedeform_tpu.ops.kernels import apply_kernel, pairwise_sqdist
+
+
+def poly_basis(pts: jnp.ndarray, term: PolyTerm) -> jnp.ndarray:
+    """Polynomial tail basis rows for a point set; shape (V, n_poly).
+
+    LINEAR -> [1, x, y, z]; CONSTANT -> [1]; ZERO -> (V, 0).
+    """
+    term = PolyTerm(term)
+    v = pts.shape[0]
+    ones = jnp.ones((v, 1), dtype=pts.dtype)
+    if term == PolyTerm.LINEAR:
+        return jnp.concatenate([ones, pts], axis=-1)
+    if term == PolyTerm.CONSTANT:
+        return ones
+    return jnp.zeros((v, 0), dtype=pts.dtype)
+
+
+def assemble_system(
+    ctrl: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    eps: jnp.ndarray,
+    lam: jnp.ndarray,
+) -> jnp.ndarray:
+    """Build the (N + m, N + m) saddle-point system matrix.
+
+    Args:
+      ctrl: (N, 3) control points.
+      kernel: static kernel id.
+      term: static polynomial tail choice.
+      eps: per-control radii (N,) or scalar.
+      lam: ridge added to the Phi diagonal (0 for exact interpolation).
+    """
+    n = ctrl.shape[0]
+    d2 = pairwise_sqdist(ctrl, ctrl)
+    phi = apply_kernel(kernel, d2, eps)
+    phi = phi + lam * jnp.eye(n, dtype=phi.dtype)
+    p = poly_basis(ctrl, term)
+    m = p.shape[1]
+    if m == 0:
+        return phi
+    zero = jnp.zeros((m, m), dtype=phi.dtype)
+    top = jnp.concatenate([phi, p], axis=1)
+    bot = jnp.concatenate([p.T, zero], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def assemble_rhs(delta: jnp.ndarray, term: PolyTerm) -> jnp.ndarray:
+    """Right-hand side (N + m, 3): control displacements, zero-padded for the tail."""
+    term = PolyTerm(term)
+    m = {PolyTerm.LINEAR: 4, PolyTerm.CONSTANT: 1, PolyTerm.ZERO: 0}[term]
+    if m == 0:
+        return delta
+    pad = jnp.zeros((m, delta.shape[1]), dtype=delta.dtype)
+    return jnp.concatenate([delta, pad], axis=0)

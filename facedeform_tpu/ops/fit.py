@@ -1,0 +1,157 @@
+"""RBF model fitting: build + solve the interpolation system on device.
+
+Replaces the reference's ALGLIB driver (component D, SURVEY.md section 2):
+data packing src/SOP_FaceDeform.cpp:268-287, model setup :330-368.  The two
+ALGLIB algorithm families are reinterpreted with explicit math:
+
+  * QNN (rbfsetalgoqnn(q, z), src/SOP_FaceDeform.cpp:344): gaussian kernels
+    with per-point adaptive radii  eps_i = q * nndist_i  capped at
+    z * mean(nndist) — q scales each basis to its local point spacing
+    (smoothness), z bounds how far an isolated point may reach (deviation).
+    Exact interpolation (no ridge), like ALGLIB-QNN.
+
+  * Multilayer (rbfsetalgomultilayer(radius, layers, lambda),
+    src/SOP_FaceDeform.cpp:347): coarse-to-fine residual fitting — `layers`
+    gaussian layers with radius halving each layer and ridge `lambda`, each
+    fitted to what the previous layers left unexplained (SURVEY.md section 7).
+
+  * KERNEL (rebuild extension, BASELINE config 2): a single layer of the
+    user-chosen zoo kernel with a global radius and ridge.
+
+All solves go through ops.solve.lu_solve_refined (f32 + compensated
+refinement).  The polynomial tail (reference `term`) is attached to the
+first layer only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from facedeform_tpu.config import DeformConfig, DeformParams, RBFKernel, RBFModelType
+from facedeform_tpu.ops.assemble import assemble_rhs, assemble_system, poly_basis
+from facedeform_tpu.ops.kernels import apply_kernel, nearest_neighbor_dist, pairwise_sqdist
+from facedeform_tpu.ops.solve import SolveReport, lu_solve_refined
+
+
+class RBFModel(NamedTuple):
+    """Solved deformation model — the pytree equivalent of ALGLIB's rbfmodel.
+
+    The reference serializes its model to hand copies to worker threads
+    (src/SOP_FaceDeform.hpp:132-133); here the model is a plain pytree that
+    jit/vmap/shard_map replicate for free.
+
+    Shapes: ctrl (N, 3); w_rbf (L, N, 3); eps (L, N); w_poly (m, 3) with m
+    determined by the static term config (4/1/0).
+    """
+
+    ctrl: jnp.ndarray
+    w_rbf: jnp.ndarray
+    w_poly: jnp.ndarray
+    eps: jnp.ndarray
+
+
+def effective_kernel(cfg: DeformConfig) -> RBFKernel:
+    """QNN and Multilayer are gaussian-based; KERNEL mode picks from the zoo."""
+    if cfg.model == RBFModelType.KERNEL:
+        return cfg.kernel
+    return RBFKernel.GAUSSIAN
+
+
+def _qnn_radii(ctrl: jnp.ndarray, q: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Per-point adaptive radii for QNN mode; shape (N,)."""
+    nn = nearest_neighbor_dist(ctrl)
+    # Floor at a fraction of the cloud scale so duplicate points can't
+    # produce zero-radius (singular) bases.
+    scale = jnp.maximum(jnp.max(nn), 1e-6)
+    nn = jnp.maximum(nn, 1e-4 * scale)
+    eps = q * nn
+    cap = z * jnp.mean(nn)
+    return jnp.minimum(eps, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit(
+    rest_ctrl: jnp.ndarray,
+    deformed_ctrl: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams = DeformParams(),
+) -> tuple[RBFModel, SolveReport]:
+    """Fit an RBFModel mapping rest control points to their displacements.
+
+    Equivalent of the reference's pack + build sequence
+    (src/SOP_FaceDeform.cpp:268-287 packs [restP, deformP - restP]; :330-368
+    selects algorithm/term and calls rbfbuildmodel).
+
+    Args:
+      rest_ctrl: (N, 3) rest-pose control/rig points.
+      deformed_ctrl: (N, 3) deformed rig; delta = deformed - rest.
+      cfg: static config (model family, term, layers, refinement sweeps).
+      params: dynamic knobs (q, z, radius, lambda).
+
+    Returns:
+      (model, report); report aggregates residuals across layers.
+    """
+    params = params.clamped()
+    rest_ctrl = rest_ctrl.astype(jnp.float32)
+    delta = (deformed_ctrl.astype(jnp.float32) - rest_ctrl)
+    n = rest_ctrl.shape[0]
+    kernel = effective_kernel(cfg)
+    n_layers = cfg.n_layers
+
+    if cfg.model == RBFModelType.QNN:
+        eps0 = _qnn_radii(rest_ctrl, params.qcoef, params.zcoef)
+        lam0 = jnp.asarray(0.0, jnp.float32)  # exact interpolation, like ALGLIB QNN
+    elif cfg.model == RBFModelType.MULTILAYER:
+        eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
+        lam0 = params.lam.astype(jnp.float32) if hasattr(params.lam, "astype") else jnp.asarray(params.lam, jnp.float32)
+    else:  # KERNEL zoo
+        eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
+        lam0 = jnp.asarray(params.lam, jnp.float32)
+
+    w_layers = []
+    eps_layers = []
+    w_poly = jnp.zeros((cfg.n_poly, 3), dtype=jnp.float32)
+    target = delta
+    res_norm = jnp.asarray(0.0, jnp.float32)
+    rhs_norm = jnp.linalg.norm(delta)
+
+    for layer in range(n_layers):
+        eps_l = eps0 * (0.5 ** layer)
+        # Polynomial tail rides the first layer only.
+        term = cfg.term if layer == 0 else type(cfg.term)(2)  # PolyTerm.ZERO
+        a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
+        b = assemble_rhs(target, term)
+        x, report = lu_solve_refined(a, b, n_refine=cfg.n_refine)
+        w_l = x[:n]
+        w_layers.append(w_l)
+        eps_layers.append(eps_l)
+        if layer == 0 and cfg.n_poly > 0:
+            w_poly = x[n:]
+        res_norm = jnp.maximum(res_norm, report.residual_norm)
+        if layer + 1 < n_layers:
+            # Subtract this layer's prediction at the control points so the
+            # next (finer) layer fits the remaining residual.
+            d2 = pairwise_sqdist(rest_ctrl, rest_ctrl)
+            pred = jnp.dot(
+                apply_kernel(kernel, d2, eps_l), w_l,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if layer == 0 and cfg.n_poly > 0:
+                pred = pred + jnp.dot(
+                    poly_basis(rest_ctrl, cfg.term), w_poly,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            target = target - pred
+
+    model = RBFModel(
+        ctrl=rest_ctrl,
+        w_rbf=jnp.stack(w_layers),
+        w_poly=w_poly,
+        eps=jnp.stack(eps_layers),
+    )
+    return model, SolveReport(residual_norm=res_norm, rhs_norm=rhs_norm)

@@ -1,0 +1,99 @@
+"""Radial basis kernel zoo.
+
+The reference delegates basis evaluation to ALGLIB's rbfcalc
+(src/SOP_FaceDeform.cpp:414); the rebuild owns the math as explicit,
+XLA-fusable elementwise functions of the *squared* distance.  Working in
+squared distance lets the hot pallas/XLA path produce d^2 with one MXU
+matmul (||v||^2 + ||c||^2 - 2 v.c) and never take an unnecessary sqrt for
+kernels that don't need one (gaussian, thin-plate).
+
+All kernels are normalized so phi is a function of (r / eps) with eps the
+per-control-point (or global) radius; eps broadcasts against the trailing
+control axis of d2.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from facedeform_tpu.config import RBFKernel
+
+# Floor on squared distances inside logs/square-roots; keeps grads finite.
+_TINY = 1e-30
+
+
+def apply_kernel(kernel: RBFKernel, d2: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate phi(r/eps) given squared distances.
+
+    Args:
+      kernel: static kernel id.
+      d2: squared distances, any shape (..., N); clamped to >= 0 here.
+      eps: radius scale, broadcastable to d2's trailing axis (scalar, (N,),
+        or (L, 1, N) for multilayer stacks).
+
+    Returns:
+      phi with d2's shape and dtype.
+    """
+    kernel = RBFKernel(kernel)
+    d2 = jnp.maximum(d2, 0.0)
+    s = d2 / (eps * eps)  # (r/eps)^2
+    if kernel == RBFKernel.GAUSSIAN:
+        return jnp.exp(-s)
+    if kernel == RBFKernel.THIN_PLATE:
+        # (r/eps)^2 log(r/eps) = 0.5 * s * log(s); phi(0) = 0 by limit.
+        return jnp.where(s > _TINY, 0.5 * s * jnp.log(jnp.maximum(s, _TINY)), 0.0)
+    if kernel == RBFKernel.MULTIQUADRIC:
+        return jnp.sqrt(1.0 + s)
+    if kernel == RBFKernel.INVERSE_MULTIQUADRIC:
+        return jax.lax.rsqrt(1.0 + s)
+    if kernel == RBFKernel.LINEAR:
+        return jnp.sqrt(s)
+    if kernel == RBFKernel.CUBIC:
+        return s * jnp.sqrt(s)
+    if kernel == RBFKernel.WENDLAND_C2:
+        t = jnp.sqrt(s)
+        base = jnp.maximum(1.0 - t, 0.0)
+        b2 = base * base
+        return b2 * b2 * (4.0 * t + 1.0)
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+def kernel_is_compact(kernel: RBFKernel) -> bool:
+    """True if phi has compact support (vanishes for r > eps)."""
+    return RBFKernel(kernel) == RBFKernel.WENDLAND_C2
+
+
+def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs squared distances via one MXU matmul.
+
+    d2[i, j] = ||x_i||^2 + ||y_j||^2 - 2 x_i . y_j, clamped at 0 so f32
+    cancellation near r = 0 can't go negative.  Shapes: (V, 3), (N, 3)
+    -> (V, N).
+
+    Precision.HIGHEST is mandatory: the TPU MXU computes f32 matmuls in
+    bf16 passes by default (~8e-3 relative error), which would blow the
+    5e-5 displacement-parity budget.  The contraction is only K=3, so the
+    cost of full-precision passes is negligible.
+    """
+    xx = jnp.sum(x * x, axis=-1, keepdims=True)          # (V, 1)
+    yy = jnp.sum(y * y, axis=-1, keepdims=True).T        # (1, N)
+    xy = jnp.dot(
+        x, y.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (V, N) on MXU
+    return jnp.maximum(xx + yy - 2.0 * xy, 0.0)
+
+
+def nearest_neighbor_dist(pts: jnp.ndarray) -> jnp.ndarray:
+    """Per-point distance to its nearest *other* point; shape (N,).
+
+    Used by the QNN radius rule (see fit.py).  Degenerate duplicate points
+    produce 0 and are floored by the caller.
+    """
+    d2 = pairwise_sqdist(pts, pts)
+    n = pts.shape[0]
+    diag = jnp.eye(n, dtype=bool)
+    d2 = jnp.where(diag, jnp.inf, d2)
+    return jnp.sqrt(jnp.min(d2, axis=-1))

@@ -1,0 +1,34 @@
+"""Test harness config: force an 8-virtual-device CPU JAX platform.
+
+Multi-chip sharding logic is exercised host-side per SURVEY.md section 4:
+XLA_FLAGS=--xla_force_host_platform_device_count=8 + a CPU jax.Mesh lets the
+pjit/shard_map paths run without TPU hardware.
+
+Note: this machine's environment pins JAX_PLATFORMS=axon via a sitecustomize
+hook (/root/.axon_site), which overrides the env var at import time — so the
+platform must be forced with jax.config.update *after* importing jax.
+XLA_FLAGS still must be set before backend initialization.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

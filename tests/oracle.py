@@ -1,0 +1,172 @@
+"""Pure NumPy float64 oracle for parity testing.
+
+Stands in for the C++/double semantics of the reference (SURVEY.md section 4:
+golden/parity strategy).  Implements the *same* math as facedeform_tpu — the
+explicit kernel-matrix RBF formulation — entirely in float64, so the TPU
+f32(+compensated-refinement) path can be checked to the <=5e-5
+max-displacement budget from BASELINE.md.
+
+Deliberately simple and slow: np.linalg.solve, dense V x N kernel matrices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from facedeform_tpu.config import DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType
+
+_TINY = 1e-300
+
+
+def apply_kernel(kernel: RBFKernel, d2: np.ndarray, eps) -> np.ndarray:
+    kernel = RBFKernel(kernel)
+    d2 = np.maximum(d2, 0.0)
+    s = d2 / (np.asarray(eps, np.float64) ** 2)
+    if kernel == RBFKernel.GAUSSIAN:
+        return np.exp(-s)
+    if kernel == RBFKernel.THIN_PLATE:
+        return np.where(s > _TINY, 0.5 * s * np.log(np.maximum(s, _TINY)), 0.0)
+    if kernel == RBFKernel.MULTIQUADRIC:
+        return np.sqrt(1.0 + s)
+    if kernel == RBFKernel.INVERSE_MULTIQUADRIC:
+        return 1.0 / np.sqrt(1.0 + s)
+    if kernel == RBFKernel.LINEAR:
+        return np.sqrt(s)
+    if kernel == RBFKernel.CUBIC:
+        return s * np.sqrt(s)
+    if kernel == RBFKernel.WENDLAND_C2:
+        t = np.sqrt(s)
+        base = np.maximum(1.0 - t, 0.0)
+        return base ** 4 * (4.0 * t + 1.0)
+    raise ValueError(kernel)
+
+
+def pairwise_sqdist(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    diff = x[:, None, :] - y[None, :, :]
+    return np.sum(diff * diff, axis=-1)
+
+
+def poly_basis(pts: np.ndarray, term: PolyTerm) -> np.ndarray:
+    term = PolyTerm(term)
+    v = pts.shape[0]
+    if term == PolyTerm.LINEAR:
+        return np.concatenate([np.ones((v, 1)), pts], axis=1)
+    if term == PolyTerm.CONSTANT:
+        return np.ones((v, 1))
+    return np.zeros((v, 0))
+
+
+def qnn_radii(ctrl: np.ndarray, q: float, z: float) -> np.ndarray:
+    d2 = pairwise_sqdist(ctrl, ctrl)
+    np.fill_diagonal(d2, np.inf)
+    nn = np.sqrt(np.min(d2, axis=1))
+    scale = max(np.max(nn), 1e-6)
+    nn = np.maximum(nn, 1e-4 * scale)
+    eps = q * nn
+    return np.minimum(eps, z * np.mean(nn))
+
+
+def fit(rest_ctrl, deformed_ctrl, cfg: DeformConfig, params: DeformParams = DeformParams()):
+    """Returns (ctrl, w_rbf (L,N,3), w_poly (m,3), eps (L,N))."""
+    q = max(float(params.qcoef), 0.1)
+    z = max(float(params.zcoef), 0.1)
+    radius = max(float(params.radius), 0.01)
+    lam = max(float(params.lam), 0.01)
+    ctrl = np.asarray(rest_ctrl, np.float64)
+    delta = np.asarray(deformed_ctrl, np.float64) - ctrl
+    n = ctrl.shape[0]
+
+    if cfg.model == RBFModelType.QNN:
+        eps0, lam0, kernel = qnn_radii(ctrl, q, z), 0.0, RBFKernel.GAUSSIAN
+    elif cfg.model == RBFModelType.MULTILAYER:
+        eps0, lam0, kernel = np.full(n, radius), lam, RBFKernel.GAUSSIAN
+    else:
+        eps0, lam0, kernel = np.full(n, radius), lam, cfg.kernel
+
+    n_layers = cfg.n_layers
+    w_layers, eps_layers = [], []
+    w_poly = np.zeros((cfg.n_poly, 3))
+    target = delta.copy()
+    d2 = pairwise_sqdist(ctrl, ctrl)
+    for layer in range(n_layers):
+        eps_l = eps0 * 0.5 ** layer
+        phi = apply_kernel(kernel, d2, eps_l) + lam0 * np.eye(n)
+        term = cfg.term if layer == 0 else PolyTerm.ZERO
+        p = poly_basis(ctrl, term)
+        m = p.shape[1]
+        a = np.block([[phi, p], [p.T, np.zeros((m, m))]]) if m else phi
+        b = np.concatenate([target, np.zeros((m, 3))]) if m else target
+        x = np.linalg.solve(a, b)
+        w_l = x[:n]
+        w_layers.append(w_l)
+        eps_layers.append(eps_l)
+        if layer == 0 and m:
+            w_poly = x[n:]
+        if layer + 1 < n_layers:
+            pred = apply_kernel(kernel, d2, eps_l) @ w_l
+            if layer == 0 and cfg.n_poly:
+                pred = pred + poly_basis(ctrl, cfg.term) @ w_poly
+            target = target - pred
+    return ctrl, np.stack(w_layers), w_poly, np.stack(eps_layers)
+
+
+def evaluate(ctrl, w_rbf, w_poly, eps, points, kernel: RBFKernel, term: PolyTerm):
+    points = np.asarray(points, np.float64)
+    d2 = pairwise_sqdist(points, ctrl)
+    disp = np.zeros((points.shape[0], 3))
+    for l in range(w_rbf.shape[0]):
+        disp += apply_kernel(kernel, d2, eps[l]) @ w_rbf[l]
+    if w_poly.shape[0]:
+        disp += poly_basis(points, term) @ w_poly
+    return disp
+
+
+def project_to_tangents(u, v, n, disp):
+    def norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
+
+    u, v, n = norm(np.asarray(u, np.float64)), norm(np.asarray(v, np.float64)), norm(np.asarray(n, np.float64))
+
+    def dot_b(x):
+        return (
+            np.sum(x * u, -1, keepdims=True) * u
+            + np.sum(x * v, -1, keepdims=True) * v
+            + np.sum(x * n, -1, keepdims=True) * n
+        )
+
+    a1, a2 = norm(dot_b(u)), norm(dot_b(v))
+    return a1 * np.sum(disp * a1, -1, keepdims=True) + a2 * np.sum(disp * a2, -1, keepdims=True)
+
+
+def falloff_weight(dist2, radius, rate, strict_parity=False):
+    dist2 = np.asarray(dist2, np.float64)
+    r2 = float(radius) ** 2
+    if not strict_parity:
+        dist2 = np.maximum(dist2, 0.0)
+    active = dist2 <= r2
+    ratio = np.minimum(dist2 / r2, 1.0)
+    base = (1.0 - ratio) if strict_parity else np.maximum(1.0 - ratio, 0.0)
+    w = base ** float(rate)
+    return np.where(active, w, 0.0), active
+
+
+def deform(rest_ctrl, deformed_ctrl, points, cfg: DeformConfig,
+           params: DeformParams = DeformParams(), dist2=None, frame=None,
+           group_mask=None):
+    """Full oracle pipeline mirroring Deformer.fit + Deformer.apply."""
+    ctrl, w_rbf, w_poly, eps = fit(rest_ctrl, deformed_ctrl, cfg, params)
+    from facedeform_tpu.ops.fit import effective_kernel
+
+    kernel = effective_kernel(cfg)
+    points = np.asarray(points, np.float64)
+    disp = evaluate(ctrl, w_rbf, w_poly, eps, points, kernel, cfg.term)
+    if cfg.tangent and frame is not None:
+        disp = project_to_tangents(*frame, disp)
+    if dist2 is None:
+        dist2 = np.zeros(points.shape[0])
+    radius = max(float(params.radius), 0.01)
+    w, active = falloff_weight(dist2, radius, float(params.falloffrate), cfg.strict_parity)
+    if group_mask is not None:
+        active = np.logical_and(active, group_mask)
+    w = np.where(active, w, 0.0)
+    return points + disp * w[:, None], w
