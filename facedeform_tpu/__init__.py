@@ -21,8 +21,10 @@ from facedeform_tpu.config import (
     RBFKernel,
     RBFModelType,
 )
+from facedeform_tpu.capture.capture import CaptureResult, ProximityCapture
 from facedeform_tpu.deformer import Deformer
 from facedeform_tpu.geometry.mesh import Mesh
+from facedeform_tpu.node import CookResult, FaceDeformNode
 from facedeform_tpu.ops.fit import RBFModel, fit
 from facedeform_tpu.utils.errors import (
     CaptureError,
@@ -40,6 +42,10 @@ __all__ = [
     "RBFKernel",
     "RBFModelType",
     "Deformer",
+    "FaceDeformNode",
+    "CookResult",
+    "ProximityCapture",
+    "CaptureResult",
     "Mesh",
     "RBFModel",
     "fit",

@@ -1,0 +1,243 @@
+"""FaceDeformNode: the cook orchestrator (components A/B/C).
+
+The reference's single public entry point is SOP_FaceDeform::cookMySop
+(src/SOP_FaceDeform.cpp:216-489): lock inputs, validate, build RBF data,
+drive capture -> RBF solve -> per-vertex eval -> morph-space pass, with
+data-ID change tracking so capture/DBSE only re-run when their inputs
+actually changed (InputGeoID, src/SOP_FaceDeform.hpp:47-64).
+
+This class is the host-side equivalent.  Input contract (reference
+:38-46, :228-234):
+
+    inputs[0] = mesh (rest pose)          -- deformed copy is the output
+    inputs[1] = rest control rig
+    inputs[2] = deformed control rig      -- counts of 1 and 2 must match
+    inputs[3:] = blendshapes              -- must match input0 point count,
+                                             else skipped with a warning
+
+Produced attributes (reference :179-185, :401, :425, :438, :474-480):
+    P (deformed points), `fd_falloff` float, `Cd` color viz, `rest` float3,
+    `weights` detail float array.
+
+Cache improvements over the reference (documented deviations):
+  * capture is also keyed on radius/maxedges/falloff params — fixing the
+    FIXME at src/SOP_FaceDeform.cpp:310-312 (SURVEY.md quirk 4);
+  * the RBF solve is cached on (rig data ids, params) instead of being
+    re-run every cook (:330-368 always rebuilds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from facedeform_tpu.capture.capture import CaptureResult, ProximityCapture
+from facedeform_tpu.config import DeformConfig, DeformParams
+from facedeform_tpu.deformer import Deformer
+from facedeform_tpu.geometry.mesh import Mesh
+from facedeform_tpu.ops import dbse as dbse_ops
+from facedeform_tpu.utils import errors
+
+
+@dataclasses.dataclass
+class CookResult:
+    """Everything a cook produces (the reference's output detail + node UI
+    messages)."""
+
+    mesh: Mesh                       # deformed copy of input 0
+    warnings: List[str]
+    messages: List[str]
+    capture: Optional[CaptureResult]
+    weights: Optional[np.ndarray]    # DBSE per-shape weights (detail attr)
+
+
+def _params_key(params: DeformParams) -> tuple:
+    return tuple(
+        float(v) if not isinstance(v, (int,)) else int(v) for v in params
+    )
+
+
+class FaceDeformNode:
+    """Stateful node: holds caches across cooks like the SOP instance holds
+    m_mesh_capture / m_direct_blends / m_input_tracker
+    (src/SOP_FaceDeform.hpp:110-113)."""
+
+    def __init__(self) -> None:
+        self._capture = ProximityCapture()
+        self._capture_key: Optional[tuple] = None
+        self._capture_result: Optional[CaptureResult] = None
+        self._dbse_key: Optional[tuple] = None
+        self._dbse_model: Optional[dbse_ops.DBSEModel] = None
+        self._fit_key: Optional[tuple] = None
+        self._deformer: Optional[Deformer] = None
+        self._rest_key: Optional[int] = None
+        self._rest_attr: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------ cook
+    def cook(
+        self,
+        inputs: Sequence[Mesh],
+        cfg: DeformConfig = DeformConfig(),
+        params: DeformParams = DeformParams(),
+        group_mask: Optional[np.ndarray] = None,
+    ) -> CookResult:
+        """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
+
+        Raises ShapeMismatchError / CaptureError / SolveFailedError for the
+        conditions the reference reports as node errors; non-fatal
+        conditions are collected as warnings.
+        """
+        if len(inputs) < 3:
+            raise errors.ShapeMismatchError(
+                "need at least 3 inputs: mesh, rest rig, deformed rig"
+            )
+        warnings: List[str] = []
+        messages: List[str] = []
+        mesh_in, rest_rig, deform_rig = inputs[0], inputs[1], inputs[2]
+        blends = list(inputs[3:])
+
+        # Validation (:228-234).
+        if rest_rig.num_points != deform_rig.num_points:
+            raise errors.ShapeMismatchError(
+                "Rest and deform geometry should match."
+            )
+
+        # duplicatePointSource(0) (:226).
+        out = mesh_in.copy()
+        maxedges = max(int(params.maxedges), 1)
+        radius = max(float(params.radius), 0.01)
+
+        # ---------------------------------------------------------- capture
+        cap_key = (
+            mesh_in.pos_id, mesh_in.top_id, rest_rig.pos_id, rest_rig.top_id,
+            maxedges, radius, bool(cfg.dofalloff), float(params.falloffrate),
+            bool(cfg.strict_parity),
+        )
+        if cap_key != self._capture_key:
+            self._capture.init(out, rest_rig)
+            self._capture_result = self._capture.capture(
+                maxedges, radius, cfg.dofalloff, float(params.falloffrate),
+                strict_parity=cfg.strict_parity,
+            )
+            self._capture_key = cap_key
+        capture = self._capture_result
+
+        # -------------------------------------------- rest attr + DBSE setup
+        dbse_model = None
+        valid_blends: List[Mesh] = []
+        if cfg.morphspace and blends:
+            # store/refresh `rest` attribute when the rest pose changed
+            # (setupBlends, :178-185)
+            if self._rest_key != mesh_in.pos_id or self._rest_attr is None:
+                self._rest_attr = mesh_in.points.copy()
+                self._rest_key = mesh_in.pos_id
+            out.set_attr("rest", self._rest_attr)
+            for b in blends:
+                if b.num_points != mesh_in.num_points:
+                    warnings.append(
+                        "Some blendshapes don't match rest pose point count. "
+                        "Ignoring them."
+                    )
+                    continue
+                valid_blends.append(b)
+            if valid_blends:
+                dbse_key = (
+                    mesh_in.pos_id,
+                    tuple(b.pos_id for b in valid_blends),
+                    not cfg.dbse_lstsq,
+                )
+                if dbse_key != self._dbse_key:
+                    self._dbse_model = dbse_ops.build_model(
+                        self._rest_attr,
+                        [b.points for b in valid_blends],
+                        parity=not cfg.dbse_lstsq,
+                    )
+                    self._dbse_key = dbse_key
+                dbse_model = self._dbse_model
+            else:
+                warnings.append(
+                    "Can't proceed with morph space deformation. Ignoring it."
+                )
+        elif cfg.morphspace:
+            warnings.append("No blendshapes found. Ignoring morphspace deformation.")
+
+        # -------------------------------------------------------- RBF solve
+        fit_key = (
+            rest_rig.pos_id, deform_rig.pos_id, cfg, _params_key(params)
+        )
+        if fit_key != self._fit_key:
+            self._deformer = Deformer.fit(
+                rest_rig.points, deform_rig.points, cfg, params
+            )
+            self._fit_key = fit_key
+        deformer = self._deformer
+        messages.append(
+            f"Solve residual: {float(deformer.report.residual_norm):.3e} "
+            f"(rhs {float(deformer.report.rhs_norm):.3e})"
+        )
+
+        # ------------------------------------------------- tangent frame
+        frame = None
+        if cfg.tangent:
+            if out.has_tangent_frame():
+                frame = (out.attr("tangentu"), out.attr("tangentv"), out.attr("N"))
+            else:
+                # reference warning text (:295-297)
+                warnings.append(
+                    "Append PolyFrameSOP and enable tangent[u/v] and N "
+                    "attribute to allow tangent displacement."
+                )
+
+        # ------------------------------------------------------- eval loop
+        dist2 = capture.dist2 if capture is not None else None
+        new_pts, falloff = deformer.apply(
+            out.points, dist2=dist2, frame=frame, group_mask=group_mask
+        )
+        new_pts = np.asarray(new_pts)
+        out.set_attr("fd_falloff", np.asarray(falloff, np.float32))
+        if capture is not None:
+            out.set_attr("Cd", capture.color)
+
+        # ------------------------------------------------------ morph pass
+        weights_out = None
+        if dbse_model is not None:
+            rest_attr = jnp.asarray(self._rest_attr)
+            cur = jnp.asarray(new_pts)
+            if cfg.dbse_lstsq:
+                w, w_report = dbse_ops.weights_lstsq(dbse_model, cur, rest_attr)
+                try:
+                    errors.check_solve(w_report)
+                    ok = True
+                except errors.SolveFailedError:
+                    ok = False
+            else:
+                w = dbse_ops.weights_parity(dbse_model, cur, rest_attr)
+                ok = bool(np.isfinite(np.asarray(w)).all())
+            if not ok:
+                warnings.append(
+                    "Can't compute weights for morphspace deformation. Ignoring it."
+                )
+            else:
+                clamp = None
+                if cfg.doclampweight:
+                    clamp = (jnp.asarray(params.weight_lo), jnp.asarray(params.weight_hi))
+                disp = dbse_ops.reconstruct(
+                    dbse_model, w, clamp, parity_scale=not cfg.dbse_lstsq
+                )
+                morphed = dbse_ops.morph_pass(
+                    cur, rest_attr, disp,
+                    jnp.asarray(bool(cfg.dofalloff)),
+                    jnp.asarray(float(params.falloffradius), jnp.float32),
+                )
+                new_pts = np.asarray(morphed)
+                weights_out = np.asarray(w)
+                out.detail_attrs["weights"] = weights_out
+
+        out.set_points(new_pts)
+        return CookResult(
+            mesh=out, warnings=warnings, messages=messages,
+            capture=capture, weights=weights_out,
+        )

@@ -43,6 +43,7 @@ def assemble_system(
     term: PolyTerm,
     eps: jnp.ndarray,
     lam: jnp.ndarray,
+    tail_reg: float = 1e-8,
 ) -> jnp.ndarray:
     """Build the (N + m, N + m) saddle-point system matrix.
 
@@ -52,6 +53,13 @@ def assemble_system(
       term: static polynomial tail choice.
       eps: per-control radii (N,) or scalar.
       lam: ridge added to the Phi diagonal (0 for exact interpolation).
+      tail_reg: -tail_reg*I in the zero block makes the system
+        quasi-definite, so rank-deficient tails (coplanar or < m control
+        points with a LINEAR term — common for flat facial marker layouts)
+        solve to a minimal-norm tail instead of blowing up.  ALGLIB absorbs
+        this case inside its least-squares machinery; the perturbation to
+        the interpolation rows is zero, so exactness at control points is
+        unaffected.
     """
     n = ctrl.shape[0]
     d2 = pairwise_sqdist(ctrl, ctrl)
@@ -61,9 +69,9 @@ def assemble_system(
     m = p.shape[1]
     if m == 0:
         return phi
-    zero = jnp.zeros((m, m), dtype=phi.dtype)
+    tail = -tail_reg * jnp.eye(m, dtype=phi.dtype)
     top = jnp.concatenate([phi, p], axis=1)
-    bot = jnp.concatenate([p.T, zero], axis=1)
+    bot = jnp.concatenate([p.T, tail], axis=1)
     return jnp.concatenate([top, bot], axis=0)
 
 

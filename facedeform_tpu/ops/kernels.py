@@ -90,10 +90,13 @@ def nearest_neighbor_dist(pts: jnp.ndarray) -> jnp.ndarray:
     """Per-point distance to its nearest *other* point; shape (N,).
 
     Used by the QNN radius rule (see fit.py).  Degenerate duplicate points
-    produce 0 and are floored by the caller.
+    produce 0 and are floored by the caller.  A single-point rig has no
+    neighbor — fall back to unit distance so downstream radii stay finite.
     """
     d2 = pairwise_sqdist(pts, pts)
     n = pts.shape[0]
+    if n == 1:
+        return jnp.ones((1,), dtype=pts.dtype)
     diag = jnp.eye(n, dtype=bool)
     d2 = jnp.where(diag, jnp.inf, d2)
     return jnp.sqrt(jnp.min(d2, axis=-1))

@@ -57,6 +57,9 @@ def poly_basis(pts: np.ndarray, term: PolyTerm) -> np.ndarray:
 
 
 def qnn_radii(ctrl: np.ndarray, q: float, z: float) -> np.ndarray:
+    if ctrl.shape[0] == 1:
+        nn = np.ones(1)
+        return np.minimum(q * nn, z * np.mean(nn))
     d2 = pairwise_sqdist(ctrl, ctrl)
     np.fill_diagonal(d2, np.inf)
     nn = np.sqrt(np.min(d2, axis=1))
@@ -94,7 +97,7 @@ def fit(rest_ctrl, deformed_ctrl, cfg: DeformConfig, params: DeformParams = Defo
         term = cfg.term if layer == 0 else PolyTerm.ZERO
         p = poly_basis(ctrl, term)
         m = p.shape[1]
-        a = np.block([[phi, p], [p.T, np.zeros((m, m))]]) if m else phi
+        a = np.block([[phi, p], [p.T, -1e-8 * np.eye(m)]]) if m else phi
         b = np.concatenate([target, np.zeros((m, 3))]) if m else target
         x = np.linalg.solve(a, b)
         w_l = x[:n]
