@@ -1,0 +1,81 @@
+"""Headline benchmark: vertex-kernel evals/sec on the real chip.
+
+BASELINE.md targets >= 1e9 vertex-kernel evals/sec/chip at 1k control
+points (the reference publishes no numbers; the unit is one phi(|v - c|)
+evaluation, so a 1M-vertex x 1k-control frame is 1e9 evals).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N / 1e9}
+
+Timing note: on the axon TPU tunnel jax.block_until_ready does not
+actually fence execution; a scalar reduction pulled to host does.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import DeformConfig, DeformParams
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops import fit as fit_mod
+
+    n_ctrl, n_verts = 1000, 1_000_000
+    rng = np.random.default_rng(0)
+    rest = fibonacci_points(n_ctrl)
+    deformed = rest + 0.05 * rng.standard_normal((n_ctrl, 3)).astype(np.float32)
+    cfg = DeformConfig()
+    params = DeformParams()
+
+    # --- solve latency (secondary metric, reported to stderr) -------------
+    d = Deformer.fit(rest, deformed, cfg, params)  # compile + solve
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        d = Deformer.fit(rest, deformed, cfg, params)
+        float(d.report.residual_norm)  # sync
+    solve_ms = (time.time() - t0) / reps * 1e3
+    print(f"# solve @ {n_ctrl} ctrl pts: {solve_ms:.1f} ms", file=sys.stderr)
+
+    # --- eval throughput (headline) ---------------------------------------
+    pts = jnp.asarray(rng.standard_normal((n_verts, 3)).astype(np.float32))
+    dist2 = jnp.zeros(n_verts, jnp.float32)
+
+    use_pallas = jax.default_backend() == "tpu"
+    backend = "pallas" if use_pallas else "dense"
+    out = d.apply(pts, dist2=dist2, backend=backend)
+    float(jnp.sum(out[0]))  # warm-up + sync
+    t0 = time.time()
+    iters = 20
+    for _ in range(iters):
+        out = d.apply(pts, dist2=dist2, backend=backend)
+    float(jnp.sum(out[0]))  # sync through the queue
+    dt = (time.time() - t0) / iters
+    evals_per_sec = n_verts * n_ctrl / dt
+    print(
+        f"# eval: {dt * 1e3:.2f} ms/frame ({backend}), "
+        f"{evals_per_sec / 1e9:.1f} Gevals/s",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "vertex_kernel_evals_per_sec_1Mv_1kc",
+                "value": evals_per_sec,
+                "unit": "evals/s",
+                "vs_baseline": evals_per_sec / 1e9,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

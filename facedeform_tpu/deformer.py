@@ -121,6 +121,7 @@ class Deformer:
         dist2=None,
         frame=None,
         group_mask=None,
+        backend: str = "auto",
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Deform points; returns (new_points (V,3), fd_falloff (V,)).
 
@@ -131,6 +132,10 @@ class Deformer:
             (reference quirk 1).
           frame: optional (u, v, n) tangent attributes for cfg.tangent.
           group_mask: optional (V,) bool point-group restriction.
+          backend: "auto" (fused Pallas kernel on TPU, dense XLA elsewhere),
+            "pallas", or "dense".  Tangent projection currently runs on the
+            dense path (the fused kernel applies falloff inside, which must
+            happen *after* projection).
         """
         points = jnp.asarray(points, jnp.float32)
         if dist2 is None:
@@ -141,6 +146,38 @@ class Deformer:
             frame = tuple(jnp.asarray(f, jnp.float32) for f in frame)
         if group_mask is not None:
             group_mask = jnp.asarray(group_mask, bool)
+
+        use_tangent = self.cfg.tangent and frame is not None
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if (jax.default_backend() == "tpu" and not use_tangent)
+                else "dense"
+            )
+        if backend == "pallas" and not use_tangent:
+            from facedeform_tpu.ops.pallas_eval import evaluate_pallas
+
+            params = self.params.clamped()
+            gate = (
+                group_mask.astype(jnp.float32)
+                if group_mask is not None
+                else jnp.ones(points.shape[0], jnp.float32)
+            )
+            new_pts, w = evaluate_pallas(
+                self.model,
+                points,
+                dist2,
+                gate,
+                jnp.asarray(params.radius, jnp.float32),
+                jnp.asarray(params.falloffrate, jnp.float32),
+                fit_mod.effective_kernel(self.cfg),
+                self.cfg.term,
+                strict_parity=self.cfg.strict_parity,
+            )
+            if group_mask is not None:
+                # gate zeroes the displacement; also pin positions exactly
+                new_pts = jnp.where(group_mask[:, None], new_pts, points)
+            return new_pts, w
         return apply_fn(
             self.model, points, dist2, frame, group_mask, self.cfg, self.params
         )

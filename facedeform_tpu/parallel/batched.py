@@ -1,0 +1,132 @@
+"""Animated-sequence batching: per-frame solve + eval over a frame axis.
+
+BASELINE config 5: "Animated face sequence: 1M-vertex mesh, 1k control
+points, per-frame batched eval sharded over ICI."  The reference re-cooks
+the whole node per frame (src/SOP_FaceDeform.cpp:216 runs per cook); here
+the rest rig and mesh are fixed across a shot, so:
+
+  * fit_frames vmaps the RBF solve over F deformed-rig frames — one batched
+    LU factorization of F (N+m, N+m) systems (the kernel matrix is shared
+    structure; radii depend only on the rest rig, so eps is computed once);
+  * apply_frames evaluates all frames against the same vertex buffer,
+    vmapping the dense/Pallas eval over the model's leading frame axis, and
+    composes with parallel.sharding for the vertex axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from facedeform_tpu.config import DeformConfig, DeformParams
+from facedeform_tpu.ops import fit as fit_mod
+from facedeform_tpu.ops.evaluate import evaluate_block
+from facedeform_tpu.ops.falloff import falloff_weight
+from facedeform_tpu.ops.fit import RBFModel
+from facedeform_tpu.parallel.sharding import VERTEX_AXIS
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_frames(
+    rest_ctrl: jnp.ndarray,
+    deformed_frames: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams = DeformParams(),
+) -> tuple[RBFModel, jnp.ndarray]:
+    """Solve F frames at once: (N, 3), (F, N, 3) -> stacked RBFModel.
+
+    Returns a model pytree with a leading F axis on w_rbf/w_poly (ctrl and
+    eps are frame-invariant) and per-frame residual norms.
+    """
+    fitted = jax.vmap(
+        lambda dc: fit_mod.fit(rest_ctrl, dc, cfg, params)
+    )(deformed_frames)
+    models, reports = fitted
+    # ctrl/eps are identical across frames; keep one copy.
+    model = RBFModel(
+        ctrl=models.ctrl[0],
+        w_rbf=models.w_rbf,      # (F, L, N, 3)
+        w_poly=models.w_poly,    # (F, m, 3)
+        eps=models.eps[0],       # (L, N)
+    )
+    return model, reports.residual_norm
+
+
+def _frame_model(batched: RBFModel, f: int | jnp.ndarray) -> RBFModel:
+    return RBFModel(
+        ctrl=batched.ctrl,
+        w_rbf=batched.w_rbf[f],
+        w_poly=batched.w_poly[f],
+        eps=batched.eps,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def apply_frames(
+    batched_model: RBFModel,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams,
+    mesh: Mesh | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate every frame: -> ((F, V, 3) positions, (V,) falloff).
+
+    The falloff depends only on capture distances, not the frame, so it is
+    computed once.  With a mesh, vertices shard over 'v' and the frame loop
+    runs inside each shard (weights are small and replicated, so F x N x 3
+    per chip is trivial); without one, a plain vmap over frames.
+    """
+    params = params.clamped()
+    kernel = fit_mod.effective_kernel(cfg)
+    w, _ = falloff_weight(
+        dist2, params.radius, params.falloffrate, strict_parity=cfg.strict_parity
+    )
+    w = w * gate
+
+    from facedeform_tpu.parallel.sharding import _mesh_on_tpu
+
+    use_pallas = (
+        _mesh_on_tpu(mesh) if mesh is not None else jax.default_backend() == "tpu"
+    )
+
+    def eval_frames_local(model, pts, wloc):
+        def one(f_w_rbf, f_w_poly):
+            m = RBFModel(ctrl=model.ctrl, w_rbf=f_w_rbf, w_poly=f_w_poly, eps=model.eps)
+            if use_pallas:
+                from facedeform_tpu.ops.pallas_eval import evaluate_pallas
+
+                # falloff/gate pre-folded into wloc: pass dist2=0, gate=wloc
+                # so the kernel computes pts + disp * wloc directly.
+                out, _ = evaluate_pallas(
+                    m, pts, jnp.zeros(pts.shape[0], jnp.float32), wloc,
+                    jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
+                    kernel, cfg.term, strict_parity=False,
+                )
+                return out
+            disp = evaluate_block(m, pts, kernel, cfg.term)
+            return pts + disp * wloc[:, None]
+
+        return jax.vmap(one)(model.w_rbf, model.w_poly)
+
+    if mesh is None:
+        return eval_frames_local(batched_model, points.astype(jnp.float32), w), w
+
+    n_dev = mesh.shape[VERTEX_AXIS]
+    v = points.shape[0]
+    pad = (-v) % n_dev
+    pts_p = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
+    w_p = jnp.pad(w, (0, pad))
+    mapped = jax.shard_map(
+        eval_frames_local,
+        mesh=mesh,
+        in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS)),
+        out_specs=P(None, VERTEX_AXIS),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
+    )
+    out = mapped(batched_model, pts_p, w_p)
+    return out[:, :v], w

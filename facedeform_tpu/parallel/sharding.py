@@ -1,0 +1,172 @@
+"""Multi-chip evaluation: vertices sharded over an ICI mesh, model replicated.
+
+The reference's only parallelism artifact is the disabled thread pool that
+replicates the serialized ALGLIB model per thread and splits vertex pages
+(src/SOP_FaceDeform.hpp:116-188).  This module promotes exactly that design
+to chips (SURVEY.md section 2, parallelism note): a 1-D device mesh with
+
+    points / dist2 / gate   sharded  on the vertex axis ('v')
+    control points, weights replicated
+
+so steady-state evaluation needs ZERO collectives — each chip runs the same
+fused Pallas kernel on its vertex shard against its local copy of the tiny
+(N x 3) control data.  The only collective anywhere is an optional psum for
+global diagnostics.  Multi-host runs ride the standard JAX runtime over DCN
+with the same program.
+
+The `fit` solve is replicated (N x N with N ~ 1e3 is far cheaper than one
+collective round-trip); see SURVEY.md section 5 for the design note on when
+control-point sharding (ring-passing Phi blocks) would become worthwhile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from facedeform_tpu.config import DeformConfig, DeformParams
+from facedeform_tpu.ops import fit as fit_mod
+from facedeform_tpu.ops.evaluate import evaluate_block
+from facedeform_tpu.ops.falloff import falloff_weight
+from facedeform_tpu.ops.fit import RBFModel
+from facedeform_tpu.ops.tangent import project_to_tangents
+
+VERTEX_AXIS = "v"
+
+
+def _mesh_on_tpu(mesh: Mesh) -> bool:
+    """True when the mesh devices are TPU chips (the pallas fast path
+    compiles only there; the CPU dry-run mesh takes the dense path)."""
+    import numpy as np
+
+    return np.asarray(mesh.devices).flat[0].platform == "tpu"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D device mesh over the vertex axis (all local devices by default)."""
+    import numpy as np
+
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (VERTEX_AXIS,))
+
+
+def _local_apply(
+    model: RBFModel,
+    pts: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    frame,
+    cfg: DeformConfig,
+    params: DeformParams,
+    use_pallas: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-shard eval: identical semantics to deformer.apply_fn.
+
+    Uses the fused Pallas kernel when the mesh lives on TPU devices, dense
+    XLA otherwise — shard_map bodies trace once per shard shape, so the
+    branch is static.
+    """
+    use_tangent = cfg.tangent and frame is not None
+    if use_pallas and not use_tangent:
+        from facedeform_tpu.ops.pallas_eval import evaluate_pallas
+
+        return evaluate_pallas(
+            model, pts, dist2, gate,
+            jnp.asarray(params.radius, jnp.float32),
+            jnp.asarray(params.falloffrate, jnp.float32),
+            fit_mod.effective_kernel(cfg), cfg.term,
+            strict_parity=cfg.strict_parity,
+        )
+    disp = evaluate_block(model, pts, fit_mod.effective_kernel(cfg), cfg.term)
+    if use_tangent:
+        disp = project_to_tangents(*frame, disp)
+    w, active = falloff_weight(
+        dist2, params.radius, params.falloffrate, strict_parity=cfg.strict_parity
+    )
+    w = w * gate
+    return pts + disp * w[:, None], w
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=()
+)
+def sharded_apply(
+    model: RBFModel,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams,
+    mesh: Mesh,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Vertex-sharded deformation: (V, 3) -> (V, 3), V padded to the mesh size.
+
+    in_specs: model fully replicated (P()), vertex arrays P('v').
+    out_specs: P('v').  No collective appears in the compiled program.
+    """
+    n_dev = mesh.shape[VERTEX_AXIS]
+    v = points.shape[0]
+    pad = (-v) % n_dev
+    points = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
+    dist2 = jnp.pad(dist2.astype(jnp.float32), (0, pad))
+    gate = jnp.pad(gate.astype(jnp.float32), (0, pad))
+
+    params = params.clamped()
+    body = functools.partial(
+        _local_apply, cfg=cfg, params=params, frame=None,
+        use_pallas=_mesh_on_tpu(mesh),
+    )
+    mapped = jax.shard_map(
+        lambda m, p, d, g: body(m, p, d, g),
+        mesh=mesh,
+        in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS), P(VERTEX_AXIS)),
+        out_specs=(P(VERTEX_AXIS), P(VERTEX_AXIS)),
+        check_vma=False,  # pallas_call out_shapes carry no vma annotations
+    )
+    new_pts, w = mapped(model, points, dist2, gate)
+    return new_pts[:v], w[:v]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def deform_step(
+    rest_ctrl: jnp.ndarray,
+    deformed_ctrl: jnp.ndarray,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams,
+    mesh: Mesh,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The full per-frame step: replicated solve + sharded eval + one psum.
+
+    This is the multi-chip "training step" analogue: everything the node does
+    per animation frame once capture is cached.  Returns (new_points,
+    falloff, global max displacement) — the last via an explicit collective
+    over the vertex axis as the health metric (SURVEY.md section 5: global
+    error norms are the only psum in the design).
+    """
+    model, report = fit_mod.fit(rest_ctrl, deformed_ctrl, cfg, params)
+    new_pts, w = sharded_apply(model, points, dist2, gate, cfg, params, mesh)
+
+    def max_disp(p_new, p_old):
+        local = jnp.max(jnp.abs(p_new - p_old))
+        return jax.lax.pmax(local, VERTEX_AXIS)
+
+    v = points.shape[0]
+    n_dev = mesh.shape[VERTEX_AXIS]
+    pad = (-v) % n_dev
+    p_old = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
+    p_new = jnp.pad(new_pts, ((0, pad), (0, 0)))
+    gmax = jax.shard_map(
+        max_disp,
+        mesh=mesh,
+        in_specs=(P(VERTEX_AXIS), P(VERTEX_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )(p_new, p_old)
+    return new_pts, w, gmax

@@ -1,0 +1,101 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facedeform_tpu import DeformConfig, DeformParams, Deformer
+from facedeform_tpu.geometry.primitives import fibonacci_points
+from facedeform_tpu.ops import fit as fit_mod
+from facedeform_tpu.parallel import batched, sharding
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
+    return sharding.make_mesh()
+
+
+def _fit(rng, n=30):
+    rest = fibonacci_points(n)
+    deformed = rest + 0.1 * rng.standard_normal((n, 3)).astype(np.float32)
+    return rest, deformed, Deformer.fit(rest, deformed, DeformConfig(), DeformParams())
+
+
+def test_sharded_apply_matches_single_device(rng, mesh):
+    """Vertex-sharded eval == single-device eval (replicated-model design)."""
+    rest, deformed, d = _fit(rng)
+    v = 1000  # deliberately not divisible by 8
+    pts = rng.standard_normal((v, 3)).astype(np.float32)
+    dist2 = np.abs(rng.standard_normal(v)).astype(np.float32)
+    gate = np.ones(v, np.float32)
+    ref_pts, ref_w = d.apply(pts, dist2=dist2, backend="dense")
+    got_pts, got_w = sharding.sharded_apply(
+        d.model, jnp.asarray(pts), jnp.asarray(dist2), jnp.asarray(gate),
+        d.cfg, d.params, mesh,
+    )
+    np.testing.assert_allclose(np.asarray(got_pts), np.asarray(ref_pts), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w), atol=1e-6)
+
+
+def test_deform_step_full(rng, mesh):
+    """Replicated solve + sharded eval + psum diagnostics in one jit."""
+    rest, deformed, d = _fit(rng)
+    pts = rng.standard_normal((512, 3)).astype(np.float32)
+    new_pts, w, gmax = sharding.deform_step(
+        jnp.asarray(rest), jnp.asarray(deformed), jnp.asarray(pts),
+        jnp.zeros(512), jnp.ones(512), DeformConfig(), DeformParams(), mesh,
+    )
+    ref_pts, _ = d.apply(pts, backend="dense")
+    np.testing.assert_allclose(np.asarray(new_pts), np.asarray(ref_pts), atol=1e-5)
+    want_gmax = np.abs(np.asarray(ref_pts) - pts).max()
+    np.testing.assert_allclose(float(gmax), want_gmax, rtol=1e-5)
+
+
+def test_fit_frames_matches_per_frame(rng):
+    rest = fibonacci_points(25)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((25, 3)).astype(np.float32)
+        for _ in range(4)
+    ])
+    cfg = DeformConfig()
+    model, residuals = batched.fit_frames(
+        jnp.asarray(rest), jnp.asarray(frames), cfg, DeformParams()
+    )
+    assert model.w_rbf.shape[0] == 4
+    for f in range(4):
+        single, _ = fit_mod.fit(jnp.asarray(rest), jnp.asarray(frames[f]), cfg, DeformParams())
+        np.testing.assert_allclose(
+            np.asarray(model.w_rbf[f]), np.asarray(single.w_rbf), atol=1e-5
+        )
+
+
+def test_apply_frames_sharded(rng, mesh):
+    rest = fibonacci_points(25)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((25, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    cfg = DeformConfig()
+    params = DeformParams()
+    model, _ = batched.fit_frames(jnp.asarray(rest), jnp.asarray(frames), cfg, params)
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    dist2 = np.abs(rng.standard_normal(300)).astype(np.float32)
+    gate = np.ones(300, np.float32)
+
+    out_sharded, w = batched.apply_frames(
+        model, jnp.asarray(pts), jnp.asarray(dist2), jnp.asarray(gate),
+        cfg, params, mesh,
+    )
+    out_local, _ = batched.apply_frames(
+        model, jnp.asarray(pts), jnp.asarray(dist2), jnp.asarray(gate),
+        cfg, params, None,
+    )
+    assert out_sharded.shape == (3, 300, 3)
+    np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(out_local), atol=1e-5)
+    # per-frame must equal the unbatched deformer
+    for f in range(3):
+        d = Deformer.fit(rest, frames[f], cfg, params)
+        ref, _ = d.apply(pts, dist2=dist2, backend="dense")
+        np.testing.assert_allclose(np.asarray(out_sharded[f]), np.asarray(ref), atol=2e-5)
