@@ -142,8 +142,13 @@ class ProximityCapture:
         max_edges = max(int(max_edges), 1)
         radius = max(float(radius), 0.01)
 
-        # findIslands: nearest mesh vertex per marker, per-class flood fill.
-        _, seed_vertices = self._tree.query(rig.points)
+        # findIslands: nearest mesh vertex per marker, per-class flood fill
+        # (native KD-tree when available, scipy cKDTree otherwise).
+        from facedeform_tpu import native
+
+        seed_vertices = native.nearest(mesh.points, rig.points)
+        if seed_vertices is None:
+            _, seed_vertices = self._tree.query(rig.points)
         seed_vertices = np.atleast_1d(seed_vertices).astype(np.int64)
         class_attr = rig.attr("class")
         classes = (

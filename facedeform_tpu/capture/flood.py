@@ -42,6 +42,12 @@ def multi_source_edge_rings(
     visited = np.zeros(n, dtype=bool)
     if len(seeds) == 0:
         return visited
+    # Native C++ fast path (facedeform_tpu/native) — same contract.
+    from facedeform_tpu import native
+
+    nat = native.bfs_rings(indptr, indices, np.asarray(seeds, np.int64), max_edges)
+    if nat is not None:
+        return nat
     visited[seeds] = True
     frontier = np.unique(seeds)
     for _ in range(max(int(max_edges), 1)):

@@ -1,0 +1,180 @@
+"""Command-line interface: the node's parameter surface as flags.
+
+The reference's UI is the Houdini parameter pane (component A,
+src/SOP_FaceDeform.cpp:99-137); standalone users get the same 16-parameter
+surface here:
+
+    python -m facedeform_tpu deform mesh.obj rest_rig.obj deform_rig.obj \
+        -o out.obj [--blend shape1.obj --blend shape2.obj] [flags]
+
+plus a `bench` subcommand mirroring bench.py's headline measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="facedeform_tpu",
+        description="TPU-native RBF face deformation (facedeform rebuild)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("deform", help="deform a mesh from a control-rig pair")
+    d.add_argument("mesh", help="rest-pose mesh OBJ (input 0)")
+    d.add_argument("rest_rig", help="rest control rig OBJ (input 1)")
+    d.add_argument("deform_rig", help="deformed control rig OBJ (input 2)")
+    d.add_argument("-o", "--output", required=True, help="output OBJ path")
+    d.add_argument("--blend", action="append", default=[],
+                   help="blendshape OBJ (repeatable; inputs 3+)")
+    # the reference's parameter surface (defaults match the PRM templates)
+    d.add_argument("--model", choices=["qnn", "multilayer", "kernel"],
+                   default="qnn")
+    d.add_argument("--kernel", choices=["gaussian", "thin_plate",
+                   "multiquadric", "inverse_multiquadric", "linear", "cubic",
+                   "wendland_c2"], default="gaussian")
+    d.add_argument("--term", choices=["linear", "constant", "zero"],
+                   default="linear")
+    d.add_argument("--qcoef", type=float, default=1.0)
+    d.add_argument("--zcoef", type=float, default=5.0)
+    d.add_argument("--radius", type=float, default=1.0)
+    d.add_argument("--maxedges", type=int, default=4)
+    d.add_argument("--layers", type=int, default=4)
+    d.add_argument("--lambda", dest="lam", type=float, default=0.1)
+    d.add_argument("--tangent", action="store_true")
+    d.add_argument("--morphspace", action="store_true")
+    d.add_argument("--clamp-weights", action="store_true")
+    d.add_argument("--weight-range", type=float, nargs=2, default=[0.0, 1.0])
+    d.add_argument("--falloff", action="store_true", dest="dofalloff")
+    d.add_argument("--falloff-radius", type=float, default=1.0)
+    d.add_argument("--falloff-rate", type=float, default=1.0)
+    d.add_argument("--strict-parity", action="store_true",
+                   help="preserve reference quirks verbatim (SURVEY.md)")
+    d.add_argument("--save-deformer", help="checkpoint the solved deformer (.npz)")
+    d.add_argument("--timing", action="store_true", help="print per-stage ms")
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.add_argument("--verts", type=int, default=1_000_000)
+    b.add_argument("--controls", type=int, default=1000)
+    return p
+
+
+def _cmd_deform(args) -> int:
+    from facedeform_tpu.config import (
+        DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
+    )
+    from facedeform_tpu.geometry.obj_io import load_obj, save_obj
+    from facedeform_tpu.geometry.topology import compute_tangent_frame
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.utils.profiling import StageTimes, stage
+
+    times = StageTimes()
+    with stage("load", times):
+        mesh = load_obj(args.mesh)
+        rest_rig = load_obj(args.rest_rig)
+        deform_rig = load_obj(args.deform_rig)
+        blends = [load_obj(b) for b in args.blend]
+
+    cfg = DeformConfig(
+        model=RBFModelType[args.model.upper()],
+        kernel=RBFKernel[args.kernel.upper()],
+        term=PolyTerm[args.term.upper()],
+        layers=args.layers,
+        tangent=args.tangent,
+        morphspace=args.morphspace,
+        doclampweight=args.clamp_weights,
+        dofalloff=args.dofalloff,
+        strict_parity=args.strict_parity,
+    )
+    params = DeformParams(
+        qcoef=args.qcoef, zcoef=args.zcoef, radius=args.radius,
+        lam=args.lam, falloffrate=args.falloff_rate,
+        falloffradius=args.falloff_radius,
+        weight_lo=args.weight_range[0], weight_hi=args.weight_range[1],
+        maxedges=args.maxedges,
+    )
+    if cfg.tangent and not mesh.has_tangent_frame():
+        with stage("tangent_frame", times):
+            compute_tangent_frame(mesh)
+
+    node = FaceDeformNode()
+    with stage("cook", times):
+        res = node.cook([mesh, rest_rig, deform_rig] + blends, cfg, params)
+    for w in res.warnings:
+        print(f"warning: {w}", file=sys.stderr)
+    for m in res.messages:
+        print(f"info: {m}", file=sys.stderr)
+
+    with stage("save", times):
+        save_obj(args.output, res.mesh)
+    if args.save_deformer:
+        from facedeform_tpu.utils import checkpoint
+
+        checkpoint.save(args.save_deformer, node._deformer)
+    if args.timing:
+        print(f"timing: {times.summary()}", file=sys.stderr)
+    print(f"wrote {args.output} ({res.mesh.num_points} points)")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import DeformConfig, DeformParams
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+
+    rng = np.random.default_rng(0)
+    rest = fibonacci_points(args.controls)
+    deformed = rest + 0.05 * rng.standard_normal(rest.shape).astype(np.float32)
+    d = Deformer.fit(rest, deformed, DeformConfig(), DeformParams())
+    pts = jnp.asarray(rng.standard_normal((args.verts, 3)).astype(np.float32))
+    backend = "pallas" if jax.default_backend() == "tpu" else "dense"
+    out = d.apply(pts, backend=backend)
+    float(jnp.sum(out[0]))
+    t0 = time.time()
+    iters = 10
+    for _ in range(iters):
+        out = d.apply(pts, backend=backend)
+    float(jnp.sum(out[0]))
+    dt = (time.time() - t0) / iters
+    print(json.dumps({
+        "verts": args.verts, "controls": args.controls, "backend": backend,
+        "ms_per_frame": dt * 1e3,
+        "gevals_per_sec": args.verts * args.controls / dt / 1e9,
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    try:
+        if args.cmd == "deform":
+            return _cmd_deform(args)
+        if args.cmd == "bench":
+            return _cmd_bench(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    except Exception as e:
+        # Framework errors (shape mismatch, capture/solve failure) present
+        # as one-line node errors, like the reference's addError UI.
+        from facedeform_tpu.utils.errors import FaceDeformError
+
+        if isinstance(e, FaceDeformError):
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        raise
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

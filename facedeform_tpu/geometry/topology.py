@@ -22,6 +22,7 @@ def unique_edges(faces: np.ndarray) -> np.ndarray:
     for i in range(k):
         pairs.append(np.stack([faces[:, i], faces[:, (i + 1) % k]], axis=1))
     e = np.concatenate(pairs, axis=0)
+    e = e[e[:, 0] != e[:, 1]]  # drop self-loops from degenerate fanned faces
     e = np.sort(e, axis=1)
     return np.unique(e, axis=0).astype(np.int32)
 
@@ -41,6 +42,11 @@ def adjacency_csr(num_points: int, edges: np.ndarray) -> Tuple[np.ndarray, np.nd
 def mesh_adjacency(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
     if mesh.faces is None or len(mesh.faces) == 0:
         return np.zeros(mesh.num_points + 1, np.int64), np.zeros(0, np.int32)
+    from facedeform_tpu import native
+
+    nat = native.build_adjacency(mesh.faces, mesh.num_points)
+    if nat is not None:
+        return nat
     return adjacency_csr(mesh.num_points, unique_edges(mesh.faces))
 
 

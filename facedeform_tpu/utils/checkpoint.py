@@ -1,0 +1,136 @@
+"""Deformer checkpoint/resume (solve-once, eval-many across sessions).
+
+The reference's only serialization is rbfserialize/rbfunserialize of the
+ALGLIB model for thread handoff (src/SOP_FaceDeform.cpp:374-377,
+src/SOP_FaceDeform.hpp:132-133).  The rebuild's model is a plain pytree, so
+checkpointing is: numpy-ify the leaves + record the static config.  Two
+backends:
+
+  * save/load        — single-file .npz, no extra deps, portable;
+  * save_orbax/load_orbax — orbax-checkpoint directory format for users
+    already in that ecosystem (sharding-aware restore).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from facedeform_tpu.config import DeformConfig, DeformParams
+from facedeform_tpu.deformer import Deformer
+from facedeform_tpu.ops.fit import RBFModel
+from facedeform_tpu.ops.solve import SolveReport
+
+_FORMAT_VERSION = 1
+
+
+def _cfg_to_json(cfg: DeformConfig) -> str:
+    d = dataclasses.asdict(cfg)
+    for k in ("model", "kernel", "term"):
+        d[k] = int(d[k])
+    return json.dumps(d)
+
+
+def _cfg_from_json(s: str) -> DeformConfig:
+    return DeformConfig(**json.loads(s))
+
+
+def save(path: str, deformer: Deformer) -> None:
+    """Serialize a solved Deformer to one .npz file."""
+    params = deformer.params
+    np.savez(
+        path,
+        format_version=_FORMAT_VERSION,
+        cfg_json=_cfg_to_json(deformer.cfg),
+        params=np.asarray(
+            [float(v) for v in params[:8]], np.float64
+        ),
+        maxedges=int(params.maxedges),
+        ctrl=np.asarray(deformer.model.ctrl),
+        w_rbf=np.asarray(deformer.model.w_rbf),
+        w_poly=np.asarray(deformer.model.w_poly),
+        eps=np.asarray(deformer.model.eps),
+        residual_norm=float(deformer.report.residual_norm),
+        rhs_norm=float(deformer.report.rhs_norm),
+    )
+
+
+def load(path: str) -> Deformer:
+    """Restore a Deformer saved by save(); ready for apply() immediately."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    version = int(data["format_version"])
+    if version > _FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {version} is newer than supported")
+    cfg = _cfg_from_json(str(data["cfg_json"]))
+    pvals = data["params"]
+    params = DeformParams(
+        qcoef=float(pvals[0]), zcoef=float(pvals[1]), radius=float(pvals[2]),
+        lam=float(pvals[3]), falloffrate=float(pvals[4]),
+        falloffradius=float(pvals[5]), weight_lo=float(pvals[6]),
+        weight_hi=float(pvals[7]), maxedges=int(data["maxedges"]),
+    )
+    model = RBFModel(
+        ctrl=jnp.asarray(data["ctrl"]),
+        w_rbf=jnp.asarray(data["w_rbf"]),
+        w_poly=jnp.asarray(data["w_poly"]),
+        eps=jnp.asarray(data["eps"]),
+    )
+    report = SolveReport(
+        residual_norm=jnp.asarray(float(data["residual_norm"])),
+        rhs_norm=jnp.asarray(float(data["rhs_norm"])),
+    )
+    return Deformer(model=model, cfg=cfg, params=params, report=report)
+
+
+def save_orbax(path: str, deformer: Deformer) -> None:
+    """Orbax directory checkpoint: model pytree + metadata json."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(os.path.join(path, "model"), deformer.model._asdict())
+    ckpt.wait_until_finished()
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "cfg": _cfg_to_json(deformer.cfg),
+        "params": [float(v) for v in deformer.params[:8]],
+        "maxedges": int(deformer.params.maxedges),
+        "residual_norm": float(deformer.report.residual_norm),
+        "rhs_norm": float(deformer.report.rhs_norm),
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_orbax(path: str) -> Deformer:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    abstract = {
+        "ctrl": None, "w_rbf": None, "w_poly": None, "eps": None,
+    }
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.join(path, "model"))
+    model = RBFModel(**{k: jnp.asarray(v) for k, v in restored.items()})
+    p = meta["params"]
+    params = DeformParams(
+        qcoef=p[0], zcoef=p[1], radius=p[2], lam=p[3], falloffrate=p[4],
+        falloffradius=p[5], weight_lo=p[6], weight_hi=p[7],
+        maxedges=int(meta["maxedges"]),
+    )
+    report = SolveReport(
+        residual_norm=jnp.asarray(meta["residual_norm"]),
+        rhs_norm=jnp.asarray(meta["rhs_norm"]),
+    )
+    return Deformer(
+        model=model, cfg=_cfg_from_json(meta["cfg"]), params=params, report=report
+    )

@@ -1,0 +1,82 @@
+"""OBJ I/O, checkpoint/resume, and profiling utility tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from facedeform_tpu import DeformConfig, DeformParams, Deformer, RBFKernel, RBFModelType
+from facedeform_tpu.geometry.mesh import Mesh
+from facedeform_tpu.geometry.obj_io import load_obj, save_obj
+from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+from facedeform_tpu.utils import checkpoint, profiling
+
+
+def test_obj_roundtrip(tmp_path, rng):
+    mesh = uv_sphere(20, 20)
+    mesh.set_attr("fd_falloff", rng.random(mesh.num_points).astype(np.float32))
+    mesh.detail_attrs["weights"] = np.float32([0.1, 0.2])
+    path = str(tmp_path / "sphere.obj")
+    save_obj(path, mesh)
+    loaded = load_obj(path)
+    np.testing.assert_allclose(loaded.points, mesh.points, atol=1e-6)
+    np.testing.assert_array_equal(loaded.faces, mesh.faces)
+    np.testing.assert_allclose(
+        loaded.point_attrs["fd_falloff"], mesh.point_attrs["fd_falloff"], atol=1e-7
+    )
+    np.testing.assert_allclose(loaded.detail_attrs["weights"], [0.1, 0.2])
+
+
+def test_obj_mixed_arity(tmp_path):
+    with open(tmp_path / "mixed.obj", "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nv 2 0 0\n")
+        f.write("f 1 2 3 4\nf 2 5 3\n")
+    mesh = load_obj(str(tmp_path / "mixed.obj"))
+    assert mesh.num_points == 5
+    assert mesh.faces.shape[1] == 3  # fan-triangulated
+    assert len(mesh.faces) == 3
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    rest = fibonacci_points(30)
+    deformed = rest + 0.1 * rng.standard_normal((30, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.MULTIQUADRIC,
+                       tangent=True, strict_parity=True)
+    params = DeformParams(radius=1.7, lam=0.02, falloffrate=1.5, maxedges=6)
+    d = Deformer.fit(rest, deformed, cfg, params)
+    path = str(tmp_path / "deformer.npz")
+    checkpoint.save(path, d)
+    restored = checkpoint.load(path)
+    assert restored.cfg == cfg
+    assert float(restored.params.radius) == pytest.approx(1.7)
+    assert restored.params.maxedges == 6
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    a, _ = d.apply(pts, backend="dense")
+    b, _ = restored.apply(pts, backend="dense")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_orbax_roundtrip(tmp_path, rng):
+    rest = fibonacci_points(20)
+    deformed = rest + 0.05 * rng.standard_normal((20, 3)).astype(np.float32)
+    d = Deformer.fit(rest, deformed, DeformConfig(), DeformParams())
+    path = str(tmp_path / "orbax_ckpt")
+    checkpoint.save_orbax(path, d)
+    restored = checkpoint.load_orbax(path)
+    pts = rng.standard_normal((50, 3)).astype(np.float32)
+    a, _ = d.apply(pts, backend="dense")
+    b, _ = restored.apply(pts, backend="dense")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage_times(rng):
+    times = profiling.StageTimes()
+    with profiling.stage("solve", times):
+        _ = sum(range(1000))
+    with profiling.stage("eval", times):
+        pass
+    with profiling.stage("eval", times):
+        pass
+    assert set(times.ms) == {"solve", "eval"}
+    assert times.counts["eval"] == 2
+    assert "solve" in times.summary()
