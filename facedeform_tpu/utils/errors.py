@@ -39,8 +39,12 @@ def check_solve(report, rtol: float = SOLVE_RESIDUAL_RTOL) -> None:
     """Host-side solver health check; raises SolveFailedError on blow-up."""
     import numpy as np
 
-    res = float(report.residual_norm)
-    rhs = float(report.rhs_norm)
+    import jax.numpy as jnp
+
+    # One device->host pull for both scalars (each separate float() costs a
+    # full round-trip on tunneled TPU runtimes).
+    vals = np.asarray(jnp.stack([report.residual_norm, report.rhs_norm]))
+    res, rhs = float(vals[0]), float(vals[1])
     if not np.isfinite(res) or (rhs > 0 and res > rtol * max(rhs, 1e-30)):
         raise SolveFailedError(
             f"RBF solve failed: residual {res:.3e} vs rhs {rhs:.3e} "
