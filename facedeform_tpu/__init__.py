@@ -24,6 +24,7 @@ from facedeform_tpu.config import (
 from facedeform_tpu.capture.capture import CaptureResult, ProximityCapture
 from facedeform_tpu.deformer import Deformer
 from facedeform_tpu.geometry.mesh import Mesh
+from facedeform_tpu.inverse import InverseRigResult, fit_rig
 from facedeform_tpu.node import CookResult, FaceDeformNode
 from facedeform_tpu.ops.fit import RBFModel, fit
 from facedeform_tpu.utils.errors import (
@@ -49,6 +50,8 @@ __all__ = [
     "Mesh",
     "RBFModel",
     "fit",
+    "fit_rig",
+    "InverseRigResult",
     "FaceDeformError",
     "ShapeMismatchError",
     "SolveFailedError",

@@ -133,9 +133,8 @@ class Deformer:
           frame: optional (u, v, n) tangent attributes for cfg.tangent.
           group_mask: optional (V,) bool point-group restriction.
           backend: "auto" (fused Pallas kernel on TPU, dense XLA elsewhere),
-            "pallas", or "dense".  Tangent projection currently runs on the
-            dense path (the fused kernel applies falloff inside, which must
-            happen *after* projection).
+            "pallas", or "dense".  Tangent projection is fused into the
+            Pallas kernel when a frame is provided.
         """
         points = jnp.asarray(points, jnp.float32)
         if dist2 is None:
@@ -149,12 +148,8 @@ class Deformer:
 
         use_tangent = self.cfg.tangent and frame is not None
         if backend == "auto":
-            backend = (
-                "pallas"
-                if (jax.default_backend() == "tpu" and not use_tangent)
-                else "dense"
-            )
-        if backend == "pallas" and not use_tangent:
+            backend = "pallas" if jax.default_backend() == "tpu" else "dense"
+        if backend == "pallas":
             from facedeform_tpu.ops.pallas_eval import evaluate_pallas
 
             params = self.params.clamped()
@@ -173,6 +168,7 @@ class Deformer:
                 fit_mod.effective_kernel(self.cfg),
                 self.cfg.term,
                 strict_parity=self.cfg.strict_parity,
+                frame=frame if use_tangent else None,
             )
             if group_mask is not None:
                 # gate zeroes the displacement; also pin positions exactly

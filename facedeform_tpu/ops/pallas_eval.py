@@ -63,6 +63,13 @@ def _phi(kernel: RBFKernel, d2: jnp.ndarray, inv_eps2: jnp.ndarray) -> jnp.ndarr
     raise ValueError(kernel)
 
 
+def _normalize_cols(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    """Normalize (3, TV) column vectors on the VPU."""
+    return x * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(x * x, axis=0, keepdims=True), eps)
+    )
+
+
 def _eval_kernel(
     # scalar prefetch: none; SMEM params first per in_specs ordering
     scalars_ref,   # (2,) SMEM: [radius^2, falloffrate]
@@ -73,13 +80,16 @@ def _eval_kernel(
     w_ref,         # (L, N, 3) VMEM: per-layer RBF weights
     inv_eps2_ref,  # (L, N) VMEM: per-layer 1/eps^2
     w_poly_ref,    # (4, 3) VMEM: polynomial tail (zero-padded)
-    out_ref,       # (3, TILE_V) VMEM: deformed positions
-    falloff_ref,   # (1, TILE_V) VMEM: fd_falloff output
-    *,
+    *refs,         # [u_ref, v_ref, n_ref,] out_ref, falloff_ref
     kernel: RBFKernel,
     n_layers: int,
     strict_parity: bool,
+    has_frame: bool,
 ):
+    if has_frame:
+        u_ref, vt_ref, nrm_ref, out_ref, falloff_ref = refs
+    else:
+        out_ref, falloff_ref = refs
     # Everything below is VPU-only by design.  The "obvious" MXU mapping
     # (K=3 distance matmul + M=3 weight contraction at HIGHEST precision)
     # measured 92 Gevals/s on v5e because both matmuls are pad-dominated
@@ -114,6 +124,29 @@ def _eval_kernel(
         + wp[3][:, None] * pts[2:3, :]
     )
 
+    if has_frame:
+        # Fused tangent projection (component G, SOP_FaceDeform.hpp:28-41):
+        # with unit u, v, n:  x.B = (x.u)u + (x.v)v + (x.n)n, then
+        # disp' = a1 (disp.a1) + a2 (disp.a2) with a1 = norm(u.B),
+        # a2 = norm(v.B) — the reference's oblique projection verbatim.
+        u = _normalize_cols(u_ref[:])
+        tv = _normalize_cols(vt_ref[:])
+        nn = _normalize_cols(nrm_ref[:])
+
+        def dot_b(x):
+            return (
+                jnp.sum(x * u, axis=0, keepdims=True) * u
+                + jnp.sum(x * tv, axis=0, keepdims=True) * tv
+                + jnp.sum(x * nn, axis=0, keepdims=True) * nn
+            )
+
+        a1 = _normalize_cols(dot_b(u))
+        a2 = _normalize_cols(dot_b(tv))
+        disp = (
+            a1 * jnp.sum(disp * a1, axis=0, keepdims=True)
+            + a2 * jnp.sum(disp * a2, axis=0, keepdims=True)
+        )
+
     r2 = scalars_ref[0]
     rate = scalars_ref[1]
     cap_d2 = dist2_ref[:]                              # (1, TV)
@@ -143,12 +176,15 @@ def evaluate_pallas(
     strict_parity: bool = False,
     tile_v: int = _TILE_V,
     interpret: bool = False,
+    frame=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused deform step on TPU: returns (new_points (V, 3), falloff (V,)).
 
     Semantics identical to deformer.apply_fn's dense path (eval loop
-    src/SOP_FaceDeform.cpp:404-439, minus tangent projection which callers
-    apply on the result when enabled).
+    src/SOP_FaceDeform.cpp:404-439).  An optional frame=(u, v, n) of
+    (V, 3) tangent attributes fuses the tangent-space projection into the
+    kernel (applied to the raw displacement, before falloff, matching
+    :416-422).
     """
     v = points.shape[0]
     n = model.ctrl.shape[0]
@@ -182,11 +218,24 @@ def evaluate_pallas(
         ]
     )
 
+    has_frame = frame is not None
+    frame_inputs = []
+    frame_specs = []
+    if has_frame:
+        for f in frame:
+            frame_inputs.append(
+                jnp.pad(f.astype(jnp.float32), ((0, v_pad), (0, 0))).T  # (3, Vp)
+            )
+            frame_specs.append(
+                pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM)
+            )
+
     kern = functools.partial(
         _eval_kernel,
         kernel=RBFKernel(kernel),
         n_layers=n_layers,
         strict_parity=strict_parity,
+        has_frame=has_frame,
     )
     flops_per_tile = 2 * (ctrl.shape[0] * tile_v * 3) * (1 + n_layers)
     out_t, falloff = pl.pallas_call(
@@ -201,7 +250,7 @@ def evaluate_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # inv_eps2
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # w_poly
-        ],
+        ] + frame_specs,
         out_specs=[
             pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -216,5 +265,5 @@ def evaluate_pallas(
             transcendentals=ctrl.shape[0] * vp * n_layers,
         ),
         interpret=interpret,  # CPU-testable path (tests/conftest forces cpu)
-    )(scalars, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly)
+    )(scalars, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly, *frame_inputs)
     return out_t.T[:v], falloff[0, :v]
