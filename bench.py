@@ -72,6 +72,40 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # --- animated sequence (BASELINE config 5, reported to stderr) --------
+    try:
+        from facedeform_tpu.parallel import batched, sharding
+
+        f_frames = 8
+        frames = jnp.asarray(
+            np.stack(
+                [
+                    rest + 0.05 * rng.standard_normal((n_ctrl, 3)).astype(np.float32)
+                    for _ in range(f_frames)
+                ]
+            )
+        )
+        mesh = sharding.make_mesh()
+        model, resid = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
+        out, _ = batched.apply_frames(
+            model, pts, dist2, jnp.ones(n_verts, jnp.float32), cfg, params, mesh
+        )
+        float(jnp.sum(out))  # warm + sync
+        t0 = time.time()
+        model, resid = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
+        out, _ = batched.apply_frames(
+            model, pts, dist2, jnp.ones(n_verts, jnp.float32), cfg, params, mesh
+        )
+        float(jnp.sum(out))
+        seq_dt = (time.time() - t0) / f_frames
+        print(
+            f"# animated sequence ({f_frames} frames, solve+eval, "
+            f"{mesh.shape} mesh): {seq_dt * 1e3:.2f} ms/frame",
+            file=sys.stderr,
+        )
+    except Exception as e:  # never let the secondary metric kill the bench
+        print(f"# animated sequence bench skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {

@@ -29,7 +29,7 @@ Cache improvements over the reference (documented deviations):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp

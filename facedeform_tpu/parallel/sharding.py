@@ -22,11 +22,9 @@ control-point sharding (ring-passing Phi blocks) would become worthwhile.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from facedeform_tpu.config import DeformConfig, DeformParams
 from facedeform_tpu.ops import fit as fit_mod

@@ -16,8 +16,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 
@@ -115,9 +113,6 @@ def load_orbax(path: str) -> Deformer:
     path = os.path.abspath(path)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    abstract = {
-        "ctrl": None, "w_rbf": None, "w_poly": None, "eps": None,
-    }
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(os.path.join(path, "model"))
     model = RBFModel(**{k: jnp.asarray(v) for k, v in restored.items()})
