@@ -1,0 +1,213 @@
+"""Run all five BASELINE.md configurations: parity + performance evidence.
+
+Usage:  python benchmarks/run_all.py [--out BENCH_DETAIL.json]
+
+Each config reports a parity number (vs the NumPy f64 oracle where one is
+defined) and/or a throughput number measured on the current default JAX
+backend.  Writes a JSON report and prints a markdown table.
+
+Configs (BASELINE.md / BASELINE.json:6-12):
+  1. Gaussian RBF deform: 50 ctrl pts, 10k-vertex sphere, assemble+solve+eval
+  2. Kernel zoo: TPS / MQ / IMQ with linear polynomial augmentation
+  3. Capture-region binding: per-vertex falloff masks gating deformation
+  4. DBSE: least-squares blendshape-weight fit over multiple scanned poses
+  5. Animated sequence: 1M verts, 1k ctrl pts, per-frame batched eval
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+))
+
+PARITY_BUDGET = 5e-5
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.ravel(x)[:1]))
+
+
+def config1_gaussian_sphere(rng):
+    import oracle
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    mesh = uv_sphere(100, 100)
+    rest = fibonacci_points(50)
+    bump = 0.3 * np.exp(-2 * np.sum((rest - [0, 1, 0]) ** 2, -1, keepdims=True))
+    deformed = (rest + bump * np.float32([0, 1, 0])
+                + 0.02 * rng.standard_normal((50, 3))).astype(np.float32)
+    cfg, params = DeformConfig(), DeformParams()
+    t0 = time.time()
+    d = Deformer.fit(rest, deformed, cfg, params)
+    got, _ = d.apply(mesh.points)
+    _sync(got)
+    wall = time.time() - t0
+    want, _ = oracle.deform(rest, deformed, mesh.points, cfg, params)
+    err = float(np.abs(np.asarray(got) - want).max())
+    return {
+        "config": "1: gaussian 50ctrl/10k-sphere",
+        "parity_max_err": err, "parity_budget": PARITY_BUDGET,
+        "pass": err < PARITY_BUDGET, "wall_s_first": wall,
+    }
+
+
+def config2_kernel_zoo(rng):
+    import oracle
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer, RBFKernel, RBFModelType
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    mesh = uv_sphere(40, 40)
+    rest = fibonacci_points(40)
+    deformed = (rest + 0.1 * rng.standard_normal((40, 3))).astype(np.float32)
+    results = {}
+    ok = True
+    for kernel in (RBFKernel.THIN_PLATE, RBFKernel.MULTIQUADRIC,
+                   RBFKernel.INVERSE_MULTIQUADRIC):
+        cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=kernel)
+        params = DeformParams(radius=1.5, lam=0.01)
+        d = Deformer.fit(rest, deformed, cfg, params)
+        got, _ = d.apply(mesh.points)
+        want, _ = oracle.deform(rest, deformed, mesh.points, cfg, params)
+        err = float(np.abs(np.asarray(got) - want).max())
+        results[kernel.name] = err
+        ok &= err < PARITY_BUDGET
+    return {
+        "config": "2: kernel zoo + linear tail",
+        "parity_max_err_per_kernel": results,
+        "parity_budget": PARITY_BUDGET, "pass": ok,
+    }
+
+
+def config3_capture(rng):
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer, Mesh, ProximityCapture
+    from facedeform_tpu.geometry.primitives import grid
+
+    mesh = grid(60, 60, size=4.0)
+    rig = Mesh(points=np.float32([[0, 0, 0]]))
+    pc = ProximityCapture()
+    pc.init(mesh, rig)
+    res = pc.capture(max_edges=6, radius=1.0, dofalloff=True, falloffrate=1.0)
+    d = Deformer.fit(rig.points, rig.points + np.float32([[0, 0.5, 0]]),
+                     DeformConfig(), DeformParams())
+    new_pts, falloff = d.apply(mesh.points, dist2=res.dist2,
+                               group_mask=res.captured)
+    new_pts = np.asarray(new_pts)
+    frozen_ok = bool((new_pts[~res.captured] == mesh.points[~res.captured]).all())
+    moved = np.linalg.norm(new_pts - mesh.points, axis=1)
+    # falloff monotone in capture distance among active captured vertices
+    act = res.captured & (res.dist2 <= 1.0) & (res.dist2 >= 0)
+    order = np.argsort(res.dist2[act])
+    w = np.asarray(falloff)[act][order]
+    monotone = bool((np.diff(w) <= 1e-6).all())
+    return {
+        "config": "3: capture-region binding",
+        "captured_vertices": int(res.captured.sum()),
+        "uncaptured_frozen": frozen_ok,
+        "falloff_monotone": monotone,
+        "max_move": float(moved.max()),
+        "pass": frozen_ok and monotone and moved.max() > 0.3,
+    }
+
+
+def config4_dbse(rng):
+    import jax.numpy as jnp
+    from facedeform_tpu.ops import dbse
+
+    v, s, f = 2000, 8, 6
+    rest = rng.standard_normal((v, 3)).astype(np.float32)
+    shapes = [rest + 0.1 * rng.standard_normal((v, 3)).astype(np.float32)
+              for _ in range(s)]
+    model = dbse.build_model(rest, shapes)
+    w_true = (0.5 * rng.standard_normal((f, s))).astype(np.float32)
+    poses = rest + np.einsum("fs,svc->fvc", w_true, np.asarray(model.deltas))
+    w, _ = dbse.weights_lstsq_batched(model, jnp.asarray(poses), jnp.asarray(rest))
+    err = float(np.abs(np.asarray(w) - w_true).max())
+    return {
+        "config": "4: DBSE multi-pose lstsq",
+        "poses": f, "shapes": s,
+        "weight_recovery_max_err": err,
+        "pass": err < 1e-3,
+    }
+
+
+def config5_animated(rng, n_verts=1_000_000, n_ctrl=1000, n_frames=8):
+    import jax
+    import jax.numpy as jnp
+    from facedeform_tpu import DeformConfig, DeformParams
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.parallel import batched, sharding
+
+    if jax.default_backend() != "tpu":
+        n_verts, n_ctrl = 50_000, 100  # CPU smoke sizing
+    rest = fibonacci_points(n_ctrl)
+    frames = jnp.asarray(np.stack([
+        rest + 0.05 * rng.standard_normal((n_ctrl, 3)).astype(np.float32)
+        for _ in range(n_frames)
+    ]))
+    pts = jnp.asarray(rng.standard_normal((n_verts, 3)).astype(np.float32))
+    cfg, params = DeformConfig(), DeformParams()
+    mesh = sharding.make_mesh()
+    model, _ = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
+    out, _ = batched.apply_frames(
+        model, pts, jnp.zeros(n_verts), jnp.ones(n_verts), cfg, params, mesh
+    )
+    _sync(out)
+    t0 = time.time()
+    model, _ = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
+    out, _ = batched.apply_frames(
+        model, pts, jnp.zeros(n_verts), jnp.ones(n_verts), cfg, params, mesh
+    )
+    _sync(out)
+    per_frame = (time.time() - t0) / n_frames
+    return {
+        "config": "5: animated sequence (solve+eval per frame)",
+        "verts": n_verts, "ctrl": n_ctrl, "frames": n_frames,
+        "devices": int(np.prod(list(mesh.shape.values()))),
+        "ms_per_frame": per_frame * 1e3,
+        "gevals_per_sec": n_verts * n_ctrl / per_frame / 1e9,
+        "pass": bool(np.isfinite(np.asarray(out)).all()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    rng = np.random.default_rng(42)
+    results = []
+    for fn in (config1_gaussian_sphere, config2_kernel_zoo, config3_capture,
+               config4_dbse, config5_animated):
+        t0 = time.time()
+        r = fn(rng)
+        r["bench_wall_s"] = round(time.time() - t0, 2)
+        results.append(r)
+        status = "PASS" if r.get("pass") else "FAIL"
+        print(f"[{status}] {r['config']}  ({r['bench_wall_s']}s)")
+        for k, v in r.items():
+            if k not in ("config", "pass", "bench_wall_s"):
+                print(f"    {k}: {v}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                results, f, indent=2,
+                default=lambda o: o.item() if hasattr(o, "item") else str(o),
+            )
+        print(f"wrote {args.out}")
+    if not all(r.get("pass") for r in results):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,11 @@ def apply_kernel(kernel: RBFKernel, d2: jnp.ndarray, eps: jnp.ndarray) -> jnp.nd
         return jnp.exp(-s)
     if kernel == RBFKernel.THIN_PLATE:
         # (r/eps)^2 log(r/eps) = 0.5 * s * log(s); phi(0) = 0 by limit.
-        return jnp.where(s > _TINY, 0.5 * s * jnp.log(jnp.maximum(s, _TINY)), 0.0)
+        # precise_log, not jnp.log: the TPU hardware log is only ~3.6e-4
+        # accurate, which the solve amplifies past the parity budget.
+        from facedeform_tpu.ops.precise_math import precise_log
+
+        return jnp.where(s > _TINY, 0.5 * s * precise_log(jnp.maximum(s, _TINY)), 0.0)
     if kernel == RBFKernel.MULTIQUADRIC:
         return jnp.sqrt(1.0 + s)
     if kernel == RBFKernel.INVERSE_MULTIQUADRIC:

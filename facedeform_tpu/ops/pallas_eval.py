@@ -46,7 +46,10 @@ def _phi(kernel: RBFKernel, d2: jnp.ndarray, inv_eps2: jnp.ndarray) -> jnp.ndarr
     if kernel == RBFKernel.GAUSSIAN:
         return jnp.exp(-s)
     if kernel == RBFKernel.THIN_PLATE:
-        return jnp.where(s > 1e-30, 0.5 * s * jnp.log(jnp.maximum(s, 1e-30)), 0.0)
+        from facedeform_tpu.ops.precise_math import precise_log
+
+        # hardware log is ~3.6e-4 relative on TPU — see precise_math.py
+        return jnp.where(s > 1e-30, 0.5 * s * precise_log(jnp.maximum(s, 1e-30)), 0.0)
     if kernel == RBFKernel.MULTIQUADRIC:
         return jnp.sqrt(1.0 + s)
     if kernel == RBFKernel.INVERSE_MULTIQUADRIC:
