@@ -22,6 +22,18 @@ from facedeform_tpu.ops.fit import RBFModel
 from facedeform_tpu.ops.kernels import apply_kernel, pairwise_sqdist
 
 
+def _center_phi(kernel: RBFKernel, term: PolyTerm) -> bool:
+    """Centering is valid only under the sum(w) = 0 tail constraint and
+    only pays off for kernels that grow with distance (decaying kernels
+    like gaussian/IMQ/wendland have no large-term cancellation)."""
+    return PolyTerm(term) != PolyTerm.ZERO and RBFKernel(kernel) in (
+        RBFKernel.THIN_PLATE,
+        RBFKernel.MULTIQUADRIC,
+        RBFKernel.LINEAR,
+        RBFKernel.CUBIC,
+    )
+
+
 def evaluate_block(
     model: RBFModel,
     points: jnp.ndarray,
@@ -32,6 +44,15 @@ def evaluate_block(
     d2 = pairwise_sqdist(points.astype(jnp.float32), model.ctrl)  # (V, N)
     # eps: (L, N) -> broadcast over the V axis.
     phi = apply_kernel(kernel, d2[None, :, :], model.eps[:, None, :])  # (L, V, N)
+    if _center_phi(kernel, term):
+        # The polynomial-tail constraint P^T w = 0 includes a ones row, so
+        # sum_j w_j = 0 and any per-row constant can be subtracted from phi
+        # without changing the result.  Centering shrinks the cancelling
+        # terms of growing kernels (MQ/TPS carry |w| >> |disp|), cutting
+        # f32 summation error severalfold.  Only layer 0 carries the tail
+        # constraint (fit.py attaches the tail to the first layer only).
+        phi0 = phi[0] - jnp.mean(phi[0], axis=-1, keepdims=True)
+        phi = jnp.concatenate([phi0[None], phi[1:]], axis=0)
     disp = jnp.einsum(
         "lvn,lnc->vc", phi, model.w_rbf,
         preferred_element_type=jnp.float32,

@@ -88,6 +88,7 @@ def _eval_kernel(
     n_layers: int,
     strict_parity: bool,
     has_frame: bool,
+    center_phi: bool,
 ):
     if has_frame:
         u_ref, vt_ref, nrm_ref, out_ref, falloff_ref = refs
@@ -109,6 +110,12 @@ def _eval_kernel(
     disp = jnp.zeros((3, pts.shape[1]), jnp.float32)
     for layer in range(n_layers):
         phi = _phi(kernel, d2, inv_eps2_ref[layer][:, None])   # (N, TV)
+        if center_phi and layer == 0:
+            # valid under the sum(w) = 0 tail constraint (layer 0 only);
+            # see ops.evaluate._center_phi for the rationale.  Padded-N
+            # rows shift the mean but that's still just a per-row
+            # constant, annihilated by sum(w) = 0.
+            phi = phi - jnp.mean(phi, axis=0, keepdims=True)
         w_l = w_ref[layer]                             # (N, 3)
         disp = disp + jnp.concatenate(
             [
@@ -233,12 +240,15 @@ def evaluate_pallas(
                 pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM)
             )
 
+    from facedeform_tpu.ops.evaluate import _center_phi
+
     kern = functools.partial(
         _eval_kernel,
         kernel=RBFKernel(kernel),
         n_layers=n_layers,
         strict_parity=strict_parity,
         has_frame=has_frame,
+        center_phi=_center_phi(kernel, term),
     )
     flops_per_tile = 2 * (ctrl.shape[0] * tile_v * 3) * (1 + n_layers)
     out_t, falloff = pl.pallas_call(
