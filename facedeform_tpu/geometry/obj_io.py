@@ -16,10 +16,8 @@ import numpy as np
 from facedeform_tpu.geometry.mesh import Mesh
 
 
-def load_obj(path: str, load_attrs: bool = True) -> Mesh:
-    """Load an OBJ file; v/vn/f records (faces triangulated as stored when
-    uniform arity, else fanned to triangles).  A sidecar `<path>.attrs.npz`
-    restores point/detail attributes saved by save_obj."""
+def _load_obj_python(path: str):
+    """Pure-Python fallback parser (native/fastgeo.cpp is ~100x faster)."""
     verts = []
     normals = []
     faces = []
@@ -32,20 +30,44 @@ def load_obj(path: str, load_attrs: bool = True) -> Mesh:
             elif line.startswith("f "):
                 idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
                 faces.append(idx)
-    points = np.asarray(verts, np.float32)
+    points = np.asarray(verts, np.float32).reshape(-1, 3)
+    norm_arr = np.asarray(normals, np.float32) if normals else None
+    if not faces:
+        return points, norm_arr, None
+    arity = max(len(fc) for fc in faces)
+    face_arr = np.full((len(faces), arity), -1, np.int32)
+    for i, fc in enumerate(faces):
+        face_arr[i, : len(fc)] = [v if v >= 0 else len(verts) + v for v in fc]
+    return points, norm_arr, face_arr
+
+
+def load_obj(path: str, load_attrs: bool = True) -> Mesh:
+    """Load an OBJ file; v/vn/f records (faces triangulated as stored when
+    uniform arity, else fanned to triangles).  A sidecar `<path>.attrs.npz`
+    restores point/detail attributes saved by save_obj.  Uses the native
+    fastgeo scanner when available (large production meshes)."""
+    from facedeform_tpu import native
+
+    parsed = native.parse_obj(path)
+    if parsed is None:
+        parsed = _load_obj_python(path)
+    points, normals, raw_faces = parsed
+
     face_arr: Optional[np.ndarray] = None
-    if faces:
-        arity = {len(fc) for fc in faces}
-        if len(arity) == 1:
-            face_arr = np.asarray(faces, np.int32)
-        else:  # mixed arity: fan-triangulate
+    if raw_faces is not None and len(raw_faces):
+        pad_mask = raw_faces < 0
+        if not pad_mask.any():
+            face_arr = raw_faces
+        else:
+            # mixed arity: fan-triangulate each face's valid prefix
             tris = []
-            for fc in faces:
-                for i in range(1, len(fc) - 1):
+            counts = (~pad_mask).sum(axis=1)
+            for fc, k in zip(raw_faces, counts):
+                for i in range(1, int(k) - 1):
                     tris.append([fc[0], fc[i], fc[i + 1]])
             face_arr = np.asarray(tris, np.int32)
     mesh = Mesh(points=points, faces=face_arr)
-    if normals and len(normals) == len(verts):
+    if normals is not None and len(normals) == len(points):
         mesh.set_attr("N", np.asarray(normals, np.float32))
     sidecar = path + ".attrs.npz"
     if load_attrs and os.path.exists(sidecar):
@@ -61,18 +83,22 @@ def load_obj(path: str, load_attrs: bool = True) -> Mesh:
 
 def save_obj(path: str, mesh: Mesh, save_attrs: bool = True) -> None:
     """Write positions/faces (+ `N` as vn); other attributes go to the
-    `<path>.attrs.npz` sidecar."""
-    with open(path, "w") as f:
-        f.write("# facedeform-tpu\n")
-        for p in mesh.points:
-            f.write(f"v {p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
-        n = mesh.attr("N")
-        if n is not None:
-            for v in n:
-                f.write(f"vn {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}\n")
-        if mesh.faces is not None:
-            for face in mesh.faces:
-                f.write("f " + " ".join(str(int(i) + 1) for i in face) + "\n")
+    `<path>.attrs.npz` sidecar.  Uses the native fastgeo writer when
+    available."""
+    from facedeform_tpu import native
+
+    n = mesh.attr("N")
+    if not native.write_obj(path, mesh.points, n, mesh.faces):
+        with open(path, "w") as f:
+            f.write("# facedeform-tpu\n")
+            for p in mesh.points:
+                f.write(f"v {p[0]:.9g} {p[1]:.9g} {p[2]:.9g}\n")
+            if n is not None:
+                for v in n:
+                    f.write(f"vn {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}\n")
+            if mesh.faces is not None:
+                for face in mesh.faces:
+                    f.write("f " + " ".join(str(int(i) + 1) for i in face) + "\n")
     if save_attrs:
         payload = {}
         for name, arr in mesh.point_attrs.items():

@@ -72,6 +72,22 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
         lib.fd_build_adjacency.restype = ctypes.c_int64
+        lib.fd_obj_count.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fd_obj_count.restype = ctypes.c_int32
+        lib.fd_obj_parse.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.fd_obj_parse.restype = ctypes.c_int32
+        lib.fd_obj_write.argtypes = [
+            ctypes.c_char_p, f32p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.fd_obj_write.restype = ctypes.c_int32
         _lib = lib
         return _lib
 
@@ -112,6 +128,62 @@ def nearest(points: np.ndarray, queries: np.ndarray) -> Optional[np.ndarray]:
     out = np.zeros(len(queries), np.int64)
     lib.fd_nearest(points, len(points), queries, len(queries), out, None)
     return out
+
+
+def parse_obj(path: str):
+    """Native OBJ parse: (verts (V,3) f32, normals (Nn,3) f32 | None,
+    faces (F, max_arity) int32 with -1 padding | None), or None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nv = ctypes.c_int64()
+    nn = ctypes.c_int64()
+    nf = ctypes.c_int64()
+    ma = ctypes.c_int64()
+    if not lib.fd_obj_count(
+        path.encode(), ctypes.byref(nv), ctypes.byref(nn),
+        ctypes.byref(nf), ctypes.byref(ma),
+    ):
+        return None
+    verts = np.zeros((nv.value, 3), np.float32)
+    normals = np.zeros((max(nn.value, 1), 3), np.float32)
+    arity = max(ma.value, 1)
+    faces = np.zeros((max(nf.value, 1), arity), np.int32)
+    if not lib.fd_obj_parse(
+        path.encode(), verts,
+        normals.ctypes.data_as(ctypes.c_void_p),
+        faces.ctypes.data_as(ctypes.c_void_p), arity,
+    ):
+        return None
+    return (
+        verts,
+        normals[: nn.value] if nn.value else None,
+        faces[: nf.value] if nf.value else None,
+    )
+
+
+def write_obj(path: str, verts, normals, faces) -> bool:
+    """Native OBJ write; returns False if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    verts = np.ascontiguousarray(verts, np.float32)
+    if normals is not None:
+        normals = np.ascontiguousarray(normals, np.float32)
+        n_ptr = normals.ctypes.data_as(ctypes.c_void_p)
+        nn = len(normals)
+    else:
+        n_ptr, nn = None, 0
+    if faces is not None and len(faces):
+        faces = np.ascontiguousarray(faces, np.int32)
+        nf, arity = faces.shape
+    else:
+        faces = np.zeros((1, 1), np.int32)
+        nf, arity = 0, 1
+    return bool(
+        lib.fd_obj_write(path.encode(), verts, len(verts), n_ptr, nn,
+                         faces, nf, arity)
+    )
 
 
 def build_adjacency(

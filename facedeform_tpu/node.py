@@ -40,6 +40,7 @@ from facedeform_tpu.deformer import Deformer
 from facedeform_tpu.geometry.mesh import Mesh
 from facedeform_tpu.ops import dbse as dbse_ops
 from facedeform_tpu.utils import errors
+from facedeform_tpu.utils.profiling import StageTimes, stage
 
 
 @dataclasses.dataclass
@@ -83,12 +84,15 @@ class FaceDeformNode:
         cfg: DeformConfig = DeformConfig(),
         params: DeformParams = DeformParams(),
         group_mask: Optional[np.ndarray] = None,
+        times: Optional[StageTimes] = None,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
         Raises ShapeMismatchError / CaptureError / SolveFailedError for the
         conditions the reference reports as node errors; non-fatal
-        conditions are collected as warnings.
+        conditions are collected as warnings.  Pass a StageTimes to collect
+        per-stage wall times (the solve/eval split is the reference's
+        headline observability metric, SURVEY.md section 5).
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -117,11 +121,12 @@ class FaceDeformNode:
             bool(cfg.strict_parity),
         )
         if cap_key != self._capture_key:
-            self._capture.init(out, rest_rig)
-            self._capture_result = self._capture.capture(
-                maxedges, radius, cfg.dofalloff, float(params.falloffrate),
-                strict_parity=cfg.strict_parity,
-            )
+            with stage("capture", times):
+                self._capture.init(out, rest_rig)
+                self._capture_result = self._capture.capture(
+                    maxedges, radius, cfg.dofalloff, float(params.falloffrate),
+                    strict_parity=cfg.strict_parity,
+                )
             self._capture_key = cap_key
         capture = self._capture_result
 
@@ -169,9 +174,10 @@ class FaceDeformNode:
             rest_rig.pos_id, deform_rig.pos_id, cfg, _params_key(params)
         )
         if fit_key != self._fit_key:
-            self._deformer = Deformer.fit(
-                rest_rig.points, deform_rig.points, cfg, params
-            )
+            with stage("solve", times):
+                self._deformer = Deformer.fit(
+                    rest_rig.points, deform_rig.points, cfg, params
+                )
             self._fit_key = fit_key
         deformer = self._deformer
         messages.append(
@@ -193,10 +199,11 @@ class FaceDeformNode:
 
         # ------------------------------------------------------- eval loop
         dist2 = capture.dist2 if capture is not None else None
-        new_pts, falloff = deformer.apply(
-            out.points, dist2=dist2, frame=frame, group_mask=group_mask
-        )
-        new_pts = np.asarray(new_pts)
+        with stage("eval", times):
+            new_pts, falloff = deformer.apply(
+                out.points, dist2=dist2, frame=frame, group_mask=group_mask
+            )
+            new_pts = np.asarray(new_pts)
         out.set_attr("fd_falloff", np.asarray(falloff, np.float32))
         if capture is not None:
             out.set_attr("Cd", capture.color)
@@ -204,6 +211,7 @@ class FaceDeformNode:
         # ------------------------------------------------------ morph pass
         weights_out = None
         if dbse_model is not None:
+          with stage("morph", times):
             rest_attr = jnp.asarray(self._rest_attr)
             cur = jnp.asarray(new_pts)
             if cfg.dbse_lstsq:

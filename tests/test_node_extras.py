@@ -1,0 +1,74 @@
+"""Node extras: per-stage timing, strict-parity flow, NaN robustness."""
+
+import numpy as np
+import pytest
+
+from facedeform_tpu import (
+    DeformConfig, DeformParams, Mesh, FaceDeformNode, SolveFailedError,
+)
+from facedeform_tpu.geometry.primitives import fibonacci_points, grid, uv_sphere
+from facedeform_tpu.utils.profiling import StageTimes
+
+
+def _inputs(rng, n_rig=20):
+    mesh = uv_sphere(30, 30)
+    rest_rig = Mesh(points=fibonacci_points(n_rig))
+    deform_rig = Mesh(points=rest_rig.points * 1.05)
+    return mesh, rest_rig, deform_rig
+
+
+def test_cook_stage_times(rng):
+    mesh, r0, r1 = _inputs(rng)
+    node = FaceDeformNode()
+    times = StageTimes()
+    node.cook([mesh, r0, r1], times=times)
+    assert {"capture", "solve", "eval"} <= set(times.ms)
+    # cached cook: capture and solve skipped, eval still runs
+    times2 = StageTimes()
+    node.cook([mesh, r0, r1], times=times2)
+    assert "capture" not in times2.ms and "solve" not in times2.ms
+    assert "eval" in times2.ms
+
+
+def test_cook_morph_stage_timed(rng):
+    mesh, r0, r1 = _inputs(rng)
+    blend = Mesh(points=mesh.points + 0.05 * rng.standard_normal(
+        (mesh.num_points, 3)).astype(np.float32))
+    times = StageTimes()
+    FaceDeformNode().cook(
+        [mesh, r0, r1, blend], cfg=DeformConfig(morphspace=True), times=times
+    )
+    assert "morph" in times.ms
+
+
+def test_strict_parity_amplification_through_cook(rng):
+    """Quirk 2 end-to-end: with strict_parity + dofalloff, captured vertices
+    beyond the bounded search keep d2 = -1 and get falloff > 1
+    (capture.cpp:76-88 + SOP_FaceDeform.cpp:404-424)."""
+    mesh = grid(40, 40, size=4.0)
+    rig = Mesh(points=np.float32([[0, 0, 0]]))
+    drig = Mesh(points=np.float32([[0, 0.2, 0]]))
+    cfg = DeformConfig(strict_parity=True, dofalloff=True)
+    params = DeformParams(radius=0.5, falloffrate=2.0, maxedges=30)
+    res = FaceDeformNode().cook([mesh, rig, drig], cfg, params)
+    w = res.mesh.point_attrs["fd_falloff"]
+    cap = res.capture
+    sentinel = cap.captured & (cap.dist2 == -1.0)
+    assert sentinel.any()
+    # (1 - (-1/r^2))^2 = (1 + 4)^2 = 25 for r = 0.5
+    np.testing.assert_allclose(w[sentinel], 25.0, rtol=1e-5)
+    # default mode clamps those to plain full deformation
+    res2 = FaceDeformNode().cook(
+        [mesh, rig, drig],
+        DeformConfig(strict_parity=False, dofalloff=True), params,
+    )
+    w2 = res2.mesh.point_attrs["fd_falloff"]
+    assert (w2 <= 1.0 + 1e-6).all()
+
+
+def test_nan_control_points_raise(rng):
+    mesh, r0, r1 = _inputs(rng)
+    bad = Mesh(points=np.where(np.arange(60).reshape(20, 3) == 0,
+                               np.nan, r1.points).astype(np.float32))
+    with pytest.raises(SolveFailedError):
+        FaceDeformNode().cook([mesh, r0, bad])

@@ -1,0 +1,100 @@
+"""Deformation server tests: full protocol over a real TCP socket."""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from facedeform_tpu import serve as serve_mod
+from facedeform_tpu.geometry.primitives import fibonacci_points
+
+
+@pytest.fixture(scope="module")
+def server():
+    ready = threading.Event()
+    holder = {}
+
+    def run():
+        srv = serve_mod._ThreadedTCP(("127.0.0.1", 0), serve_mod._Handler)
+        srv.deform_server = serve_mod.DeformServer()
+        holder["srv"] = srv
+        ready.set()
+        srv.serve_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    ready.wait(10)
+    yield holder["srv"].server_address
+    holder["srv"].shutdown()
+
+
+def _rpc(addr, req):
+    with socket.create_connection(addr, timeout=30) as s:
+        f = s.makefile("rwb")
+        f.write((json.dumps(req) + "\n").encode())
+        f.flush()
+        return json.loads(f.readline())
+
+
+def test_serve_fit_apply_roundtrip(server, rng):
+    rest = fibonacci_points(20)
+    deformed = rest + 0.1 * rng.standard_normal((20, 3)).astype(np.float32)
+    r = _rpc(server, {
+        "cmd": "fit",
+        "rest_ctrl": serve_mod.encode_array(rest),
+        "deformed_ctrl": serve_mod.encode_array(deformed),
+        "cfg": {}, "params": {},
+    })
+    assert r["ok"], r
+    did = r["deformer"]
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    r2 = _rpc(server, {
+        "cmd": "apply", "deformer": did,
+        "points": serve_mod.encode_array(pts),
+    })
+    assert r2["ok"], r2
+    out = serve_mod.decode_array(r2["points"])
+    assert out.shape == (100, 3)
+    assert np.abs(out - pts).max() > 1e-4
+
+    # compare against an in-process deformer
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer
+    d = Deformer.fit(rest, deformed, DeformConfig(), DeformParams())
+    want, _ = d.apply(pts)
+    np.testing.assert_allclose(out, np.asarray(want), atol=1e-6)
+
+
+def test_serve_save_load(server, rng, tmp_path):
+    rest = fibonacci_points(15)
+    deformed = rest * 1.05
+    r = _rpc(server, {
+        "cmd": "fit",
+        "rest_ctrl": serve_mod.encode_array(rest),
+        "deformed_ctrl": serve_mod.encode_array(deformed),
+    })
+    p = str(tmp_path / "srv_ckpt.npz")
+    assert _rpc(server, {"cmd": "save", "deformer": r["deformer"], "path": p})["ok"]
+    r2 = _rpc(server, {"cmd": "load", "path": p})
+    assert r2["ok"] and r2["deformer"] != r["deformer"]
+
+
+def test_serve_errors(server):
+    r = _rpc(server, {"cmd": "nope"})
+    assert not r["ok"] and "unknown cmd" in r["error"]
+    r = _rpc(server, {"cmd": "apply", "deformer": "missing",
+                      "points": [[0, 0, 0]]})
+    assert not r["ok"]
+    # shape-mismatch surfaces as a clean protocol error, not a crash
+    r = _rpc(server, {
+        "cmd": "fit",
+        "rest_ctrl": [[0, 0, 0]],
+        "deformed_ctrl": [[0, 0, 0], [1, 1, 1]],
+    })
+    assert not r["ok"] and "match" in r["error"]
+
+
+def test_serve_info(server):
+    r = _rpc(server, {"cmd": "info"})
+    assert r["ok"] and r["backend"] == "cpu"
