@@ -280,3 +280,65 @@ def evaluate_pallas(
         interpret=interpret,  # CPU-testable path (tests/conftest forces cpu)
     )(scalars, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly, *frame_inputs)
     return out_t.T[:v], falloff[0, :v]
+
+
+# --------------------------------------------------------------- custom VJP
+# The fused kernel is forward-only; gradients (inverse rigging, learned-rig
+# pipelines) flow through a mathematically identical dense composition.
+# Pattern per the pallas guide: fast pallas forward + XLA backward.
+
+
+def _dense_reference(
+    model, points, dist2, gate, radius, falloffrate, frame,
+    kernel, term, strict_parity,
+):
+    """Differentiable XLA twin of the fused kernel's semantics."""
+    from facedeform_tpu.ops.evaluate import evaluate
+    from facedeform_tpu.ops.falloff import falloff_weight
+    from facedeform_tpu.ops.tangent import project_to_tangents
+
+    disp = evaluate(model, points, kernel, term)
+    if frame is not None:
+        disp = project_to_tangents(*frame, disp)
+    w, _ = falloff_weight(dist2, radius, falloffrate, strict_parity=strict_parity)
+    w = w * gate
+    return points + disp * w[:, None], w
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def evaluate_pallas_diff(
+    model, points, dist2, gate, radius, falloffrate, frame,
+    kernel, term, strict_parity,
+):
+    """evaluate_pallas with gradients: same fused forward, dense backward.
+
+    Differentiable wrt model (all leaves), points, dist2, gate, radius,
+    falloffrate and frame; kernel/term/strict_parity are static.
+    """
+    return evaluate_pallas(
+        model, points, dist2, gate, radius, falloffrate, kernel, term,
+        strict_parity=strict_parity, frame=frame,
+    )
+
+
+def _diff_fwd(model, points, dist2, gate, radius, falloffrate, frame,
+              kernel, term, strict_parity):
+    out = evaluate_pallas_diff(
+        model, points, dist2, gate, radius, falloffrate, frame,
+        kernel, term, strict_parity,
+    )
+    return out, (model, points, dist2, gate, radius, falloffrate, frame)
+
+
+def _diff_bwd(kernel, term, strict_parity, residuals, cotangents):
+    model, points, dist2, gate, radius, falloffrate, frame = residuals
+    _, vjp = jax.vjp(
+        lambda m, p, d, g, r, fr, f: _dense_reference(
+            m, p, d, g, r, fr, f, kernel, term, strict_parity
+        ),
+        model, points, dist2, gate, radius, falloffrate, frame,
+    )
+    return vjp(cotangents)
+
+
+evaluate_pallas_diff.defvjp(_diff_fwd, _diff_bwd)

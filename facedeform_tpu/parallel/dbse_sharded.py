@@ -1,0 +1,124 @@
+"""Vertex-sharded DBSE: blendshape Gram reductions over the ICI mesh.
+
+For production-size meshes the blendshape delta basis (S, V, 3) is the
+largest resident tensor (S=50 shapes x 1M vertices x 3 = 600 MB f32).
+Sharding it over the vertex axis makes the least-squares weight fit a
+textbook distributed normal-equations problem:
+
+    G = sum_v B_v^T B_v     (S x S)   -> psum over the vertex axis
+    c = sum_v B_v^T d_v     (S,)      -> psum over the vertex axis
+    w = solve(G + ridge, c)           -> replicated tiny solve per chip
+
+This is exactly the collective pattern SURVEY.md section 5 anticipates
+("DBSE Gram matrix B^T B reductions" are one of the three legitimate psums
+in the whole design).  The reconstruction disp = sum_s w_s B_s is
+embarrassingly vertex-parallel and needs no communication.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from facedeform_tpu.ops.dbse import DBSEModel
+from facedeform_tpu.ops.solve import cholesky_solve_refined
+from facedeform_tpu.parallel.sharding import VERTEX_AXIS
+
+_HP = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+
+def _pad_v(x: jnp.ndarray, n_dev: int, axis: int) -> jnp.ndarray:
+    pad = (-x.shape[axis]) % n_dev
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def weights_lstsq_sharded(
+    deltas: jnp.ndarray,     # (S, V, 3) blendshape deltas
+    current: jnp.ndarray,    # (V, 3)
+    rest: jnp.ndarray,       # (V, 3)
+    mesh: Mesh,
+    ridge: float = 1e-6,
+) -> jnp.ndarray:
+    """Least-squares blendshape weights with all O(V) work vertex-sharded.
+
+    Equivalent to ops.dbse.weights_lstsq (zero-padding the vertex axis
+    contributes zero to both G and c); returns (S,) weights replicated.
+    """
+    n_dev = mesh.shape[VERTEX_AXIS]
+    s = deltas.shape[0]
+    deltas_p = _pad_v(deltas.astype(jnp.float32), n_dev, axis=1)
+    d_p = _pad_v((current - rest).astype(jnp.float32), n_dev, axis=0)
+
+    def local(b_shard, d_shard):
+        g = jnp.einsum("svc,tvc->st", b_shard, b_shard, **_HP)
+        c = jnp.einsum("svc,vc->s", b_shard, d_shard, **_HP)
+        g = jax.lax.psum(g, VERTEX_AXIS)
+        c = jax.lax.psum(c, VERTEX_AXIS)
+        reg = ridge * jnp.trace(g) / s + 1e-30
+        w, _ = cholesky_solve_refined(
+            g + reg * jnp.eye(s, dtype=g.dtype), c[:, None]
+        )
+        return w[:, 0]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, VERTEX_AXIS, None), P(VERTEX_AXIS, None)),
+        out_specs=P(),
+        check_vma=False,
+    )(deltas_p, d_p)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def reconstruct_sharded(
+    deltas: jnp.ndarray,     # (S, V, 3)
+    weights: jnp.ndarray,    # (S,)
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """disp = sum_s w_s * deltas[s] with the vertex axis sharded; (V, 3)."""
+    n_dev = mesh.shape[VERTEX_AXIS]
+    v = deltas.shape[1]
+    deltas_p = _pad_v(deltas.astype(jnp.float32), n_dev, axis=1)
+
+    def local(b_shard, w):
+        return jnp.einsum("svc,s->vc", b_shard, w.astype(jnp.float32), **_HP)
+
+    out = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, VERTEX_AXIS, None), P()),
+        out_specs=P(VERTEX_AXIS, None),
+        check_vma=False,
+    )(deltas_p, weights)
+    return out[:v]
+
+
+def morph_pass_sharded(
+    model: DBSEModel,
+    positions: jnp.ndarray,
+    rest: jnp.ndarray,
+    mesh: Mesh,
+    clamp=None,
+    parity_scale: bool = False,
+    ridge: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full sharded morph projection: (new positions (V, 3), weights (S,)).
+
+    Mirrors the single-device path: lstsq weights -> optional clamp/scale ->
+    P = rest + sum_s B_s cw_s (the dofalloff residual term is applied by the
+    caller, as in node.py).
+    """
+    w = weights_lstsq_sharded(model.deltas, positions, rest, mesh, ridge)
+    cw = w * 3.0 if parity_scale else w
+    if clamp is not None:
+        cw = jnp.clip(cw, clamp[0], clamp[1])
+    disp = reconstruct_sharded(model.deltas, cw, mesh)
+    return rest + disp, w
