@@ -85,6 +85,7 @@ class FaceDeformNode:
         params: DeformParams = DeformParams(),
         group_mask: Optional[np.ndarray] = None,
         times: Optional[StageTimes] = None,
+        mesh_devices=None,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -92,7 +93,9 @@ class FaceDeformNode:
         conditions the reference reports as node errors; non-fatal
         conditions are collected as warnings.  Pass a StageTimes to collect
         per-stage wall times (the solve/eval split is the reference's
-        headline observability metric, SURVEY.md section 5).
+        headline observability metric, SURVEY.md section 5).  Pass a
+        jax.sharding.Mesh as mesh_devices to run the eval loop and the
+        DBSE morph pass vertex-sharded across chips (parallel/).
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -200,9 +203,29 @@ class FaceDeformNode:
         # ------------------------------------------------------- eval loop
         dist2 = capture.dist2 if capture is not None else None
         with stage("eval", times):
-            new_pts, falloff = deformer.apply(
-                out.points, dist2=dist2, frame=frame, group_mask=group_mask
-            )
+            if mesh_devices is not None and frame is None:
+                from facedeform_tpu.parallel.sharding import sharded_apply
+
+                v = out.num_points
+                gate = (
+                    np.asarray(group_mask, np.float32)
+                    if group_mask is not None else np.ones(v, np.float32)
+                )
+                d2_arr = dist2 if dist2 is not None else np.zeros(v, np.float32)
+                new_pts, falloff = sharded_apply(
+                    deformer.model, jnp.asarray(out.points),
+                    jnp.asarray(d2_arr), jnp.asarray(gate),
+                    cfg, params, mesh_devices,
+                )
+                if group_mask is not None:
+                    new_pts = jnp.where(
+                        jnp.asarray(group_mask)[:, None], new_pts,
+                        jnp.asarray(out.points),
+                    )
+            else:
+                new_pts, falloff = deformer.apply(
+                    out.points, dist2=dist2, frame=frame, group_mask=group_mask
+                )
             new_pts = np.asarray(new_pts)
         out.set_attr("fd_falloff", np.asarray(falloff, np.float32))
         if capture is not None:
@@ -214,7 +237,14 @@ class FaceDeformNode:
           with stage("morph", times):
             rest_attr = jnp.asarray(self._rest_attr)
             cur = jnp.asarray(new_pts)
-            if cfg.dbse_lstsq:
+            if cfg.dbse_lstsq and mesh_devices is not None:
+                from facedeform_tpu.parallel.dbse_sharded import weights_lstsq_sharded
+
+                w = weights_lstsq_sharded(
+                    dbse_model.deltas, cur, rest_attr, mesh_devices
+                )
+                ok = bool(np.isfinite(np.asarray(w)).all())
+            elif cfg.dbse_lstsq:
                 w, w_report = dbse_ops.weights_lstsq(dbse_model, cur, rest_attr)
                 try:
                     errors.check_solve(w_report)
