@@ -36,7 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from facedeform_tpu.config import PolyTerm, RBFKernel
 from facedeform_tpu.ops.fit import RBFModel
 
-_TILE_V = 512  # lanes-axis tile; ~2 live (N, TILE_V) f32 intermediates in VMEM
+_TILE_V = 512  # lanes-axis tile; ~2 live (block, TILE_V) f32 intermediates in VMEM
+_CTRL_BLOCK = 2048  # control-axis slab; bounds VMEM for large rigs
 
 
 def _phi(kernel: RBFKernel, d2: jnp.ndarray, inv_eps2: jnp.ndarray) -> jnp.ndarray:
@@ -100,29 +101,54 @@ def _eval_kernel(
     # slivers; broadcast squared-differences + weighted sublane reductions
     # measured 147 Gevals/s at equal (5.6e-6) accuracy, and sidestep the
     # bf16 demotion of DEFAULT-precision MXU f32 matmuls entirely.
+    # (Measured: the exp itself is FREE — the transcendental unit runs in
+    # parallel with the VPU ALU ops; phi=exp vs phi=identity is 144.4 vs
+    # 144.0 Gevals/s.)
+    #
+    # The control axis is processed in CTRL_BLOCK slabs so the (block, TV)
+    # intermediates stay within VMEM for arbitrary N (N = 8192 OOMs the
+    # single-slab layout).
     pts = pts_ref[:]                                   # (3, TV)
-    ctrl = ctrl_ref[:]                                 # (N, 3)
-    dx = ctrl[:, 0:1] - pts[0:1, :]                    # (N, TV) broadcasts
-    dy = ctrl[:, 1:2] - pts[1:2, :]
-    dz = ctrl[:, 2:3] - pts[2:3, :]
-    d2 = dx * dx + dy * dy + dz * dz                   # exact f32, no cancellation
+    n_total = ctrl_ref.shape[0]
+    n_blocks = pl.cdiv(n_total, _CTRL_BLOCK) if n_total > _CTRL_BLOCK else 1
+    block = n_total if n_blocks == 1 else _CTRL_BLOCK
+
+    def block_contrib(lo, disp, allow_center):
+        ctrl = ctrl_ref[pl.ds(lo, block)]              # (B, 3)
+        dx = ctrl[:, 0:1] - pts[0:1, :]                # (B, TV) broadcasts
+        dy = ctrl[:, 1:2] - pts[1:2, :]
+        dz = ctrl[:, 2:3] - pts[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz               # exact f32, no cancellation
+        for layer in range(n_layers):
+            phi = _phi(kernel, d2, inv_eps2_ref[layer, pl.ds(lo, block)][:, None])
+            if allow_center and layer == 0:
+                # valid under the sum(w) = 0 tail constraint (layer 0 only);
+                # see ops.evaluate._center_phi for the rationale.  Padded-N
+                # rows shift the mean but that's still just a per-row
+                # constant, annihilated by sum(w) = 0.  Blocked mode skips
+                # centering: per-block weight sums are not individually 0.
+                phi = phi - jnp.mean(phi, axis=0, keepdims=True)
+            w_l = w_ref[layer, pl.ds(lo, block)]       # (B, 3)
+            disp = disp + jnp.concatenate(
+                [
+                    jnp.sum(phi * w_l[:, i : i + 1], axis=0, keepdims=True)
+                    for i in range(3)
+                ],
+                axis=0,
+            )
+        return disp
 
     disp = jnp.zeros((3, pts.shape[1]), jnp.float32)
-    for layer in range(n_layers):
-        phi = _phi(kernel, d2, inv_eps2_ref[layer][:, None])   # (N, TV)
-        if center_phi and layer == 0:
-            # valid under the sum(w) = 0 tail constraint (layer 0 only);
-            # see ops.evaluate._center_phi for the rationale.  Padded-N
-            # rows shift the mean but that's still just a per-row
-            # constant, annihilated by sum(w) = 0.
-            phi = phi - jnp.mean(phi, axis=0, keepdims=True)
-        w_l = w_ref[layer]                             # (N, 3)
-        disp = disp + jnp.concatenate(
-            [
-                jnp.sum(phi * w_l[:, i : i + 1], axis=0, keepdims=True)
-                for i in range(3)
-            ],
-            axis=0,
+    if n_blocks == 1:
+        disp = block_contrib(0, disp, allow_center=center_phi)
+    else:
+        # fori_loop (not an unrolled python loop): Mosaic then reuses one
+        # (block, TV) buffer set instead of keeping every slab live.
+        disp = jax.lax.fori_loop(
+            0,
+            n_blocks,
+            lambda b, acc: block_contrib(b * block, acc, allow_center=False),
+            disp,
         )
     # Polynomial tail: w_poly rows [1, x, y, z]; contributions (3, TV).
     wp = w_poly_ref[:]                                 # (4, 3)
@@ -200,8 +226,9 @@ def evaluate_pallas(
     n = model.ctrl.shape[0]
     n_layers = model.w_rbf.shape[0]
 
-    # Pad N to the f32 sublane quantum; zero-weight padding contributes 0.
-    n_pad = (-n) % 8
+    # Pad N to the f32 sublane quantum (or to whole control slabs when the
+    # rig exceeds one slab); zero-weight padding contributes 0.
+    n_pad = (-n) % (8 if n <= _CTRL_BLOCK else _CTRL_BLOCK)
     ctrl = jnp.pad(model.ctrl, ((0, n_pad), (0, 0)))
     w_rbf = jnp.pad(model.w_rbf, ((0, 0), (0, n_pad), (0, 0)))
     # Padded rows get inv_eps2 = 1 to keep phi finite; weight 0 kills them.
