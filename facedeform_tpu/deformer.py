@@ -133,8 +133,11 @@ class Deformer:
           frame: optional (u, v, n) tangent attributes for cfg.tangent.
           group_mask: optional (V,) bool point-group restriction.
           backend: "auto" (fused Pallas kernel on TPU, dense XLA elsewhere),
-            "pallas", or "dense".  Tangent projection is fused into the
-            Pallas kernel when a frame is provided.
+            "pallas", "pallas_culled", or "dense".  Tangent projection is
+            fused into the Pallas kernel when a frame is provided.
+            "pallas_culled" skips control slabs beyond the kernel's reach
+            (decaying kernels only; pass points in Z-order via
+            ops.morton.spatial_order for the full win — see README).
         """
         points = jnp.asarray(points, jnp.float32)
         if dist2 is None:
@@ -149,8 +152,8 @@ class Deformer:
         use_tangent = self.cfg.tangent and frame is not None
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "dense"
-        if backend == "pallas":
-            from facedeform_tpu.ops.pallas_eval import evaluate_pallas
+        if backend in ("pallas", "pallas_culled"):
+            from facedeform_tpu.ops import pallas_eval
 
             params = self.params.clamped()
             gate = (
@@ -158,7 +161,7 @@ class Deformer:
                 if group_mask is not None
                 else jnp.ones(points.shape[0], jnp.float32)
             )
-            new_pts, w = evaluate_pallas(
+            common = (
                 self.model,
                 points,
                 dist2,
@@ -167,9 +170,17 @@ class Deformer:
                 jnp.asarray(params.falloffrate, jnp.float32),
                 fit_mod.effective_kernel(self.cfg),
                 self.cfg.term,
-                strict_parity=self.cfg.strict_parity,
-                frame=frame if use_tangent else None,
             )
+            if backend == "pallas_culled" and not use_tangent:
+                new_pts, w = pallas_eval.evaluate_pallas_culled(
+                    *common, strict_parity=self.cfg.strict_parity
+                )
+            else:
+                new_pts, w = pallas_eval.evaluate_pallas(
+                    *common,
+                    strict_parity=self.cfg.strict_parity,
+                    frame=frame if use_tangent else None,
+                )
             if group_mask is not None:
                 # gate zeroes the displacement; also pin positions exactly
                 new_pts = jnp.where(group_mask[:, None], new_pts, points)

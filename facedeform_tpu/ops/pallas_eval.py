@@ -309,6 +309,220 @@ def evaluate_pallas(
     return out_t.T[:v], falloff[0, :v]
 
 
+# ------------------------------------------------------------- culled eval
+# For decaying kernels (gaussian, wendland) a control point contributes
+# nothing measurable beyond a cutoff radius.  With vertices in Z-order
+# (ops/morton.py) and control points sorted + sliced into small slabs,
+# each vertex tile can skip whole slabs whose bounding box lies beyond the
+# cutoff — dense-kernel speed-of-light no longer binds on localized rigs.
+
+# Control-slab granularity for bbox tests.  128 is the floor: Mosaic
+# requires dynamic lane-dimension slices (inv_eps2 is (L, N)) to be
+# 128-aligned.  Measured on a localized 4096-point rig over a 1M-vertex
+# Z-ordered sphere: 2.3x over the dense kernel (394 G-effective) at
+# 1.2e-7 truncation error.
+_CULL_BLOCK = 128
+
+# phi(s) <= 1e-12 beyond these squared-normalized-distance cutoffs.
+_CULL_S_CUTOFF = {
+    RBFKernel.GAUSSIAN: 27.7,      # exp(-s) = 1e-12
+    RBFKernel.WENDLAND_C2: 1.0,    # compact support (exact)
+}
+
+
+def _eval_kernel_culled(
+    scalars_ref,   # (2,) SMEM: [radius^2, falloffrate]
+    bbox_ref,      # (NB, 8) SMEM: slab lo.xyz, hi.xyz, cutoff^2, pad
+    pts_ref,       # (3, TILE_V) VMEM
+    dist2_ref,     # (1, TILE_V) VMEM
+    gate_ref,      # (1, TILE_V) VMEM
+    ctrl_ref,      # (N, 3) VMEM (Z-order sorted, slab-padded)
+    w_ref,         # (L, N, 3) VMEM
+    inv_eps2_ref,  # (L, N) VMEM
+    w_poly_ref,    # (4, 3) VMEM
+    out_ref,       # (3, TILE_V) VMEM
+    falloff_ref,   # (1, TILE_V) VMEM
+    acc_ref,       # (3, TILE_V) VMEM scratch: displacement accumulator
+    *,
+    kernel: RBFKernel,
+    n_layers: int,
+    strict_parity: bool,
+):
+    pts = pts_ref[:]                                   # (3, TV)
+    # Tile bounding box (scalars via full-vector reductions).
+    tx_lo = jnp.min(pts[0, :]); tx_hi = jnp.max(pts[0, :])
+    ty_lo = jnp.min(pts[1, :]); ty_hi = jnp.max(pts[1, :])
+    tz_lo = jnp.min(pts[2, :]); tz_hi = jnp.max(pts[2, :])
+
+    # Initialize the accumulator with the polynomial tail.
+    wp = w_poly_ref[:]
+    acc_ref[:] = (
+        wp[0][:, None]
+        + wp[1][:, None] * pts[0:1, :]
+        + wp[2][:, None] * pts[1:2, :]
+        + wp[3][:, None] * pts[2:3, :]
+    )
+
+    n_blocks = ctrl_ref.shape[0] // _CULL_BLOCK
+
+    def body(b, carry):
+        gx = jnp.maximum(jnp.maximum(bbox_ref[b, 0] - tx_hi, tx_lo - bbox_ref[b, 3]), 0.0)
+        gy = jnp.maximum(jnp.maximum(bbox_ref[b, 1] - ty_hi, ty_lo - bbox_ref[b, 4]), 0.0)
+        gz = jnp.maximum(jnp.maximum(bbox_ref[b, 2] - tz_hi, tz_lo - bbox_ref[b, 5]), 0.0)
+        slab_d2 = gx * gx + gy * gy + gz * gz
+
+        @pl.when(slab_d2 <= bbox_ref[b, 6])
+        def _():
+            lo = b * _CULL_BLOCK
+            ctrl = ctrl_ref[pl.ds(lo, _CULL_BLOCK)]
+            dx = ctrl[:, 0:1] - pts[0:1, :]
+            dy = ctrl[:, 1:2] - pts[1:2, :]
+            dz = ctrl[:, 2:3] - pts[2:3, :]
+            d2 = dx * dx + dy * dy + dz * dz
+            disp = jnp.zeros((3, pts.shape[1]), jnp.float32)
+            for layer in range(n_layers):
+                phi = _phi(kernel, d2, inv_eps2_ref[layer, pl.ds(lo, _CULL_BLOCK)][:, None])
+                w_l = w_ref[layer, pl.ds(lo, _CULL_BLOCK)]
+                disp = disp + jnp.concatenate(
+                    [
+                        jnp.sum(phi * w_l[:, i : i + 1], axis=0, keepdims=True)
+                        for i in range(3)
+                    ],
+                    axis=0,
+                )
+            acc_ref[:] = acc_ref[:] + disp
+
+        return carry
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    disp = acc_ref[:]
+    r2 = scalars_ref[0]
+    rate = scalars_ref[1]
+    cap_d2 = dist2_ref[:]
+    if not strict_parity:
+        cap_d2 = jnp.maximum(cap_d2, 0.0)
+    active = (cap_d2 <= r2).astype(jnp.float32) * gate_ref[:]
+    ratio = jnp.minimum(cap_d2 / r2, 1.0)
+    base = (1.0 - ratio) if strict_parity else jnp.maximum(1.0 - ratio, 0.0)
+    w = jnp.power(base, rate) * active
+    falloff_ref[:] = w
+    out_ref[:] = pts + disp * w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "term", "strict_parity", "tile_v", "interpret"),
+)
+def evaluate_pallas_culled(
+    model: RBFModel,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    radius: jnp.ndarray,
+    falloffrate: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    strict_parity: bool = False,
+    tile_v: int = _TILE_V,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Culled fused eval for decaying kernels.
+
+    Semantics match evaluate_pallas to within phi <= 1e-12 truncation.
+    Callers should pass `points` in Z-order (ops.morton.spatial_order) —
+    arbitrary order stays CORRECT but loses the culling win.  Control
+    points are Morton-sorted internally (the weight permutation is
+    applied consistently; the sum is order-invariant).
+    """
+    if RBFKernel(kernel) not in _CULL_S_CUTOFF:
+        raise ValueError(
+            f"culled eval needs a decaying kernel, got {RBFKernel(kernel).name}"
+        )
+    from facedeform_tpu.ops.morton import morton_codes
+
+    v = points.shape[0]
+    n = model.ctrl.shape[0]
+    n_layers = model.w_rbf.shape[0]
+
+    # Morton-sort control points for tight slab bboxes.
+    order = jnp.argsort(morton_codes(model.ctrl))
+    ctrl = model.ctrl[order]
+    w_rbf = model.w_rbf[:, order]
+    inv_eps2 = 1.0 / jnp.maximum(model.eps * model.eps, 1e-30)
+    inv_eps2 = inv_eps2[:, order]
+    eps_sorted = model.eps[:, order]
+
+    # Pad N to whole slabs with edge-replicated ctrl (tight bboxes) and
+    # zero weights (no contribution).
+    n_pad = (-n) % _CULL_BLOCK
+    if n_pad:
+        ctrl = jnp.concatenate([ctrl, jnp.repeat(ctrl[-1:], n_pad, axis=0)])
+        w_rbf = jnp.pad(w_rbf, ((0, 0), (0, n_pad), (0, 0)))
+        inv_eps2 = jnp.pad(inv_eps2, ((0, 0), (0, n_pad)), constant_values=1.0)
+        eps_sorted = jnp.pad(eps_sorted, ((0, 0), (0, n_pad)), constant_values=1e-6)
+    nb = ctrl.shape[0] // _CULL_BLOCK
+
+    # Per-slab bbox + squared cutoff (max eps over layers & slab).
+    slab_pts = ctrl.reshape(nb, _CULL_BLOCK, 3)
+    lo = jnp.min(slab_pts, axis=1)                     # (nb, 3)
+    hi = jnp.max(slab_pts, axis=1)
+    eps_slab = jnp.max(eps_sorted.reshape(n_layers, nb, _CULL_BLOCK), axis=(0, 2))
+    s_cut = _CULL_S_CUTOFF[RBFKernel(kernel)]
+    cutoff2 = (eps_slab * eps_slab) * s_cut            # (nb,)
+    bbox = jnp.concatenate(
+        [lo, hi, cutoff2[:, None], jnp.zeros((nb, 1), jnp.float32)], axis=1
+    )
+
+    m = model.w_poly.shape[0]
+    w_poly = jnp.zeros((4, 3), jnp.float32)
+    if m > 0:
+        w_poly = w_poly.at[:m].set(model.w_poly)
+
+    v_pad = (-v) % tile_v
+    pts_t = jnp.pad(points.astype(jnp.float32), ((0, v_pad), (0, 0))).T
+    d2_in = jnp.pad(dist2.astype(jnp.float32), (0, v_pad))[None, :]
+    gate_in = jnp.pad(gate.astype(jnp.float32), (0, v_pad))[None, :]
+    vp = pts_t.shape[1]
+
+    scalars = jnp.stack(
+        [(radius * radius).astype(jnp.float32),
+         jnp.asarray(falloffrate, jnp.float32)]
+    )
+    kern = functools.partial(
+        _eval_kernel_culled,
+        kernel=RBFKernel(kernel),
+        n_layers=n_layers,
+        strict_parity=strict_parity,
+    )
+    out_t, falloff = pl.pallas_call(
+        kern,
+        grid=(vp // tile_v,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # bbox
+            pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # ctrl
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # inv_eps2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # w_poly
+        ],
+        out_specs=[
+            pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, tile_v), jnp.float32)],
+        interpret=interpret,
+    )(scalars, bbox, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly)
+    return out_t.T[:v], falloff[0, :v]
+
+
 # --------------------------------------------------------------- custom VJP
 # The fused kernel is forward-only; gradients (inverse rigging, learned-rig
 # pipelines) flow through a mathematically identical dense composition.
