@@ -97,6 +97,10 @@ class DeformConfig:
     # DBSE: True = genuine least-squares fit (BASELINE config 4);
     # False = reference-parity column-sum-of-packed-QR (dbse.cpp:53-55).
     dbse_lstsq: bool = True
+    # RBF solver: "auto" picks the dense factorization up to ~8k controls
+    # and matrix-free MINRES (ops/krylov.py) beyond, for the symmetric
+    # model families (MULTILAYER/KERNEL).  "direct"/"krylov" force a path.
+    solver: str = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "model", RBFModelType(self.model))

@@ -54,6 +54,10 @@ class RBFModel(NamedTuple):
     eps: jnp.ndarray
 
 
+# Above this control count the dense factorization gives way to MINRES.
+_KRYLOV_THRESHOLD = 8192
+
+
 def effective_kernel(cfg: DeformConfig) -> RBFKernel:
     """QNN and Multilayer are gaussian-based; KERNEL mode picks from the zoo."""
     if cfg.model == RBFModelType.KERNEL:
@@ -119,13 +123,38 @@ def fit(
     res_norm = jnp.asarray(0.0, jnp.float32)
     rhs_norm = jnp.linalg.norm(delta)
 
+    # Solver routing: dense factorization hits XLA's LU VMEM panel limit
+    # near 16k controls; MINRES (matrix-free, ops/krylov.py) scales past it
+    # for the symmetric model families.  QNN's per-point radii make the
+    # system non-symmetric, so it stays on the dense path (documented cap).
+    use_krylov = cfg.solver == "krylov" or (
+        cfg.solver == "auto"
+        and n > _KRYLOV_THRESHOLD
+        and cfg.model != RBFModelType.QNN
+    )
+
     for layer in range(n_layers):
         eps_l = eps0 * (0.5 ** layer)
         # Polynomial tail rides the first layer only.
         term = cfg.term if layer == 0 else type(cfg.term)(2)  # PolyTerm.ZERO
-        a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
         b = assemble_rhs(target, term)
-        x, report = lu_solve_refined(a, b, n_refine=cfg.n_refine)
+        if use_krylov:
+            from facedeform_tpu.ops.krylov import make_saddle_matvec, minres
+
+            mv = make_saddle_matvec(rest_ctrl, kernel, term, eps_l, lam0)
+            x, _ = minres(mv, b)
+            for _ in range(max(cfg.n_refine - 1, 0)):
+                # Restarted correction sweeps recover f32 Lanczos drift.
+                r = b - mv(x)
+                dx, _ = minres(mv, r)
+                x = x + dx
+            report = SolveReport(
+                residual_norm=jnp.linalg.norm(b - mv(x)),
+                rhs_norm=jnp.linalg.norm(b),
+            )
+        else:
+            a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
+            x, report = lu_solve_refined(a, b, n_refine=cfg.n_refine)
         w_l = x[:n]
         w_layers.append(w_l)
         eps_layers.append(eps_l)

@@ -1,0 +1,68 @@
+"""Matrix-free MINRES solver tests (large-rig fit path)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from facedeform_tpu import DeformConfig, DeformParams, Deformer, RBFModelType
+from facedeform_tpu.config import PolyTerm, RBFKernel
+from facedeform_tpu.geometry.primitives import fibonacci_points
+from facedeform_tpu.ops.assemble import assemble_rhs, assemble_system
+from facedeform_tpu.ops.krylov import make_saddle_matvec, minres
+
+
+def test_minres_random_symmetric_indefinite(rng):
+    n = 150
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eig = np.concatenate([np.linspace(0.5, 3, n - 15), -np.linspace(0.5, 2, 15)])
+    a = ((q * eig) @ q.T).astype(np.float32)
+    b = rng.standard_normal((n, 3)).astype(np.float32)
+    a_dev = jnp.asarray(a)
+    x, report = minres(lambda v: a_dev @ v, jnp.asarray(b), maxiter=400)
+    x_ref = np.linalg.solve(a.astype(np.float64), b.astype(np.float64))
+    assert np.abs(np.asarray(x) - x_ref).max() < 1e-4 * np.abs(x_ref).max() + 1e-5
+    assert float(report.residual_norm) < 1e-4 * float(report.rhs_norm)
+
+
+def test_saddle_matvec_matches_dense(rng):
+    ctrl = jnp.asarray(fibonacci_points(200))
+    eps = jnp.float32(0.5)
+    lam = jnp.float32(0.05)
+    mv = make_saddle_matvec(ctrl, RBFKernel.GAUSSIAN, PolyTerm.LINEAR, eps, lam,
+                            chunk=64)
+    a = np.asarray(
+        assemble_system(ctrl, RBFKernel.GAUSSIAN, PolyTerm.LINEAR,
+                        jnp.full((200,), 0.5), lam),
+        np.float64,
+    )
+    probe = rng.standard_normal((204, 2)).astype(np.float32)
+    got = np.asarray(mv(jnp.asarray(probe)))
+    want = a @ probe.astype(np.float64)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fit_krylov_matches_direct(rng):
+    """solver='krylov' reproduces the direct fit's displacement field."""
+    rest = fibonacci_points(300)
+    deformed = (rest + 0.05 * rng.standard_normal((300, 3))).astype(np.float32)
+    params = DeformParams(radius=0.8, lam=0.05)
+    pts = rng.standard_normal((400, 3)).astype(np.float32)
+    outs = {}
+    for solver in ("direct", "krylov"):
+        cfg = DeformConfig(model=RBFModelType.KERNEL, solver=solver)
+        d = Deformer.fit(rest, deformed, cfg, params)
+        outs[solver] = np.asarray(d.apply(pts, backend="dense")[0])
+    err = np.abs(outs["krylov"] - outs["direct"]).max()
+    assert err < 5e-5, err
+
+
+def test_fit_krylov_multilayer(rng):
+    rest = fibonacci_points(250)
+    deformed = (rest + 0.05 * rng.standard_normal((250, 3))).astype(np.float32)
+    params = DeformParams(radius=1.0, lam=0.05)
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    cfg_d = DeformConfig(model=RBFModelType.MULTILAYER, layers=2, solver="direct")
+    cfg_k = DeformConfig(model=RBFModelType.MULTILAYER, layers=2, solver="krylov")
+    a = np.asarray(Deformer.fit(rest, deformed, cfg_d, params).apply(pts, backend="dense")[0])
+    b = np.asarray(Deformer.fit(rest, deformed, cfg_k, params).apply(pts, backend="dense")[0])
+    assert np.abs(a - b).max() < 1e-4
