@@ -164,17 +164,22 @@ def fit(
         if layer + 1 < n_layers:
             # Subtract this layer's prediction at the control points so the
             # next (finer) layer fits the remaining residual.
-            d2 = pairwise_sqdist(rest_ctrl, rest_ctrl)
-            pred = jnp.dot(
-                apply_kernel(kernel, d2, eps_l), w_l,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            if layer == 0 and cfg.n_poly > 0:
-                pred = pred + jnp.dot(
-                    poly_basis(rest_ctrl, cfg.term), w_poly,
+            if use_krylov:
+                # Matrix-free: the saddle matvec's top block is
+                # Phi w + lam w + P c, so pred = mv(x)[:n] - lam w.
+                pred = mv(x)[:n] - lam0 * w_l
+            else:
+                d2 = pairwise_sqdist(rest_ctrl, rest_ctrl)
+                pred = jnp.dot(
+                    apply_kernel(kernel, d2, eps_l), w_l,
+                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
+                if layer == 0 and cfg.n_poly > 0:
+                    pred = pred + jnp.dot(
+                        poly_basis(rest_ctrl, cfg.term), w_poly,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
             target = target - pred
 
     model = RBFModel(
