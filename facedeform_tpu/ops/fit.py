@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from facedeform_tpu.config import DeformConfig, DeformParams, RBFKernel, RBFModelType
-from facedeform_tpu.ops.assemble import assemble_rhs, assemble_system, poly_basis
-from facedeform_tpu.ops.kernels import apply_kernel, nearest_neighbor_dist, pairwise_sqdist
+from facedeform_tpu.ops.assemble import assemble_rhs, assemble_system
+from facedeform_tpu.ops.kernels import nearest_neighbor_dist
 from facedeform_tpu.ops.solve import SolveReport, lu_solve_refined
 
 
@@ -127,6 +127,12 @@ def fit(
     # near 16k controls; MINRES (matrix-free, ops/krylov.py) scales past it
     # for the symmetric model families.  QNN's per-point radii make the
     # system non-symmetric, so it stays on the dense path (documented cap).
+    if cfg.solver == "krylov" and cfg.model == RBFModelType.QNN:
+        raise ValueError(
+            "solver='krylov' is invalid for QNN: per-point radii make the "
+            "system non-symmetric and MINRES would silently misconverge; "
+            "use the dense solver (QNN is capped near 12k controls)"
+        )
     use_krylov = cfg.solver == "krylov" or (
         cfg.solver == "auto"
         and n > _KRYLOV_THRESHOLD
@@ -141,20 +147,31 @@ def fit(
         if use_krylov:
             from facedeform_tpu.ops.krylov import make_saddle_matvec, minres
 
-            mv = make_saddle_matvec(rest_ctrl, kernel, term, eps_l, lam0)
-            x, _ = minres(mv, b)
+            apply_sys = make_saddle_matvec(rest_ctrl, kernel, term, eps_l, lam0)
+            x, _ = minres(apply_sys, b)
             for _ in range(max(cfg.n_refine - 1, 0)):
                 # Restarted correction sweeps recover f32 Lanczos drift.
-                r = b - mv(x)
-                dx, _ = minres(mv, r)
+                r = b - apply_sys(x)
+                dx, _ = minres(apply_sys, r)
                 x = x + dx
-            report = SolveReport(
-                residual_norm=jnp.linalg.norm(b - mv(x)),
-                rhs_norm=jnp.linalg.norm(b),
-            )
         else:
             a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
-            x, report = lu_solve_refined(a, b, n_refine=cfg.n_refine)
+            x, _ = lu_solve_refined(a, b, n_refine=cfg.n_refine)
+
+            def apply_sys(v, a=a):
+                return jnp.dot(
+                    a, v,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+        # One system application serves both the solve report and the
+        # inter-layer residual update (an extra O(N^2) kernel sweep
+        # otherwise, with no guarantee XLA would CSE it).
+        ax = apply_sys(x)
+        report = SolveReport(
+            residual_norm=jnp.linalg.norm(b - ax), rhs_norm=jnp.linalg.norm(b)
+        )
         w_l = x[:n]
         w_layers.append(w_l)
         eps_layers.append(eps_l)
@@ -163,24 +180,10 @@ def fit(
         res_norm = jnp.maximum(res_norm, report.residual_norm)
         if layer + 1 < n_layers:
             # Subtract this layer's prediction at the control points so the
-            # next (finer) layer fits the remaining residual.
-            if use_krylov:
-                # Matrix-free: the saddle matvec's top block is
-                # Phi w + lam w + P c, so pred = mv(x)[:n] - lam w.
-                pred = mv(x)[:n] - lam0 * w_l
-            else:
-                d2 = pairwise_sqdist(rest_ctrl, rest_ctrl)
-                pred = jnp.dot(
-                    apply_kernel(kernel, d2, eps_l), w_l,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                if layer == 0 and cfg.n_poly > 0:
-                    pred = pred + jnp.dot(
-                        poly_basis(rest_ctrl, cfg.term), w_poly,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-            target = target - pred
+            # next (finer) layer fits the remaining residual.  The system's
+            # top block is Phi w + lam w + P c, so the prediction
+            # Phi w + P c is ax[:n] - lam w on both solver paths.
+            target = target - (ax[:n] - lam0 * w_l)
 
     model = RBFModel(
         ctrl=rest_ctrl,
