@@ -77,12 +77,10 @@ def _gather_neighbors(indptr, indices, frontier):
     total = int(counts.sum())
     out = np.empty(total, dtype=indices.dtype)
     # repeat-based range expansion: out[k] = indices[start_i + offset]
-    reps = np.repeat(frontier, counts)
     base = np.repeat(indptr[frontier], counts)
     offs = np.arange(total) - np.repeat(
         np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
     )
-    del reps
     out[:] = indices[base + offs]
     return out
 

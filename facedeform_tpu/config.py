@@ -109,6 +109,10 @@ class DeformConfig:
         if self.layers < 1:
             # reference clamp: layers >= 1 (src/SOP_FaceDeform.cpp:252)
             object.__setattr__(self, "layers", 1)
+        if self.solver not in ("auto", "direct", "krylov"):
+            raise ValueError(
+                f"solver must be 'auto', 'direct' or 'krylov', got {self.solver!r}"
+            )
 
     @property
     def n_poly(self) -> int:

@@ -46,6 +46,7 @@ class Mesh:
     detail_attrs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     _pos_id: int = dataclasses.field(default_factory=_next_id)
     _top_id: int = dataclasses.field(default_factory=_next_id)
+    _attr_id: int = dataclasses.field(default_factory=_next_id)
 
     def __post_init__(self):
         self.points = np.ascontiguousarray(self.points, dtype=np.float32)
@@ -68,6 +69,13 @@ class Mesh:
     def top_id(self) -> int:
         """Monotone id bumped whenever topology changes."""
         return self._top_id
+
+    @property
+    def attr_id(self) -> int:
+        """Monotone id bumped whenever any point attribute changes —
+        consumers whose behavior depends on attrs (e.g. the capture pass
+        reading the rig's `class`) key their caches on it."""
+        return self._attr_id
 
     def set_points(self, points: np.ndarray) -> None:
         """Replace positions and bump the position data id."""
@@ -92,6 +100,7 @@ class Mesh:
                 f"attr {name!r} first axis {value.shape[0]} != V={self.num_points}"
             )
         self.point_attrs[name] = value
+        self._attr_id = _next_id()
 
     def has_tangent_frame(self) -> bool:
         """True if the tangentu/tangentv/N attributes the reference requires

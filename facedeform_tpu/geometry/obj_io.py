@@ -28,16 +28,20 @@ def _load_obj_python(path: str):
             elif line.startswith("vn "):
                 normals.append([float(x) for x in line.split()[1:4]])
             elif line.startswith("f "):
-                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                # keep raw 1-based (possibly negative/relative) indices;
+                # resolve below so negative handling matches the native
+                # parser: idx > 0 -> idx-1, idx < 0 -> n_verts + idx
+                idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
                 faces.append(idx)
     points = np.asarray(verts, np.float32).reshape(-1, 3)
     norm_arr = np.asarray(normals, np.float32) if normals else None
     if not faces:
         return points, norm_arr, None
     arity = max(len(fc) for fc in faces)
+    n_verts = len(verts)
     face_arr = np.full((len(faces), arity), -1, np.int32)
     for i, fc in enumerate(faces):
-        face_arr[i, : len(fc)] = [v if v >= 0 else len(verts) + v for v in fc]
+        face_arr[i, : len(fc)] = [v - 1 if v > 0 else n_verts + v for v in fc]
     return points, norm_arr, face_arr
 
 

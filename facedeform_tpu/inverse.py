@@ -42,7 +42,7 @@ from facedeform_tpu.ops.assemble import assemble_system, poly_basis
 from facedeform_tpu.ops.evaluate import evaluate
 from facedeform_tpu.ops.falloff import falloff_weight
 from facedeform_tpu.ops.kernels import apply_kernel, pairwise_sqdist
-from facedeform_tpu.ops.solve import cholesky_solve_refined, lu_solve_refined
+from facedeform_tpu.ops.solve import cholesky_solve_refined
 
 
 class InverseRigResult(NamedTuple):
@@ -73,8 +73,13 @@ def _linear_map_matrix(
     phi_full = jnp.concatenate([phi_e, pb], axis=1)  # (V, N+m)
     # K = phi_full A^-1[:, :N]  ==  ((A^T)^-1 phi_full^T)[:N]^T.  A is NOT
     # symmetric in QNN mode (per-point radii scale Phi's columns), so the
-    # transpose is load-bearing.
-    z, _ = lu_solve_refined(a.T, phi_full.T, n_refine=1)
+    # transpose is load-bearing.  Plain f32 LU here — the compensated
+    # refinement in ops.solve materializes an (N+m, N+m, K) product tensor
+    # and this solve carries K = V (thousands of) RHS columns; f32 accuracy
+    # of K feeds a ridge-regularized least squares and is ample.
+    with jax.default_matmul_precision("highest"):
+        lu, piv = jax.scipy.linalg.lu_factor(a.T)
+        z = jax.scipy.linalg.lu_solve((lu, piv), phi_full.T)
     return z[:n].T
 
 
@@ -118,6 +123,7 @@ def fit_rig(
     cfg: DeformConfig = DeformConfig(),
     params: DeformParams = DeformParams(),
     dist2=None,
+    frame=None,
     ridge: float = 1e-4,
     max_iters: int = 200,
     learning_rate: float = 5e-2,
@@ -130,9 +136,12 @@ def fit_rig(
       rest_ctrl: (N, 3) rest rig markers.
       rest_points / target_points: (V, 3) rest and target mesh positions.
       dist2: optional capture distances gating the fit like the forward pass.
+      frame: optional (u, v, n) tangent attributes — only meaningful with
+        cfg.tangent, matching the forward pipeline (no frame = no
+        projection, so the closed form still applies).
       ridge: Tikhonov weight on the rig delta (keeps markers from flying off
         when V constraints underdetermine N markers).
-      max_iters / learning_rate: gradient-path budget (multilayer / tangent).
+      max_iters / learning_rate: gradient-path budget (multilayer/tangent).
       subsample: cap on constraint vertices (random subset); None = all.
 
     Returns InverseRigResult; feed .deformed_ctrl back into Deformer.fit to
@@ -146,14 +155,18 @@ def fit_rig(
         dist2 = jnp.zeros(v, jnp.float32)
     else:
         dist2 = jnp.asarray(dist2, jnp.float32)
+    if frame is not None:
+        frame = tuple(jnp.asarray(f, jnp.float32) for f in frame)
     if subsample is not None and v > subsample:
         idx = jax.random.permutation(jax.random.key(seed), v)[:subsample]
         rest_points = rest_points[idx]
         target_points = target_points[idx]
         dist2 = dist2[idx]
+        if frame is not None:
+            frame = tuple(f[idx] for f in frame)
 
-    single_layer = cfg.n_layers == 1 and not cfg.tangent
-    if single_layer:
+    use_tangent = cfg.tangent and frame is not None
+    if cfg.n_layers == 1 and not use_tangent:
         ctrl, rms = _fit_rig_closed_form(
             rest_ctrl, rest_points, target_points, dist2, cfg, params,
             jnp.asarray(ridge, jnp.float32),
@@ -163,6 +176,8 @@ def fit_rig(
     # ---- general path: gradient descent through the differentiable pipeline
     import optax
 
+    from facedeform_tpu.ops.tangent import project_to_tangents
+
     params_c = params.clamped()
     kernel = fit_mod.effective_kernel(cfg)
     w_fall, _ = falloff_weight(
@@ -170,11 +185,16 @@ def fit_rig(
     )
     target_disp = target_points - rest_points
 
-    def loss_fn(delta):
+    def forward_err(delta):
         model, _ = fit_mod.fit(rest_ctrl, rest_ctrl + delta, cfg, params)
         disp = evaluate(model, rest_points, kernel, cfg.term)
+        if use_tangent:
+            disp = project_to_tangents(*frame, disp)
         # forward model applies the falloff to the prediction (:437-438)
-        err = disp * w_fall[:, None] - target_disp
+        return disp * w_fall[:, None] - target_disp
+
+    def loss_fn(delta):
+        err = forward_err(delta)
         return jnp.mean(jnp.sum(err * err, axis=-1)) + ridge * jnp.mean(delta * delta)
 
     opt = optax.adam(learning_rate)
@@ -187,10 +207,14 @@ def fit_rig(
         updates, opt_state = opt.update(grads, opt_state)
         return (optax.apply_updates(delta, updates), opt_state), loss
 
-    (delta, _), losses = jax.lax.scan(
+    (delta, _), _ = jax.lax.scan(
         step, (delta0, opt.init(delta0)), None, length=max_iters
     )
-    rms = jnp.sqrt(losses[-1])
+    # Report the pure vertex-error RMS of the final iterate (the ridge
+    # penalty is an optimizer detail, and losses[-1] predates the last
+    # update) — consistent with the closed-form path's metric.
+    final_err = forward_err(delta)
+    rms = jnp.sqrt(jnp.mean(jnp.sum(final_err * final_err, axis=-1)))
     return InverseRigResult(
         deformed_ctrl=rest_ctrl + delta, residual_rms=rms, iterations=max_iters
     )

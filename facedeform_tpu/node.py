@@ -55,9 +55,13 @@ class CookResult:
     weights: Optional[np.ndarray]    # DBSE per-shape weights (detail attr)
 
 
-def _params_key(params: DeformParams) -> tuple:
-    return tuple(
-        float(v) if not isinstance(v, (int,)) else int(v) for v in params
+def _fit_params_key(params: DeformParams) -> tuple:
+    """Only the params the RBF solve consumes — eval-only knobs (falloff
+    rate/radius, weight clamps, maxedges) must not invalidate the cached
+    solve."""
+    return (
+        float(params.qcoef), float(params.zcoef),
+        float(params.radius), float(params.lam),
     )
 
 
@@ -120,6 +124,7 @@ class FaceDeformNode:
         # ---------------------------------------------------------- capture
         cap_key = (
             mesh_in.pos_id, mesh_in.top_id, rest_rig.pos_id, rest_rig.top_id,
+            rest_rig.attr_id,  # capture groups islands by the rig `class` attr
             maxedges, radius, bool(cfg.dofalloff), float(params.falloffrate),
             bool(cfg.strict_parity),
         )
@@ -174,7 +179,7 @@ class FaceDeformNode:
 
         # -------------------------------------------------------- RBF solve
         fit_key = (
-            rest_rig.pos_id, deform_rig.pos_id, cfg, _params_key(params)
+            rest_rig.pos_id, deform_rig.pos_id, cfg, _fit_params_key(params)
         )
         if fit_key != self._fit_key:
             with stage("solve", times):

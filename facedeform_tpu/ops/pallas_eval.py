@@ -113,21 +113,24 @@ def _eval_kernel(
     n_blocks = pl.cdiv(n_total, _CTRL_BLOCK) if n_total > _CTRL_BLOCK else 1
     block = n_total if n_blocks == 1 else _CTRL_BLOCK
 
-    def block_contrib(lo, disp, allow_center):
+    def block_d2(lo):
         ctrl = ctrl_ref[pl.ds(lo, block)]              # (B, 3)
         dx = ctrl[:, 0:1] - pts[0:1, :]                # (B, TV) broadcasts
         dy = ctrl[:, 1:2] - pts[1:2, :]
         dz = ctrl[:, 2:3] - pts[2:3, :]
-        d2 = dx * dx + dy * dy + dz * dz               # exact f32, no cancellation
+        return dx * dx + dy * dy + dz * dz             # exact f32, no cancellation
+
+    def block_contrib(lo, disp, center):
+        """center: (1, TV) per-vertex constant subtracted from layer-0 phi —
+        valid under the sum(w) = 0 tail constraint; see
+        ops.evaluate._center_phi.  Subtracting INSIDE the per-block sum is
+        what shrinks the cancelling f32 terms (growing kernels carry
+        |w| >> |disp|); a post-hoc correction would not."""
+        d2 = block_d2(lo)
         for layer in range(n_layers):
             phi = _phi(kernel, d2, inv_eps2_ref[layer, pl.ds(lo, block)][:, None])
-            if allow_center and layer == 0:
-                # valid under the sum(w) = 0 tail constraint (layer 0 only);
-                # see ops.evaluate._center_phi for the rationale.  Padded-N
-                # rows shift the mean but that's still just a per-row
-                # constant, annihilated by sum(w) = 0.  Blocked mode skips
-                # centering: per-block weight sums are not individually 0.
-                phi = phi - jnp.mean(phi, axis=0, keepdims=True)
+            if center is not None and layer == 0:
+                phi = phi - center
             w_l = w_ref[layer, pl.ds(lo, block)]       # (B, 3)
             disp = disp + jnp.concatenate(
                 [
@@ -140,14 +143,36 @@ def _eval_kernel(
 
     disp = jnp.zeros((3, pts.shape[1]), jnp.float32)
     if n_blocks == 1:
-        disp = block_contrib(0, disp, allow_center=center_phi)
+        center = None
+        if center_phi:
+            phi0 = _phi(kernel, block_d2(0), inv_eps2_ref[0, pl.ds(0, block)][:, None])
+            center = jnp.mean(phi0, axis=0, keepdims=True)
+        disp = block_contrib(0, disp, center)
     else:
         # fori_loop (not an unrolled python loop): Mosaic then reuses one
         # (block, TV) buffer set instead of keeping every slab live.
+        if center_phi:
+            # Pass 1: per-vertex mean of layer-0 phi over ALL controls, so
+            # blocked mode keeps the same centering accuracy as the dense
+            # path (an extra distance+phi sweep; no contraction).
+            def mean_body(b, acc):
+                phi = _phi(
+                    kernel,
+                    block_d2(b * block),
+                    inv_eps2_ref[0, pl.ds(b * block, block)][:, None],
+                )
+                return acc + jnp.sum(phi, axis=0, keepdims=True)
+            row_sum = jax.lax.fori_loop(
+                0, n_blocks, mean_body,
+                jnp.zeros((1, pts.shape[1]), jnp.float32),
+            )
+            center = row_sum / (n_blocks * block)
+        else:
+            center = None
         disp = jax.lax.fori_loop(
             0,
             n_blocks,
-            lambda b, acc: block_contrib(b * block, acc, allow_center=False),
+            lambda b, acc: block_contrib(b * block, acc, center),
             disp,
         )
     # Polynomial tail: w_poly rows [1, x, y, z]; contributions (3, TV).

@@ -125,6 +125,10 @@ class DeformServer:
             return {"ok": False, "error": str(e)}
         except KeyError as e:
             return {"ok": False, "error": f"missing/unknown key {e}"}
+        except Exception as e:  # noqa: BLE001 — protocol boundary: a bad
+            # request (unknown cfg field, bogus dtype, missing file) must
+            # produce a JSON error line, not a dropped connection.
+            return {"ok": False, "error": f"{type(e).__name__}: {e}"}
 
 
 class _Handler(socketserver.StreamRequestHandler):

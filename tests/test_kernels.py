@@ -57,3 +57,20 @@ def test_nearest_neighbor_dist(rng):
     d = np.sqrt(np.sum((pts[:, None] - pts[None]) ** 2, -1))
     np.fill_diagonal(d, np.inf)
     np.testing.assert_allclose(got, d.min(axis=1), rtol=1e-4, atol=1e-6)
+
+
+def test_evaluate_chunked_matches_block(rng):
+    """lax.map chunking path == single-block path (ops/evaluate.py)."""
+    import jax.numpy as jnp
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops.evaluate import evaluate
+    from facedeform_tpu.ops.fit import effective_kernel
+
+    rest = fibonacci_points(20)
+    d = Deformer.fit(rest, rest * 1.05, DeformConfig(), DeformParams())
+    pts = jnp.asarray(rng.standard_normal((1000, 3)).astype(np.float32))
+    kernel = effective_kernel(d.cfg)
+    full = evaluate(d.model, pts, kernel, d.cfg.term, chunk=4096)
+    chunked = evaluate(d.model, pts, kernel, d.cfg.term, chunk=128)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-6)
