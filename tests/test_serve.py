@@ -98,3 +98,15 @@ def test_serve_errors(server):
 def test_serve_info(server):
     r = _rpc(server, {"cmd": "info"})
     assert r["ok"] and r["backend"] == "cpu"
+
+
+def test_serve_malformed_requests_keep_connection(server):
+    """Protocol boundary: arbitrary bad input yields JSON errors, not EOF."""
+    r = _rpc(server, {"cmd": "fit", "cfg": {"bogus_field": 1},
+                      "rest_ctrl": [[0, 0, 0]], "deformed_ctrl": [[0, 0, 0]]})
+    assert not r["ok"] and "bogus_field" in r["error"]
+    r = _rpc(server, {"cmd": "load", "path": "/nonexistent/x.npz"})
+    assert not r["ok"]
+    r = _rpc(server, {"cmd": "apply", "deformer": "d1",
+                      "points": {"shape": [1, 3], "dtype": "notatype", "b64": ""}})
+    assert not r["ok"]
