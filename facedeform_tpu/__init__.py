@@ -14,6 +14,24 @@ Public API:
   Mesh                         — numpy point-attribute geometry container
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent client-side compilation cache: on remote-compile TPU runtimes
+# a single fit program can take minutes to compile and the service-side
+# cache is unreliable; the local cache turns repeat launches into ~1 s
+# loads (measured 76 s -> 1.6 s).  Respect any user-provided setting.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        if _jax.config.jax_compilation_cache_dir is None:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.path.expanduser("~/.cache/facedeform_tpu/jax"),
+            )
+    except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
+        pass
+
 from facedeform_tpu.config import (
     DeformConfig,
     DeformParams,

@@ -43,7 +43,10 @@ import jax.numpy as jnp
 from facedeform_tpu.geometry.mesh import Mesh
 from facedeform_tpu.geometry.topology import mesh_adjacency
 from facedeform_tpu.capture.flood import find_islands
-from facedeform_tpu.ops.distances import min_sqdist_to_points, min_sqdist_to_triangles
+from facedeform_tpu.ops.distances import (
+    min_sqdist_to_points_auto,
+    min_sqdist_to_triangles,
+)
 from facedeform_tpu.utils.errors import CaptureError
 
 
@@ -177,9 +180,10 @@ class ProximityCapture:
                     )
                 )
             else:
-                d2 = np.asarray(
-                    min_sqdist_to_points(jnp.asarray(cap_pts), jnp.asarray(rig.points))
-                )
+                # host/bucketed dispatch: the captured-vertex count changes
+                # with every radius/maxedges tweak and exact-shape jit
+                # would recompile each time
+                d2 = min_sqdist_to_points_auto(cap_pts, rig.points)
             r2 = radius * radius
             if strict_parity:
                 # -1 sentinel where the radius-bounded search would fail

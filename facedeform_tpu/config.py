@@ -119,6 +119,26 @@ class DeformConfig:
         """Number of polynomial tail basis functions."""
         return {PolyTerm.LINEAR: 4, PolyTerm.CONSTANT: 1, PolyTerm.ZERO: 0}[self.term]
 
+    def solve_view(self) -> "DeformConfig":
+        """This config reduced to the fields the RBF solve consumes.
+
+        jit specializes on the whole (hashable) config; without this view,
+        toggling eval-only switches (tangent, morphspace, falloff, weight
+        clamping...) forces a full recompile of the fit program — tens of
+        seconds per toggle on remote-compile TPU runtimes."""
+        return dataclasses.replace(
+            self, tangent=False, morphspace=False, dofalloff=False,
+            doclampweight=False, strict_parity=False, dbse_lstsq=True,
+        )
+
+    def eval_view(self) -> "DeformConfig":
+        """Reduced to the fields the eval path consumes (model/kernel/term/
+        layers/tangent/strict_parity); same recompile rationale."""
+        return dataclasses.replace(
+            self, morphspace=False, dofalloff=False, doclampweight=False,
+            dbse_lstsq=True, solver="auto", n_refine=2,
+        )
+
     @property
     def n_layers(self) -> int:
         """Static number of solve layers (1 unless MULTILAYER)."""

@@ -103,7 +103,10 @@ class Deformer:
                 f"rest and deform rigs must match: {rest_ctrl.shape} vs "
                 f"{deformed_ctrl.shape}"
             )
-        model, report = fit_mod.fit(rest_ctrl, deformed_ctrl, cfg, params)
+        # solve_view: don't let eval-only config toggles force recompiles
+        model, report = fit_mod.fit(
+            rest_ctrl, deformed_ctrl, cfg.solve_view(), params
+        )
         if check:
             errors.check_solve(report)
         return cls(model=model, cfg=cfg, params=params, report=report)
@@ -186,5 +189,6 @@ class Deformer:
                 new_pts = jnp.where(group_mask[:, None], new_pts, points)
             return new_pts, w
         return apply_fn(
-            self.model, points, dist2, frame, group_mask, self.cfg, self.params
+            self.model, points, dist2, frame, group_mask,
+            self.cfg.eval_view(), self.params,
         )

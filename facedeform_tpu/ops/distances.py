@@ -28,6 +28,36 @@ def min_sqdist_to_points(points: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarr
     return jnp.min(pairwise_sqdist(points, targets), axis=-1)
 
 
+# Below this pair count the host beats the device: jit specializes on exact
+# shapes, and capture's vertex count changes with every radius/maxedges
+# tweak — each change would trigger a full (remote) compile of a trivial
+# kernel.  Above it, pad V to a bucket so compiles are reused.
+_HOST_PAIR_LIMIT = 5_000_000
+_V_BUCKET = 65_536
+
+
+def min_sqdist_to_points_auto(points, targets):
+    """min_sqdist_to_points with host fallback + shape bucketing.
+
+    Returns a numpy array; callers are host-side (capture)."""
+    import numpy as np
+
+    points = np.asarray(points, np.float32)
+    targets = np.asarray(targets, np.float32)
+    v, n = points.shape[0], targets.shape[0]
+    if v * n <= _HOST_PAIR_LIMIT:
+        d2 = (
+            np.sum(points * points, axis=1, keepdims=True)
+            + np.sum(targets * targets, axis=1)[None, :]
+            - 2.0 * points @ targets.T
+        )
+        return np.maximum(d2, 0.0).min(axis=1)
+    pad = (-v) % _V_BUCKET
+    pts = np.pad(points, ((0, pad), (0, 0)))
+    out = np.asarray(min_sqdist_to_points(jnp.asarray(pts), jnp.asarray(targets)))
+    return out[:v]
+
+
 def _point_triangle_sqdist(p: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     """Squared distance from points (V, 3) to ONE triangle (3, 3).
 

@@ -41,8 +41,9 @@ def fit_frames(
     Returns a model pytree with a leading F axis on w_rbf/w_poly (ctrl and
     eps are frame-invariant) and per-frame residual norms.
     """
+    solve_cfg = cfg.solve_view()  # eval-only toggles must not recompile
     fitted = jax.vmap(
-        lambda dc: fit_mod.fit(rest_ctrl, dc, cfg, params)
+        lambda dc: fit_mod.fit(rest_ctrl, dc, solve_cfg, params)
     )(deformed_frames)
     models, reports = fitted
     # ctrl/eps are identical across frames; keep one copy.

@@ -113,6 +113,7 @@ def sharded_apply(
     dist2 = jnp.pad(dist2.astype(jnp.float32), (0, pad))
     gate = jnp.pad(gate.astype(jnp.float32), (0, pad))
 
+    cfg = cfg.eval_view()  # eval-only jit key: no recompiles on UI toggles
     params = params.clamped()
     body = functools.partial(
         _local_apply, cfg=cfg, params=params, frame=None,
