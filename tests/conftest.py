@@ -22,6 +22,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The package enables a persistent compile cache by default (vital on the
+# remote-compile TPU runtime); on CPU the AOT artifacts are
+# machine-feature-sensitive, so keep tests hermetic without it.
+jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
