@@ -22,9 +22,15 @@ import jax as _jax
 # a single fit program can take minutes to compile and the service-side
 # cache is unreliable; the local cache turns repeat launches into ~1 s
 # loads (measured 76 s -> 1.6 s).  Respect any user-provided setting.
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+# NOT enabled when the process runs on the CPU backend (tests, the driver's
+# multichip dryrun): XLA:CPU caches AOT machine code whose machine-feature
+# set may not match the loading host, drowning logs in loader errors.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and not _os.environ.get(
+    "FACEDEFORM_TPU_NO_CACHE"
+):
     try:
-        if _jax.config.jax_compilation_cache_dir is None:
+        _plat = _jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "")
+        if _jax.config.jax_compilation_cache_dir is None and "cpu" not in str(_plat):
             _jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.expanduser("~/.cache/facedeform_tpu/jax"),

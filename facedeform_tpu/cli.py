@@ -34,6 +34,10 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("-o", "--output", required=True, help="output OBJ path")
     d.add_argument("--blend", action="append", default=[],
                    help="blendshape OBJ (repeatable; inputs 3+)")
+    d.add_argument("--group", default=None,
+                   help="named point group restricting which mesh points "
+                        "deform (stored in the .attrs.npz sidecar; the "
+                        "reference node's `group` parameter)")
     # the reference's parameter surface (defaults match the PRM templates)
     d.add_argument("--model", choices=["qnn", "multilayer", "kernel"],
                    default="qnn")
@@ -106,7 +110,10 @@ def _cmd_deform(args) -> int:
 
     node = FaceDeformNode()
     with stage("cook", times):
-        res = node.cook([mesh, rest_rig, deform_rig] + blends, cfg, params)
+        res = node.cook(
+            [mesh, rest_rig, deform_rig] + blends, cfg, params,
+            group=args.group,
+        )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
     for m in res.messages:
@@ -161,7 +168,8 @@ def main(argv=None) -> int:
             return _cmd_deform(args)
         if args.cmd == "bench":
             return _cmd_bench(args)
-    except FileNotFoundError as e:
+    except (FileNotFoundError, KeyError) as e:
+        # KeyError: unknown --group name (message lists the known groups)
         print(f"error: {e}", file=sys.stderr)
         return 1
     except Exception as e:

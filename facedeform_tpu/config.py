@@ -174,4 +174,8 @@ class DeformParams(NamedTuple):
             zcoef=jnp.maximum(self.zcoef, 0.1),
             radius=jnp.maximum(self.radius, 0.01),
             lam=jnp.maximum(self.lam, 0.01),
+            # The reference UI restricts the falloff exponent to [0, 2]
+            # (falloffRange, src/SOP_FaceDeform.cpp:96); a negative rate
+            # yields 0^negative = inf for vertices exactly at d2 == r^2.
+            falloffrate=jnp.maximum(self.falloffrate, 0.0),
         )

@@ -38,12 +38,19 @@ class Mesh:
         `tangentu`, `tangentv`, `class`, `rest`, `fd_falloff`, `Cd`).
       detail_attrs: named whole-mesh values (e.g. the DBSE `weights` array,
         src/SOP_FaceDeform.cpp:474-480).
+      point_groups: named boolean point subsets — the HDK GA_PointGroup
+        analogue backing the reference node's `group` string parameter
+        (src/SOP_FaceDeform.cpp:119-120, applied :485).
+
+    Faces may be -1-padded for mixed polygon arities; triangles() and the
+    topology helpers drop padded entries.
     """
 
     points: np.ndarray
     faces: Optional[np.ndarray] = None
     point_attrs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     detail_attrs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    point_groups: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     _pos_id: int = dataclasses.field(default_factory=_next_id)
     _top_id: int = dataclasses.field(default_factory=_next_id)
     _attr_id: int = dataclasses.field(default_factory=_next_id)
@@ -102,6 +109,38 @@ class Mesh:
         self.point_attrs[name] = value
         self._attr_id = _next_id()
 
+    # --------------------------------------------------------------- groups
+    def set_group(self, name: str, mask: np.ndarray) -> None:
+        """Store a named point group (GA_PointGroup analogue).
+
+        `mask` is a (V,) boolean (or int) membership mask; point *indices*
+        are also accepted as a 1-D integer array shorter than V.
+        """
+        mask = np.asarray(mask)
+        if mask.dtype != bool and mask.ndim == 1 and mask.shape[0] != self.num_points:
+            idx = mask.astype(np.int64)
+            mask = np.zeros(self.num_points, bool)
+            mask[idx] = True
+        else:
+            mask = mask.astype(bool)
+            if mask.shape != (self.num_points,):
+                raise ValueError(
+                    f"group {name!r} mask shape {mask.shape} != (V={self.num_points},)"
+                )
+        self.point_groups[name] = mask
+        self._attr_id = _next_id()
+
+    def group_mask(self, name: str) -> np.ndarray:
+        """Resolve a named group to its boolean mask; KeyError with the
+        known names if absent (the SOP's group menu equivalent)."""
+        try:
+            return self.point_groups[name]
+        except KeyError:
+            raise KeyError(
+                f"no point group {name!r}; known groups: "
+                f"{sorted(self.point_groups)}"
+            ) from None
+
     def has_tangent_frame(self) -> bool:
         """True if the tangentu/tangentv/N attributes the reference requires
         for tangent projection are present (src/SOP_FaceDeform.cpp:289-297)."""
@@ -116,16 +155,22 @@ class Mesh:
             faces=None if self.faces is None else self.faces.copy(),
             point_attrs={k: v.copy() for k, v in self.point_attrs.items()},
             detail_attrs={k: np.copy(v) for k, v in self.detail_attrs.items()},
+            point_groups={k: v.copy() for k, v in self.point_groups.items()},
         )
 
     def triangles(self) -> Optional[np.ndarray]:
-        """Topology as triangles; quads are fanned. None for point clouds."""
+        """Topology as triangles; quads are fanned, -1-padded entries dropped.
+        None for point clouds."""
         if self.faces is None or len(self.faces) == 0:
             return None
         f = self.faces
         if f.shape[1] == 3:
-            return f
-        tris = []
-        for i in range(1, f.shape[1] - 1):
-            tris.append(np.stack([f[:, 0], f[:, i], f[:, i + 1]], axis=1))
-        return np.concatenate(tris, axis=0).astype(np.int32)
+            tris = f
+        else:
+            fans = []
+            for i in range(1, f.shape[1] - 1):
+                fans.append(np.stack([f[:, 0], f[:, i], f[:, i + 1]], axis=1))
+            tris = np.concatenate(fans, axis=0).astype(np.int32)
+        valid = np.all(tris >= 0, axis=1)
+        tris = tris if valid.all() else tris[valid]
+        return tris if len(tris) else None

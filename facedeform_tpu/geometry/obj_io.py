@@ -80,6 +80,10 @@ def load_obj(path: str, load_attrs: bool = True) -> Mesh:
             kind, name = key.split(":", 1)
             if kind == "point":
                 mesh.set_attr(name, data[key])
+            elif kind == "group":
+                # named point groups (the reference node's `group` string
+                # selects one of these, src/SOP_FaceDeform.cpp:119-120)
+                mesh.set_group(name, data[key])
             else:
                 mesh.detail_attrs[name] = data[key]
     return mesh
@@ -111,5 +115,7 @@ def save_obj(path: str, mesh: Mesh, save_attrs: bool = True) -> None:
             payload[f"point:{name}"] = arr
         for name, arr in mesh.detail_attrs.items():
             payload[f"detail:{name}"] = np.asarray(arr)
+        for name, arr in mesh.point_groups.items():
+            payload[f"group:{name}"] = arr
         if payload:
             np.savez(path + ".attrs.npz", **payload)

@@ -22,7 +22,9 @@ def unique_edges(faces: np.ndarray) -> np.ndarray:
     for i in range(k):
         pairs.append(np.stack([faces[:, i], faces[:, (i + 1) % k]], axis=1))
     e = np.concatenate(pairs, axis=0)
-    e = e[e[:, 0] != e[:, 1]]  # drop self-loops from degenerate fanned faces
+    # Drop -1-padded entries (mixed-arity faces) and self-loops from
+    # degenerate fanned faces.
+    e = e[(e[:, 0] >= 0) & (e[:, 1] >= 0) & (e[:, 0] != e[:, 1])]
     e = np.sort(e, axis=1)
     return np.unique(e, axis=0).astype(np.int32)
 

@@ -139,6 +139,9 @@ int64_t fd_build_adjacency(const int32_t* faces, int64_t n_faces, int64_t arity,
     for (int64_t k = 0; k < arity; ++k) {
       int32_t a = faces[f * arity + k];
       int32_t b = faces[f * arity + (k + 1) % arity];
+      // -1-padded polygon entries (mixed-arity meshes) carry no edge; an
+      // unchecked -1 would index count[] out of bounds below.
+      if (a < 0 || b < 0) continue;
       if (a == b) continue;  // degenerate (e.g. fanned quad padding)
       if (a > b) std::swap(a, b);
       edges.emplace_back(a, b);

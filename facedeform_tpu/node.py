@@ -65,6 +65,11 @@ def _fit_params_key(params: DeformParams) -> tuple:
     )
 
 
+def _all_params_key(params: DeformParams) -> tuple:
+    """Every param as a plain float (params may carry 0-d jnp scalars)."""
+    return tuple(float(v) for v in params[:-1]) + (int(params.maxedges),)
+
+
 class FaceDeformNode:
     """Stateful node: holds caches across cooks like the SOP instance holds
     m_mesh_capture / m_direct_blends / m_input_tracker
@@ -88,6 +93,7 @@ class FaceDeformNode:
         cfg: DeformConfig = DeformConfig(),
         params: DeformParams = DeformParams(),
         group_mask: Optional[np.ndarray] = None,
+        group: Optional[str] = None,
         times: Optional[StageTimes] = None,
         mesh_devices=None,
     ) -> CookResult:
@@ -105,6 +111,12 @@ class FaceDeformNode:
             raise errors.ShapeMismatchError(
                 "need at least 3 inputs: mesh, rest rig, deformed rig"
             )
+        if group is not None:
+            # Named point-group restriction (the reference's `group` string
+            # parameter, src/SOP_FaceDeform.cpp:119-120, applied :485).
+            if group_mask is not None:
+                raise ValueError("pass either group or group_mask, not both")
+            group_mask = inputs[0].group_mask(group)
         warnings: List[str] = []
         messages: List[str] = []
         mesh_in, rest_rig, deform_rig = inputs[0], inputs[1], inputs[2]
@@ -178,8 +190,12 @@ class FaceDeformNode:
             warnings.append("No blendshapes found. Ignoring morphspace deformation.")
 
         # -------------------------------------------------------- RBF solve
+        # Keyed on cfg.solve_view(), not the full cfg: toggling eval-only
+        # flags (tangent, morphspace, dofalloff, doclampweight, ...) must
+        # not re-run the solve (it would pay the tunnel RTT every cook).
         fit_key = (
-            rest_rig.pos_id, deform_rig.pos_id, cfg, _fit_params_key(params)
+            rest_rig.pos_id, deform_rig.pos_id, cfg.solve_view(),
+            _fit_params_key(params),
         )
         if fit_key != self._fit_key:
             with stage("solve", times):
@@ -187,11 +203,36 @@ class FaceDeformNode:
                     rest_rig.points, deform_rig.points, cfg, params
                 )
             self._fit_key = fit_key
+        elif (
+            self._deformer.cfg != cfg
+            or _all_params_key(self._deformer.params) != _all_params_key(params)
+        ):
+            # Cache hit with changed eval-side knobs (falloff rate, weight
+            # clamps, eval-only cfg toggles): reuse the solved model, refresh
+            # the knobs the cached Deformer captured at fit time.
+            self._deformer = dataclasses.replace(
+                self._deformer, cfg=cfg, params=params
+            )
         deformer = self._deformer
-        messages.append(
-            f"Solve residual: {float(deformer.report.residual_norm):.3e} "
-            f"(rhs {float(deformer.report.rhs_norm):.3e})"
-        )
+        rep = deformer.report
+        if rep.scale_norm is not None:
+            # One host pull for all diagnostics (tunnel RTT).
+            cond = rep.cond_est if rep.cond_est is not None else jnp.nan
+            vals = np.asarray(jnp.stack([
+                jnp.asarray(rep.residual_norm, jnp.float32),
+                jnp.asarray(rep.rhs_norm, jnp.float32),
+                jnp.asarray(rep.backward_error(), jnp.float32),
+                jnp.asarray(cond, jnp.float32),
+            ]))
+            messages.append(
+                f"Solve residual: {vals[0]:.3e} (rhs {vals[1]:.3e}, "
+                f"backward error {vals[2]:.3e}, cond est {vals[3]:.2e})"
+            )
+        else:
+            messages.append(
+                f"Solve residual: {float(rep.residual_norm):.3e} "
+                f"(rhs {float(rep.rhs_norm):.3e})"
+            )
 
         # ------------------------------------------------- tangent frame
         frame = None

@@ -58,6 +58,21 @@ class RBFModel(NamedTuple):
 _KRYLOV_THRESHOLD = 8192
 
 
+def _worst_report(reports: list) -> SolveReport:
+    """Reduce per-layer SolveReports to the layer with the worst backward
+    error (the health check's criterion), picked with traced arithmetic so
+    this works inside jit."""
+    if len(reports) == 1:
+        return reports[0]
+    errs = jnp.stack([r.backward_error() for r in reports])
+    idx = jnp.argmax(errs)
+
+    def pick(*leaves):
+        return jnp.stack(leaves)[idx]
+
+    return jax.tree_util.tree_map(pick, *reports)
+
+
 def effective_kernel(cfg: DeformConfig) -> RBFKernel:
     """QNN and Multilayer are gaussian-based; KERNEL mode picks from the zoo."""
     if cfg.model == RBFModelType.KERNEL:
@@ -118,10 +133,9 @@ def fit(
 
     w_layers = []
     eps_layers = []
+    layer_reports = []
     w_poly = jnp.zeros((cfg.n_poly, 3), dtype=jnp.float32)
     target = delta
-    res_norm = jnp.asarray(0.0, jnp.float32)
-    rhs_norm = jnp.linalg.norm(delta)
 
     # Solver routing: dense factorization hits XLA's LU VMEM panel limit
     # near 16k controls; MINRES (matrix-free, ops/krylov.py) scales past it
@@ -148,15 +162,15 @@ def fit(
             from facedeform_tpu.ops.krylov import make_saddle_matvec, minres
 
             apply_sys = make_saddle_matvec(rest_ctrl, kernel, term, eps_l, lam0)
-            x, _ = minres(apply_sys, b)
+            x, report = minres(apply_sys, b)
             for _ in range(max(cfg.n_refine - 1, 0)):
-                # Restarted correction sweeps recover f32 Lanczos drift.
-                r = b - apply_sys(x)
-                dx, _ = minres(apply_sys, r)
-                x = x + dx
+                # Warm-restarted sweeps recover f32 Lanczos drift.
+                x, report = minres(apply_sys, b, x0=x)
         else:
             a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
-            x, _ = lu_solve_refined(a, b, n_refine=cfg.n_refine)
+            # The solver report carries the double-float-compensated
+            # residual plus the backward-error scale and LU cond estimate.
+            x, report = lu_solve_refined(a, b, n_refine=cfg.n_refine)
 
             def apply_sys(v, a=a):
                 return jnp.dot(
@@ -165,24 +179,18 @@ def fit(
                     precision=jax.lax.Precision.HIGHEST,
                 )
 
-        # One system application serves both the solve report and the
-        # inter-layer residual update (an extra O(N^2) kernel sweep
-        # otherwise, with no guarantee XLA would CSE it).
-        ax = apply_sys(x)
-        report = SolveReport(
-            residual_norm=jnp.linalg.norm(b - ax), rhs_norm=jnp.linalg.norm(b)
-        )
         w_l = x[:n]
         w_layers.append(w_l)
         eps_layers.append(eps_l)
+        layer_reports.append(report)
         if layer == 0 and cfg.n_poly > 0:
             w_poly = x[n:]
-        res_norm = jnp.maximum(res_norm, report.residual_norm)
         if layer + 1 < n_layers:
             # Subtract this layer's prediction at the control points so the
             # next (finer) layer fits the remaining residual.  The system's
             # top block is Phi w + lam w + P c, so the prediction
             # Phi w + P c is ax[:n] - lam w on both solver paths.
+            ax = apply_sys(x)
             target = target - (ax[:n] - lam0 * w_l)
 
     model = RBFModel(
@@ -191,4 +199,4 @@ def fit(
         w_poly=w_poly,
         eps=jnp.stack(eps_layers),
     )
-    return model, SolveReport(residual_norm=res_norm, rhs_norm=rhs_norm)
+    return model, _worst_report(layer_reports)

@@ -3,8 +3,8 @@
 The reference delegates basis evaluation to ALGLIB's rbfcalc
 (src/SOP_FaceDeform.cpp:414); the rebuild owns the math as explicit,
 XLA-fusable elementwise functions of the *squared* distance.  Working in
-squared distance lets the hot pallas/XLA path produce d^2 with one MXU
-matmul (||v||^2 + ||c||^2 - 2 v.c) and never take an unnecessary sqrt for
+squared distance lets the hot pallas/XLA path produce d^2 from exact
+per-coordinate differences and never take an unnecessary sqrt for
 kernels that don't need one (gaussian, thin-plate).
 
 All kernels are normalized so phi is a function of (r / eps) with eps the
@@ -69,25 +69,23 @@ def kernel_is_compact(kernel: RBFKernel) -> bool:
 
 
 def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """All-pairs squared distances via one MXU matmul.
+    """All-pairs squared distances via exact per-coordinate differences.
 
-    d2[i, j] = ||x_i||^2 + ||y_j||^2 - 2 x_i . y_j, clamped at 0 so f32
-    cancellation near r = 0 can't go negative.  Shapes: (V, 3), (N, 3)
-    -> (V, N).
+    d2[i, j] = sum_k (x[i,k] - y[j,k])^2.  Shapes: (V, 3), (N, 3) -> (V, N).
 
-    Precision.HIGHEST is mandatory: the TPU MXU computes f32 matmuls in
-    bf16 passes by default (~8e-3 relative error), which would blow the
-    5e-5 displacement-parity budget.  The contraction is only K=3, so the
-    cost of full-precision passes is negligible.
-    """
-    xx = jnp.sum(x * x, axis=-1, keepdims=True)          # (V, 1)
-    yy = jnp.sum(y * y, axis=-1, keepdims=True).T        # (1, N)
-    xy = jnp.dot(
-        x, y.T,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (V, N) on MXU
-    return jnp.maximum(xx + yy - 2.0 * xy, 0.0)
+    Deliberately NOT the ||x||^2 + ||y||^2 - 2 x.y MXU form: for geometry
+    away from the origin that identity cancels catastrophically in f32
+    (~1e-2 absolute d2 error at |x| ~ 100, i.e. ~600x the 5e-5 parity
+    budget end to end), because the norms grow as |x|^2 while the result
+    stays O(r^2).  Exact differences are translation-invariant, match the
+    fused Pallas kernel's arithmetic bit-for-bit in structure, and at K=3
+    the VPU cost (9 ops/pair) is negligible next to the kernel phi —
+    the rank-3 matmul was a pad-dominated MXU sliver anyway (see the
+    measurement notes in ops/pallas_eval.py)."""
+    dx = x[:, 0:1] - y[None, :, 0]  # (V, N) broadcasts, fused by XLA
+    dy = x[:, 1:2] - y[None, :, 1]
+    dz = x[:, 2:3] - y[None, :, 2]
+    return dx * dx + dy * dy + dz * dz
 
 
 def nearest_neighbor_dist(pts: jnp.ndarray) -> jnp.ndarray:

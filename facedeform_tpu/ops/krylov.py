@@ -89,20 +89,26 @@ def minres(
     b: jnp.ndarray,
     tol: float = 1e-7,
     maxiter: int = 256,
+    x0: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, SolveReport]:
     """MINRES for symmetric (possibly indefinite) systems, multi-RHS.
 
     All Lanczos/Givens scalars carry a trailing (k,) axis so the RHS
     columns iterate in lockstep (one matvec per iteration serves all k).
     Stops at maxiter (jit-static); the returned report carries the true
-    final residual for host-side health checks.
+    final residual for host-side health checks.  An optional warm start
+    x0 restarts the Krylov space on the current residual (used by fit's
+    correction sweeps to recover f32 Lanczos drift).
     """
     b = b.astype(jnp.float32)
     n, k = b.shape
-    bnorm = jnp.linalg.norm(b, axis=0)  # (k,)
+    b_full = b
+    if x0 is not None:
+        b = b - matvec(x0.astype(jnp.float32))
+    bnorm = jnp.linalg.norm(b_full, axis=0)  # (k,): stop relative to the full rhs
 
     beta1 = jnp.linalg.norm(b, axis=0)
-    safe_beta1 = jnp.where(bnorm > 0, jnp.maximum(beta1, 1e-30), 1.0)
+    safe_beta1 = jnp.where(beta1 > 0, jnp.maximum(beta1, 1e-30), 1.0)
 
     # Standard MINRES recurrence (Paige & Saunders), per-column scalars (k,).
     state = dict(
@@ -119,6 +125,9 @@ def minres(
         w_old=jnp.zeros_like(b),              # w_{j-2}
         it=jnp.asarray(0, jnp.int32),
         resid=beta1,
+        # running ||A||_2 estimate (Paige/Saunders: max_j ||T e_j||),
+        # feeds the backward-error denominator in the report
+        anorm=jnp.zeros((k,), jnp.float32),
     )
 
     def cond(st):
@@ -154,12 +163,23 @@ def minres(
             w=w_new, w_old=st["w"],
             it=st["it"] + 1,
             resid=jnp.abs(eta),
+            anorm=jnp.maximum(
+                st["anorm"],
+                jnp.sqrt(alpha * alpha + beta * beta + beta_new * beta_new),
+            ),
         )
 
     st = jax.lax.while_loop(cond, body, state)
-    x = st["x"]
-    r_final = b - matvec(x)
+    x = st["x"] if x0 is None else st["x"] + x0.astype(jnp.float32)
+    r_final = b_full - matvec(x)
+    anorm = jnp.max(st["anorm"])
+    col_scale = anorm * jnp.linalg.norm(x, axis=0) + jnp.linalg.norm(b, axis=0)
     report = SolveReport(
-        residual_norm=jnp.linalg.norm(r_final), rhs_norm=jnp.linalg.norm(b)
+        residual_norm=jnp.linalg.norm(r_final),
+        rhs_norm=jnp.linalg.norm(b),
+        scale_norm=anorm * jnp.linalg.norm(x) + jnp.linalg.norm(b),
+        cond_est=None,  # no factorization to read a growth indicator from
+        col_backward=jnp.linalg.norm(r_final, axis=0)
+        / jnp.maximum(col_scale, 1e-30),
     )
     return x, report

@@ -28,7 +28,7 @@ that would both destabilize the LU preconditioner and defeat refinement.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +37,49 @@ import jax.numpy as jnp
 class SolveReport(NamedTuple):
     """Structured solver outcome (stand-in for ALGLIB's rbfreport whose
     termination type the reference surfaces as a node message,
-    src/SOP_FaceDeform.cpp:363-373)."""
+    src/SOP_FaceDeform.cpp:363-373).
 
-    residual_norm: jnp.ndarray  # ||B - A X||_F after refinement
-    rhs_norm: jnp.ndarray       # ||B||_F for relative comparison
+    The health criterion is the normwise *backward error*
+    residual / (||A|| ||X|| + ||B||): RBF weight vectors legitimately carry
+    ||X|| >> ||B|| on smooth/global kernels, where an f32-stored solution
+    cannot push the residual below ~u ||A|| ||X|| no matter how well it
+    solves the system — comparing against ||B|| alone misreports those
+    solves as failures (and lets genuinely singular systems hide behind a
+    large ||B||)."""
+
+    residual_norm: jnp.ndarray  # ||B - A X||_F after refinement (compensated)
+    rhs_norm: jnp.ndarray       # ||B||_F
+    # ||A||_F ||X||_F + ||B||_F — backward-error denominator.
+    scale_norm: Optional[jnp.ndarray] = None
+    # max |diag U| / min |diag U| from the LU factors: a cheap growth-factor
+    # condition indicator, surfaced as a node message (observability only;
+    # the quasi-definite tail regularization makes legitimate coplanar rigs
+    # report large values, so it is not a failure criterion).
+    cond_est: Optional[jnp.ndarray] = None
+    # per-column backward errors ||r_c|| / (||A|| ||x_c|| + ||b_c||), (k,).
+    col_backward: Optional[jnp.ndarray] = None
+
+    def backward_error(self):
+        """Normwise backward error (traced or concrete)."""
+        denom = self.scale_norm if self.scale_norm is not None else self.rhs_norm
+        return self.residual_norm / jnp.maximum(denom, 1e-30)
+
+
+def _report_from(a_norm, lu_diag, a, x, b, r) -> SolveReport:
+    """Assemble the full report given the factor diagonal and residual."""
+    x_norm = jnp.linalg.norm(x)
+    b_norm = jnp.linalg.norm(b)
+    absd = jnp.abs(lu_diag)
+    cond = jnp.max(absd) / jnp.maximum(jnp.min(absd), 1e-30)
+    col_scale = a_norm * jnp.linalg.norm(x, axis=0) + jnp.linalg.norm(b, axis=0)
+    col_back = jnp.linalg.norm(r, axis=0) / jnp.maximum(col_scale, 1e-30)
+    return SolveReport(
+        residual_norm=jnp.linalg.norm(r),
+        rhs_norm=b_norm,
+        scale_norm=a_norm * x_norm + b_norm,
+        cond_est=cond,
+        col_backward=col_back,
+    )
 
 
 def _split_hi(a: jnp.ndarray) -> jnp.ndarray:
@@ -120,10 +159,7 @@ def lu_solve_refined(
             dx = jax.scipy.linalg.lu_solve((lu, piv), r)
             x = x + dx
     r = residual_compensated(a, x, b)
-    report = SolveReport(
-        residual_norm=jnp.linalg.norm(r), rhs_norm=jnp.linalg.norm(b)
-    )
-    return x, report
+    return x, _report_from(jnp.linalg.norm(a), jnp.diagonal(lu), a, x, b, r)
 
 
 @functools.partial(jax.jit, static_argnames=("n_refine",))
@@ -141,7 +177,6 @@ def cholesky_solve_refined(
             dx = jax.scipy.linalg.cho_solve((c, lower), r)
             x = x + dx
     r = residual_compensated(a, x, b)
-    report = SolveReport(
-        residual_norm=jnp.linalg.norm(r), rhs_norm=jnp.linalg.norm(b)
-    )
-    return x, report
+    # Cholesky factor diagonal enters cond squared (A = L L^T).
+    diag_sq = jnp.diagonal(c) * jnp.diagonal(c)
+    return x, _report_from(jnp.linalg.norm(a), diag_sq, a, x, b, r)

@@ -30,23 +30,72 @@ class CaptureError(FaceDeformError):
     with a rig!", src/SOP_FaceDeform.cpp:314-321)."""
 
 
-# Relative residual above which a solve is declared failed.  The reference's
-# binary terminationtype != 1 check maps onto this threshold.
+# Normwise backward error ||r|| / (||A|| ||X|| + ||B||) above which a solve
+# is declared failed.  The reference's binary terminationtype != 1 check
+# (src/SOP_FaceDeform.cpp:363-368) maps onto this threshold: a healthy
+# f32 + compensated-refinement solve lands near 1e-9 (measured across the
+# kernel zoo at N = 40..1000), a singular/degenerate rig lands at NaN or
+# >> 1e-6, so 1e-6 separates the populations by ~3 orders each way.
+# Note ||B|| alone is the wrong denominator: smooth/global kernels carry
+# ||X|| >> ||B||, where f32 solution *storage* already floors the residual
+# at ~u ||A|| ||X|| — a correct solve would misreport as failed.
+SOLVE_BACKWARD_RTOL = 1e-6
+
+# Legacy rhs-relative threshold, used only for reports lacking scale_norm.
 SOLVE_RESIDUAL_RTOL = 1e-3
 
 
-def check_solve(report, rtol: float = SOLVE_RESIDUAL_RTOL) -> None:
-    """Host-side solver health check; raises SolveFailedError on blow-up."""
+def check_solve(report, rtol: float = SOLVE_BACKWARD_RTOL) -> None:
+    """Host-side solver health check; raises SolveFailedError on blow-up.
+
+    Checks the normwise backward error plus each RHS column's backward
+    error (a single degenerate displacement axis must not hide inside the
+    Frobenius aggregate)."""
     import numpy as np
 
     import jax.numpy as jnp
 
-    # One device->host pull for both scalars (each separate float() costs a
+    if getattr(report, "scale_norm", None) is None:
+        vals = np.asarray(jnp.stack([report.residual_norm, report.rhs_norm]))
+        res, rhs = float(vals[0]), float(vals[1])
+        if not np.isfinite(res) or (
+            rhs > 0 and res > SOLVE_RESIDUAL_RTOL * max(rhs, 1e-30)
+        ):
+            raise SolveFailedError(
+                f"RBF solve failed: residual {res:.3e} vs rhs {rhs:.3e} "
+                f"(rtol {SOLVE_RESIDUAL_RTOL:g}) — singular or "
+                "ill-conditioned system"
+            )
+        return
+
+    # One device->host pull for all scalars (each separate float() costs a
     # full round-trip on tunneled TPU runtimes).
-    vals = np.asarray(jnp.stack([report.residual_norm, report.rhs_norm]))
-    res, rhs = float(vals[0]), float(vals[1])
-    if not np.isfinite(res) or (rhs > 0 and res > rtol * max(rhs, 1e-30)):
+    col = report.col_backward
+    k = 0 if col is None else int(col.shape[0])
+    parts = [
+        jnp.ravel(report.residual_norm), jnp.ravel(report.rhs_norm),
+        jnp.ravel(report.scale_norm),
+    ]
+    if k:
+        parts.append(jnp.ravel(col))
+    vals = np.asarray(jnp.concatenate([jnp.asarray(p, jnp.float32) for p in parts]))
+    res, rhs, scale = float(vals[0]), float(vals[1]), float(vals[2])
+    col_worst = float(vals[3:3 + k].max()) if k else 0.0
+    backward = res / max(scale, 1e-30)
+    if (
+        not np.isfinite(res)
+        or not np.isfinite(col_worst)
+        or backward > rtol
+        or col_worst > rtol
+    ):
+        cond = getattr(report, "cond_est", None)
+        cond_txt = ""
+        if cond is not None:
+            c = float(np.asarray(cond))
+            cond_txt = f", cond estimate {c:.2e}"
         raise SolveFailedError(
-            f"RBF solve failed: residual {res:.3e} vs rhs {rhs:.3e} "
-            f"(rtol {rtol:g}) — singular or ill-conditioned system"
+            f"RBF solve failed: backward error {backward:.3e} "
+            f"(worst column {col_worst:.3e}, rtol {rtol:g}; residual "
+            f"{res:.3e}, rhs {rhs:.3e}{cond_txt}) — singular or degenerate "
+            "system (duplicate/coincident markers?)"
         )

@@ -168,7 +168,10 @@ def deform(rest_ctrl, deformed_ctrl, points, cfg: DeformConfig,
     if dist2 is None:
         dist2 = np.zeros(points.shape[0])
     radius = max(float(params.radius), 0.01)
-    w, active = falloff_weight(dist2, radius, float(params.falloffrate), cfg.strict_parity)
+    # falloffrate clamped >= 0 like DeformParams.clamped() (the reference UI
+    # restricts the exponent to [0, 2], src/SOP_FaceDeform.cpp:96).
+    rate = max(float(params.falloffrate), 0.0)
+    w, active = falloff_weight(dist2, radius, rate, cfg.strict_parity)
     if group_mask is not None:
         active = np.logical_and(active, group_mask)
     w = np.where(active, w, 0.0)
