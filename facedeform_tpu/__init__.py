@@ -58,7 +58,7 @@ from facedeform_tpu.utils.errors import (
     SolveFailedError,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "DeformConfig",
