@@ -125,6 +125,7 @@ class Deformer:
         frame=None,
         group_mask=None,
         backend: str = "auto",
+        spatial_perm=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Deform points; returns (new_points (V,3), fd_falloff (V,)).
 
@@ -135,12 +136,23 @@ class Deformer:
             (reference quirk 1).
           frame: optional (u, v, n) tangent attributes for cfg.tangent.
           group_mask: optional (V,) bool point-group restriction.
-          backend: "auto" (fused Pallas kernel on TPU, dense XLA elsewhere),
-            "pallas", "pallas_culled", or "dense".  Tangent projection is
-            fused into the Pallas kernel when a frame is provided.
-            "pallas_culled" skips control slabs beyond the kernel's reach
-            (decaying kernels only; pass points in Z-order via
-            ops.morton.spatial_order for the full win — see README).
+          backend: "auto" picks the fastest correct path — on TPU the
+            culled Pallas kernel for decaying kernels at production sizes
+            (control slabs beyond the kernel's reach are skipped per
+            vertex tile; results match dense to phi <= 1e-12 truncation),
+            the dense fused Pallas kernel otherwise; dense XLA off-TPU.
+            "pallas", "pallas_culled" and "dense" force a path.  Tangent
+            projection is fused into both Pallas kernels.  Culling runs on
+            the points in their NATURAL order — real meshes are spatially
+            coherent enough for most of the win (measured 3.1x of 4.2x on
+            a localized 4k rig over a 1M sphere); FaceDeformNode autotunes
+            culled-vs-dense per rig/mesh, and Mesh.reorder_spatial() is
+            the one-time preprocessing that buys the rest.
+          spatial_perm: optional (perm, inv_perm) pair from
+            ops.morton.spatial_order(points): evaluate in Z-order and
+            scatter back.  Only worth it when amortized OFF the hot path —
+            each 1M-row device gather costs ~8 ms on v5e, more than the
+            entire eval; prefer reorder_spatial() for persistent meshes.
         """
         points = jnp.asarray(points, jnp.float32)
         if dist2 is None:
@@ -153,8 +165,20 @@ class Deformer:
             group_mask = jnp.asarray(group_mask, bool)
 
         use_tangent = self.cfg.tangent and frame is not None
+        kernel = fit_mod.effective_kernel(self.cfg)
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "dense"
+            if jax.default_backend() == "tpu":
+                from facedeform_tpu.ops.pallas_eval import kernel_is_cullable
+
+                # Culling needs enough vertex tiles for coherent bboxes to
+                # pay for the slab tests (measured crossover ~ a few tiles).
+                backend = (
+                    "pallas_culled"
+                    if kernel_is_cullable(kernel) and points.shape[0] >= 4096
+                    else "pallas"
+                )
+            else:
+                backend = "dense"
         if backend in ("pallas", "pallas_culled"):
             from facedeform_tpu.ops import pallas_eval
 
@@ -164,23 +188,48 @@ class Deformer:
                 if group_mask is not None
                 else jnp.ones(points.shape[0], jnp.float32)
             )
-            common = (
-                self.model,
-                points,
-                dist2,
-                gate,
-                jnp.asarray(params.radius, jnp.float32),
-                jnp.asarray(params.falloffrate, jnp.float32),
-                fit_mod.effective_kernel(self.cfg),
-                self.cfg.term,
-            )
-            if backend == "pallas_culled" and not use_tangent:
-                new_pts, w = pallas_eval.evaluate_pallas_culled(
-                    *common, strict_parity=self.cfg.strict_parity
-                )
+            if backend == "pallas_culled":
+                if spatial_perm is not None:
+                    # Optional explicit Z-order round trip (see docstring
+                    # for when the gathers are worth paying).
+                    perm, inv = (jnp.asarray(p) for p in spatial_perm)
+                    new_s, w_s = pallas_eval.evaluate_pallas_culled(
+                        self.model,
+                        points[perm],
+                        dist2[perm],
+                        gate[perm],
+                        jnp.asarray(params.radius, jnp.float32),
+                        jnp.asarray(params.falloffrate, jnp.float32),
+                        kernel,
+                        self.cfg.term,
+                        strict_parity=self.cfg.strict_parity,
+                        frame=tuple(f[perm] for f in frame)
+                        if use_tangent else None,
+                    )
+                    new_pts, w = new_s[inv], w_s[inv]
+                else:
+                    new_pts, w = pallas_eval.evaluate_pallas_culled(
+                        self.model,
+                        points,
+                        dist2,
+                        gate,
+                        jnp.asarray(params.radius, jnp.float32),
+                        jnp.asarray(params.falloffrate, jnp.float32),
+                        kernel,
+                        self.cfg.term,
+                        strict_parity=self.cfg.strict_parity,
+                        frame=frame if use_tangent else None,
+                    )
             else:
                 new_pts, w = pallas_eval.evaluate_pallas(
-                    *common,
+                    self.model,
+                    points,
+                    dist2,
+                    gate,
+                    jnp.asarray(params.radius, jnp.float32),
+                    jnp.asarray(params.falloffrate, jnp.float32),
+                    kernel,
+                    self.cfg.term,
                     strict_parity=self.cfg.strict_parity,
                     frame=frame if use_tangent else None,
                 )

@@ -158,6 +158,35 @@ class Mesh:
             point_groups={k: v.copy() for k, v in self.point_groups.items()},
         )
 
+    def reorder_spatial(self) -> "Mesh":
+        """One-time spatial (Morton/Z-order) reordering of the vertices.
+
+        Returns a new Mesh whose points, per-point attributes and groups
+        are permuted into Z-order and whose faces are remapped, so vertex
+        tiles become spatially coherent.  This is the recommended import-
+        time preprocessing for the TPU culled eval path: it buys the last
+        ~35% of the culling win that natural mesh order leaves on the
+        table, with zero per-frame cost (device-side gathers cost more
+        than the eval itself — see Deformer.apply).
+        """
+        from facedeform_tpu.ops import morton
+
+        codes = np.asarray(morton.morton_codes(self.points))
+        perm = np.argsort(codes, kind="stable")
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        faces = None
+        if self.faces is not None:
+            faces = np.where(self.faces >= 0, inv[np.maximum(self.faces, 0)], -1)
+            faces = faces.astype(np.int32)
+        return Mesh(
+            points=self.points[perm],
+            faces=faces,
+            point_attrs={k: v[perm] for k, v in self.point_attrs.items()},
+            detail_attrs={k: np.copy(v) for k, v in self.detail_attrs.items()},
+            point_groups={k: v[perm] for k, v in self.point_groups.items()},
+        )
+
     def triangles(self) -> Optional[np.ndarray]:
         """Topology as triangles; quads are fanned, -1-padded entries dropped.
         None for point clouds."""

@@ -74,6 +74,31 @@ def _normalize_cols(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     )
 
 
+def _project_frame_cols(disp, u_raw, v_raw, n_raw):
+    """Fused tangent projection on (3, TV) columns (component G,
+    SOP_FaceDeform.hpp:28-41): with unit u, v, n and B = [u; v; n],
+    x.B = (x.u)u + (x.v)v + (x.n)n, then disp' = a1 (disp.a1) + a2 (disp.a2)
+    with a1 = norm(u.B), a2 = norm(v.B) — the reference's oblique
+    projection verbatim."""
+    u = _normalize_cols(u_raw)
+    tv = _normalize_cols(v_raw)
+    nn = _normalize_cols(n_raw)
+
+    def dot_b(x):
+        return (
+            jnp.sum(x * u, axis=0, keepdims=True) * u
+            + jnp.sum(x * tv, axis=0, keepdims=True) * tv
+            + jnp.sum(x * nn, axis=0, keepdims=True) * nn
+        )
+
+    a1 = _normalize_cols(dot_b(u))
+    a2 = _normalize_cols(dot_b(tv))
+    return (
+        a1 * jnp.sum(disp * a1, axis=0, keepdims=True)
+        + a2 * jnp.sum(disp * a2, axis=0, keepdims=True)
+    )
+
+
 def _eval_kernel(
     # scalar prefetch: none; SMEM params first per in_specs ordering
     scalars_ref,   # (2,) SMEM: [radius^2, falloffrate]
@@ -186,27 +211,7 @@ def _eval_kernel(
     )
 
     if has_frame:
-        # Fused tangent projection (component G, SOP_FaceDeform.hpp:28-41):
-        # with unit u, v, n:  x.B = (x.u)u + (x.v)v + (x.n)n, then
-        # disp' = a1 (disp.a1) + a2 (disp.a2) with a1 = norm(u.B),
-        # a2 = norm(v.B) — the reference's oblique projection verbatim.
-        u = _normalize_cols(u_ref[:])
-        tv = _normalize_cols(vt_ref[:])
-        nn = _normalize_cols(nrm_ref[:])
-
-        def dot_b(x):
-            return (
-                jnp.sum(x * u, axis=0, keepdims=True) * u
-                + jnp.sum(x * tv, axis=0, keepdims=True) * tv
-                + jnp.sum(x * nn, axis=0, keepdims=True) * nn
-            )
-
-        a1 = _normalize_cols(dot_b(u))
-        a2 = _normalize_cols(dot_b(tv))
-        disp = (
-            a1 * jnp.sum(disp * a1, axis=0, keepdims=True)
-            + a2 * jnp.sum(disp * a2, axis=0, keepdims=True)
-        )
+        disp = _project_frame_cols(disp, u_ref[:], vt_ref[:], nrm_ref[:])
 
     r2 = scalars_ref[0]
     rate = scalars_ref[1]
@@ -355,6 +360,12 @@ _CULL_S_CUTOFF = {
 }
 
 
+def kernel_is_cullable(kernel: RBFKernel) -> bool:
+    """True when phi decays fast enough for slab culling to be exact to
+    <= 1e-12 (gaussian) or exactly (compact support)."""
+    return RBFKernel(kernel) in _CULL_S_CUTOFF
+
+
 def _eval_kernel_culled(
     scalars_ref,   # (2,) SMEM: [radius^2, falloffrate]
     bbox_ref,      # (NB, 8) SMEM: slab lo.xyz, hi.xyz, cutoff^2, pad
@@ -365,63 +376,68 @@ def _eval_kernel_culled(
     w_ref,         # (L, N, 3) VMEM
     inv_eps2_ref,  # (L, N) VMEM
     w_poly_ref,    # (4, 3) VMEM
-    out_ref,       # (3, TILE_V) VMEM
-    falloff_ref,   # (1, TILE_V) VMEM
-    acc_ref,       # (3, TILE_V) VMEM scratch: displacement accumulator
-    *,
+    *refs,         # [u_ref, v_ref, n_ref,] out_ref, falloff_ref
     kernel: RBFKernel,
     n_layers: int,
     strict_parity: bool,
+    has_frame: bool,
 ):
+    if has_frame:
+        u_ref, vt_ref, nrm_ref, out_ref, falloff_ref = refs
+    else:
+        out_ref, falloff_ref = refs
     pts = pts_ref[:]                                   # (3, TV)
     # Tile bounding box (scalars via full-vector reductions).
     tx_lo = jnp.min(pts[0, :]); tx_hi = jnp.max(pts[0, :])
     ty_lo = jnp.min(pts[1, :]); ty_hi = jnp.max(pts[1, :])
     tz_lo = jnp.min(pts[2, :]); tz_hi = jnp.max(pts[2, :])
 
-    # Initialize the accumulator with the polynomial tail.
+    n_blocks = ctrl_ref.shape[0] // _CULL_BLOCK
+
+    def slab_contrib(b, disp):
+        lo = b * _CULL_BLOCK
+        ctrl = ctrl_ref[pl.ds(lo, _CULL_BLOCK)]
+        dx = ctrl[:, 0:1] - pts[0:1, :]
+        dy = ctrl[:, 1:2] - pts[1:2, :]
+        dz = ctrl[:, 2:3] - pts[2:3, :]
+        d2 = dx * dx + dy * dy + dz * dz
+        for layer in range(n_layers):
+            phi = _phi(kernel, d2, inv_eps2_ref[layer, pl.ds(lo, _CULL_BLOCK)][:, None])
+            w_l = w_ref[layer, pl.ds(lo, _CULL_BLOCK)]
+            disp = disp + jnp.concatenate(
+                [
+                    jnp.sum(phi * w_l[:, i : i + 1], axis=0, keepdims=True)
+                    for i in range(3)
+                ],
+                axis=0,
+            )
+        return disp
+
+    def body(b, disp):
+        gx = jnp.maximum(jnp.maximum(bbox_ref[b, 0] - tx_hi, tx_lo - bbox_ref[b, 3]), 0.0)
+        gy = jnp.maximum(jnp.maximum(bbox_ref[b, 1] - ty_hi, ty_lo - bbox_ref[b, 4]), 0.0)
+        gz = jnp.maximum(jnp.maximum(bbox_ref[b, 2] - tz_hi, tz_lo - bbox_ref[b, 5]), 0.0)
+        slab_d2 = gx * gx + gy * gy + gz * gz
+        # lax.cond (not pl.when + scratch): the accumulator stays a loop
+        # carry in vector registers, avoiding a VMEM read+write per slab.
+        return jax.lax.cond(
+            slab_d2 <= bbox_ref[b, 6],
+            lambda d: slab_contrib(b, d),
+            lambda d: d,
+            disp,
+        )
+
+    # Start from the polynomial tail.
     wp = w_poly_ref[:]
-    acc_ref[:] = (
+    disp0 = (
         wp[0][:, None]
         + wp[1][:, None] * pts[0:1, :]
         + wp[2][:, None] * pts[1:2, :]
         + wp[3][:, None] * pts[2:3, :]
     )
-
-    n_blocks = ctrl_ref.shape[0] // _CULL_BLOCK
-
-    def body(b, carry):
-        gx = jnp.maximum(jnp.maximum(bbox_ref[b, 0] - tx_hi, tx_lo - bbox_ref[b, 3]), 0.0)
-        gy = jnp.maximum(jnp.maximum(bbox_ref[b, 1] - ty_hi, ty_lo - bbox_ref[b, 4]), 0.0)
-        gz = jnp.maximum(jnp.maximum(bbox_ref[b, 2] - tz_hi, tz_lo - bbox_ref[b, 5]), 0.0)
-        slab_d2 = gx * gx + gy * gy + gz * gz
-
-        @pl.when(slab_d2 <= bbox_ref[b, 6])
-        def _():
-            lo = b * _CULL_BLOCK
-            ctrl = ctrl_ref[pl.ds(lo, _CULL_BLOCK)]
-            dx = ctrl[:, 0:1] - pts[0:1, :]
-            dy = ctrl[:, 1:2] - pts[1:2, :]
-            dz = ctrl[:, 2:3] - pts[2:3, :]
-            d2 = dx * dx + dy * dy + dz * dz
-            disp = jnp.zeros((3, pts.shape[1]), jnp.float32)
-            for layer in range(n_layers):
-                phi = _phi(kernel, d2, inv_eps2_ref[layer, pl.ds(lo, _CULL_BLOCK)][:, None])
-                w_l = w_ref[layer, pl.ds(lo, _CULL_BLOCK)]
-                disp = disp + jnp.concatenate(
-                    [
-                        jnp.sum(phi * w_l[:, i : i + 1], axis=0, keepdims=True)
-                        for i in range(3)
-                    ],
-                    axis=0,
-                )
-            acc_ref[:] = acc_ref[:] + disp
-
-        return carry
-
-    jax.lax.fori_loop(0, n_blocks, body, 0)
-
-    disp = acc_ref[:]
+    disp = jax.lax.fori_loop(0, n_blocks, body, disp0)
+    if has_frame:
+        disp = _project_frame_cols(disp, u_ref[:], vt_ref[:], nrm_ref[:])
     r2 = scalars_ref[0]
     rate = scalars_ref[1]
     cap_d2 = dist2_ref[:]
@@ -451,6 +467,7 @@ def evaluate_pallas_culled(
     strict_parity: bool = False,
     tile_v: int = _TILE_V,
     interpret: bool = False,
+    frame=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Culled fused eval for decaying kernels.
 
@@ -458,7 +475,9 @@ def evaluate_pallas_culled(
     Callers should pass `points` in Z-order (ops.morton.spatial_order) —
     arbitrary order stays CORRECT but loses the culling win.  Control
     points are Morton-sorted internally (the weight permutation is
-    applied consistently; the sum is order-invariant).
+    applied consistently; the sum is order-invariant).  An optional
+    frame=(u, v, n) of (V, 3) tangent attributes — in the SAME order as
+    `points` — fuses the tangent projection like evaluate_pallas.
     """
     if RBFKernel(kernel) not in _CULL_S_CUTOFF:
         raise ValueError(
@@ -514,11 +533,23 @@ def evaluate_pallas_culled(
         [(radius * radius).astype(jnp.float32),
          jnp.asarray(falloffrate, jnp.float32)]
     )
+    has_frame = frame is not None
+    frame_inputs = []
+    frame_specs = []
+    if has_frame:
+        for f in frame:
+            frame_inputs.append(
+                jnp.pad(f.astype(jnp.float32), ((0, v_pad), (0, 0))).T  # (3, Vp)
+            )
+            frame_specs.append(
+                pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM)
+            )
     kern = functools.partial(
         _eval_kernel_culled,
         kernel=RBFKernel(kernel),
         n_layers=n_layers,
         strict_parity=strict_parity,
+        has_frame=has_frame,
     )
     out_t, falloff = pl.pallas_call(
         kern,
@@ -533,7 +564,7 @@ def evaluate_pallas_culled(
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # inv_eps2
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # w_poly
-        ],
+        ] + frame_specs,
         out_specs=[
             pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -542,9 +573,9 @@ def evaluate_pallas_culled(
             jax.ShapeDtypeStruct((3, vp), jnp.float32),
             jax.ShapeDtypeStruct((1, vp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((3, tile_v), jnp.float32)],
         interpret=interpret,
-    )(scalars, bbox, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly)
+    )(scalars, bbox, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly,
+      *frame_inputs)
     return out_t.T[:v], falloff[0, :v]
 
 

@@ -69,15 +69,18 @@ def _local_apply(
     branch is static.
     """
     use_tangent = cfg.tangent and frame is not None
-    if use_pallas and not use_tangent:
+    if use_pallas:
         from facedeform_tpu.ops.pallas_eval import evaluate_pallas
 
+        # Tangent projection fuses into the kernel (the reference's
+        # threaded path projected per thread too, SOP_FaceDeform.hpp:152-168).
         return evaluate_pallas(
             model, pts, dist2, gate,
             jnp.asarray(params.radius, jnp.float32),
             jnp.asarray(params.falloffrate, jnp.float32),
             fit_mod.effective_kernel(cfg), cfg.term,
             strict_parity=cfg.strict_parity,
+            frame=frame if use_tangent else None,
         )
     disp = evaluate_block(model, pts, fit_mod.effective_kernel(cfg), cfg.term)
     if use_tangent:
@@ -100,10 +103,14 @@ def sharded_apply(
     cfg: DeformConfig,
     params: DeformParams,
     mesh: Mesh,
+    frame=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Vertex-sharded deformation: (V, 3) -> (V, 3), V padded to the mesh size.
 
-    in_specs: model fully replicated (P()), vertex arrays P('v').
+    in_specs: model fully replicated (P()), vertex arrays P('v') — the
+    optional tangent frame (u, v, n) shards on the vertex axis like the
+    positions (each chip projects its own vertices, exactly as each thread
+    of the reference's disabled pool did, SOP_FaceDeform.hpp:152-168).
     out_specs: P('v').  No collective appears in the compiled program.
     """
     n_dev = mesh.shape[VERTEX_AXIS]
@@ -112,21 +119,29 @@ def sharded_apply(
     points = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
     dist2 = jnp.pad(dist2.astype(jnp.float32), (0, pad))
     gate = jnp.pad(gate.astype(jnp.float32), (0, pad))
+    if frame is not None:
+        frame = tuple(
+            jnp.pad(jnp.asarray(f, jnp.float32), ((0, pad), (0, 0)))
+            for f in frame
+        )
 
     cfg = cfg.eval_view()  # eval-only jit key: no recompiles on UI toggles
     params = params.clamped()
     body = functools.partial(
-        _local_apply, cfg=cfg, params=params, frame=None,
+        _local_apply, cfg=cfg, params=params,
         use_pallas=_mesh_on_tpu(mesh),
     )
+    frame_specs = () if frame is None else ((P(VERTEX_AXIS),) * 3,)
     mapped = jax.shard_map(
-        lambda m, p, d, g: body(m, p, d, g),
+        lambda m, p, d, g, *fr: body(m, p, d, g, frame=fr[0] if fr else None),
         mesh=mesh,
-        in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS), P(VERTEX_AXIS)),
+        in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS), P(VERTEX_AXIS))
+        + frame_specs,
         out_specs=(P(VERTEX_AXIS), P(VERTEX_AXIS)),
         check_vma=False,  # pallas_call out_shapes carry no vma annotations
     )
-    new_pts, w = mapped(model, points, dist2, gate)
+    args = (model, points, dist2, gate) + (() if frame is None else (frame,))
+    new_pts, w = mapped(*args)
     return new_pts[:v], w[:v]
 
 
