@@ -98,8 +98,10 @@ class DeformConfig:
     # False = reference-parity column-sum-of-packed-QR (dbse.cpp:53-55).
     dbse_lstsq: bool = True
     # RBF solver: "auto" picks the dense factorization up to ~8k controls
-    # and matrix-free MINRES (ops/krylov.py) beyond, for the symmetric
-    # model families (MULTILAYER/KERNEL).  "direct"/"krylov" force a path.
+    # and matrix-free Krylov (ops/krylov.py) beyond — block-Jacobi
+    # preconditioned MINRES for the symmetric families (MULTILAYER/KERNEL),
+    # restarted GMRES for QNN's non-symmetric per-point-radius system.
+    # "direct"/"krylov" force a path.
     solver: str = "auto"
 
     def __post_init__(self):

@@ -138,19 +138,12 @@ def fit(
     target = delta
 
     # Solver routing: dense factorization hits XLA's LU VMEM panel limit
-    # near 16k controls; MINRES (matrix-free, ops/krylov.py) scales past it
-    # for the symmetric model families.  QNN's per-point radii make the
-    # system non-symmetric, so it stays on the dense path (documented cap).
-    if cfg.solver == "krylov" and cfg.model == RBFModelType.QNN:
-        raise ValueError(
-            "solver='krylov' is invalid for QNN: per-point radii make the "
-            "system non-symmetric and MINRES would silently misconverge; "
-            "use the dense solver (QNN is capped near 12k controls)"
-        )
+    # near 16k controls; matrix-free Krylov (ops/krylov.py) scales past it
+    # for every family — (P)MINRES on the symmetric MULTILAYER/KERNEL
+    # saddle systems, restarted GMRES on QNN (per-point radii make that
+    # system non-symmetric).
     use_krylov = cfg.solver == "krylov" or (
-        cfg.solver == "auto"
-        and n > _KRYLOV_THRESHOLD
-        and cfg.model != RBFModelType.QNN
+        cfg.solver == "auto" and n > _KRYLOV_THRESHOLD
     )
 
     for layer in range(n_layers):
@@ -159,13 +152,37 @@ def fit(
         term = cfg.term if layer == 0 else type(cfg.term)(2)  # PolyTerm.ZERO
         b = assemble_rhs(target, term)
         if use_krylov:
-            from facedeform_tpu.ops.krylov import make_saddle_matvec, minres
+            from facedeform_tpu.ops.kernels import kernel_is_pd
+            from facedeform_tpu.ops.krylov import (
+                gmres, make_block_jacobi, make_saddle_matvec, minres, pminres,
+            )
 
             apply_sys = make_saddle_matvec(rest_ctrl, kernel, term, eps_l, lam0)
-            x, report = minres(apply_sys, b)
-            for _ in range(max(cfg.n_refine - 1, 0)):
-                # Warm-restarted sweeps recover f32 Lanczos drift.
-                x, report = minres(apply_sys, b, x0=x)
+            if cfg.model == RBFModelType.QNN:
+                # Non-symmetric (per-point radii): right-preconditioned
+                # restarted GMRES.  QNN radii scale with the local point
+                # spacing, so Phi is diagonally dominated and block-Jacobi
+                # captures most of the coupling.
+                msolve = make_block_jacobi(
+                    rest_ctrl, kernel, term, eps_l, lam0
+                )
+                x, report = gmres(apply_sys, b, msolve=msolve)
+                for _ in range(max(cfg.n_refine - 1, 0)):
+                    x, report = gmres(apply_sys, b, msolve=msolve, x0=x)
+            elif kernel_is_pd(kernel):
+                msolve = make_block_jacobi(
+                    rest_ctrl, kernel, term, eps_l, lam0
+                )
+                x, report = pminres(apply_sys, b, msolve)
+                for _ in range(max(cfg.n_refine - 1, 0)):
+                    x, report = pminres(apply_sys, b, msolve, x0=x)
+            else:
+                # CPD kernels (TPS/MQ/linear/cubic): diagonal blocks may be
+                # indefinite, so plain MINRES.
+                x, report = minres(apply_sys, b)
+                for _ in range(max(cfg.n_refine - 1, 0)):
+                    # Warm-restarted sweeps recover f32 Lanczos drift.
+                    x, report = minres(apply_sys, b, x0=x)
         else:
             a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
             # The solver report carries the double-float-compensated

@@ -68,6 +68,18 @@ def kernel_is_compact(kernel: RBFKernel) -> bool:
     return RBFKernel(kernel) == RBFKernel.WENDLAND_C2
 
 
+def kernel_is_pd(kernel: RBFKernel) -> bool:
+    """True if the kernel matrix is positive definite for distinct points
+    (gaussian/IMQ/wendland); the rest are only conditionally PD, so their
+    diagonal blocks may be indefinite (TPS even has phi(0) = 0) and
+    block-Jacobi is not a valid SPD preconditioner for them."""
+    return RBFKernel(kernel) in (
+        RBFKernel.GAUSSIAN,
+        RBFKernel.INVERSE_MULTIQUADRIC,
+        RBFKernel.WENDLAND_C2,
+    )
+
+
 def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """All-pairs squared distances via exact per-coordinate differences.
 

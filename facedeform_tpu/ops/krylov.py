@@ -1,21 +1,25 @@
-"""Matrix-free MINRES: RBF solves past the dense-factorization limit.
+"""Matrix-free Krylov solvers: RBF solves past the dense-factorization limit.
 
 XLA's LU panel factorization runs out of VMEM near N ~ 16k controls, and a
 dense (N, N) system stops fitting HBM long before truly large rigs (N=100k
--> 40 GB).  The scalable path never materializes the system: MINRES
-(Paige & Saunders, symmetric indefinite — exactly our saddle-point shape
-[[Phi + lam I, P], [P^T, -delta I]] when radii are shared) driven by a
-chunked kernel matvec
+-> 40 GB).  The scalable path never materializes the system: a chunked
+kernel matvec
 
-    (A x)_i = sum_j phi(|c_i - c_j| / eps) x_j + lam x_i + (P c)_i
+    (A x)_i = sum_j phi(|c_i - c_j| / eps_j) x_j + lam x_i + (P c)_i
 
 computed with the same fused distance->phi->contract structure as the eval
-path, O(chunk x N) memory.  Per-iteration cost is one N^2 kernel sweep, so
-a 100k-control solve is ~1e10 evals/iteration — seconds on a v5e.
+path, O(chunk x N) memory, drives
 
-Used by ops.fit for MULTILAYER/KERNEL models above the dense threshold
-(QNN's per-point radii make the system non-symmetric; its dense limit is
-documented instead).
+  * MINRES (Paige & Saunders) for the symmetric saddle systems of the
+    MULTILAYER/KERNEL families (shared radii), optionally preconditioned
+    with a block-Jacobi SPD preconditioner (PD kernels only);
+  * restarted GMRES for QNN, whose per-point radii make the system
+    non-symmetric (column j carries eps_j), block-Jacobi right-
+    preconditioned.
+
+Per-iteration cost is one N^2 kernel sweep, so a 50k-control solve is
+~2.5e9 evals/iteration — milliseconds on a v5e.  Used by ops.fit above the
+dense threshold for every model family.
 """
 
 from __future__ import annotations
@@ -81,6 +85,280 @@ def make_saddle_matvec(
         return y_top
 
     return matvec
+
+
+# ------------------------------------------------------------ block-Jacobi
+def make_block_jacobi(
+    ctrl: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    eps: jnp.ndarray,
+    lam: jnp.ndarray,
+    block: int = 512,
+    jitter: float = 1e-5,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Block-Jacobi approximate inverse of the saddle system's top block.
+
+    Extracts the (block x block) diagonal blocks of Phi + (lam + jitter) I,
+    inverts them batched (jnp.linalg.inv: blocks are strongly diagonally
+    dominated for the radii the model families produce, so the explicit
+    inverse is stable and its application is one batched matmul — much
+    faster on TPU than batched triangular solves), and applies identity on
+    the polynomial-tail rows.  Memory: N x block f32.
+
+    Valid as a MINRES preconditioner only for PD kernels (gaussian, IMQ,
+    wendland: diagonal blocks SPD); usable unconditionally for GMRES.
+    Handles per-point radii (QNN): block (b, i, j) uses eps of column j.
+    """
+    n = ctrl.shape[0]
+    m = poly_basis(ctrl, term).shape[1]
+    eps = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (n,))
+    pad = (-n) % block
+    ctrl_p = jnp.pad(ctrl, ((0, pad), (0, 0)))
+    # Padded radii of 1 with identity diagonal keep padded blocks invertible.
+    eps_p = jnp.pad(eps, (0, pad), constant_values=1.0)
+    nb = ctrl_p.shape[0] // block
+    cb = ctrl_p.reshape(nb, block, 3)
+    eb = eps_p.reshape(nb, block)
+
+    def one_block(c, e):
+        d2 = pairwise_sqdist(c, c)
+        phi = apply_kernel(kernel, d2, e)  # eps broadcasts over columns
+        return phi + (lam + jitter) * jnp.eye(block, dtype=jnp.float32)
+
+    blocks = jax.vmap(one_block)(cb, eb)              # (nb, B, B)
+    inv_blocks = jnp.linalg.inv(blocks)               # batched
+
+    def msolve(r: jnp.ndarray) -> jnp.ndarray:        # (N + m, k)
+        top, tail = r[:n], r[n:]
+        top = jnp.pad(top, ((0, pad), (0, 0))).reshape(nb, block, -1)
+        out = jnp.einsum(
+            "bij,bjk->bik", inv_blocks, top,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1, r.shape[1])[:n]
+        return jnp.concatenate([out, tail], axis=0) if m else out
+
+    return msolve
+
+
+@functools.partial(jax.jit, static_argnames=("matvec", "msolve", "maxiter"))
+def pminres(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    msolve: Callable[[jnp.ndarray], jnp.ndarray],
+    tol: float = 1e-7,
+    maxiter: int = 256,
+    x0: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, SolveReport]:
+    """Preconditioned MINRES (SPD preconditioner), multi-RHS lockstep.
+
+    Standard recurrence (Elman/Silvester/Wathen formulation): Lanczos on
+    M^-1 A in the M-inner product; per-column (k,) Givens scalars.  The
+    tracked residual |eta| lives in the M^-1 norm; the report carries the
+    true final residual.
+    """
+    b = b.astype(jnp.float32)
+    n, k = b.shape
+    r = b if x0 is None else b - matvec(x0.astype(jnp.float32))
+    z = msolve(r)
+    gamma1 = jnp.sqrt(jnp.maximum(jnp.sum(z * r, axis=0), 1e-30))  # (k,)
+    bnorm = jnp.linalg.norm(b, axis=0)
+
+    state = dict(
+        x=jnp.zeros_like(b),
+        v=r, v_prev=jnp.zeros_like(b),       # unpreconditioned residual pair
+        z=z,                                 # z_j = M^-1 v_j
+        gamma=gamma1, gamma_prev=jnp.ones((k,), jnp.float32),
+        eta=gamma1,
+        c1=jnp.ones((k,), jnp.float32), c0=jnp.ones((k,), jnp.float32),
+        s1=jnp.zeros((k,), jnp.float32), s0=jnp.zeros((k,), jnp.float32),
+        w=jnp.zeros_like(b), w_prev=jnp.zeros_like(b),
+        it=jnp.asarray(0, jnp.int32),
+        resid=gamma1,
+        anorm=jnp.zeros((k,), jnp.float32),
+    )
+
+    def cond(st):
+        return jnp.logical_and(
+            st["it"] < maxiter,
+            jnp.any(st["resid"] > tol * jnp.maximum(bnorm, 1e-30)),
+        )
+
+    def body(st):
+        gamma, gamma_prev = st["gamma"], st["gamma_prev"]
+        zj = st["z"] / gamma
+        azj = matvec(zj)
+        delta = jnp.sum(zj * azj, axis=0)                       # (k,)
+        v_new = (
+            azj
+            - (delta / gamma) * st["v"]
+            - (gamma / gamma_prev) * st["v_prev"]
+        )
+        z_new = msolve(v_new)
+        gamma_new = jnp.sqrt(jnp.maximum(jnp.sum(z_new * v_new, axis=0), 1e-30))
+
+        c1, c0, s1, s0 = st["c1"], st["c0"], st["s1"], st["s0"]
+        alpha0 = c1 * delta - c0 * s1 * gamma
+        alpha1 = jnp.maximum(
+            jnp.sqrt(alpha0 * alpha0 + gamma_new * gamma_new), 1e-30
+        )
+        alpha2 = s1 * delta + c0 * c1 * gamma
+        alpha3 = s0 * gamma
+        c1n = alpha0 / alpha1
+        s1n = gamma_new / alpha1
+        w_new = (zj - alpha3 * st["w_prev"] - alpha2 * st["w"]) / alpha1
+        x = st["x"] + (c1n * st["eta"]) * w_new
+        eta = -s1n * st["eta"]
+
+        return dict(
+            x=x, v=v_new, v_prev=st["v"], z=z_new,
+            gamma=gamma_new, gamma_prev=gamma,
+            eta=eta, c1=c1n, c0=c1, s1=s1n, s0=s1,
+            w=w_new, w_prev=st["w"],
+            it=st["it"] + 1,
+            resid=jnp.abs(eta),
+            anorm=jnp.maximum(
+                st["anorm"],
+                jnp.sqrt(delta * delta + gamma * gamma + gamma_new * gamma_new),
+            ),
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    x = st["x"] if x0 is None else st["x"] + x0.astype(jnp.float32)
+    r_final = b - matvec(x)
+    anorm = jnp.max(st["anorm"])
+    col_scale = anorm * jnp.linalg.norm(x, axis=0) + jnp.linalg.norm(b, axis=0)
+    report = SolveReport(
+        residual_norm=jnp.linalg.norm(r_final),
+        rhs_norm=jnp.linalg.norm(b),
+        scale_norm=anorm * jnp.linalg.norm(x) + jnp.linalg.norm(b),
+        cond_est=None,
+        col_backward=jnp.linalg.norm(r_final, axis=0)
+        / jnp.maximum(col_scale, 1e-30),
+    )
+    return x, report
+
+
+# ----------------------------------------------------------------- GMRES
+@functools.partial(
+    jax.jit, static_argnames=("matvec", "msolve", "restart", "max_restarts")
+)
+def gmres(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    msolve: Callable[[jnp.ndarray], jnp.ndarray] | None = None,
+    tol: float = 1e-7,
+    restart: int = 32,
+    max_restarts: int = 16,
+    x0: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, SolveReport]:
+    """Right-preconditioned restarted GMRES(restart), multi-RHS lockstep.
+
+    For the NON-symmetric QNN system (per-point radii): solves
+    A M^-1 u = b, x = M^-1 u.  Arnoldi uses classical Gram-Schmidt with
+    one reorthogonalization pass (CGS2 — vectorizes as two matmuls per
+    step, numerically comparable to MGS).  The small (restart+1, restart)
+    least-squares is solved per column with lstsq on device.
+
+    All RHS columns share matvecs; per-column Hessenberg/progress.
+    """
+    b = b.astype(jnp.float32)
+    n, k = b.shape
+    m = restart
+    bnorm = jnp.linalg.norm(b, axis=0)                     # (k,)
+    if msolve is None:
+        def msolve(v):
+            return v
+
+    x_init = jnp.zeros_like(b) if x0 is None else x0.astype(jnp.float32)
+
+    def arnoldi(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r, axis=0)                  # (k,)
+        v0 = r / jnp.maximum(beta, 1e-30)
+        basis = jnp.zeros((m + 1, n, k), jnp.float32).at[0].set(v0)
+        hess = jnp.zeros((m + 1, m, k), jnp.float32)
+
+        def step(j, carry):
+            basis, hess = carry
+            w = matvec(msolve(basis[j]))
+            # CGS2: rows > j of `basis` are zero, so the full-matrix
+            # projections are exact for the active prefix.
+            h1 = jnp.einsum("ink,nk->ik", basis, w)        # (m+1, k)
+            w = w - jnp.einsum("ink,ik->nk", basis, h1)
+            h2 = jnp.einsum("ink,nk->ik", basis, w)
+            w = w - jnp.einsum("ink,ik->nk", basis, h2)
+            h = h1 + h2
+            hlast = jnp.linalg.norm(w, axis=0)             # (k,)
+            w = w / jnp.maximum(hlast, 1e-30)
+            h = h.at[j + 1].set(hlast)
+            basis = basis.at[j + 1].set(w)
+            hess = hess.at[:, j].set(h)
+            return basis, hess
+
+        basis, hess = jax.lax.fori_loop(0, m, step, (basis, hess))
+        return basis, hess, beta
+
+    def lstsq_update(basis, hess, beta):
+        # min_y || beta e1 - H y || per column via normal equations on the
+        # tiny (m+1, m) Hessenberg (well-conditioned: columns have unit-ish
+        # scale after Arnoldi).
+        hT = jnp.transpose(hess, (2, 1, 0))                # (k, m, m+1)
+        g = jnp.zeros((k, m + 1, 1), jnp.float32).at[:, 0, 0].set(beta)
+        hth = jnp.einsum("kij,kmj->kim", hT, hT) + 1e-12 * jnp.eye(m)
+        htg = jnp.einsum("kij,kjo->kio", hT, g)
+        y = jnp.linalg.solve(hth, htg)[..., 0]             # (k, m)
+        dx = jnp.einsum("ink,ki->nk", basis[:m], y)
+        return msolve(dx)
+
+    def restart_body(st):
+        basis, hess, beta = arnoldi(st["x"])
+        x = st["x"] + lstsq_update(basis, hess, beta)
+        r = b - matvec(x)
+        # ||A||_F proxy from the Hessenberg (H = V^T A M^-1 V extract).
+        anorm = jnp.maximum(
+            st["anorm"], jnp.max(jnp.linalg.norm(hess, axis=(0, 1)))
+        )
+        return dict(
+            x=x, resid=jnp.linalg.norm(r, axis=0),
+            it=st["it"] + 1, anorm=anorm,
+        )
+
+    def cond(st):
+        return jnp.logical_and(
+            st["it"] < max_restarts,
+            jnp.any(st["resid"] > tol * jnp.maximum(bnorm, 1e-30)),
+        )
+
+    st = jax.lax.while_loop(
+        cond,
+        restart_body,
+        dict(
+            x=x_init, resid=jnp.full((k,), jnp.inf, jnp.float32),
+            it=jnp.asarray(0, jnp.int32),
+            anorm=jnp.zeros((), jnp.float32),
+        ),
+    )
+    x = st["x"]
+    r_final = b - matvec(x)
+    xnorm = jnp.linalg.norm(x, axis=0)
+    # anorm from the preconditioned Hessenberg underestimates ||A||; take
+    # the max with the per-column Rayleigh-style bound ||Ax|| / ||x||.
+    ax_norm = jnp.linalg.norm(b - r_final, axis=0)
+    anorm = jnp.maximum(
+        st["anorm"], jnp.max(ax_norm / jnp.maximum(xnorm, 1e-30))
+    )
+    col_scale = anorm * xnorm + jnp.linalg.norm(b, axis=0)
+    report = SolveReport(
+        residual_norm=jnp.linalg.norm(r_final),
+        rhs_norm=jnp.linalg.norm(b),
+        scale_norm=anorm * jnp.linalg.norm(x) + jnp.linalg.norm(b),
+        cond_est=None,
+        col_backward=jnp.linalg.norm(r_final, axis=0)
+        / jnp.maximum(col_scale, 1e-30),
+    )
+    return x, report
 
 
 @functools.partial(jax.jit, static_argnames=("matvec", "maxiter"))

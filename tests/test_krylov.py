@@ -66,3 +66,83 @@ def test_fit_krylov_multilayer(rng):
     a = np.asarray(Deformer.fit(rest, deformed, cfg_d, params).apply(pts, backend="dense")[0])
     b = np.asarray(Deformer.fit(rest, deformed, cfg_k, params).apply(pts, backend="dense")[0])
     assert np.abs(a - b).max() < 1e-4
+
+
+# ------------------------------------------------- round 2: GMRES + PMINRES
+def test_gmres_random_nonsymmetric(rng):
+    n = 120
+    # diagonally dominated: noise spectral radius ~1 << 3
+    a = (np.eye(n) * 3 + rng.standard_normal((n, n)) / np.sqrt(n)).astype(np.float32)
+    b = rng.standard_normal((n, 3)).astype(np.float32)
+    a_dev = jnp.asarray(a)
+    from facedeform_tpu.ops.krylov import gmres
+
+    x, report = gmres(lambda v: a_dev @ v, jnp.asarray(b))
+    x_ref = np.linalg.solve(a.astype(np.float64), b.astype(np.float64))
+    assert np.abs(np.asarray(x) - x_ref).max() < 1e-4 * np.abs(x_ref).max() + 1e-5
+    assert float(report.backward_error()) < 1e-6
+
+
+def test_block_jacobi_is_exact_for_block_diagonal(rng):
+    """With block == N the preconditioner IS the (jittered) inverse."""
+    from facedeform_tpu.config import PolyTerm
+    from facedeform_tpu.ops.assemble import assemble_system
+    from facedeform_tpu.ops.krylov import make_block_jacobi
+
+    ctrl = jnp.asarray(fibonacci_points(64))
+    eps, lam = jnp.full((64,), 0.4, jnp.float32), jnp.float32(0.05)
+    msolve = make_block_jacobi(
+        ctrl, RBFKernel.GAUSSIAN, PolyTerm.ZERO, eps, lam, block=64, jitter=0.0
+    )
+    a = np.asarray(
+        assemble_system(ctrl, RBFKernel.GAUSSIAN, PolyTerm.ZERO, eps, lam),
+        np.float64,
+    )
+    r = rng.standard_normal((64, 2)).astype(np.float32)
+    got = np.asarray(msolve(jnp.asarray(r)))
+    want = np.linalg.solve(a, r.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_pminres_matches_minres_solution(rng):
+    """Preconditioning changes the path, not the answer."""
+    from facedeform_tpu.config import PolyTerm
+    from facedeform_tpu.ops.krylov import (
+        make_block_jacobi, make_saddle_matvec, minres, pminres,
+    )
+
+    # eps near the nearest-neighbor spacing keeps the system well enough
+    # conditioned that the solution is unique to f32 accuracy — otherwise
+    # both solvers are "right" with visibly different weight vectors.
+    ctrl = jnp.asarray(fibonacci_points(300))
+    eps, lam = jnp.float32(0.12), jnp.float32(0.02)
+    mv = make_saddle_matvec(ctrl, RBFKernel.GAUSSIAN, PolyTerm.LINEAR, eps, lam)
+    msolve = make_block_jacobi(
+        ctrl, RBFKernel.GAUSSIAN, PolyTerm.LINEAR,
+        jnp.full((300,), 0.12, jnp.float32), lam, block=128,
+    )
+    b = jnp.asarray(rng.standard_normal((304, 3)).astype(np.float32))
+    x_p, rep_p = pminres(mv, b, msolve)
+    x_m, rep_m = minres(mv, b)
+    assert float(rep_p.backward_error()) < 1e-6
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_m), atol=2e-4)
+
+
+@pytest.mark.parametrize("model_type", [RBFModelType.QNN, RBFModelType.KERNEL])
+def test_fit_krylov_matches_dense_displacement(rng, model_type):
+    """solver='krylov' (GMRES for QNN, PMINRES for KERNEL-gaussian) must
+    reproduce the dense path's displacement field, not just its residual.
+    Lifts the round-1 QNN large-N cap (VERDICT item 2)."""
+    n = 400
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    params = DeformParams(radius=0.4, lam=0.01)
+    pts = rng.standard_normal((500, 3)).astype(np.float32)
+    outs = {}
+    for solver in ("direct", "krylov"):
+        cfg = DeformConfig(model=model_type, solver=solver)
+        d = Deformer.fit(rest, deformed, cfg, params)
+        outs[solver] = np.asarray(d.displacement(pts))
+    err = np.abs(outs["direct"] - outs["krylov"]).max()
+    scale = np.abs(outs["direct"]).max()
+    assert err < 5e-5 + 1e-3 * scale, (err, scale)
