@@ -167,7 +167,18 @@ class Deformer:
         use_tangent = self.cfg.tangent and frame is not None
         kernel = fit_mod.effective_kernel(self.cfg)
         if backend == "auto":
-            if jax.default_backend() == "tpu":
+            from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+            if kernel in GROWING_KERNELS:
+                # Growing kernels break the 5e-5 parity budget in f32 well
+                # below production sizes (measured: 1.8e-4 at 512 controls,
+                # 2.8e-3 at 4k for TPS) — phi rounding + weight storage +
+                # contraction cancellation.  Route to the double-float path
+                # unconditionally: ~10x the VPU ops of the plain path, but
+                # correctness is the contract (the reference runs in C++
+                # doubles).  Force backend="pallas"/"dense" to trade it away.
+                backend = "dense_precise"
+            elif jax.default_backend() == "tpu":
                 from facedeform_tpu.ops.pallas_eval import kernel_is_cullable
 
                 # Culling needs enough vertex tiles for coherent bboxes to
@@ -179,6 +190,22 @@ class Deformer:
                 )
             else:
                 backend = "dense"
+        if backend == "dense_precise":
+            from facedeform_tpu.ops.falloff import falloff_weight
+            from facedeform_tpu.ops.precise_eval import evaluate_precise
+
+            params = self.params.clamped()
+            disp = evaluate_precise(self.model, points, kernel, self.cfg.term)
+            if use_tangent:
+                disp = project_to_tangents(*frame, disp)
+            w, active = falloff_weight(
+                dist2, params.radius, params.falloffrate,
+                strict_parity=self.cfg.strict_parity,
+            )
+            if group_mask is not None:
+                active = jnp.logical_and(active, group_mask)
+            w = jnp.where(active, w, 0.0)
+            return points + disp * w[:, None], w
         if backend in ("pallas", "pallas_culled"):
             from facedeform_tpu.ops import pallas_eval
 

@@ -46,12 +46,20 @@ class RBFModel(NamedTuple):
 
     Shapes: ctrl (N, 3); w_rbf (L, N, 3); eps (L, N); w_poly (m, 3) with m
     determined by the static term config (4/1/0).
+
+    w_rbf_lo / w_poly_lo are the optional sub-f32 bits of the solved
+    weights (double-float pairs, produced by the dense solve path): the
+    precise eval path (ops/precise_eval.py) contracts against hi + lo so
+    growing kernels keep the 5e-5 displacement budget at large N.  None on
+    Krylov-path fits; every f32-only consumer ignores them.
     """
 
     ctrl: jnp.ndarray
     w_rbf: jnp.ndarray
     w_poly: jnp.ndarray
     eps: jnp.ndarray
+    w_rbf_lo: jnp.ndarray | None = None
+    w_poly_lo: jnp.ndarray | None = None
 
 
 # Above this control count the dense factorization gives way to MINRES.
@@ -132,9 +140,11 @@ def fit(
         lam0 = jnp.asarray(params.lam, jnp.float32)
 
     w_layers = []
+    w_lo_layers = []
     eps_layers = []
     layer_reports = []
     w_poly = jnp.zeros((cfg.n_poly, 3), dtype=jnp.float32)
+    w_poly_lo = jnp.zeros((cfg.n_poly, 3), dtype=jnp.float32)
     target = delta
 
     # Solver routing: dense factorization hits XLA's LU VMEM panel limit
@@ -184,10 +194,29 @@ def fit(
                     # Warm-restarted sweeps recover f32 Lanczos drift.
                     x, report = minres(apply_sys, b, x0=x)
         else:
-            a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
-            # The solver report carries the double-float-compensated
-            # residual plus the backward-error scale and LU cond estimate.
-            x, report = lu_solve_refined(a, b, n_refine=cfg.n_refine)
+            from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+            # The solver reports carry the double-float-compensated
+            # residual plus the backward-error scale and LU cond estimate;
+            # x_lo holds the sub-f32 solution bits for the precise eval.
+            if kernel in GROWING_KERNELS:
+                # Growing kernels: the f32 ASSEMBLY rounding of phi is
+                # itself budget-breaking once amplified by conditioning —
+                # assemble and refine against the double-float system.
+                from facedeform_tpu.ops.assemble import assemble_system_df
+                from facedeform_tpu.ops.solve import lu_solve_refined_against_df
+
+                a, a_lo = assemble_system_df(rest_ctrl, kernel, term, eps_l, lam0)
+                (x, x_lo), report = lu_solve_refined_against_df(
+                    a, a_lo, b, n_refine=max(cfg.n_refine, 3)
+                )
+            else:
+                from facedeform_tpu.ops.solve import lu_solve_refined_df
+
+                a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
+                (x, x_lo), report = lu_solve_refined_df(
+                    a, b, n_refine=cfg.n_refine
+                )
 
             def apply_sys(v, a=a):
                 return jnp.dot(
@@ -200,6 +229,12 @@ def fit(
         w_layers.append(w_l)
         eps_layers.append(eps_l)
         layer_reports.append(report)
+        if use_krylov:
+            w_lo_layers.append(jnp.zeros_like(w_l))
+        else:
+            w_lo_layers.append(x_lo[:n])
+            if layer == 0 and cfg.n_poly > 0:
+                w_poly_lo = x_lo[n:]
         if layer == 0 and cfg.n_poly > 0:
             w_poly = x[n:]
         if layer + 1 < n_layers:
@@ -215,5 +250,7 @@ def fit(
         w_rbf=jnp.stack(w_layers),
         w_poly=w_poly,
         eps=jnp.stack(eps_layers),
+        w_rbf_lo=None if use_krylov else jnp.stack(w_lo_layers),
+        w_poly_lo=None if use_krylov else w_poly_lo,
     )
     return model, _worst_report(layer_reports)

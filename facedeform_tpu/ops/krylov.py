@@ -276,7 +276,14 @@ def gmres(
     def arnoldi(x):
         r = b - matvec(x)
         beta = jnp.linalg.norm(r, axis=0)                  # (k,)
-        v0 = r / jnp.maximum(beta, 1e-30)
+        # Dead-column guard: a column converged to ~1e-20 residual makes
+        # ||r|| underflow in f32 — dividing by the 1e-30 floor then leaves
+        # a ~1e9-scale "unit" vector whose Gram-Schmidt cascade overflows
+        # to inf/NaN within a few products.  Zero the basis instead (its
+        # Hessenberg column is inert and the update is 0).
+        alive0 = beta > 1e-25
+        v0 = jnp.where(alive0, r / jnp.maximum(beta, 1e-30), 0.0)
+        beta = jnp.where(alive0, beta, 0.0)
         basis = jnp.zeros((m + 1, n, k), jnp.float32).at[0].set(v0)
         hess = jnp.zeros((m + 1, m, k), jnp.float32)
 
@@ -291,7 +298,13 @@ def gmres(
             w = w - jnp.einsum("ink,ik->nk", basis, h2)
             h = h1 + h2
             hlast = jnp.linalg.norm(w, axis=0)             # (k,)
-            w = w / jnp.maximum(hlast, 1e-30)
+            # Arnoldi breakdown guard: once the residual is fully captured
+            # (early convergence within a restart window), w collapses to
+            # ~0 and dividing by a denormal norm manufactures inf/NaN —
+            # emit a zero vector instead (its Hessenberg column is inert).
+            alive = hlast > 1e-20
+            w = jnp.where(alive, w / jnp.maximum(hlast, 1e-30), 0.0)
+            hlast = jnp.where(alive, hlast, 0.0)
             h = h.at[j + 1].set(hlast)
             basis = basis.at[j + 1].set(w)
             hess = hess.at[:, j].set(h)

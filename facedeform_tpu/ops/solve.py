@@ -108,10 +108,11 @@ def _df_tree_sum(p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
             n += 1
         a, b = hi[0::2], hi[1::2]
         al, bl = lo[0::2], lo[1::2]
-        s = a + b
-        # Knuth TwoSum error term (branch-free, works for any magnitudes).
-        bb = s - a
-        e = (a - (s - bb)) + (b - bb)
+        # Guarded Knuth TwoSum (ops/dfloat.py): XLA rewrites unguarded
+        # float chains as if arithmetic were exact, zeroing error terms.
+        from facedeform_tpu.ops.dfloat import _two_sum
+
+        s, e = _two_sum(a, b)
         hi, lo = s, al + bl + e
     return hi[0], lo[0]
 
@@ -137,7 +138,12 @@ def residual_compensated(a: jnp.ndarray, x: jnp.ndarray, b: jnp.ndarray) -> jnp.
     cross = (
         jnp.dot(a_hi, x_lo, **hp) + jnp.dot(a_lo, x_hi, **hp) + jnp.dot(a_lo, x_lo, **hp)
     )
-    return ((b - s) - comp) - cross
+    # Guarded cancellation chain: b - s exposes the low-order bits; an
+    # exact-arithmetic rewrite of ((b - s) - comp) - cross (e.g. into
+    # b - (s + comp + cross)) would round comp/cross away against s.
+    t = jax.lax.optimization_barrier(b - s)
+    t = jax.lax.optimization_barrier(t - comp)
+    return t - cross
 
 
 @functools.partial(jax.jit, static_argnames=("n_refine",))
@@ -149,17 +155,136 @@ def lu_solve_refined(
     Returns the solution and a SolveReport; callers should check
     report.residual_norm against report.rhs_norm (see errors.check_solve).
     """
+    (x, _), report = _lu_refined_impl(a, b, n_refine, want_lo=False)
+    return x, report
+
+
+@functools.partial(jax.jit, static_argnames=("n_refine",))
+def lu_solve_refined_df(
+    a: jnp.ndarray, b: jnp.ndarray, n_refine: int = 2
+) -> tuple[tuple[jnp.ndarray, jnp.ndarray], SolveReport]:
+    """lu_solve_refined returning a double-float solution (x_hi, x_lo).
+
+    x_lo is the final refinement correction left UNROUNDED into x_hi —
+    the sub-f32 bits of the solution.  Growing-kernel systems carry
+    ||X|| >> ||displacement||, so rounding X to f32 alone costs
+    ~u ||Phi|| ||X|| of displacement accuracy; the precise eval path
+    (ops/precise_eval.py) contracts against (x_hi + x_lo) to keep it.
+    Costs one extra pair of triangular solves.
+    """
+    return _lu_refined_impl(a, b, n_refine, want_lo=True)
+
+
+@functools.partial(jax.jit, static_argnames=("n_refine",))
+def lu_solve_refined_against_df(
+    a_hi: jnp.ndarray,
+    a_lo: jnp.ndarray,
+    b: jnp.ndarray,
+    n_refine: int = 3,
+) -> tuple[tuple[jnp.ndarray, jnp.ndarray], SolveReport]:
+    """Solve (A_hi + A_lo) X = B with an f32 LU of A_hi and df-x refinement.
+
+    Refining against the f32 matrix caps the forward error at
+    cond * u * ||X|| regardless of sweeps, because the f32 ASSEMBLY error
+    u*|A| is baked into the system being solved.  With the residual
+    evaluated against the double-float matrix (assemble_system_df) the
+    target is right; and because stationary refinement stalls when
+    cond * u ~ 1 (hit by a cond 1.7e7 multiquadric at 4k: weights stuck at
+    7.8e-4 relative), the correction equation is solved by LU-PRECONDITIONED
+    GMRES (GMRES-IR, Carson & Higham), which converges for conditioning far
+    beyond the stationary limit — measured 7.8e-4 -> 2.3e-6 relative weight
+    error in 2 sweeps on that system.
+    """
+    from facedeform_tpu.ops.krylov import gmres
+
+    a_hi = a_hi.astype(jnp.float32)
+    a_lo = a_lo.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    hp = dict(
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    with jax.default_matmul_precision("highest"):
+        lu, piv = jax.scipy.linalg.lu_factor(a_hi)
+
+        def msolve(v):
+            return jax.scipy.linalg.lu_solve((lu, piv), v)
+
+        def _dot_pair(u, v):
+            """dot(a_hi, u) + dot(a_lo, v) with the partial products kept
+            apart: under a whole-program jit XLA's linearity rewrite merges
+            dot(A, x) + dot(B, x) into dot(A + B, x), and a_hi + a_lo
+            rounds a_lo clean away in f32 — silently undoing the entire
+            double-float assembly (observed: weight error 2e-6 -> 8e-4).
+            The optimization barrier pins the two dots as separate values.
+            """
+            d1 = jnp.dot(a_hi, u, **hp)
+            d2 = jnp.dot(a_lo, v, **hp)
+            d1, d2 = jax.lax.optimization_barrier((d1, d2))
+            return d1 + d2
+
+        def matvec(v):
+            return _dot_pair(v, v)
+
+        x_hi = msolve(b)
+        x_lo = jnp.zeros_like(x_hi)
+
+        def residual(x_hi, x_lo):
+            return residual_compensated(a_hi, x_hi, b) - _dot_pair(
+                x_lo, x_hi + x_lo
+            )
+
+        for _ in range(n_refine):
+            dx, _ = gmres(
+                matvec, residual(x_hi, x_lo), msolve=msolve,
+                restart=16, max_restarts=2,
+            )
+            from facedeform_tpu.ops.dfloat import _two_sum as _guarded_two_sum
+
+            s, e = _guarded_two_sum(x_hi, dx)
+            x_hi, x_lo = s, x_lo + e
+        r = residual(x_hi, x_lo)
+    report = _report_from(
+        jnp.linalg.norm(a_hi), jnp.diagonal(lu), a_hi, x_hi, b, r
+    )
+    return (x_hi, x_lo), report
+
+
+def _lu_refined_impl(a, b, n_refine, want_lo):
+    """Iterative refinement with the solution kept in DOUBLE-FLOAT.
+
+    Folding each correction into an f32 x re-rounds the solution every
+    sweep (u ||x|| error re-introduced), stalling the FORWARD error near
+    u * cond even though the backward error converges.  Carrying
+    (x_hi, x_lo) across sweeps — residuals evaluated against the full df
+    value — converges the forward error to ~cond * u^2 instead (measured
+    on a cond 1.7e7 multiquadric system: 1.9e-4 -> 2.7e-6 relative after
+    2 sweeps).  This is what lets growing-kernel weights meet the 5e-5
+    displacement budget at 4k controls.
+    """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
+    hp = dict(
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
     with jax.default_matmul_precision("highest"):
         lu, piv = jax.scipy.linalg.lu_factor(a)
-        x = jax.scipy.linalg.lu_solve((lu, piv), b)
+        x_hi = jax.scipy.linalg.lu_solve((lu, piv), b)
+        x_lo = jnp.zeros_like(x_hi)
         for _ in range(n_refine):
-            r = residual_compensated(a, x, b)
+            # df-accurate residual of (x_hi + x_lo): compensated for the
+            # dominant x_hi part, plain f32 for the u-sized x_lo part.
+            r = residual_compensated(a, x_hi, b) - jnp.dot(a, x_lo, **hp)
             dx = jax.scipy.linalg.lu_solve((lu, piv), r)
-            x = x + dx
-    r = residual_compensated(a, x, b)
-    return x, _report_from(jnp.linalg.norm(a), jnp.diagonal(lu), a, x, b, r)
+            from facedeform_tpu.ops.dfloat import _two_sum as _guarded_two_sum
+
+            # guarded TwoSum: bits of dx lost rounding into s go to x_lo
+            s, e = _guarded_two_sum(x_hi, dx)
+            x_hi, x_lo = s, x_lo + e
+        r = residual_compensated(a, x_hi, b) - jnp.dot(a, x_lo, **hp)
+    report = _report_from(jnp.linalg.norm(a), jnp.diagonal(lu), a, x_hi, b, r)
+    if not want_lo:
+        x_lo = jnp.zeros_like(x_hi)
+    return (x_hi, x_lo), report
 
 
 @functools.partial(jax.jit, static_argnames=("n_refine",))

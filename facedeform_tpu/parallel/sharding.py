@@ -69,6 +69,23 @@ def _local_apply(
     branch is static.
     """
     use_tangent = cfg.tangent and frame is not None
+    kernel = fit_mod.effective_kernel(cfg)
+    from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+    if kernel in GROWING_KERNELS:
+        # Growing kernels need the double-float path for the 5e-5 budget
+        # (see Deformer.apply) — each shard evaluates its vertices in df.
+        from facedeform_tpu.ops.precise_eval import evaluate_precise
+
+        disp = evaluate_precise(model, pts, kernel, cfg.term)
+        if use_tangent:
+            disp = project_to_tangents(*frame, disp)
+        w, _ = falloff_weight(
+            dist2, params.radius, params.falloffrate,
+            strict_parity=cfg.strict_parity,
+        )
+        w = w * gate
+        return pts + disp * w[:, None], w
     if use_pallas:
         from facedeform_tpu.ops.pallas_eval import evaluate_pallas
 

@@ -41,6 +41,11 @@ def _cfg_from_json(s: str) -> DeformConfig:
 def save(path: str, deformer: Deformer) -> None:
     """Serialize a solved Deformer to one .npz file."""
     params = deformer.params
+    extra = {}
+    if deformer.model.w_rbf_lo is not None:
+        # double-float weight tails (precise eval path) round-trip too
+        extra["w_rbf_lo"] = np.asarray(deformer.model.w_rbf_lo)
+        extra["w_poly_lo"] = np.asarray(deformer.model.w_poly_lo)
     np.savez(
         path,
         format_version=_FORMAT_VERSION,
@@ -55,6 +60,7 @@ def save(path: str, deformer: Deformer) -> None:
         eps=np.asarray(deformer.model.eps),
         residual_norm=float(deformer.report.residual_norm),
         rhs_norm=float(deformer.report.rhs_norm),
+        **extra,
     )
 
 
@@ -79,6 +85,8 @@ def load(path: str) -> Deformer:
         w_rbf=jnp.asarray(data["w_rbf"]),
         w_poly=jnp.asarray(data["w_poly"]),
         eps=jnp.asarray(data["eps"]),
+        w_rbf_lo=jnp.asarray(data["w_rbf_lo"]) if "w_rbf_lo" in data else None,
+        w_poly_lo=jnp.asarray(data["w_poly_lo"]) if "w_poly_lo" in data else None,
     )
     report = SolveReport(
         residual_norm=jnp.asarray(float(data["residual_norm"])),
@@ -93,7 +101,10 @@ def save_orbax(path: str, deformer: Deformer) -> None:
 
     path = os.path.abspath(path)
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.join(path, "model"), deformer.model._asdict())
+    payload = {
+        k: v for k, v in deformer.model._asdict().items() if v is not None
+    }
+    ckpt.save(os.path.join(path, "model"), payload)
     ckpt.wait_until_finished()
     meta = {
         "format_version": _FORMAT_VERSION,
@@ -115,7 +126,9 @@ def load_orbax(path: str) -> Deformer:
         meta = json.load(f)
     ckpt = ocp.StandardCheckpointer()
     restored = ckpt.restore(os.path.join(path, "model"))
-    model = RBFModel(**{k: jnp.asarray(v) for k, v in restored.items()})
+    model = RBFModel(**{
+        k: jnp.asarray(v) for k, v in restored.items() if v is not None
+    })
     p = meta["params"]
     params = DeformParams(
         qcoef=p[0], zcoef=p[1], radius=p[2], lam=p[3], falloffrate=p[4],

@@ -1,0 +1,181 @@
+"""Double-float precision path (round 2, VERDICT item 6).
+
+Covers the df toolkit's error-free transforms (including the XLA
+exact-arithmetic-folding regression), the df system assembly + GMRES-IR
+solve, and end-to-end growing-kernel parity at the sizes where plain f32
+measured 1e-4..3e-3 displacement error."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from facedeform_tpu import Deformer, DeformConfig, DeformParams
+from facedeform_tpu.config import PolyTerm, RBFKernel, RBFModelType
+from facedeform_tpu.geometry.primitives import fibonacci_points
+from facedeform_tpu.ops import dfloat
+from facedeform_tpu.ops.precise_eval import GROWING_KERNELS, evaluate_precise
+
+
+# ---------------------------------------------------------------- df toolkit
+def test_two_sum_two_prod_exact(rng):
+    a = (rng.standard_normal(5000) * 100).astype(np.float32)
+    b = (rng.standard_normal(5000) * 1e-3).astype(np.float32)
+    for fn, ref in [
+        (dfloat._two_sum, a.astype(np.float64) + b.astype(np.float64)),
+        (dfloat._two_prod, a.astype(np.float64) * b.astype(np.float64)),
+    ]:
+        s, e = jax.jit(fn)(jnp.asarray(a), jnp.asarray(b))
+        got = np.asarray(s).astype(np.float64) + np.asarray(e).astype(np.float64)
+        np.testing.assert_array_equal(got, ref)  # error-FREE transforms
+
+
+def test_jit_does_not_fold_error_terms(rng):
+    """Regression guard for compiler interference with the EFTs.
+
+    XLA:CPU's fusion rematerializes cheap products inside consumers and
+    LLVM contracts them to FMA, costing up to ~1 f32 ulp of the df value
+    (see the ops/dfloat.py header; XLA:TPU is exact — verified 1e-14 on
+    hardware).  This test pins the CPU behavior at the ulp level: a broken
+    transform (zeroed compensation, the original failure mode) lands at
+    1e-3+ relative, three orders above this bound."""
+    a = jnp.asarray((rng.standard_normal(4000) * 100).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal(4000) * 1e-3).astype(np.float32))
+
+    def chain(a, b):
+        return dfloat.df_mul(dfloat._two_sum(a, b), dfloat._two_sum(b, a))
+
+    h, l = jax.jit(chain)(a, b)
+    exact = (np.asarray(a, np.float64) + np.asarray(b, np.float64)) ** 2
+    err = np.abs(np.asarray(h, np.float64) + np.asarray(l, np.float64) - exact)
+    rel = (err / np.maximum(np.abs(exact), 1e-30)).max()
+    assert rel < 5e-7, rel  # ~1 ulp on XLA:CPU; exact (1e-14) on TPU/eager
+    # eager path must be fully exact
+    h2, l2 = chain(a, b)
+    err2 = np.abs(np.asarray(h2, np.float64) + np.asarray(l2, np.float64) - exact)
+    assert (err2 / np.abs(exact)).max() < 1e-12
+
+
+@pytest.mark.parametrize("fn,ref", [
+    (dfloat.df_log, np.log),
+    (dfloat.df_sqrt, np.sqrt),
+])
+def test_df_transcendentals(rng, fn, ref):
+    x = np.abs(rng.standard_normal(20000)).astype(np.float32) * 100 + 1e-4
+    h, l = jax.jit(lambda v: fn(dfloat.df(v)))(jnp.asarray(x))
+    got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    want = ref(x.astype(np.float64))
+    # normwise: near log(x) ~ 0 the relative error is meaningless while the
+    # absolute error stays ~1e-10 (and phi multiplies by s there anyway)
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 1e-9, rel
+
+
+def test_df_div_recip(rng):
+    x = rng.standard_normal(5000).astype(np.float32) + 3.0
+    y = rng.standard_normal(5000).astype(np.float32) + 5.0
+    h, l = jax.jit(lambda a, b: dfloat.df_div(dfloat.df(a), dfloat.df(b)))(
+        jnp.asarray(x), jnp.asarray(y)
+    )
+    got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+    want = x.astype(np.float64) / y.astype(np.float64)
+    assert (np.abs(got - want) / np.abs(want)).max() < 1e-12
+
+
+# -------------------------------------------------------- df assembly/solve
+def test_assemble_df_matches_f64(rng):
+    from facedeform_tpu.ops.assemble import assemble_system_df
+
+    n = 300
+    rest = fibonacci_points(n)
+    a_hi, a_lo = jax.jit(
+        lambda r, e, l: assemble_system_df(
+            r, RBFKernel.MULTIQUADRIC, PolyTerm.LINEAR, e, l
+        )
+    )(jnp.asarray(rest), jnp.full((n,), 1.0, jnp.float32), jnp.float32(0.01))
+    got = np.asarray(a_hi, np.float64) + np.asarray(a_lo, np.float64)
+    d2 = oracle.pairwise_sqdist(rest.astype(np.float64), rest.astype(np.float64))
+    want = oracle.apply_kernel(RBFKernel.MULTIQUADRIC, d2, 1.0) + 0.01 * np.eye(n)
+    assert np.abs(got[:n, :n] - want).max() < 1e-9
+
+
+def test_gmres_ir_forward_accuracy(rng):
+    """GMRES-IR against the df matrix converges the FORWARD error where
+    f32-matrix refinement stalls at cond * u."""
+    from facedeform_tpu.ops.assemble import assemble_rhs, assemble_system_df
+    from facedeform_tpu.ops.solve import lu_solve_refined_against_df
+
+    n = 512
+    rest = fibonacci_points(n)
+    delta = 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    a_hi, a_lo = assemble_system_df(
+        jnp.asarray(rest), RBFKernel.MULTIQUADRIC, PolyTerm.LINEAR,
+        jnp.full((n,), 1.0, jnp.float32), jnp.float32(0.01),
+    )
+    b = assemble_rhs(jnp.asarray(delta), PolyTerm.LINEAR)
+    a64 = np.asarray(a_hi, np.float64) + np.asarray(a_lo, np.float64)
+    x_true = np.linalg.solve(a64, np.asarray(b, np.float64))
+    (xh, xl), report = lu_solve_refined_against_df(a_hi, a_lo, b, n_refine=3)
+    xf = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+    rel = np.abs(xf - x_true).max() / np.abs(x_true).max()
+    assert rel < 1e-5, rel
+    assert float(report.backward_error()) < 1e-6
+
+
+# -------------------------------------------------------------- end to end
+@pytest.mark.parametrize("kernel", GROWING_KERNELS)
+def test_growing_kernel_parity_at_scale(rng, kernel):
+    """The round-1 precision cliff: TPS @ 2k controls measured 8e-4 in
+    plain f32; the auto-routed precise path must stay within the 5e-5
+    budget (VERDICT item 6 'done' criterion, checked at 4k on hardware
+    and recorded in the README)."""
+    n = 2048
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=kernel, solver="direct")
+    params = DeformParams(radius=1.0, lam=0.01)
+    d = Deformer.fit(rest, deformed, cfg, params)
+    pts = (rng.standard_normal((500, 3)) * 0.7).astype(np.float32)
+    got, _ = d.apply(pts)  # auto routes growing kernels to dense_precise
+    want, _ = oracle.deform(rest, deformed, pts, cfg, params)
+    err = np.abs(np.asarray(got, np.float64) - want).max()
+    assert err < 5e-5, f"{RBFKernel(kernel).name}: {err:.2e}"
+
+
+def test_evaluate_precise_multilayer_and_chunking(rng):
+    """Multi-layer models and the V-chunked sweep agree with the dense
+    oracle evaluation of the same weights."""
+    n = 128
+    rest = fibonacci_points(n)
+    deformed = rest + 0.1 * rng.standard_normal((n, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.MULTILAYER, layers=3)
+    d = Deformer.fit(rest, deformed, cfg, DeformParams(radius=1.0, lam=0.01))
+    pts = rng.standard_normal((1200, 3)).astype(np.float32)  # > chunk=512
+    got = np.asarray(evaluate_precise(d.model, jnp.asarray(pts),
+                                      RBFKernel.GAUSSIAN, cfg.term))
+    w64 = np.asarray(d.model.w_rbf, np.float64)
+    want = oracle.evaluate(
+        np.asarray(rest, np.float64), w64, np.asarray(d.model.w_poly, np.float64),
+        np.asarray(d.model.eps, np.float64), pts, RBFKernel.GAUSSIAN, cfg.term,
+    )
+    assert np.abs(got - want).max() < 1e-5
+
+
+def test_checkpoint_roundtrips_lo_parts(rng, tmp_path):
+    from facedeform_tpu.utils import checkpoint
+
+    rest = fibonacci_points(64)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE)
+    d = Deformer.fit(rest, rest * 1.1, cfg, DeformParams(radius=1.0, lam=0.01))
+    assert d.model.w_rbf_lo is not None
+    p = str(tmp_path / "d.npz")
+    checkpoint.save(p, d)
+    back = checkpoint.load(p)
+    np.testing.assert_array_equal(
+        np.asarray(back.model.w_rbf_lo), np.asarray(d.model.w_rbf_lo)
+    )
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    np.testing.assert_array_equal(
+        np.asarray(back.apply(pts)[0]), np.asarray(d.apply(pts)[0])
+    )
