@@ -61,6 +61,9 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--falloff-rate", type=float, default=1.0)
     d.add_argument("--strict-parity", action="store_true",
                    help="preserve reference quirks verbatim (SURVEY.md)")
+    d.add_argument("--picked", action="store_true",
+                   help="write the eval-pass falloff color viz to Cd (the "
+                        "reference's selected-node behavior)")
     d.add_argument("--save-deformer", help="checkpoint the solved deformer (.npz)")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
 
@@ -112,7 +115,7 @@ def _cmd_deform(args) -> int:
     with stage("cook", times):
         res = node.cook(
             [mesh, rest_rig, deform_rig] + blends, cfg, params,
-            group=args.group,
+            group=args.group, picked=args.picked,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)

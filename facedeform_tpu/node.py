@@ -147,6 +147,7 @@ class FaceDeformNode:
         group: Optional[str] = None,
         times: Optional[StageTimes] = None,
         mesh_devices=None,
+        picked: bool = False,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -330,7 +331,16 @@ class FaceDeformNode:
                 )
             new_pts = np.asarray(new_pts)
         out.set_attr("fd_falloff", np.asarray(falloff, np.float32))
-        if capture is not None:
+        if picked:
+            # Eval-pass falloff viz: the reference maps falloff onto an HSV
+            # 200..250 hue when the node is selected ("picked",
+            # src/SOP_FaceDeform.cpp:426-436 — intent FIXME'd out there;
+            # this is the working version), white otherwise.
+            from facedeform_tpu.capture.capture import _hsv_to_rgb
+
+            f = np.clip(np.asarray(falloff, np.float32), 0.0, 1.0)
+            out.set_attr("Cd", _hsv_to_rgb(200.0 + f * 50.0))
+        elif capture is not None:
             out.set_attr("Cd", capture.color)
 
         # ------------------------------------------------------ morph pass

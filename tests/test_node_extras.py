@@ -72,3 +72,25 @@ def test_nan_control_points_raise(rng):
                                np.nan, r1.points).astype(np.float32))
     with pytest.raises(SolveFailedError):
         FaceDeformNode().cook([mesh, r0, bad])
+
+
+def test_picked_eval_color_viz(rng):
+    """Eval-pass Cd falloff hue (the reference's selected-node viz,
+    src/SOP_FaceDeform.cpp:426-436 — FIXME'd there, working here)."""
+    from facedeform_tpu import DeformConfig, DeformParams, FaceDeformNode, Mesh
+    from facedeform_tpu.capture.capture import _hsv_to_rgb
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    mesh = uv_sphere(20, 20)
+    rig = Mesh(points=fibonacci_points(20))
+    drig = Mesh(points=rig.points * 1.1)
+    cfg = DeformConfig(dofalloff=True)
+    node = FaceDeformNode()
+    res = node.cook([mesh, rig, drig], cfg, DeformParams(), picked=True)
+    f = np.clip(res.mesh.point_attrs["fd_falloff"], 0.0, 1.0)
+    want = _hsv_to_rgb(200.0 + f * 50.0)
+    np.testing.assert_allclose(res.mesh.point_attrs["Cd"], want, atol=1e-6)
+    # unpicked keeps the capture-pass colors (round-1 behavior)
+    res2 = node.cook([mesh, rig, drig], cfg, DeformParams(), picked=False)
+    assert res2.capture is not None
+    np.testing.assert_array_equal(res2.mesh.point_attrs["Cd"], res2.capture.color)

@@ -103,3 +103,20 @@ def test_sharded_apply_frame_parity(rng, dev_mesh):
     )
     np.testing.assert_allclose(np.asarray(got_pts), np.asarray(ref_pts), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w), atol=1e-6)
+
+
+def test_cook_sharded_growing_kernel_precise(rng, dev_mesh):
+    """Sharded evals of growing kernels must route through the df precise
+    path per shard (parity with the single-device precise result)."""
+    from facedeform_tpu.config import RBFKernel, RBFModelType
+
+    mesh, r0, r1 = _inputs(rng)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE)
+    params = DeformParams(radius=1.0, lam=0.01)
+    res_single = FaceDeformNode().cook([mesh, r0, r1], cfg, params)
+    res_sharded = FaceDeformNode().cook(
+        [mesh, r0, r1], cfg, params, mesh_devices=dev_mesh
+    )
+    np.testing.assert_allclose(
+        res_sharded.mesh.points, res_single.mesh.points, atol=1e-5
+    )
