@@ -35,7 +35,31 @@ from facedeform_tpu.ops.kernels import apply_kernel
 # still passes the 5e-5 displacement budget on CPU and enforces it in CI,
 # and full df accuracy holds on the TPU target.  The barriers stay: they
 # are free, and compilers that honor them get the exact behavior.
-_ob = jax.lax.optimization_barrier
+#
+# Pallas/Mosaic has no optimization_barrier lowering; kernels wrap their
+# body in `with no_barrier():` (Mosaic preserves the transforms without
+# guards — verified on hardware, see tests/test_precise).
+import contextlib as _contextlib
+import threading as _threading
+
+_tls = _threading.local()
+
+
+def _ob(x):
+    if getattr(_tls, "off", False):
+        return x
+    return jax.lax.optimization_barrier(x)
+
+
+@_contextlib.contextmanager
+def no_barrier():
+    """Trace-time switch: make the EFT guards identity (Pallas kernels)."""
+    prev = getattr(_tls, "off", False)
+    _tls.off = True
+    try:
+        yield
+    finally:
+        _tls.off = prev
 
 
 def _split_hi(a: jnp.ndarray) -> jnp.ndarray:
@@ -69,6 +93,12 @@ def _quick_two_sum(a, b):
 
 def _two_prod(a, b):
     """Exact a * b = p + e via Dekker splits (no FMA dependence)."""
+    # Mosaic's bitcast needs vector operands: promote python/0-d scalars
+    # to the broadcast shape before the splits.
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if a.ndim != b.ndim or a.shape != b.shape:
+        a, b = jnp.broadcast_arrays(a, b)
     p = _ob(a * b)
     ah = _split_hi(a)
     al = a - ah
