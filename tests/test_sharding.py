@@ -99,3 +99,33 @@ def test_apply_frames_sharded(rng, mesh):
         d = Deformer.fit(rest, frames[f], cfg, params)
         ref, _ = d.apply(pts, dist2=dist2, backend="dense")
         np.testing.assert_allclose(np.asarray(out_sharded[f]), np.asarray(ref), atol=2e-5)
+
+
+def test_fit_sharded_matches_single_device(rng, mesh):
+    """Control-row-sharded Krylov fit == single-device krylov fit (the
+    huge-rig scaling axis, SURVEY.md section 5 'ring/partial-Phi' note)."""
+    from facedeform_tpu.config import RBFKernel, RBFModelType
+    from facedeform_tpu.parallel.krylov_sharded import fit_sharded
+
+    n = 320
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    for model_type in (RBFModelType.QNN, RBFModelType.KERNEL):
+        cfg = DeformConfig(model=model_type, solver="krylov")
+        params = DeformParams(radius=0.4, lam=0.01)
+        m_ref, r_ref = fit_mod.fit(
+            jnp.asarray(rest), jnp.asarray(deformed), cfg, params
+        )
+        m_sh, r_sh = fit_sharded(
+            jnp.asarray(rest), jnp.asarray(deformed), cfg, params, mesh
+        )
+        assert float(r_sh.backward_error()) < 1e-5
+        # same displacement field (weights may differ in near-null dirs)
+        pts = rng.standard_normal((400, 3)).astype(np.float32)
+        from facedeform_tpu.ops.evaluate import evaluate
+        from facedeform_tpu.ops.fit import effective_kernel
+
+        d_ref = np.asarray(evaluate(m_ref, jnp.asarray(pts), effective_kernel(cfg), cfg.term))
+        d_sh = np.asarray(evaluate(m_sh, jnp.asarray(pts), effective_kernel(cfg), cfg.term))
+        scale = max(np.abs(d_ref).max(), 1e-6)
+        assert np.abs(d_ref - d_sh).max() < 5e-5 + 1e-3 * scale
