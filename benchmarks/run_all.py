@@ -181,6 +181,70 @@ def config5_animated(rng, n_verts=1_000_000, n_ctrl=1000, n_frames=8):
     }
 
 
+def config6_large_n(rng, n=25000):
+    """Round-2 extension: the QNN large-N fit the reference gets from
+    ALGLIB's any-N rbfbuildmodel (block-Jacobi GMRES, matrix-free)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import DeformConfig, DeformParams
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops import fit as fit_mod
+    from facedeform_tpu.ops.evaluate import evaluate
+    from facedeform_tpu.ops.fit import effective_kernel
+
+    rest = jnp.asarray(fibonacci_points(n))
+    delta = jnp.asarray(0.03 * rng.standard_normal((n, 3)).astype(np.float32))
+    cfg, params = DeformConfig(), DeformParams()
+    model, report = fit_mod.fit(rest, rest + delta, cfg.solve_view(), params)
+    float(report.residual_norm)
+    t0 = _time.time()
+    model, report = fit_mod.fit(rest, rest + delta, cfg.solve_view(), params)
+    float(report.residual_norm)
+    warm_s = _time.time() - t0
+    # exact-interpolation self check at the controls
+    disp = np.asarray(evaluate(model, rest[:2048], effective_kernel(cfg), cfg.term))
+    interp_err = float(np.abs(disp - np.asarray(delta[:2048])).max())
+    back = float(report.backward_error())
+    return {
+        "config": "6: QNN large-N fit (GMRES, matrix-free)",
+        "controls": n,
+        "warm_solve_s": warm_s,
+        "backward_error": back,
+        "interp_err_at_controls": interp_err,
+        "pass": bool(back < 1e-6 and interp_err < 5e-5),
+    }
+
+
+def config7_growing_kernel_precision(rng, n=4096):
+    """Round-2 extension: TPS at 4k controls within the 5e-5 budget via
+    the double-float pipeline (VERDICT item 6 'done' criterion)."""
+    import oracle
+
+    from facedeform_tpu.config import DeformConfig, DeformParams, RBFKernel, RBFModelType
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE,
+                       solver="direct")
+    params = DeformParams(radius=1.0, lam=0.01)
+    d = Deformer.fit(rest, deformed, cfg, params)
+    pts = (rng.standard_normal((1000, 3)) * 0.7).astype(np.float32)
+    got, _ = d.apply(pts)  # auto -> double-float precise path
+    want, _ = oracle.deform(rest, deformed, pts, cfg, params)
+    err = float(np.abs(np.asarray(got, np.float64) - want).max())
+    return {
+        "config": "7: TPS @ 4k controls, double-float precision",
+        "controls": n,
+        "parity_max_err": err,
+        "parity_budget": PARITY_BUDGET,
+        "pass": bool(err < PARITY_BUDGET),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -188,7 +252,8 @@ def main():
     rng = np.random.default_rng(42)
     results = []
     for fn in (config1_gaussian_sphere, config2_kernel_zoo, config3_capture,
-               config4_dbse, config5_animated):
+               config4_dbse, config5_animated, config6_large_n,
+               config7_growing_kernel_precision):
         t0 = time.time()
         r = fn(rng)
         r["bench_wall_s"] = round(time.time() - t0, 2)
