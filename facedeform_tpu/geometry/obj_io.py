@@ -17,10 +17,18 @@ from facedeform_tpu.geometry.mesh import Mesh
 
 
 def _load_obj_python(path: str):
-    """Pure-Python fallback parser (native/fastgeo.cpp is ~100x faster)."""
+    """Pure-Python fallback parser (native/fastgeo.cpp is ~100x faster).
+
+    Understands `g <name>` statements: the vertices of faces following a
+    group statement join that named point group (the closest OBJ analogue
+    of the Houdini point groups the reference's `group` parameter selects,
+    src/SOP_FaceDeform.cpp:119-120).
+    """
     verts = []
     normals = []
     faces = []
+    group_faces: dict = {}
+    current_groups: list = []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
@@ -32,17 +40,47 @@ def _load_obj_python(path: str):
                 # resolve below so negative handling matches the native
                 # parser: idx > 0 -> idx-1, idx < 0 -> n_verts + idx
                 idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                for gname in current_groups:
+                    group_faces.setdefault(gname, []).append(len(faces))
                 faces.append(idx)
+            elif line.startswith("g ") or line.strip() == "g":
+                names = line.split()[1:]
+                # `g` with no name (or "default") resets to no group
+                current_groups = [n for n in names if n != "default"]
     points = np.asarray(verts, np.float32).reshape(-1, 3)
     norm_arr = np.asarray(normals, np.float32) if normals else None
     if not faces:
-        return points, norm_arr, None
+        return points, norm_arr, None, {}
     arity = max(len(fc) for fc in faces)
     n_verts = len(verts)
     face_arr = np.full((len(faces), arity), -1, np.int32)
     for i, fc in enumerate(faces):
         face_arr[i, : len(fc)] = [v - 1 if v > 0 else n_verts + v for v in fc]
-    return points, norm_arr, face_arr
+    groups = {}
+    for gname, fidx in group_faces.items():
+        ids = face_arr[np.asarray(fidx, np.int64)].ravel()
+        mask = np.zeros(n_verts, bool)
+        mask[ids[ids >= 0]] = True
+        groups[gname] = mask
+    return points, norm_arr, face_arr, groups
+
+
+def _file_has_groups(path: str, limit: int = 1 << 26) -> bool:
+    """Cheap byte scan for `g ` statements (gates the slow python parser;
+    OBJ files without groups keep the fast native scan)."""
+    with open(path, "rb") as f:
+        prev_tail = b"\n"
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                return False
+            block = prev_tail + chunk
+            if b"\ng " in block or block.startswith(b"g "):
+                return True
+            prev_tail = chunk[-2:]
+            limit -= len(chunk)
+            if limit <= 0:
+                return False
 
 
 def load_obj(path: str, load_attrs: bool = True) -> Mesh:
@@ -52,10 +90,17 @@ def load_obj(path: str, load_attrs: bool = True) -> Mesh:
     fastgeo scanner when available (large production meshes)."""
     from facedeform_tpu import native
 
-    parsed = native.parse_obj(path)
-    if parsed is None:
-        parsed = _load_obj_python(path)
-    points, normals, raw_faces = parsed
+    groups: dict = {}
+    if _file_has_groups(path):
+        # `g` statements need the python parser (the native scanner skips
+        # them); group-free files — the common case — stay on the fast path.
+        points, normals, raw_faces, groups = _load_obj_python(path)
+    else:
+        parsed = native.parse_obj(path)
+        if parsed is None:
+            points, normals, raw_faces, groups = _load_obj_python(path)
+        else:
+            points, normals, raw_faces = parsed
 
     face_arr: Optional[np.ndarray] = None
     if raw_faces is not None and len(raw_faces):
@@ -71,6 +116,8 @@ def load_obj(path: str, load_attrs: bool = True) -> Mesh:
                     tris.append([fc[0], fc[i], fc[i + 1]])
             face_arr = np.asarray(tris, np.int32)
     mesh = Mesh(points=points, faces=face_arr)
+    for gname, mask in groups.items():
+        mesh.set_group(gname, mask)
     if normals is not None and len(normals) == len(points):
         mesh.set_attr("N", np.asarray(normals, np.float32))
     sidecar = path + ".attrs.npz"

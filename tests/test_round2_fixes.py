@@ -207,3 +207,32 @@ def test_cli_group_flag(tmp_path, rng):
         "--group", "nope",
     ])
     assert rc == 1
+
+
+def test_obj_g_statement_groups(tmp_path):
+    """`g` statements in standard OBJ exports become named point groups
+    (no sidecar needed); group-free files keep the fast native scan."""
+    from facedeform_tpu.geometry.obj_io import _file_has_groups, load_obj
+
+    p = tmp_path / "grouped.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nv 2 0 0\nv 2 1 0\n"
+        "g left\nf 1 2 3\nf 2 4 3\n"
+        "g right extra\nf 2 5 4\nf 5 6 4\n"
+        "g\nf 1 3 4\n"
+    )
+    assert _file_has_groups(str(p))
+    mesh = load_obj(str(p))
+    left = mesh.group_mask("left")
+    right = mesh.group_mask("right")
+    extra = mesh.group_mask("extra")
+    np.testing.assert_array_equal(left, [True, True, True, True, False, False])
+    np.testing.assert_array_equal(right, [False, True, False, True, True, True])
+    np.testing.assert_array_equal(right, extra)  # multi-name g statement
+    assert mesh.num_points == 6 and len(mesh.faces) == 5
+
+    # group-free file: native fast path, no groups
+    q = tmp_path / "plain.obj"
+    q.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    assert not _file_has_groups(str(q))
+    assert load_obj(str(q)).point_groups == {}
