@@ -122,6 +122,33 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
             file=sys.stderr,
         )
 
+        # Capture-gated scenario: only a mesh region near the rig is
+        # active (the production capture workflow) — inactive vertex
+        # tiles take the kernel's early exit (the reference's per-vertex
+        # `continue`, src/SOP_FaceDeform.cpp:404-410, promoted to tiles).
+        cap_d2 = jnp.asarray(
+            np.sum((mesh.points - np.float32([0, 1, 0])) ** 2, -1)
+            .astype(np.float32)
+        )
+        gated_out = d.apply(pts, dist2=cap_d2, backend=backend)
+        float(jnp.sum(gated_out[0]))
+        best_g = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            for _ in range(10):
+                gated_out = d.apply(pts, dist2=cap_d2, backend=backend)
+            float(jnp.sum(gated_out[0]))
+            best_g = min(best_g, (time.time() - t0) / 10)
+        frac = float(jnp.mean((cap_d2 <= 1.0).astype(jnp.float32)))
+        loc["capture_gated_ms_per_frame"] = best_g * 1e3
+        loc["capture_gated_active_fraction"] = frac
+        loc["capture_gated_speedup"] = dense_dt / best_g
+        print(
+            f"# eval: capture-gated ({frac * 100:.0f}% active): "
+            f"{best_g * 1e3:.2f} ms/frame ({dense_dt / best_g:.2f}x all-active)",
+            file=sys.stderr,
+        )
+
     evals_per_sec = max(dense_rate, culled_rate or 0.0)
 
     # --- animated sequence (BASELINE config 5, reported to stderr) --------

@@ -138,6 +138,21 @@ def _eval_kernel(
     n_blocks = pl.cdiv(n_total, _CTRL_BLOCK) if n_total > _CTRL_BLOCK else 1
     block = n_total if n_blocks == 1 else _CTRL_BLOCK
 
+    # Capture gating, computed FIRST: the reference's eval loop skips
+    # vertices beyond the capture radius entirely (`continue`,
+    # src/SOP_FaceDeform.cpp:404-410).  The tile-level equivalent: when no
+    # lane in this tile is active (all captured distances beyond radius,
+    # or the whole tile group-masked off), skip the contraction outright —
+    # production capture workflows deform a small mesh region, so most
+    # tiles take the early exit.
+    r2 = scalars_ref[0]
+    rate = scalars_ref[1]
+    cap_d2 = dist2_ref[:]                              # (1, TV)
+    if not strict_parity:
+        cap_d2 = jnp.maximum(cap_d2, 0.0)
+    active = (cap_d2 <= r2).astype(jnp.float32) * gate_ref[:]
+    tile_alive = jnp.max(active) > 0.0
+
     def block_d2(lo):
         ctrl = ctrl_ref[pl.ds(lo, block)]              # (B, 3)
         dx = ctrl[:, 0:1] - pts[0:1, :]                # (B, TV) broadcasts
@@ -166,59 +181,60 @@ def _eval_kernel(
             )
         return disp
 
-    disp = jnp.zeros((3, pts.shape[1]), jnp.float32)
-    if n_blocks == 1:
-        center = None
-        if center_phi:
-            phi0 = _phi(kernel, block_d2(0), inv_eps2_ref[0, pl.ds(0, block)][:, None])
-            center = jnp.mean(phi0, axis=0, keepdims=True)
-        disp = block_contrib(0, disp, center)
-    else:
-        # fori_loop (not an unrolled python loop): Mosaic then reuses one
-        # (block, TV) buffer set instead of keeping every slab live.
-        if center_phi:
-            # Pass 1: per-vertex mean of layer-0 phi over ALL controls, so
-            # blocked mode keeps the same centering accuracy as the dense
-            # path (an extra distance+phi sweep; no contraction).
-            def mean_body(b, acc):
-                phi = _phi(
-                    kernel,
-                    block_d2(b * block),
-                    inv_eps2_ref[0, pl.ds(b * block, block)][:, None],
-                )
-                return acc + jnp.sum(phi, axis=0, keepdims=True)
-            row_sum = jax.lax.fori_loop(
-                0, n_blocks, mean_body,
-                jnp.zeros((1, pts.shape[1]), jnp.float32),
-            )
-            center = row_sum / (n_blocks * block)
-        else:
+    def compute_disp(_):
+        disp = jnp.zeros((3, pts.shape[1]), jnp.float32)
+        if n_blocks == 1:
             center = None
-        disp = jax.lax.fori_loop(
-            0,
-            n_blocks,
-            lambda b, acc: block_contrib(b * block, acc, center),
-            disp,
+            if center_phi:
+                phi0 = _phi(
+                    kernel, block_d2(0), inv_eps2_ref[0, pl.ds(0, block)][:, None]
+                )
+                center = jnp.mean(phi0, axis=0, keepdims=True)
+            disp = block_contrib(0, disp, center)
+        else:
+            # fori_loop (not an unrolled python loop): Mosaic then reuses
+            # one (block, TV) buffer set instead of keeping every slab live.
+            if center_phi:
+                # Pass 1: per-vertex mean of layer-0 phi over ALL controls,
+                # so blocked mode keeps the same centering accuracy as the
+                # dense path (an extra distance+phi sweep; no contraction).
+                def mean_body(b, acc):
+                    phi = _phi(
+                        kernel,
+                        block_d2(b * block),
+                        inv_eps2_ref[0, pl.ds(b * block, block)][:, None],
+                    )
+                    return acc + jnp.sum(phi, axis=0, keepdims=True)
+                row_sum = jax.lax.fori_loop(
+                    0, n_blocks, mean_body,
+                    jnp.zeros((1, pts.shape[1]), jnp.float32),
+                )
+                center = row_sum / (n_blocks * block)
+            else:
+                center = None
+            disp = jax.lax.fori_loop(
+                0,
+                n_blocks,
+                lambda b, acc: block_contrib(b * block, acc, center),
+                disp,
+            )
+        # Polynomial tail: w_poly rows [1, x, y, z]; contributions (3, TV).
+        wp = w_poly_ref[:]                             # (4, 3)
+        disp = (
+            disp
+            + wp[0][:, None]
+            + wp[1][:, None] * pts[0:1, :]
+            + wp[2][:, None] * pts[1:2, :]
+            + wp[3][:, None] * pts[2:3, :]
         )
-    # Polynomial tail: w_poly rows [1, x, y, z]; contributions (3, TV).
-    wp = w_poly_ref[:]                                 # (4, 3)
-    disp = (
-        disp
-        + wp[0][:, None]
-        + wp[1][:, None] * pts[0:1, :]
-        + wp[2][:, None] * pts[1:2, :]
-        + wp[3][:, None] * pts[2:3, :]
+        if has_frame:
+            disp = _project_frame_cols(disp, u_ref[:], vt_ref[:], nrm_ref[:])
+        return disp
+
+    disp = jax.lax.cond(
+        tile_alive, compute_disp,
+        lambda _: jnp.zeros((3, pts.shape[1]), jnp.float32), 0,
     )
-
-    if has_frame:
-        disp = _project_frame_cols(disp, u_ref[:], vt_ref[:], nrm_ref[:])
-
-    r2 = scalars_ref[0]
-    rate = scalars_ref[1]
-    cap_d2 = dist2_ref[:]                              # (1, TV)
-    if not strict_parity:
-        cap_d2 = jnp.maximum(cap_d2, 0.0)
-    active = (cap_d2 <= r2).astype(jnp.float32) * gate_ref[:]
     ratio = jnp.minimum(cap_d2 / r2, 1.0)
     base = (1.0 - ratio) if strict_parity else jnp.maximum(1.0 - ratio, 0.0)
     w = jnp.power(base, rate) * active                 # (1, TV)
@@ -394,6 +410,17 @@ def _eval_kernel_culled(
 
     n_blocks = ctrl_ref.shape[0] // _CULL_BLOCK
 
+    # Capture gating (see _eval_kernel): a fully inactive tile skips both
+    # the slab tests and the contraction — the reference's per-vertex
+    # `continue` promoted to tiles (src/SOP_FaceDeform.cpp:404-410).
+    r2 = scalars_ref[0]
+    rate = scalars_ref[1]
+    cap_d2 = dist2_ref[:]
+    if not strict_parity:
+        cap_d2 = jnp.maximum(cap_d2, 0.0)
+    active = (cap_d2 <= r2).astype(jnp.float32) * gate_ref[:]
+    tile_alive = jnp.max(active) > 0.0
+
     def slab_contrib(b, disp):
         lo = b * _CULL_BLOCK
         ctrl = ctrl_ref[pl.ds(lo, _CULL_BLOCK)]
@@ -427,23 +454,24 @@ def _eval_kernel_culled(
             disp,
         )
 
-    # Start from the polynomial tail.
-    wp = w_poly_ref[:]
-    disp0 = (
-        wp[0][:, None]
-        + wp[1][:, None] * pts[0:1, :]
-        + wp[2][:, None] * pts[1:2, :]
-        + wp[3][:, None] * pts[2:3, :]
+    def compute_disp(_):
+        # Start from the polynomial tail.
+        wp = w_poly_ref[:]
+        disp0 = (
+            wp[0][:, None]
+            + wp[1][:, None] * pts[0:1, :]
+            + wp[2][:, None] * pts[1:2, :]
+            + wp[3][:, None] * pts[2:3, :]
+        )
+        disp = jax.lax.fori_loop(0, n_blocks, body, disp0)
+        if has_frame:
+            disp = _project_frame_cols(disp, u_ref[:], vt_ref[:], nrm_ref[:])
+        return disp
+
+    disp = jax.lax.cond(
+        tile_alive, compute_disp,
+        lambda _: jnp.zeros((3, pts.shape[1]), jnp.float32), 0,
     )
-    disp = jax.lax.fori_loop(0, n_blocks, body, disp0)
-    if has_frame:
-        disp = _project_frame_cols(disp, u_ref[:], vt_ref[:], nrm_ref[:])
-    r2 = scalars_ref[0]
-    rate = scalars_ref[1]
-    cap_d2 = dist2_ref[:]
-    if not strict_parity:
-        cap_d2 = jnp.maximum(cap_d2, 0.0)
-    active = (cap_d2 <= r2).astype(jnp.float32) * gate_ref[:]
     ratio = jnp.minimum(cap_d2 / r2, 1.0)
     base = (1.0 - ratio) if strict_parity else jnp.maximum(1.0 - ratio, 0.0)
     w = jnp.power(base, rate) * active
