@@ -179,3 +179,64 @@ def test_checkpoint_roundtrips_lo_parts(rng, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(back.apply(pts)[0]), np.asarray(d.apply(pts)[0])
     )
+
+
+# ------------------------------------------------ fused Pallas df kernel
+def test_pallas_precise_matches_dense_precise(rng):
+    """The fused Mosaic df kernel (interpret mode here) reproduces the XLA
+    dense_precise composition."""
+    from facedeform_tpu.ops.falloff import falloff_weight
+    from facedeform_tpu.ops.pallas_precise import evaluate_pallas_precise
+
+    n = 300
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE,
+                       solver="direct")
+    params = DeformParams(radius=1.0, lam=0.01).clamped()
+    d = Deformer.fit(rest, deformed, cfg, params)
+    pts = rng.standard_normal((700, 3)).astype(np.float32)  # non-tile V
+    dist2 = np.abs(rng.standard_normal(700)).astype(np.float32) * 0.3
+
+    disp_ref = evaluate_precise(d.model, jnp.asarray(pts), RBFKernel.THIN_PLATE, cfg.term)
+    w_ref, active = falloff_weight(jnp.asarray(dist2), params.radius, params.falloffrate)
+    w_ref = jnp.where(active, w_ref, 0.0)
+    ref_pts = jnp.asarray(pts) + disp_ref * w_ref[:, None]
+
+    got_pts, got_w = evaluate_pallas_precise(
+        d.model, jnp.asarray(pts), jnp.asarray(dist2),
+        jnp.ones(700, jnp.float32),
+        jnp.asarray(params.radius, jnp.float32),
+        jnp.asarray(params.falloffrate, jnp.float32),
+        RBFKernel.THIN_PLATE, cfg.term, tile_v=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_pts), np.asarray(ref_pts), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(w_ref), atol=1e-6)
+
+
+def test_pallas_precise_oracle_parity_and_gate(rng):
+    from facedeform_tpu.ops.pallas_precise import evaluate_pallas_precise
+
+    n = 512
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.MULTIQUADRIC,
+                       solver="direct")
+    params = DeformParams(radius=1.0, lam=0.01).clamped()
+    d = Deformer.fit(rest, deformed, cfg, params)
+    pts = (rng.standard_normal((400, 3)) * 0.7).astype(np.float32)
+    gate = (rng.standard_normal(400) > 0).astype(np.float32)
+    got_pts, got_w = evaluate_pallas_precise(
+        d.model, jnp.asarray(pts), jnp.zeros(400, jnp.float32),
+        jnp.asarray(gate),
+        jnp.asarray(params.radius, jnp.float32),
+        jnp.asarray(params.falloffrate, jnp.float32),
+        RBFKernel.MULTIQUADRIC, cfg.term, tile_v=128, interpret=True,
+    )
+    got_pts = np.asarray(got_pts)
+    np.testing.assert_array_equal(got_pts[gate == 0], pts[gate == 0])
+    want, _ = oracle.deform(rest, deformed, pts, cfg,
+                            DeformParams(radius=1.0, lam=0.01),
+                            group_mask=gate.astype(bool))
+    err = np.abs(got_pts.astype(np.float64) - want).max()
+    assert err < 5e-5, err
