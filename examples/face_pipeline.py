@@ -11,6 +11,9 @@ feature set plus the rebuild's extensions):
   6. inverse rig fitting: recover the rig pose from the deformed mesh
   7. animated sequence: batched multi-frame solve+eval
   8. checkpoint the deformer, write the result as OBJ
+  9. named point groups + the "picked" eval-pass falloff color viz
+  10. growing kernels (thin-plate) on the double-float precision path
+  11. the deformation server: binary-framed client round trip
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -102,6 +105,53 @@ def main():
     checkpoint.save(os.path.join(args.out, "deformer.npz"), d)
     save_obj(os.path.join(args.out, "deformed.obj"), result.mesh)
     print(f"wrote {args.out}/deformed.obj and deformer.npz")
+
+    # 9. named point groups + "picked" falloff viz (the reference's group
+    # parameter and selected-node color display)
+    face.set_group("brow", face.points[:, 1] > 0.55)
+    sel = node.cook([face, rig, posed], DeformConfig(dofalloff=True), params,
+                    group="brow", picked=True)
+    moved = np.linalg.norm(sel.mesh.points - face.points, axis=1)
+    print(f"group 'brow': {int(face.group_mask('brow').sum())} points eligible, "
+          f"{int((moved > 1e-6).sum())} moved; Cd = falloff hue viz")
+
+    # 10. growing kernels route through the double-float precision path
+    # (thin-plate in f32 would break the 5e-5 parity budget; 'auto' picks
+    # the fused Mosaic df kernel on TPU)
+    from facedeform_tpu.config import RBFKernel, RBFModelType
+
+    cfg_tps = DeformConfig(model=RBFModelType.KERNEL,
+                           kernel=RBFKernel.THIN_PLATE)
+    d_tps = Deformer.fit(rig.points, posed.points, cfg_tps,
+                         DeformParams(radius=1.0, lam=0.01))
+    tps_pts, _ = d_tps.apply(face.points)
+    print(f"thin-plate deform (df precise path): "
+          f"max move {float(np.abs(np.asarray(tps_pts) - face.points).max()):.3f}")
+
+    # 11. the deformation server, binary framing (solve-once / serve-many)
+    import threading
+
+    from facedeform_tpu import serve as serve_mod
+
+    ready = threading.Event()
+    holder = {}
+
+    def _run_server():
+        srv = serve_mod._ThreadedTCP(("127.0.0.1", 0), serve_mod._Handler)
+        srv.deform_server = serve_mod.DeformServer()
+        holder["srv"] = srv
+        ready.set()
+        srv.serve_forever()
+
+    threading.Thread(target=_run_server, daemon=True).start()
+    ready.wait(10)
+    client = serve_mod.Client(*holder["srv"].server_address)
+    did = client.fit(rig.points, posed.points)
+    t0 = time.time()
+    served_pts, _ = client.apply(did, face.points)
+    print(f"served deform ({face.num_points} verts, binary framing): "
+          f"{(time.time() - t0) * 1e3:.0f} ms round trip")
+    client.shutdown()
 
 
 if __name__ == "__main__":

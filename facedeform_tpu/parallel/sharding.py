@@ -74,7 +74,19 @@ def _local_apply(
 
     if kernel in GROWING_KERNELS:
         # Growing kernels need the double-float path for the 5e-5 budget
-        # (see Deformer.apply) — each shard evaluates its vertices in df.
+        # (see Deformer.apply) — each shard evaluates its vertices in df,
+        # via the fused Mosaic kernel on TPU meshes.
+        if use_pallas:
+            from facedeform_tpu.ops.pallas_precise import evaluate_pallas_precise
+
+            return evaluate_pallas_precise(
+                model, pts, dist2, gate,
+                jnp.asarray(params.radius, jnp.float32),
+                jnp.asarray(params.falloffrate, jnp.float32),
+                kernel, cfg.term,
+                strict_parity=cfg.strict_parity,
+                frame=frame if use_tangent else None,
+            )
         from facedeform_tpu.ops.precise_eval import evaluate_precise
 
         disp = evaluate_precise(model, pts, kernel, cfg.term)
