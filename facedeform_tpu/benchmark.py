@@ -59,22 +59,30 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
 
     use_pallas = jax.default_backend() == "tpu"
 
-    def measure(deformer, backend, rounds=5, iters=10):
-        """Best sustained round (the tunneled chip shows heavy run-to-run
-        contention variance)."""
-        out = deformer.apply(pts, dist2=dist2, backend=backend)
-        float(jnp.sum(out[0]))  # warm-up + sync
-        best_dt = float("inf")
+    def measure(deformer, backends, rounds=5, iters=10):
+        """Best sustained round per backend, INTERLEAVED: the shared chip's
+        contention drifts on a seconds scale, so A/B comparisons must
+        sample the same windows or the ratio is noise.  Returns a dict
+        backend -> best seconds/frame."""
+        for b in backends:
+            out = deformer.apply(pts, dist2=dist2, backend=b)
+            float(jnp.sum(out[0]))  # warm-up + sync
+        best = {b: float("inf") for b in backends}
         for _ in range(rounds):
-            t0 = time.time()
-            for _ in range(iters):
-                out = deformer.apply(pts, dist2=dist2, backend=backend)
-            float(jnp.sum(out[0]))  # sync through the queue
-            best_dt = min(best_dt, (time.time() - t0) / iters)
-        return best_dt
+            for b in backends:
+                t0 = time.time()
+                for _ in range(iters):
+                    out = deformer.apply(pts, dist2=dist2, backend=b)
+                float(jnp.sum(out[0]))  # sync through the queue
+                best[b] = min(best[b], (time.time() - t0) / iters)
+        return best
 
     backend = "pallas" if use_pallas else "dense"
-    dense_dt = measure(d, backend)
+    if use_pallas:
+        both = measure(d, (backend, "pallas_culled"))
+        dense_dt = both[backend]
+    else:
+        dense_dt = measure(d, (backend,))[backend]
     dense_rate = n_verts * n_ctrl / dense_dt
     print(
         f"# eval: {dense_dt * 1e3:.2f} ms/frame ({backend}, best of 5), "
@@ -88,7 +96,7 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
         # Culled kernel on the same global-rig workload: same result to
         # phi <= 1e-12 truncation, slabs beyond the gaussian's reach skipped
         # per vertex tile (the backend node.cook's autotune picks from).
-        culled_dt = measure(d, "pallas_culled")
+        culled_dt = both["pallas_culled"]
         culled_rate = n_verts * n_ctrl / culled_dt
         ref, _ = d.apply(pts[:4096], backend=backend)
         got, _ = d.apply(pts[:4096], backend="pallas_culled")
@@ -107,8 +115,9 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
         cap = fibonacci_points(n_loc) * 0.15 + np.float32([0, 0.98, 0])
         cap_def = cap + 0.01 * rng.standard_normal((n_loc, 3)).astype(np.float32)
         d_loc = Deformer.fit(cap, cap_def, cfg, params)
-        loc_dense_dt = measure(d_loc, backend)
-        loc_culled_dt = measure(d_loc, "pallas_culled")
+        loc_both = measure(d_loc, (backend, "pallas_culled"))
+        loc_dense_dt = loc_both[backend]
+        loc_culled_dt = loc_both["pallas_culled"]
         loc = {
             "localized_dense_gevals_per_sec": n_verts * n_loc / loc_dense_dt / 1e9,
             "localized_culled_gevals_per_sec": n_verts * n_loc / loc_culled_dt / 1e9,

@@ -36,7 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 from facedeform_tpu.config import PolyTerm, RBFKernel
 from facedeform_tpu.ops.fit import RBFModel
 
-_TILE_V = 512  # lanes-axis tile; ~2 live (block, TILE_V) f32 intermediates in VMEM
+# Lanes-axis tile.  Swept on v5e (round 2): 1024 beats 512 by 14-23% at
+# every measured rig size (N = 1k: 132 vs 116 G; N = 2k: 177 vs 145 G;
+# culled N = 4k: 306 vs 254 G effective; N = 50k culled: 77 vs 85 ms) —
+# the fori-loop reuses one (block, TILE_V) buffer set so VMEM stays in
+# budget even at the 2048-row control slabs.  2048 lanes OOMs VMEM.
+_TILE_V = 1024
 _CTRL_BLOCK = 2048  # control-axis slab; bounds VMEM for large rigs
 
 
