@@ -208,4 +208,6 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    import json
+
+    print(json.dumps(run_headline()))

@@ -113,12 +113,18 @@ class Mesh:
     def set_group(self, name: str, mask: np.ndarray) -> None:
         """Store a named point group (GA_PointGroup analogue).
 
-        `mask` is a (V,) boolean (or int) membership mask; point *indices*
-        are also accepted as a 1-D integer array shorter than V.
+        `mask` is a (V,) boolean membership mask; point *indices* are also
+        accepted as a 1-D integer array.  Disambiguation is by DTYPE, not
+        length — an integer index list whose length happens to equal V must
+        not be reinterpreted as a mask.
         """
         mask = np.asarray(mask)
-        if mask.dtype != bool and mask.ndim == 1 and mask.shape[0] != self.num_points:
+        if np.issubdtype(mask.dtype, np.integer):
             idx = mask.astype(np.int64)
+            if idx.size and (idx.min() < 0 or idx.max() >= self.num_points):
+                raise ValueError(
+                    f"group {name!r} indices out of range [0, {self.num_points})"
+                )
             mask = np.zeros(self.num_points, bool)
             mask[idx] = True
         else:

@@ -65,22 +65,23 @@ def _load_obj_python(path: str):
     return points, norm_arr, face_arr, groups
 
 
-def _file_has_groups(path: str, limit: int = 1 << 26) -> bool:
+def _file_has_groups(path: str) -> bool:
     """Cheap byte scan for `g ` statements (gates the slow python parser;
-    OBJ files without groups keep the fast native scan)."""
+    OBJ files without groups keep the fast native scan).  Scans the WHOLE
+    file — a truncated scan would silently drop groups declared late in
+    large files, and a full pass reads at memory-bandwidth speed."""
     with open(path, "rb") as f:
         prev_tail = b"\n"
+        first = True
         while True:
             chunk = f.read(1 << 20)
             if not chunk:
                 return False
             block = prev_tail + chunk
-            if b"\ng " in block or block.startswith(b"g "):
+            if b"\ng " in block or (first and block.startswith(b"\ng ")):
                 return True
             prev_tail = chunk[-2:]
-            limit -= len(chunk)
-            if limit <= 0:
-                return False
+            first = False
 
 
 def load_obj(path: str, load_attrs: bool = True) -> Mesh:

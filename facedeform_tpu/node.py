@@ -110,9 +110,19 @@ class FaceDeformNode:
         from facedeform_tpu.ops import fit as fit_mod
         from facedeform_tpu.ops.pallas_eval import kernel_is_cullable
 
-        if jax.default_backend() != "tpu" or mesh_in.num_points < 4096:
+        from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+        kernel = fit_mod.effective_kernel(deformer.cfg)
+        if (
+            jax.default_backend() != "tpu"
+            or mesh_in.num_points < 4096
+            or kernel in GROWING_KERNELS
+        ):
+            # Growing kernels MUST defer to apply's "auto" (the double-
+            # float path) — routing them to the f32 kernel would silently
+            # break the 5e-5 parity budget.
             return "auto"
-        if not kernel_is_cullable(fit_mod.effective_kernel(deformer.cfg)):
+        if not kernel_is_cullable(kernel):
             return "pallas"
         key = (mesh_in.pos_id, self._fit_key)
         if key != self._backend_key:

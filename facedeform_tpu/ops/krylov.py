@@ -272,6 +272,11 @@ def gmres(
             return v
 
     x_init = jnp.zeros_like(b) if x0 is None else x0.astype(jnp.float32)
+    # TPU f32 contractions default to bf16 MXU passes (~8e-3 relative) —
+    # fatal for Gram-Schmidt orthogonality and the solution reconstruction.
+    hp = dict(
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
 
     def arnoldi(x):
         r = b - matvec(x)
@@ -292,10 +297,10 @@ def gmres(
             w = matvec(msolve(basis[j]))
             # CGS2: rows > j of `basis` are zero, so the full-matrix
             # projections are exact for the active prefix.
-            h1 = jnp.einsum("ink,nk->ik", basis, w)        # (m+1, k)
-            w = w - jnp.einsum("ink,ik->nk", basis, h1)
-            h2 = jnp.einsum("ink,nk->ik", basis, w)
-            w = w - jnp.einsum("ink,ik->nk", basis, h2)
+            h1 = jnp.einsum("ink,nk->ik", basis, w, **hp)  # (m+1, k)
+            w = w - jnp.einsum("ink,ik->nk", basis, h1, **hp)
+            h2 = jnp.einsum("ink,nk->ik", basis, w, **hp)
+            w = w - jnp.einsum("ink,ik->nk", basis, h2, **hp)
             h = h1 + h2
             hlast = jnp.linalg.norm(w, axis=0)             # (k,)
             # Arnoldi breakdown guard: once the residual is fully captured
@@ -319,10 +324,10 @@ def gmres(
         # scale after Arnoldi).
         hT = jnp.transpose(hess, (2, 1, 0))                # (k, m, m+1)
         g = jnp.zeros((k, m + 1, 1), jnp.float32).at[:, 0, 0].set(beta)
-        hth = jnp.einsum("kij,kmj->kim", hT, hT) + 1e-12 * jnp.eye(m)
-        htg = jnp.einsum("kij,kjo->kio", hT, g)
+        hth = jnp.einsum("kij,kmj->kim", hT, hT, **hp) + 1e-12 * jnp.eye(m)
+        htg = jnp.einsum("kij,kjo->kio", hT, g, **hp)
         y = jnp.linalg.solve(hth, htg)[..., 0]             # (k, m)
-        dx = jnp.einsum("ink,ki->nk", basis[:m], y)
+        dx = jnp.einsum("ink,ki->nk", basis[:m], y, **hp)
         return msolve(dx)
 
     def restart_body(st):
@@ -344,11 +349,18 @@ def gmres(
             jnp.any(st["resid"] > tol * jnp.maximum(bnorm, 1e-30)),
         )
 
+    # Warm starts compute the true initial residual (one matvec) so an
+    # already-converged x0 exits without paying a full restart window of
+    # ~restart matvecs; cold starts know it is ||b||.
+    resid0 = (
+        bnorm if x0 is None
+        else jnp.linalg.norm(b - matvec(x_init), axis=0)
+    )
     st = jax.lax.while_loop(
         cond,
         restart_body,
         dict(
-            x=x_init, resid=jnp.full((k,), jnp.inf, jnp.float32),
+            x=x_init, resid=resid0,
             it=jnp.asarray(0, jnp.int32),
             anorm=jnp.zeros((), jnp.float32),
         ),
@@ -464,11 +476,15 @@ def minres(
     x = st["x"] if x0 is None else st["x"] + x0.astype(jnp.float32)
     r_final = b_full - matvec(x)
     anorm = jnp.max(st["anorm"])
-    col_scale = anorm * jnp.linalg.norm(x, axis=0) + jnp.linalg.norm(b, axis=0)
+    # Report against the FULL rhs: on warm restarts b was shifted to the
+    # correction rhs, whose tiny norm would corrupt rhs_norm/backward_error.
+    col_scale = anorm * jnp.linalg.norm(x, axis=0) + jnp.linalg.norm(
+        b_full, axis=0
+    )
     report = SolveReport(
         residual_norm=jnp.linalg.norm(r_final),
-        rhs_norm=jnp.linalg.norm(b),
-        scale_norm=anorm * jnp.linalg.norm(x) + jnp.linalg.norm(b),
+        rhs_norm=jnp.linalg.norm(b_full),
+        scale_norm=anorm * jnp.linalg.norm(x) + jnp.linalg.norm(b_full),
         cond_est=None,  # no factorization to read a growth indicator from
         col_backward=jnp.linalg.norm(r_final, axis=0)
         / jnp.maximum(col_scale, 1e-30),

@@ -45,6 +45,24 @@ _TILE_V = 1024
 _CTRL_BLOCK = 2048  # control-axis slab; bounds VMEM for large rigs
 
 
+
+def _pad_frame_inputs(frame, v_pad, tile_v):
+    """Pad + transpose tangent-frame arrays to (3, Vp) and build their
+    vertex-tiled VMEM BlockSpecs (shared by the dense, culled and
+    double-float kernels)."""
+    inputs = []
+    specs = []
+    if frame is None:
+        return inputs, specs
+    for f in frame:
+        inputs.append(
+            jnp.pad(f.astype(jnp.float32), ((0, v_pad), (0, 0))).T  # (3, Vp)
+        )
+        specs.append(
+            pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+    return inputs, specs
+
 def _phi(kernel: RBFKernel, d2: jnp.ndarray, inv_eps2: jnp.ndarray) -> jnp.ndarray:
     """phi((r/eps)^2) on the VPU; mirrors ops.kernels.apply_kernel with the
     division pre-hoisted into inv_eps2 = 1/eps^2."""
@@ -307,16 +325,7 @@ def evaluate_pallas(
     )
 
     has_frame = frame is not None
-    frame_inputs = []
-    frame_specs = []
-    if has_frame:
-        for f in frame:
-            frame_inputs.append(
-                jnp.pad(f.astype(jnp.float32), ((0, v_pad), (0, 0))).T  # (3, Vp)
-            )
-            frame_specs.append(
-                pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM)
-            )
+    frame_inputs, frame_specs = _pad_frame_inputs(frame, v_pad, tile_v)
 
     from facedeform_tpu.ops.evaluate import _center_phi
 
@@ -567,16 +576,7 @@ def evaluate_pallas_culled(
          jnp.asarray(falloffrate, jnp.float32)]
     )
     has_frame = frame is not None
-    frame_inputs = []
-    frame_specs = []
-    if has_frame:
-        for f in frame:
-            frame_inputs.append(
-                jnp.pad(f.astype(jnp.float32), ((0, v_pad), (0, 0))).T  # (3, Vp)
-            )
-            frame_specs.append(
-                pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM)
-            )
+    frame_inputs, frame_specs = _pad_frame_inputs(frame, v_pad, tile_v)
     kern = functools.partial(
         _eval_kernel_culled,
         kernel=RBFKernel(kernel),

@@ -217,17 +217,10 @@ def evaluate_pallas_precise(
         [(radius * radius).astype(jnp.float32),
          jnp.asarray(falloffrate, jnp.float32)]
     )
+    from facedeform_tpu.ops.pallas_eval import _pad_frame_inputs
+
     has_frame = frame is not None
-    frame_inputs = []
-    frame_specs = []
-    if has_frame:
-        for f in frame:
-            frame_inputs.append(
-                jnp.pad(f.astype(jnp.float32), ((0, v_pad), (0, 0))).T
-            )
-            frame_specs.append(
-                pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM)
-            )
+    frame_inputs, frame_specs = _pad_frame_inputs(frame, v_pad, tile_v)
     kern = functools.partial(
         _precise_kernel,
         kernel=kernel,

@@ -65,7 +65,7 @@ class SolveReport(NamedTuple):
         return self.residual_norm / jnp.maximum(denom, 1e-30)
 
 
-def _report_from(a_norm, lu_diag, a, x, b, r) -> SolveReport:
+def _report_from(a_norm, lu_diag, x, b, r) -> SolveReport:
     """Assemble the full report given the factor diagonal and residual."""
     x_norm = jnp.linalg.norm(x)
     b_norm = jnp.linalg.norm(b)
@@ -244,7 +244,7 @@ def lu_solve_refined_against_df(
             x_hi, x_lo = s, x_lo + e
         r = residual(x_hi, x_lo)
     report = _report_from(
-        jnp.linalg.norm(a_hi), jnp.diagonal(lu), a_hi, x_hi, b, r
+        jnp.linalg.norm(a_hi), jnp.diagonal(lu), x_hi, b, r
     )
     return (x_hi, x_lo), report
 
@@ -281,7 +281,7 @@ def _lu_refined_impl(a, b, n_refine, want_lo):
             s, e = _guarded_two_sum(x_hi, dx)
             x_hi, x_lo = s, x_lo + e
         r = residual_compensated(a, x_hi, b) - jnp.dot(a, x_lo, **hp)
-    report = _report_from(jnp.linalg.norm(a), jnp.diagonal(lu), a, x_hi, b, r)
+    report = _report_from(jnp.linalg.norm(a), jnp.diagonal(lu), x_hi, b, r)
     if not want_lo:
         x_lo = jnp.zeros_like(x_hi)
     return (x_hi, x_lo), report
@@ -304,4 +304,4 @@ def cholesky_solve_refined(
     r = residual_compensated(a, x, b)
     # Cholesky factor diagonal enters cond squared (A = L L^T).
     diag_sq = jnp.diagonal(c) * jnp.diagonal(c)
-    return x, _report_from(jnp.linalg.norm(a), diag_sq, a, x, b, r)
+    return x, _report_from(jnp.linalg.norm(a), diag_sq, x, b, r)

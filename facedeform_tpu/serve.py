@@ -260,14 +260,21 @@ class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:
         # Protocol sniff: binary frames open with the magic, the JSON line
         # protocol with '{'.  Each connection commits to one protocol.
-        first = self.rfile.peek(4)[:4]
+        # peek() may return fewer bytes than asked (it surfaces a single
+        # raw read), so consume exactly 4 and hand them to the chosen
+        # handler instead.
+        try:
+            first = _read_exact(self.rfile, 4)
+        except ConnectionError:
+            return
         if first == MAGIC:
-            return self._handle_binary()
-        self._handle_json()
+            return self._handle_binary(magic_consumed=True)
+        self._handle_json(prefix=first)
 
-    def _handle_json(self) -> None:
+    def _handle_json(self, prefix: bytes = b"") -> None:
         while True:
-            line = self.rfile.readline()
+            line = prefix + self.rfile.readline()
+            prefix = b""
             if not line:
                 return
             try:
@@ -282,10 +289,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 threading.Thread(target=self.server.shutdown, daemon=True).start()
                 return
 
-    def _handle_binary(self) -> None:
+    def _handle_binary(self, magic_consumed: bool = False) -> None:
         while True:
             try:
-                header, arrays = read_frame(self.rfile)
+                header, arrays = read_frame(
+                    self.rfile, magic_consumed=magic_consumed
+                )
+                magic_consumed = False
             except (ConnectionError, ValueError):
                 return
             req = dict(header, **arrays)

@@ -236,3 +236,37 @@ def test_obj_g_statement_groups(tmp_path):
     q.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
     assert not _file_has_groups(str(q))
     assert load_obj(str(q)).point_groups == {}
+
+
+def test_node_backend_choice_never_f32_for_growing_kernels(rng, monkeypatch):
+    """Review regression: _choose_backend must defer growing kernels to
+    apply's 'auto' (the double-float path), never route them to the f32
+    Pallas kernel — that silently breaks the 5e-5 budget."""
+    import jax
+
+    from facedeform_tpu.config import RBFKernel, RBFModelType
+
+    mesh = uv_sphere(80, 80)  # past the 4096 autotune threshold
+    rig = Mesh(points=fibonacci_points(30))
+    drig = Mesh(points=rig.points * 1.1)
+    node = FaceDeformNode()
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE)
+    params = DeformParams(radius=1.0, lam=0.01)
+    # fit a deformer so _choose_backend can inspect the kernel
+    node.cook([mesh, rig, drig], cfg, params)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    choice = node._choose_backend(
+        mesh, node._deformer, mesh.points, None, None, None
+    )
+    assert choice == "auto"
+
+
+def test_set_group_full_length_index_array(rng):
+    """Review regression: an integer index array whose length equals V is
+    still an index list, not a mask."""
+    mesh = uv_sphere(10, 10)
+    v = mesh.num_points
+    mesh.set_group("all", np.arange(v))
+    assert mesh.group_mask("all").all()
+    with pytest.raises(ValueError, match="out of range"):
+        mesh.set_group("bad", np.array([0, v]))
