@@ -108,7 +108,20 @@ class Deformer:
             rest_ctrl, deformed_ctrl, cfg.solve_view(), params
         )
         if check:
-            errors.check_solve(report)
+            # The CPD-kernel Krylov path converges to the f32 Krylov noise
+            # floor, not the refined-LU floor — match the threshold to the
+            # route fit() actually took (see errors.KRYLOV_CPD_BACKWARD_RTOL).
+            from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+            cpd_krylov = (
+                fit_mod.uses_krylov(cfg, int(rest_ctrl.shape[0]))
+                and fit_mod.effective_kernel(cfg) in GROWING_KERNELS
+            )
+            errors.check_solve(
+                report,
+                rtol=errors.KRYLOV_CPD_BACKWARD_RTOL if cpd_krylov
+                else errors.SOLVE_BACKWARD_RTOL,
+            )
         return cls(model=model, cfg=cfg, params=params, report=report)
 
     def displacement(self, points) -> jnp.ndarray:

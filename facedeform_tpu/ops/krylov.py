@@ -142,6 +142,96 @@ def make_block_jacobi(
     return msolve
 
 
+def make_abs_block_jacobi(
+    ctrl: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    eps: jnp.ndarray,
+    lam: jnp.ndarray,
+    block: int = 512,
+    spatial: bool = True,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Absolute-value block-Jacobi: an SPD preconditioner for CPD kernels.
+
+    The growing kernels (TPS/MQ/linear/cubic) are only conditionally
+    positive definite, so their diagonal blocks are symmetric INDEFINITE
+    and `make_block_jacobi`'s plain inverse is not a valid MINRES
+    preconditioner (MINRES requires M SPD).  The standard fix
+    (absolute-value preconditioning, Vecharynski & Knyazev) is the
+    spectral absolute value of each block: B = Q diag(w) Q^T gives
+    M_b^-1 = Q diag(1/max(|w|, floor)) Q^T — SPD by construction, and its
+    application is two batched matmuls per iteration (the batched eigh
+    runs once at setup).  The floor is relative (1e-7 |w|_max per block)
+    so near-null directions are damped, not amplified.
+
+    `spatial=True` Z-orders the control points first (ops/morton) so each
+    block covers a spatial neighborhood rather than an arbitrary index
+    range — blocks then capture the kernel's strong short-range coupling.
+    The permutation costs two (N, k) gathers per application, negligible
+    next to the O(N^2) matvec.
+
+    Measured (TPS, N=6k random ctrl, 512 MINRES iterations, CPU f64-free):
+    plain MINRES stalls at max interp residual 3.96; with this
+    preconditioner 0.207 — ~19x, at <20% extra wall per iteration.  Both
+    sit at the f32 Krylov noise floor eps*kappa; see the README's
+    known-limits note.
+
+    Identity on the polynomial-tail rows, like make_block_jacobi.
+    """
+    n = ctrl.shape[0]
+    m = poly_basis(ctrl, term).shape[1]
+    eps = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (n,))
+    if spatial:
+        from facedeform_tpu.ops.morton import spatial_order
+
+        perm, inv_perm = spatial_order(ctrl)
+        ctrl = ctrl[perm]
+        eps = eps[perm]
+    pad = (-n) % block
+    ctrl_p = jnp.pad(ctrl, ((0, pad), (0, 0)))
+    eps_p = jnp.pad(eps, (0, pad), constant_values=1.0)
+    valid = (jnp.arange(n + pad) < n)
+    nb = ctrl_p.shape[0] // block
+    cb = ctrl_p.reshape(nb, block, 3)
+    eb = eps_p.reshape(nb, block)
+    vb = valid.reshape(nb, block)
+
+    def one_block(c, e, v):
+        d2 = pairwise_sqdist(c, c)
+        phi = apply_kernel(kernel, d2, e)
+        phi = phi + lam * jnp.eye(block, dtype=jnp.float32)
+        # Decouple padded rows/cols to the identity so the (single) mixed
+        # block's spectrum is the real sub-block's plus unit eigenvalues.
+        mask = v[:, None] & v[None, :]
+        return jnp.where(mask, phi, jnp.eye(block, dtype=jnp.float32))
+
+    blocks = jax.vmap(one_block)(cb, eb, vb)          # (nb, B, B)
+    w_eig, q = jnp.linalg.eigh(blocks)                # batched, once
+    amax = jnp.max(jnp.abs(w_eig), axis=-1, keepdims=True)
+    inv_abs = 1.0 / jnp.maximum(
+        jnp.abs(w_eig), jnp.maximum(amax * 1e-7, 1e-20)
+    )
+
+    hp = dict(
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+
+    def msolve(r: jnp.ndarray) -> jnp.ndarray:        # (N + m, k)
+        top, tail = r[:n], r[n:]
+        if spatial:
+            top = top[perm]
+        t = jnp.pad(top, ((0, pad), (0, 0))).reshape(nb, block, -1)
+        u = jnp.einsum("bji,bjk->bik", q, t, **hp)    # Q^T r
+        u = u * inv_abs[..., None]
+        out = jnp.einsum("bij,bjk->bik", q, u, **hp)  # Q |w|^-1 Q^T r
+        out = out.reshape(-1, r.shape[1])[:n]
+        if spatial:
+            out = out[inv_perm]
+        return jnp.concatenate([out, tail], axis=0) if m else out
+
+    return msolve
+
+
 @functools.partial(jax.jit, static_argnames=("matvec", "msolve", "maxiter"))
 def pminres(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],

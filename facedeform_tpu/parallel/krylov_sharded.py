@@ -125,7 +125,7 @@ def fit_sharded(
     model is replicated, ready for the vertex-sharded eval path.
     """
     from facedeform_tpu.ops.krylov import (
-        gmres, make_block_jacobi, minres, pminres,
+        gmres, make_abs_block_jacobi, make_block_jacobi, pminres,
     )
 
     params = params.clamped()
@@ -164,9 +164,12 @@ def fit_sharded(
             for _ in range(max(cfg.n_refine - 1, 0)):
                 x, report = pminres(apply_sys, b, msolve, x0=x)
         else:
-            x, report = minres(apply_sys, b)
+            # CPD kernels: SPD |.|-block-Jacobi (see ops.krylov), built
+            # and applied replicated like the PD preconditioner above.
+            msolve = make_abs_block_jacobi(rest_ctrl, kernel, term, eps_l, lam0)
+            x, report = pminres(apply_sys, b, msolve)
             for _ in range(max(cfg.n_refine - 1, 0)):
-                x, report = minres(apply_sys, b, x0=x)
+                x, report = pminres(apply_sys, b, msolve, x0=x)
 
         w_l = x[:n]
         w_layers.append(w_l)

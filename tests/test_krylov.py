@@ -146,3 +146,90 @@ def test_fit_krylov_matches_dense_displacement(rng, model_type):
     err = np.abs(outs["direct"] - outs["krylov"]).max()
     scale = np.abs(outs["direct"]).max()
     assert err < 5e-5 + 1e-3 * scale, (err, scale)
+
+
+# ----------------------------------------------- CPD |.|-block-Jacobi (round 2)
+def test_abs_block_jacobi_is_spd(rng):
+    """The preconditioner operator must be SPD even when the kernel blocks
+    are indefinite (TPS): materialize M^-1 and check symmetric + positive
+    eigenvalues."""
+    from facedeform_tpu.ops.krylov import make_abs_block_jacobi
+
+    ctrl = jnp.asarray(rng.standard_normal((90, 3)).astype(np.float32))
+    msolve = make_abs_block_jacobi(
+        ctrl, RBFKernel.THIN_PLATE, PolyTerm.LINEAR,
+        jnp.ones((90,), jnp.float32), jnp.float32(0.01), block=32,
+    )
+    m_inv = np.asarray(msolve(jnp.eye(94, dtype=jnp.float32)))
+    np.testing.assert_allclose(m_inv, m_inv.T, atol=1e-5)
+    w = np.linalg.eigvalsh((m_inv + m_inv.T) / 2)
+    assert w.min() > 0, w.min()
+
+
+def test_abs_block_jacobi_inverts_definite_block(rng):
+    """With block >= N and a PD kernel the |.|-spectral inverse equals the
+    plain inverse (|w| = w), so M^-1 r recovers A^-1 r."""
+    from facedeform_tpu.ops.assemble import assemble_system
+    from facedeform_tpu.ops.krylov import make_abs_block_jacobi
+
+    ctrl = jnp.asarray(fibonacci_points(64))
+    eps, lam = jnp.full((64,), 0.4, jnp.float32), jnp.float32(0.05)
+    msolve = make_abs_block_jacobi(
+        ctrl, RBFKernel.GAUSSIAN, PolyTerm.ZERO, eps, lam, block=96,
+    )
+    a = np.asarray(
+        assemble_system(ctrl, RBFKernel.GAUSSIAN, PolyTerm.ZERO, eps, lam),
+        np.float64,
+    )
+    r = rng.standard_normal((64, 2)).astype(np.float32)
+    got = np.asarray(msolve(jnp.asarray(r)))
+    want = np.linalg.solve(a, r.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_cpd_preconditioner_beats_plain_minres(rng):
+    """At a fixed iteration budget on a TPS saddle system, |.|-bj-PMINRES
+    must land a materially lower true residual than plain MINRES (the
+    round-2 fix for the 'CPD kernels run unpreconditioned' limit)."""
+    from facedeform_tpu.ops.krylov import (
+        make_abs_block_jacobi, make_saddle_matvec, minres, pminres,
+    )
+
+    n = 1200
+    ctrl = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    eps = jnp.ones((n,), jnp.float32)
+    lam = jnp.float32(0.01)
+    mv = make_saddle_matvec(ctrl, RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam)
+    b = assemble_rhs(
+        jnp.asarray(0.05 * rng.standard_normal((n, 3)).astype(np.float32)),
+        PolyTerm.LINEAR,
+    )
+    msolve = make_abs_block_jacobi(
+        ctrl, RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam, block=256,
+    )
+    x_p, _ = pminres(mv, b, msolve, maxiter=128)
+    x_m, _ = minres(mv, b, maxiter=128)
+    r_p = float(jnp.linalg.norm(b - mv(x_p)))
+    r_m = float(jnp.linalg.norm(b - mv(x_m)))
+    assert r_p < 0.5 * r_m, (r_p, r_m)
+
+
+def test_fit_krylov_tps_converges(rng):
+    """End-to-end: solver='krylov' TPS fit reproduces the direct (dense df)
+    path's displacement field within the f32 Krylov floor."""
+    n = 500
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    params = DeformParams(radius=1.0, lam=0.01)
+    pts = rng.standard_normal((400, 3)).astype(np.float32)
+    outs = {}
+    for solver in ("direct", "krylov"):
+        cfg = DeformConfig(
+            model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE,
+            solver=solver,
+        )
+        d = Deformer.fit(rest, deformed, cfg, params)
+        outs[solver] = np.asarray(d.displacement(pts))
+    err = np.abs(outs["direct"] - outs["krylov"]).max()
+    scale = np.abs(outs["direct"]).max()
+    assert err < 5e-3 * scale + 1e-4, (err, scale)
