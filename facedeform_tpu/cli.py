@@ -77,17 +77,18 @@ def _cmd_deform(args) -> int:
     from facedeform_tpu.config import (
         DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
     )
-    from facedeform_tpu.geometry.obj_io import load_obj, save_obj
+    from facedeform_tpu.geometry import load_mesh, save_mesh
     from facedeform_tpu.geometry.topology import compute_tangent_frame
     from facedeform_tpu.node import FaceDeformNode
     from facedeform_tpu.utils.profiling import StageTimes, stage
 
     times = StageTimes()
     with stage("load", times):
-        mesh = load_obj(args.mesh)
-        rest_rig = load_obj(args.rest_rig)
-        deform_rig = load_obj(args.deform_rig)
-        blends = [load_obj(b) for b in args.blend]
+        # extension dispatch: Houdini .geo/.hgeo or OBJ, per input
+        mesh = load_mesh(args.mesh)
+        rest_rig = load_mesh(args.rest_rig)
+        deform_rig = load_mesh(args.deform_rig)
+        blends = [load_mesh(b) for b in args.blend]
 
     cfg = DeformConfig(
         model=RBFModelType[args.model.upper()],
@@ -123,7 +124,7 @@ def _cmd_deform(args) -> int:
         print(f"info: {m}", file=sys.stderr)
 
     with stage("save", times):
-        save_obj(args.output, res.mesh)
+        save_mesh(args.output, res.mesh)
     if args.save_deformer:
         from facedeform_tpu.utils import checkpoint
 

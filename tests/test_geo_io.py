@@ -1,0 +1,178 @@
+"""Houdini JSON .geo bridge: writer/reader round trip + Houdini-style docs."""
+
+import json
+
+import numpy as np
+
+from facedeform_tpu.geometry import load_mesh, save_mesh
+from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+from facedeform_tpu.geometry.mesh import Mesh
+from facedeform_tpu.geometry.primitives import uv_sphere
+
+
+def test_geo_roundtrip_full(tmp_path, rng):
+    mesh = uv_sphere(12, 12)
+    mesh.set_attr("N", rng.standard_normal((mesh.num_points, 3)).astype(np.float32))
+    mesh.set_attr("class", np.arange(mesh.num_points, dtype=np.int32) % 3)
+    mesh.set_attr("fd_falloff", rng.random(mesh.num_points).astype(np.float32))
+    mesh.set_group("lips", mesh.points[:, 1] > 0.2)
+    mesh.detail_attrs["weights"] = np.asarray([0.25, -1.5, 3.0], np.float32)
+
+    path = str(tmp_path / "m.geo")
+    save_geo(path, mesh)
+    got = load_geo(path)
+
+    np.testing.assert_allclose(got.points, mesh.points, atol=1e-6)
+    np.testing.assert_allclose(got.point_attrs["N"], mesh.point_attrs["N"], atol=1e-6)
+    np.testing.assert_array_equal(got.point_attrs["class"], mesh.point_attrs["class"])
+    np.testing.assert_allclose(
+        got.point_attrs["fd_falloff"], mesh.point_attrs["fd_falloff"], atol=1e-7
+    )
+    np.testing.assert_array_equal(got.group_mask("lips"), mesh.group_mask("lips"))
+    np.testing.assert_allclose(
+        got.detail_attrs["weights"], mesh.detail_attrs["weights"], atol=1e-7
+    )
+    # topology survives: same triangle coordinates
+    np.testing.assert_allclose(
+        got.points[got.triangles()], mesh.points[mesh.triangles()]
+    )
+
+
+def test_geo_mixed_arity_padding(tmp_path):
+    """Quads + triangles round trip through nvertices_rle and -1 padding."""
+    pts = np.asarray(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [2, 0, 0]], np.float32
+    )
+    faces = np.asarray([[0, 1, 2, 3], [1, 4, 2, -1]], np.int32)
+    path = str(tmp_path / "mixed.geo")
+    save_geo(path, Mesh(points=pts, faces=faces))
+    got = load_geo(path)
+    assert got.faces.shape == (2, 4)
+    np.testing.assert_array_equal(got.faces[0], [0, 1, 2, 3])
+    np.testing.assert_array_equal(got.faces[1], [1, 4, 2, -1])
+
+
+def test_geo_houdini_style_document(tmp_path):
+    """A document using Houdini's own encodings the writer does not emit:
+    rawpagedata with interleaved packing + constant pages, boolRLE groups,
+    per-primitive Polygon entries, and a string attr (skipped)."""
+    n = 6
+    doc = [
+        "fileversion", "19.0.589",
+        "pointcount", n,
+        "vertexcount", 6,
+        "primitivecount", 2,
+        "topology", ["pointref", ["indices", [0, 1, 2, 3, 4, 5]]],
+        "attributes", [
+            "pointattributes", [
+                [
+                    ["scope", "public", "type", "numeric", "name", "P",
+                     "options", {}],
+                    ["size", 3, "storage", "fpreal32",
+                     "values", ["size", 3, "storage", "fpreal32",
+                                "packing", [3], "pagesize", 4,
+                                "constantpageflags", [[False, False]],
+                                "rawpagedata",
+                                [0, 0, 0, 1, 0, 0, 2, 0, 0, 3, 0, 0,
+                                 4, 0, 0, 5, 0, 0]]],
+                ],
+                [
+                    ["scope", "public", "type", "numeric", "name", "pscale",
+                     "options", {}],
+                    # constant page: a single value covers the whole page
+                    ["size", 1, "storage", "fpreal32",
+                     "values", ["size", 1, "storage", "fpreal32",
+                                "packing", [1], "pagesize", 8,
+                                "constantpageflags", [[True]],
+                                "rawpagedata", [2.5]]],
+                ],
+                [
+                    ["scope", "public", "type", "string", "name", "label",
+                     "options", {}],
+                    ["size", 1, "storage", "int32",
+                     "strings", ["a", "b"],
+                     "values", ["size", 1, "storage", "int32",
+                                "arrays", [[0, 1, 0, 1, 0, 1]]]],
+                ],
+            ],
+        ],
+        "primitives", [
+            [["type", "Polygon"], ["vertex", [0, 1, 2]]],
+            [["type", "Polygon"], ["vertex", [3, 4, 5]]],
+        ],
+        "pointgroups", [
+            [["name", "front"],
+             ["selection", ["unordered", ["boolRLE", [2, True, 4, False]]]]],
+        ],
+    ]
+    path = str(tmp_path / "h.geo")
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    mesh = load_geo(path)
+    np.testing.assert_allclose(mesh.points[:, 0], np.arange(6, dtype=np.float32))
+    np.testing.assert_allclose(mesh.point_attrs["pscale"], np.full(6, 2.5))
+    assert "label" not in mesh.point_attrs  # string attrs skipped
+    np.testing.assert_array_equal(mesh.faces, [[0, 1, 2], [3, 4, 5]])
+    np.testing.assert_array_equal(
+        mesh.group_mask("front"), [True, True, False, False, False, False]
+    )
+
+
+def test_geo_polygon_run_uniform_nvertices(tmp_path):
+    """The `nvertices` (non-RLE) run variant decodes too."""
+    doc = [
+        "pointcount", 4,
+        "vertexcount", 6,
+        "primitivecount", 2,
+        "topology", ["pointref", ["indices", [0, 1, 2, 1, 3, 2]]],
+        "attributes", ["pointattributes", [[
+            ["scope", "public", "type", "numeric", "name", "P", "options", {}],
+            ["size", 3, "storage", "fpreal32",
+             "values", ["size", 3, "storage", "fpreal32",
+                        "tuples", [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]]]],
+        ]]],
+        "primitives", [[
+            ["type", "Polygon_run"],
+            ["startvertex", 0, "nprimitives", 2, "nvertices", [3, 3]],
+        ]],
+    ]
+    path = str(tmp_path / "runs.geo")
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    mesh = load_geo(path)
+    np.testing.assert_array_equal(mesh.faces, [[0, 1, 2], [1, 3, 2]])
+
+
+def test_load_save_mesh_dispatch(tmp_path):
+    mesh = uv_sphere(6, 6)
+    geo = str(tmp_path / "d.geo")
+    obj = str(tmp_path / "d.obj")
+    save_mesh(geo, mesh)
+    save_mesh(obj, mesh)
+    assert json.load(open(geo))[0] == "fileversion"
+    got_geo = load_mesh(geo)
+    got_obj = load_mesh(obj)
+    np.testing.assert_allclose(got_geo.points, mesh.points, atol=1e-6)
+    np.testing.assert_allclose(got_obj.points, mesh.points, atol=1e-5)
+
+
+def test_cli_accepts_geo_inputs(tmp_path, rng):
+    """End-to-end: deform a .geo mesh with .geo rigs from the CLI."""
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+
+    mesh = uv_sphere(10, 10)
+    rig_pts = fibonacci_points(20)
+    mesh_p = str(tmp_path / "mesh.geo")
+    rig_p = str(tmp_path / "rig.geo")
+    drig_p = str(tmp_path / "drig.geo")
+    out_p = str(tmp_path / "out.geo")
+    save_geo(mesh_p, mesh)
+    save_geo(rig_p, Mesh(points=rig_pts))
+    save_geo(drig_p, Mesh(points=rig_pts * 1.08))
+    rc = main(["deform", mesh_p, rig_p, drig_p, "-o", out_p])
+    assert rc == 0
+    out = load_geo(out_p)
+    assert out.num_points == mesh.num_points
+    assert np.abs(out.points - mesh.points).max() > 1e-3  # actually deformed
+    assert "fd_falloff" in out.point_attrs
