@@ -100,11 +100,15 @@ def main():
     print(f"animated 12 frames x {face.num_points} verts in "
           f"{(time.time() - t0) * 1e3:.0f} ms -> {seq.shape}")
 
-    # 8. persist
+    # 8. persist: checkpoint + OBJ + Houdini JSON .geo (attrs/groups ride
+    # along, so the result drops straight back into a Houdini scene)
+    from facedeform_tpu.geometry.geo_io import save_geo
+
     d = Deformer.fit(rig.points, posed.points, DeformConfig(), params)
     checkpoint.save(os.path.join(args.out, "deformer.npz"), d)
     save_obj(os.path.join(args.out, "deformed.obj"), result.mesh)
-    print(f"wrote {args.out}/deformed.obj and deformer.npz")
+    save_geo(os.path.join(args.out, "deformed.geo"), result.mesh)
+    print(f"wrote {args.out}/deformed.obj, deformed.geo and deformer.npz")
 
     # 9. named point groups + "picked" falloff viz (the reference's group
     # parameter and selected-node color display)

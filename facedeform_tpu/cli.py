@@ -28,10 +28,10 @@ def _build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("deform", help="deform a mesh from a control-rig pair")
-    d.add_argument("mesh", help="rest-pose mesh OBJ (input 0)")
-    d.add_argument("rest_rig", help="rest control rig OBJ (input 1)")
-    d.add_argument("deform_rig", help="deformed control rig OBJ (input 2)")
-    d.add_argument("-o", "--output", required=True, help="output OBJ path")
+    d.add_argument("mesh", help="rest-pose mesh (.obj/.geo/.hgeo, input 0)")
+    d.add_argument("rest_rig", help="rest control rig (.obj/.geo/.hgeo, input 1)")
+    d.add_argument("deform_rig", help="deformed control rig (.obj/.geo/.hgeo, input 2)")
+    d.add_argument("-o", "--output", required=True, help="output path (.obj or .geo)")
     d.add_argument("--blend", action="append", default=[],
                    help="blendshape OBJ (repeatable; inputs 3+)")
     d.add_argument("--group", default=None,
