@@ -32,6 +32,30 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("rest_rig", help="rest control rig (.obj/.geo/.hgeo, input 1)")
     d.add_argument("deform_rig", help="deformed control rig (.obj/.geo/.hgeo, input 2)")
     d.add_argument("-o", "--output", required=True, help="output path (.obj or .geo)")
+    _add_cook_flags(d)
+
+    s = sub.add_parser(
+        "deform-seq",
+        help="deform an animated sequence of posed rigs (one output per frame)",
+    )
+    s.add_argument("mesh", help="rest-pose mesh (.obj/.geo/.hgeo, input 0)")
+    s.add_argument("rest_rig", help="rest control rig (.obj/.geo/.hgeo, input 1)")
+    s.add_argument("deform_rigs", nargs="+",
+                   help="posed control rigs, one per frame (input 2 over time)")
+    s.add_argument("-o", "--outdir", required=True, help="output directory")
+    s.add_argument("--out-pattern", default="frame_%04d.obj",
+                   help="per-frame filename with a %%d frame index "
+                        "(.obj or .geo; default frame_%%04d.obj)")
+    _add_cook_flags(s)
+
+    b = sub.add_parser("bench", help="run the headline benchmark")
+    b.add_argument("--verts", type=int, default=1_000_000)
+    b.add_argument("--controls", type=int, default=1000)
+    return p
+
+
+def _add_cook_flags(d) -> None:
+    """The node's 16-parameter surface, shared by deform and deform-seq."""
     d.add_argument("--blend", action="append", default=[],
                    help="blendshape OBJ (repeatable; inputs 3+)")
     d.add_argument("--group", default=None,
@@ -67,28 +91,11 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--save-deformer", help="checkpoint the solved deformer (.npz)")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
 
-    b = sub.add_parser("bench", help="run the headline benchmark")
-    b.add_argument("--verts", type=int, default=1_000_000)
-    b.add_argument("--controls", type=int, default=1000)
-    return p
 
-
-def _cmd_deform(args) -> int:
+def _cfg_params_from(args):
     from facedeform_tpu.config import (
         DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
     )
-    from facedeform_tpu.geometry import load_mesh, save_mesh
-    from facedeform_tpu.geometry.topology import compute_tangent_frame
-    from facedeform_tpu.node import FaceDeformNode
-    from facedeform_tpu.utils.profiling import StageTimes, stage
-
-    times = StageTimes()
-    with stage("load", times):
-        # extension dispatch: Houdini .geo/.hgeo or OBJ, per input
-        mesh = load_mesh(args.mesh)
-        rest_rig = load_mesh(args.rest_rig)
-        deform_rig = load_mesh(args.deform_rig)
-        blends = [load_mesh(b) for b in args.blend]
 
     cfg = DeformConfig(
         model=RBFModelType[args.model.upper()],
@@ -108,6 +115,24 @@ def _cmd_deform(args) -> int:
         weight_lo=args.weight_range[0], weight_hi=args.weight_range[1],
         maxedges=args.maxedges,
     )
+    return cfg, params
+
+
+def _cmd_deform(args) -> int:
+    from facedeform_tpu.geometry import load_mesh, save_mesh
+    from facedeform_tpu.geometry.topology import compute_tangent_frame
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.utils.profiling import StageTimes, stage
+
+    times = StageTimes()
+    with stage("load", times):
+        # extension dispatch: Houdini .geo/.hgeo or OBJ, per input
+        mesh = load_mesh(args.mesh)
+        rest_rig = load_mesh(args.rest_rig)
+        deform_rig = load_mesh(args.deform_rig)
+        blends = [load_mesh(b) for b in args.blend]
+
+    cfg, params = _cfg_params_from(args)
     if cfg.tangent and not mesh.has_tangent_frame():
         with stage("tangent_frame", times):
             compute_tangent_frame(mesh)
@@ -135,6 +160,66 @@ def _cmd_deform(args) -> int:
     return 0
 
 
+def _cmd_deform_seq(args) -> int:
+    """Animated sequence: one cook per posed rig through a single node.
+
+    The node's data-id caches make the loop the per-frame step the
+    reference pays inside Houdini's animation: capture, DBSE setup, the
+    Z-order permutation and the dense-vs-culled autotune all hit after
+    frame 1; only the (rig-dependent) solve + eval re-run, on cached jit
+    programs.  For the collective-solve variant see
+    parallel.batched.fit_frames/apply_frames (docs/API.md, Scaling).
+    """
+    import os
+
+    from facedeform_tpu.geometry import load_mesh, save_mesh
+    from facedeform_tpu.geometry.topology import compute_tangent_frame
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.utils.profiling import StageTimes, stage
+
+    times = StageTimes()
+    with stage("load", times):
+        mesh = load_mesh(args.mesh)
+        rest_rig = load_mesh(args.rest_rig)
+        rigs = [load_mesh(p) for p in args.deform_rigs]
+        blends = [load_mesh(b) for b in args.blend]
+
+    cfg, params = _cfg_params_from(args)
+    if cfg.tangent and not mesh.has_tangent_frame():
+        with stage("tangent_frame", times):
+            compute_tangent_frame(mesh)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    if "%" not in args.out_pattern:
+        print("error: --out-pattern needs a %d frame index", file=sys.stderr)
+        return 1
+    node = FaceDeformNode()
+    warned: set = set()
+    t0 = time.time()
+    for f, rig in enumerate(rigs):
+        with stage(f"cook[{f}]", times):
+            res = node.cook(
+                [mesh, rest_rig, rig] + blends, cfg, params,
+                group=args.group, picked=args.picked,
+            )
+        for w in res.warnings:
+            if w not in warned:  # each distinct warning once per sequence
+                warned.add(w)
+                print(f"warning: {w}", file=sys.stderr)
+        out_path = os.path.join(args.outdir, args.out_pattern % f)
+        with stage("save", times):
+            save_mesh(out_path, res.mesh)
+    n = len(rigs)
+    dt = time.time() - t0
+    if args.timing:
+        print(f"timing: {times.summary()}", file=sys.stderr)
+    print(
+        f"wrote {n} frames to {args.outdir}/{args.out_pattern} "
+        f"({dt / max(n, 1) * 1e3:.0f} ms/frame incl. IO)"
+    )
+    return 0
+
+
 def _cmd_bench(args) -> int:
     # Shared measurement core (facedeform_tpu/benchmark.py) — this
     # subcommand and the repo-root bench.py report the same numbers.
@@ -149,6 +234,8 @@ def main(argv=None) -> int:
     try:
         if args.cmd == "deform":
             return _cmd_deform(args)
+        if args.cmd == "deform-seq":
+            return _cmd_deform_seq(args)
         if args.cmd == "bench":
             return _cmd_bench(args)
     except (FileNotFoundError, KeyError) as e:

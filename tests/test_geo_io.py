@@ -176,3 +176,30 @@ def test_cli_accepts_geo_inputs(tmp_path, rng):
     assert out.num_points == mesh.num_points
     assert np.abs(out.points - mesh.points).max() > 1e-3  # actually deformed
     assert "fd_falloff" in out.point_attrs
+
+
+def test_cli_deform_seq(tmp_path):
+    """deform-seq writes one output per posed rig; frames differ and the
+    node caches persist across frames (single capture)."""
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+
+    mesh = uv_sphere(10, 10)
+    rig_pts = fibonacci_points(16)
+    mesh_p = str(tmp_path / "mesh.geo")
+    rig_p = str(tmp_path / "rig.geo")
+    save_geo(mesh_p, mesh)
+    save_geo(rig_p, Mesh(points=rig_pts))
+    rig_frames = []
+    for f in range(3):
+        p = str(tmp_path / f"posed{f}.geo")
+        save_geo(p, Mesh(points=rig_pts * (1.0 + 0.04 * (f + 1))))
+        rig_frames.append(p)
+    outdir = str(tmp_path / "out")
+    rc = main(["deform-seq", mesh_p, rig_p, *rig_frames,
+               "-o", outdir, "--out-pattern", "f_%02d.geo"])
+    assert rc == 0
+    frames = [load_geo(str(tmp_path / "out" / f"f_{f:02d}.geo")) for f in range(3)]
+    m0 = np.abs(frames[0].points - mesh.points).max()
+    m2 = np.abs(frames[2].points - mesh.points).max()
+    assert 1e-4 < m0 < m2  # monotone growing pose
