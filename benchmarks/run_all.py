@@ -245,6 +245,63 @@ def config7_growing_kernel_precision(rng, n=4096):
     }
 
 
+def config8_cpd_preconditioned(rng, n=16384):
+    """Round-2 extension: large-N growing-kernel (TPS) fit past the dense
+    LU limit via |.|-block-Jacobi PMINRES (see ops/krylov.py).  Reports
+    the preconditioner's fixed-budget residual win over plain MINRES plus
+    the production fit's health numbers."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import (
+        DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
+    )
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops.assemble import assemble_rhs
+    from facedeform_tpu.ops.krylov import (
+        make_abs_block_jacobi, make_saddle_matvec, minres, pminres,
+    )
+
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE)
+    params = DeformParams(radius=1.0, lam=0.01)
+    # production fit (auto -> krylov above 8192): warm time + health
+    d = Deformer.fit(rest, deformed, cfg, params)
+    float(d.report.residual_norm)
+    t0 = _time.time()
+    d = Deformer.fit(rest, deformed, cfg, params)
+    float(d.report.residual_norm)
+    warm_s = _time.time() - t0
+    back = float(d.report.backward_error())
+
+    # fixed-budget preconditioner evidence (128 iterations each)
+    c = jnp.asarray(rest)
+    eps = jnp.ones((n,), jnp.float32)
+    lam = jnp.float32(0.01)
+    mv = make_saddle_matvec(c, RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam)
+    b = assemble_rhs(jnp.asarray(deformed - rest), PolyTerm.LINEAR)
+    ms = make_abs_block_jacobi(c, RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam)
+    x_p, _ = pminres(mv, b, ms, maxiter=128)
+    x_m, _ = minres(mv, b, maxiter=128)
+    r_p = float(jnp.linalg.norm(b - mv(x_p)))
+    r_m = float(jnp.linalg.norm(b - mv(x_m)))
+    from facedeform_tpu.utils.errors import KRYLOV_CPD_BACKWARD_RTOL
+
+    return {
+        "config": "8: TPS large-N fit (|.|-block-Jacobi PMINRES)",
+        "controls": n,
+        "warm_fit_s": warm_s,
+        "backward_error": back,
+        "resid_plain_minres_128it": r_m,
+        "resid_precond_128it": r_p,
+        "precond_residual_win": r_m / max(r_p, 1e-30),
+        "pass": bool(back < KRYLOV_CPD_BACKWARD_RTOL and r_p < r_m),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -253,7 +310,7 @@ def main():
     results = []
     for fn in (config1_gaussian_sphere, config2_kernel_zoo, config3_capture,
                config4_dbse, config5_animated, config6_large_n,
-               config7_growing_kernel_precision):
+               config7_growing_kernel_precision, config8_cpd_preconditioned):
         t0 = time.time()
         r = fn(rng)
         r["bench_wall_s"] = round(time.time() - t0, 2)
