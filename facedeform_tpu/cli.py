@@ -190,8 +190,16 @@ def _cmd_deform_seq(args) -> int:
             compute_tangent_frame(mesh)
 
     os.makedirs(args.outdir, exist_ok=True)
-    if "%" not in args.out_pattern:
-        print("error: --out-pattern needs a %d frame index", file=sys.stderr)
+    try:
+        probe = args.out_pattern % 0
+        if probe == args.out_pattern:
+            raise ValueError("no frame index substituted")
+    except (TypeError, ValueError) as e:
+        print(
+            f"error: --out-pattern must contain exactly one integer "
+            f"format field (e.g. frame_%04d.geo): {e}",
+            file=sys.stderr,
+        )
         return 1
     node = FaceDeformNode()
     warned: set = set()
@@ -211,6 +219,12 @@ def _cmd_deform_seq(args) -> int:
             save_mesh(out_path, res.mesh)
     n = len(rigs)
     dt = time.time() - t0
+    if args.save_deformer:
+        # the last frame's solved deformer (matches deform's semantics of
+        # checkpointing the state the node ended the run with)
+        from facedeform_tpu.utils import checkpoint
+
+        checkpoint.save(args.save_deformer, node._deformer)
     if args.timing:
         print(f"timing: {times.summary()}", file=sys.stderr)
     print(
@@ -238,8 +252,9 @@ def main(argv=None) -> int:
             return _cmd_deform_seq(args)
         if args.cmd == "bench":
             return _cmd_bench(args)
-    except (FileNotFoundError, KeyError) as e:
-        # KeyError: unknown --group name (message lists the known groups)
+    except (FileNotFoundError, KeyError, ValueError) as e:
+        # KeyError: unknown --group name (message lists the known groups);
+        # ValueError: malformed/classic .geo input (geo_io diagnosis)
         print(f"error: {e}", file=sys.stderr)
         return 1
     except Exception as e:

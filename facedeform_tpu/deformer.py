@@ -110,12 +110,16 @@ class Deformer:
         if check:
             # The CPD-kernel Krylov path converges to the f32 Krylov noise
             # floor, not the refined-LU floor — match the threshold to the
-            # route fit() actually took (see errors.KRYLOV_CPD_BACKWARD_RTOL).
-            from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+            # route fit() actually took, using the SAME predicate fit's
+            # routing uses (`not kernel_is_pd`, ops/fit.py) so the pair
+            # cannot drift if the kernel zoo grows.
+            from facedeform_tpu.ops.kernels import kernel_is_pd
 
+            # (QNN/MULTILAYER resolve to the PD gaussian, so this is
+            # exactly fit's else-branch condition.)
             cpd_krylov = (
                 fit_mod.uses_krylov(cfg, int(rest_ctrl.shape[0]))
-                and fit_mod.effective_kernel(cfg) in GROWING_KERNELS
+                and not kernel_is_pd(fit_mod.effective_kernel(cfg))
             )
             errors.check_solve(
                 report,

@@ -215,9 +215,31 @@ def _decode_primitives(prims: List[Any], pointref: np.ndarray):
 
 
 def load_geo(path: str) -> Mesh:
-    """Load a Houdini JSON .geo file into a Mesh (see module docstring)."""
-    with open(path, "r") as fh:
-        doc = json.load(fh)
+    """Load a Houdini JSON .geo file into a Mesh (see module docstring).
+
+    Raises ValueError with a one-line diagnosis for non-JSON inputs (the
+    pre-H12 classic ASCII format, binary .bgeo renamed to .geo, truncated
+    files) instead of leaking a JSONDecodeError traceback."""
+    try:
+        with open(path, "r") as fh:
+            head = fh.read(32)
+            fh.seek(0)
+            if head.startswith("PGEOMETRY"):
+                raise ValueError(
+                    f"{path}: classic (pre-Houdini-12) ASCII .geo is not "
+                    "supported — resave as JSON .geo (File > Save, or "
+                    "`geoconvert file.geo file.geo` in a modern Houdini)"
+                )
+            doc = json.load(fh)
+    except UnicodeDecodeError as e:
+        raise ValueError(
+            f"{path}: not a JSON .geo file (binary content — a .bgeo "
+            "renamed to .geo? resave as ASCII .geo)"
+        ) from e
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"{path}: malformed JSON .geo ({e.msg} at line {e.lineno})"
+        ) from e
     top = _pairs(doc)
     n_points = int(top.get("pointcount", 0))
 

@@ -252,7 +252,15 @@ def pminres(
     n, k = b.shape
     r = b if x0 is None else b - matvec(x0.astype(jnp.float32))
     z = msolve(r)
-    gamma1 = jnp.sqrt(jnp.maximum(jnp.sum(z * r, axis=0), 1e-30))  # (k,)
+    zr = jnp.sum(z * r, axis=0)                                    # (k,)
+    # Dead-column guard (mirrors minres): an exactly-zero (or converged)
+    # RHS column floors gamma1 at 1e-15, which never decays through the
+    # Givens recurrence — without zeroing its tracked residual the loop
+    # would run to maxiter for every solve containing a zero column
+    # (planar rig deltas are common).  The column's update stays 0.
+    alive0 = zr > 1e-25
+    gamma1 = jnp.where(alive0, jnp.sqrt(jnp.maximum(zr, 1e-30)), 1.0)
+    eta0 = jnp.where(alive0, gamma1, 0.0)
     bnorm = jnp.linalg.norm(b, axis=0)
 
     state = dict(
@@ -260,12 +268,12 @@ def pminres(
         v=r, v_prev=jnp.zeros_like(b),       # unpreconditioned residual pair
         z=z,                                 # z_j = M^-1 v_j
         gamma=gamma1, gamma_prev=jnp.ones((k,), jnp.float32),
-        eta=gamma1,
+        eta=eta0,
         c1=jnp.ones((k,), jnp.float32), c0=jnp.ones((k,), jnp.float32),
         s1=jnp.zeros((k,), jnp.float32), s0=jnp.zeros((k,), jnp.float32),
         w=jnp.zeros_like(b), w_prev=jnp.zeros_like(b),
         it=jnp.asarray(0, jnp.int32),
-        resid=gamma1,
+        resid=eta0,
         anorm=jnp.zeros((k,), jnp.float32),
     )
 

@@ -45,17 +45,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from facedeform_tpu.parallel.sharding import VERTEX_AXIS
 
 
+def _managed_pod_is_multihost() -> bool:
+    """True on a managed MULTI-host TPU pod where argless
+    jax.distributed.initialize() can auto-detect everything.
+
+    Single-host TPU VMs also export TPU_WORKER_HOSTNAMES (with one entry),
+    so the marker must show at least two workers — otherwise a plain
+    dev box would wrongly attempt distributed init (observed: this repo's
+    own TPU runtime sets a 1-entry TPU_WORKER_HOSTNAMES).
+    """
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) >= 2
+
+
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """jax.distributed.initialize with env fallbacks; safe no-op when
-    single-process.
+    """jax.distributed.initialize with env/pod auto-detection; safe no-op
+    on a genuinely single-process host.
 
-    Reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
-    when args are omitted (the names jax.distributed itself honors on
-    non-cloud clusters).  Call before any other JAX API touches devices.
+    Resolution order:
+      1. explicit args, or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+         JAX_PROCESS_ID env config (non-cloud clusters) -> initialize
+         with them;
+      2. a managed multi-host TPU pod (Cloud TPU / megascale worker env
+         markers present) -> argless jax.distributed.initialize(), which
+         auto-detects coordinator and process ids from the platform —
+         WITHOUT this branch each pod worker would silently run as an
+         independent single-process job and compute duplicated per-host
+         results;
+      3. otherwise: single host, nothing to coordinate, return.
+
+    Call before any other JAX API touches devices.
     """
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
@@ -65,6 +90,8 @@ def initialize(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and (num_processes or 1) <= 1:
+        if _managed_pod_is_multihost():
+            jax.distributed.initialize()  # platform auto-detection
         return  # single host: nothing to coordinate
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -203,3 +203,62 @@ def test_cli_deform_seq(tmp_path):
     m0 = np.abs(frames[0].points - mesh.points).max()
     m2 = np.abs(frames[2].points - mesh.points).max()
     assert 1e-4 < m0 < m2  # monotone growing pose
+
+
+def test_geo_malformed_inputs_diagnosed(tmp_path):
+    """Classic-format, binary, and truncated .geo raise one-line ValueError
+    (surfaced by the CLI as `error: ...`, not a traceback)."""
+    import pytest
+
+    classic = tmp_path / "classic.geo"
+    classic.write_text("PGEOMETRY V5\nNPoints 4 NPrims 1\n")
+    with pytest.raises(ValueError, match="classic"):
+        load_geo(str(classic))
+    binary = tmp_path / "fake.geo"
+    binary.write_bytes(b"\x93NUMPY\x01\x00\xff\xfe garbage")
+    with pytest.raises(ValueError, match="binary|not a JSON"):
+        load_geo(str(binary))
+    trunc = tmp_path / "trunc.geo"
+    trunc.write_text('["fileversion","19.5.303","pointcount",')
+    with pytest.raises(ValueError, match="malformed"):
+        load_geo(str(trunc))
+    # CLI surfaces it as rc=1 + one-line error
+    from facedeform_tpu.cli import main
+    rig = tmp_path / "rig.geo"
+    save_geo(str(rig), Mesh(points=np.zeros((4, 3), np.float32)))
+    rc = main(["deform", str(classic), str(rig), str(rig),
+               "-o", str(tmp_path / "o.geo")])
+    assert rc == 1
+
+
+def test_cli_deform_seq_bad_pattern(tmp_path):
+    from facedeform_tpu.cli import main
+
+    mesh_p = str(tmp_path / "m.geo")
+    save_geo(mesh_p, uv_sphere(4, 4))
+    rc = main(["deform-seq", mesh_p, mesh_p, mesh_p,
+               "-o", str(tmp_path / "out"), "--out-pattern", "f%q.obj"])
+    assert rc == 1
+    rc = main(["deform-seq", mesh_p, mesh_p, mesh_p,
+               "-o", str(tmp_path / "out"), "--out-pattern", "flat.obj"])
+    assert rc == 1
+
+
+def test_cli_deform_seq_save_deformer(tmp_path):
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.utils import checkpoint
+
+    mesh_p = str(tmp_path / "m.geo")
+    rig_p = str(tmp_path / "r.geo")
+    posed_p = str(tmp_path / "p.geo")
+    save_geo(mesh_p, uv_sphere(8, 8))
+    rig = fibonacci_points(12)
+    save_geo(rig_p, Mesh(points=rig))
+    save_geo(posed_p, Mesh(points=rig * 1.1))
+    ckpt = str(tmp_path / "d.npz")
+    rc = main(["deform-seq", mesh_p, rig_p, posed_p, "-o",
+               str(tmp_path / "out"), "--save-deformer", ckpt])
+    assert rc == 0
+    d = checkpoint.load(ckpt)
+    assert d.model.ctrl.shape == (12, 3)

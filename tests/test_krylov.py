@@ -233,3 +233,32 @@ def test_fit_krylov_tps_converges(rng):
     err = np.abs(outs["direct"] - outs["krylov"]).max()
     scale = np.abs(outs["direct"]).max()
     assert err < 5e-3 * scale + 1e-4, (err, scale)
+
+
+def test_pminres_zero_column_converges_immediately(rng):
+    """A zero RHS column (planar rig delta) must not stall pminres at
+    maxiter: its tracked residual is zeroed so live columns govern the
+    loop, and the returned column is exactly zero."""
+    from facedeform_tpu.ops.krylov import (
+        make_abs_block_jacobi, make_saddle_matvec, pminres,
+    )
+
+    n = 300
+    ctrl = jnp.asarray(fibonacci_points(n))
+    eps, lam = jnp.ones((n,), jnp.float32), jnp.float32(0.05)
+    mv = make_saddle_matvec(ctrl, RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam)
+    msolve = make_abs_block_jacobi(
+        ctrl, RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam, block=128
+    )
+    b = np.array(assemble_rhs(
+        jnp.asarray(0.05 * rng.standard_normal((n, 3)).astype(np.float32)),
+        PolyTerm.LINEAR,
+    ))
+    b[:, 2] = 0.0  # planar deformation
+    x, rep = pminres(mv, b, msolve)
+    x = np.asarray(x)
+    np.testing.assert_array_equal(x[:, 2], 0.0)
+    assert np.isfinite(x).all()
+    # live columns still solved
+    r = np.asarray(mv(jnp.asarray(x))) - b
+    assert np.abs(r[:, :2]).max() < 1e-2 * np.abs(b).max()

@@ -74,3 +74,26 @@ def test_replicated_pytree_sharding():
     g_model = multihost.replicated(d.model, mesh)
     leaf = jax.tree.leaves(g_model)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_initialize_pod_autodetect(monkeypatch):
+    """Multi-worker pod markers trigger argless jax.distributed.initialize
+    (auto-detection); single-host markers (this dev box exports a 1-entry
+    TPU_WORKER_HOSTNAMES) stay a no-op."""
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **k: calls.append((a, k)),
+    )
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "only-host")
+    multihost.initialize()
+    assert calls == []  # 1 worker -> single-host no-op
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1")
+    multihost.initialize()
+    assert calls == [((), {})]  # argless auto-detect path
+    calls.clear()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "")
+    monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "c:8476")
+    multihost.initialize()
+    assert calls == [((), {})]
