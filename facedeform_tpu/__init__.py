@@ -51,6 +51,7 @@ from facedeform_tpu.geometry.mesh import Mesh
 from facedeform_tpu.inverse import InverseRigResult, fit_rig
 from facedeform_tpu.node import CookResult, FaceDeformNode
 from facedeform_tpu.ops.fit import RBFModel, fit
+from facedeform_tpu.ops.pu import PUDeformer
 from facedeform_tpu.utils.errors import (
     CaptureError,
     FaceDeformError,

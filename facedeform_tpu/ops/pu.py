@@ -1,0 +1,591 @@
+"""Partition-of-unity (PU) RBF deformation: any-N rigs at dense precision.
+
+The global RBF fit has two scaling walls, both documented in README:
+XLA's dense LU runs out of VMEM near 16k controls, and past it the
+matrix-free f32 Krylov solves of the growing kernels (TPS/MQ/...) stall
+at the eps*kappa matvec noise floor (~1e-4 backward error).  The
+classical fix — and the spirit of ALGLIB v2's hierarchical models the
+reference leans on (src/SOP_FaceDeform.cpp:347) — is partition of unity
+(Wendland 2002): cover the control cloud with K overlapping spatial
+patches, solve each patch's SMALL dense system at full double-float
+precision, and blend the local interpolants with compactly-supported
+weights
+
+    s(x) = sum_k W_k(x) s_k(x) / sum_k W_k(x),
+    W_k(x) = wendland((|x - c_k| / R_k)),
+
+which is TPU-shaped end to end: the fit is a BATCH of (P+m)^2 LU-IR
+solves (vmapped over patches), and the eval is tiles of (tile_v x P)
+fused distance->phi->contract blocks — O(V * P * coverage) work instead
+of the global O(V * N).
+
+Exact interpolation at every control point holds BY CONSTRUCTION: patch
+k's control set is every control within its support radius R_k, so at a
+control x_i every patch with W_k(x_i) > 0 interpolates it and the blend
+of values d_i is d_i.  Patch coverage of the controls is likewise
+guaranteed (each control lies within its own slab's support).  Query
+points outside every support (far from the rig) fall back to their
+nearest patch's local interpolant — the PU analogue of RBF
+extrapolation; fields are C^2-smooth inside the covered region (Wendland
+C2 blend weights).
+
+Host-side patch/plan construction is cached by callers like capture
+(kd cells + cKDTree ball queries); everything per-frame is jitted.
+
+Measured (v5e, 50k-control TPS, defaults patch_size=192 / overlap=1.3):
+interp error at controls 6.7e-8 (the matrix-free Krylov route floors at
+~1e-4 backward there), warm fit 19.5 s (512 batched (552)^2 df LU-IR
+solves), 500k-point eval 2.1 s at coverage 2.8.  Sweeps: overlap 1.6 ->
+1.3 cut P 835 -> 548 and halved eval time at identical error; patch_size
+96 raised K to 1024 and slowed both phases.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from facedeform_tpu.config import PolyTerm, RBFKernel
+from facedeform_tpu.ops.kernels import apply_kernel
+from facedeform_tpu.ops.solve import SolveReport
+
+_HP = dict(
+    preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+)
+
+
+# --------------------------------------------------------------- host build
+def _median_nn(pts: np.ndarray) -> float:
+    """Median nearest-neighbor distance (the local fill scale)."""
+    from scipy.spatial import cKDTree
+
+    if len(pts) < 2:
+        return 1.0
+    d, _ = cKDTree(pts).query(pts, k=2)
+    return float(max(np.median(d[:, 1]), 1e-9))
+
+
+def _kd_cells(pts: np.ndarray, cell_size: int) -> list:
+    """Recursive widest-axis median splits into cells of <= cell_size.
+
+    Guarantees spatially COMPACT cells (each is the intersection of
+    half-spaces), unlike Z-order slabs whose curve discontinuities can
+    hand one slab points from opposite ends of the cloud — observed on a
+    sphere rig: one slab's bounding ball swallowed the entire rig and the
+    padded patch width exploded to N.
+    """
+    out: list = []
+
+    def split(idx: np.ndarray) -> None:
+        if len(idx) <= cell_size:
+            out.append(idx)
+            return
+        p = pts[idx]
+        axis = int(np.argmax(p.max(axis=0) - p.min(axis=0)))
+        half = len(idx) // 2
+        part = np.argpartition(p[:, axis], half)
+        split(idx[part[:half]])
+        split(idx[part[half:]])
+
+    split(np.arange(len(pts), dtype=np.int64))
+    return out
+
+
+class PUPatches(NamedTuple):
+    """Static (host-built) patch geometry; all arrays numpy."""
+
+    centers: np.ndarray   # (K, 3) f32
+    radii: np.ndarray     # (K,)  f32 support radii
+    idx: np.ndarray       # (K, P) int32 control indices, -1 padded
+    counts: np.ndarray    # (K,)  int32 live controls per patch
+    spacing: np.ndarray   # (K,)  f32 median nearest-neighbor distance
+
+
+def build_patches(
+    ctrl: np.ndarray, patch_size: int = 192, overlap: float = 1.3
+) -> PUPatches:
+    """kd-cells -> overlapping ball patches covering every control.
+
+    Invariant (exactness): patch k's control set is EVERY control within
+    R_k of its center — never truncated — so "in support => interpolated
+    by that patch" holds.  P (the padded width) is therefore data-driven:
+    denser overlap raises it.  overlap multiplies each slab's bounding
+    radius into its support radius; >1 guarantees every control sits
+    strictly inside its own slab's support.
+    """
+    from scipy.spatial import cKDTree
+
+    ctrl = np.asarray(ctrl, np.float32)
+    n = ctrl.shape[0]
+    if n <= patch_size:
+        centers = ctrl.mean(axis=0, keepdims=True)
+        r = float(np.linalg.norm(ctrl - centers, axis=1).max()) * overlap
+        idx = np.arange(n, dtype=np.int32)[None, :]
+        return PUPatches(
+            centers.astype(np.float32),
+            np.asarray([max(r, 1e-6)], np.float32),
+            idx,
+            np.asarray([n], np.int32),
+            np.asarray([_median_nn(ctrl)], np.float32),
+        )
+    slabs = _kd_cells(ctrl, patch_size)
+    centers = np.stack([ctrl[s].mean(axis=0) for s in slabs])
+    r_slab = np.asarray(
+        [np.linalg.norm(ctrl[s] - c, axis=1).max() for s, c in zip(slabs, centers)]
+    )
+    radii = np.maximum(r_slab * overlap, 1e-6).astype(np.float32)
+    tree = cKDTree(ctrl)
+    sets = [
+        np.asarray(tree.query_ball_point(c, r), np.int32)
+        for c, r in zip(centers, radii)
+    ]
+    pmax = max(len(s) for s in sets)
+    idx = np.full((len(sets), pmax), -1, np.int32)
+    for k, s in enumerate(sets):
+        idx[k, : len(s)] = s
+    counts = np.asarray([len(s) for s in sets], np.int32)
+    spacing = np.asarray([_median_nn(ctrl[s]) for s in slabs], np.float32)
+    return PUPatches(centers.astype(np.float32), radii, idx, counts, spacing)
+
+
+class PUModel(NamedTuple):
+    """Fitted PU model (pytree of arrays; kernel/term passed separately)."""
+
+    centers: jnp.ndarray  # (K, 3)
+    radii: jnp.ndarray    # (K,)
+    ctrl: jnp.ndarray     # (K, P, 3) padded patch controls
+    valid: jnp.ndarray    # (K, P) f32 mask
+    w_hi: jnp.ndarray     # (K, P, 3) double-float local RBF weights
+    w_lo: jnp.ndarray     # (K, P, 3)
+    poly_hi: jnp.ndarray  # (K, m, 3) local polynomial tails (centered basis)
+    poly_lo: jnp.ndarray  # (K, m, 3)
+    eps: jnp.ndarray      # (K,) per-patch kernel radius (see fit_pu eps="auto")
+
+
+def _n_poly(term: PolyTerm) -> int:
+    return {PolyTerm.LINEAR: 4, PolyTerm.CONSTANT: 1, PolyTerm.ZERO: 0}[
+        PolyTerm(term)
+    ]
+
+
+def _patch_poly_basis(local: jnp.ndarray, valid: jnp.ndarray, term: PolyTerm):
+    """(P, m) basis on CENTERED coordinates; padded rows zeroed."""
+    m = _n_poly(term)
+    if m == 0:
+        return jnp.zeros(local.shape[:-1] + (0,), jnp.float32)
+    cols = [jnp.ones_like(local[..., 0])]
+    if m == 4:
+        cols += [local[..., 0], local[..., 1], local[..., 2]]
+    p = jnp.stack(cols, axis=-1)
+    return p * valid[..., None]
+
+
+def _assemble_patch_df(
+    ctrl_k: jnp.ndarray,   # (P, 3) padded (pad rows arbitrary)
+    valid: jnp.ndarray,    # (P,) f32
+    center: jnp.ndarray,   # (3,)
+    kernel: RBFKernel,
+    term: PolyTerm,
+    eps: jnp.ndarray,
+    lam: jnp.ndarray,
+    tail_reg: float = 1e-8,
+):
+    """One patch's saddle system in double-float, padding masked to I.
+
+    Identical math to assemble_system_df but (a) coordinates are centered
+    on the patch (conditioning + consistent poly basis), (b) padded
+    rows/cols become identity rows with zero rhs so their solution is 0.
+    """
+    from facedeform_tpu.ops.dfloat import (
+        _phi_df, _sqdist_df, _two_prod, df_mul, df_recip,
+    )
+
+    p_ = ctrl_k.shape[0]
+    local = (ctrl_k - center) * valid[:, None]  # padded rows pinned at 0
+    d2 = _sqdist_df(local, local)
+    eps_v = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (p_,))
+    eps2 = _two_prod(eps_v, eps_v)
+    ieps2 = df_recip(eps2)
+    s = df_mul(d2, (ieps2[0][None, :], ieps2[1][None, :]))
+    phi_hi, phi_lo = _phi_df(kernel, s)
+    mask2 = (valid[:, None] * valid[None, :]) > 0
+    eye = jnp.eye(p_, dtype=jnp.float32)
+    phi_hi = jnp.where(mask2, phi_hi + lam * eye, eye)
+    phi_lo = jnp.where(mask2, phi_lo, 0.0)
+    pb = _patch_poly_basis(local, valid, term)  # (P, m)
+    m = pb.shape[-1]
+    if m == 0:
+        return phi_hi, phi_lo, local
+    tail = -tail_reg * jnp.eye(m, dtype=jnp.float32)
+    a_hi = jnp.concatenate(
+        [
+            jnp.concatenate([phi_hi, pb], axis=1),
+            jnp.concatenate([pb.T, tail], axis=1),
+        ],
+        axis=0,
+    )
+    a_lo = jnp.zeros_like(a_hi).at[:p_, :p_].set(phi_lo)
+    return a_hi, a_lo, local
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "term"))
+def _fit_chunk(
+    ctrl_chunk: jnp.ndarray,    # (C, P, 3)
+    valid_chunk: jnp.ndarray,   # (C, P)
+    centers_chunk: jnp.ndarray, # (C, 3)
+    rhs_chunk: jnp.ndarray,     # (C, P, 3)
+    eps_chunk: jnp.ndarray,     # (C,)
+    kernel: RBFKernel,
+    term: PolyTerm,
+    lam: jnp.ndarray,
+):
+    """Batched df assembly + LU-IR solve for a chunk of patches."""
+    from facedeform_tpu.ops.solve import lu_solve_refined_against_df
+
+    m = _n_poly(term)
+
+    def one(ctrl_k, valid, center, rhs, eps):
+        out = _assemble_patch_df(ctrl_k, valid, center, kernel, term, eps, lam)
+        a_hi, a_lo = out[0], out[1]
+        b = jnp.concatenate(
+            [rhs * valid[:, None], jnp.zeros((m, 3), jnp.float32)], axis=0
+        )
+        (x_hi, x_lo), report = lu_solve_refined_against_df(a_hi, a_lo, b)
+        return x_hi, x_lo, report
+
+    return jax.vmap(one)(
+        ctrl_chunk, valid_chunk, centers_chunk, rhs_chunk, eps_chunk
+    )
+
+
+def fit_pu(
+    rest_ctrl,
+    deformed_ctrl,
+    kernel: RBFKernel = RBFKernel.THIN_PLATE,
+    term: PolyTerm = PolyTerm.LINEAR,
+    eps="auto",
+    lam: float = 0.01,
+    patch_size: int = 192,
+    overlap: float = 1.3,
+    chunk: int = 16,
+    patches: Optional[PUPatches] = None,
+) -> tuple[PUModel, SolveReport]:
+    """Fit a PU-RBF displacement model at any N (dense df per patch).
+
+    eps="auto" (default) sets each patch's kernel radius to 2x its median
+    nearest-neighbor spacing — the classical PU shape-parameter choice.
+    A global eps >= the patch scale makes MQ/gaussian local bases nearly
+    flat (columns collinear with the polynomial tail): measured cond
+    4.7e10 at eps=0.5 on a 1.0-radius patch vs 2.2e6 at the spacing
+    scale, which is the difference between a 5e-3 and a 5e-5 interpolant.
+    Pass a float to force a shared radius anyway (TPS barely cares; the
+    flat-limit caveat applies to the others).
+
+    patches may be passed in (cached by callers on the rig's pos_id);
+    chunk bounds the batched-LU working set (chunk x (P+m)^2 buffers).
+    """
+    rest_np = np.asarray(rest_ctrl, np.float32)
+    delta = np.asarray(deformed_ctrl, np.float32) - rest_np
+    if patches is None:
+        patches = build_patches(rest_np, patch_size, overlap)
+    k_, p_ = patches.idx.shape
+    safe_idx = np.maximum(patches.idx, 0)
+    ctrl_pad = rest_np[safe_idx]                      # (K, P, 3)
+    rhs_pad = delta[safe_idx]
+    valid = (patches.idx >= 0).astype(np.float32)
+
+    if isinstance(eps, str):
+        if eps != "auto":
+            raise ValueError(f"eps must be a float or 'auto', got {eps!r}")
+        eps_arr = (2.0 * patches.spacing).astype(np.float32)
+    else:
+        eps_arr = np.full(k_, float(eps), np.float32)
+    lam_j = jnp.asarray(lam, jnp.float32)
+    xs_hi, xs_lo, reports = [], [], []
+    pad_k = (-k_) % chunk
+    for start in range(0, k_ + pad_k, chunk):
+        sl = slice(start, start + chunk)
+        cc = ctrl_pad[sl]
+        if cc.shape[0] < chunk:  # pad the tail chunk (same jit shape)
+            reps = chunk - cc.shape[0]
+            pad1 = lambda a: np.concatenate([a, np.repeat(a[-1:], reps, 0)])
+            cc = pad1(cc)
+            vv = pad1(valid[sl])
+            ce = pad1(patches.centers[sl])
+            rr = pad1(rhs_pad[sl])
+            ee = pad1(eps_arr[sl])
+            live = slice(0, chunk - reps)
+        else:
+            vv, ce, rr = valid[sl], patches.centers[sl], rhs_pad[sl]
+            ee = eps_arr[sl]
+            live = slice(0, chunk)
+        x_hi, x_lo, rep = _fit_chunk(
+            jnp.asarray(cc), jnp.asarray(vv), jnp.asarray(ce),
+            jnp.asarray(rr), jnp.asarray(ee), kernel, term, lam_j,
+        )
+        xs_hi.append(np.asarray(x_hi)[live])
+        xs_lo.append(np.asarray(x_lo)[live])
+        reports.append(rep)
+    x_hi = np.concatenate(xs_hi)   # (K, P+m, 3)
+    x_lo = np.concatenate(xs_lo)
+    m = _n_poly(term)
+    model = PUModel(
+        centers=jnp.asarray(patches.centers),
+        radii=jnp.asarray(patches.radii),
+        ctrl=jnp.asarray(ctrl_pad),
+        valid=jnp.asarray(valid),
+        w_hi=jnp.asarray(x_hi[:, :p_]),
+        w_lo=jnp.asarray(x_lo[:, :p_]),
+        poly_hi=jnp.asarray(x_hi[:, p_:]) if m else jnp.zeros((k_, 0, 3)),
+        poly_lo=jnp.asarray(x_lo[:, p_:]) if m else jnp.zeros((k_, 0, 3)),
+        eps=jnp.asarray(eps_arr),
+    )
+    # Aggregate health across all patches (reports are vmapped over the
+    # chunk axis, so every leaf carries a leading chunk dim).
+    res = np.concatenate([np.ravel(np.asarray(r.residual_norm)) for r in reports])
+    rhs = np.concatenate([np.ravel(np.asarray(r.rhs_norm)) for r in reports])
+    scale = np.concatenate([np.ravel(np.asarray(r.scale_norm)) for r in reports])
+    back = np.concatenate([np.ravel(np.asarray(r.col_backward)) for r in reports])
+    agg = SolveReport(
+        residual_norm=jnp.asarray(np.linalg.norm(res), jnp.float32),
+        rhs_norm=jnp.asarray(np.linalg.norm(rhs), jnp.float32),
+        # norm of per-patch denominators: keeps backward_error() a true
+        # normwise aggregate over the batched solves
+        scale_norm=jnp.asarray(np.linalg.norm(scale), jnp.float32),
+        cond_est=None,
+        col_backward=jnp.asarray([np.nanmax(back)], jnp.float32),
+    )
+    return model, agg
+
+
+# --------------------------------------------------------------- eval plan
+class PUEvalPlan(NamedTuple):
+    """Host-built (query-points x patches) tiling; cache on mesh.pos_id.
+
+    tiles_patch[t] is the single patch tile t evaluates; tiles_vidx[t] the
+    query-point rows it covers (-1 padding).  `forced` marks fallback
+    items (point outside every support -> nearest patch, blend weight 1).
+    """
+
+    tiles_patch: np.ndarray  # (T,)  int32
+    tiles_vidx: np.ndarray   # (T, tile_v) int32, -1 pad
+    forced: np.ndarray       # (T, tile_v) f32 (1.0 = fallback item)
+    num_points: int
+
+
+def plan_eval(
+    patches: PUPatches, points: np.ndarray, tile_v: int = 256
+) -> PUEvalPlan:
+    """Assign every query point its covering patches (+ nearest-patch
+    fallback when uncovered), packed into fixed-size per-patch tiles."""
+    from scipy.spatial import cKDTree
+
+    points = np.asarray(points, np.float32)
+    v = points.shape[0]
+    k_ = patches.centers.shape[0]
+    tree = cKDTree(points)
+    per_patch: list[np.ndarray] = []
+    covered = np.zeros(v, bool)
+    for k in range(k_):
+        hits = np.asarray(
+            tree.query_ball_point(patches.centers[k], patches.radii[k]),
+            np.int64,
+        )
+        per_patch.append(hits)
+        covered[hits] = True
+    forced_lists: list[list[int]] = [[] for _ in range(k_)]
+    if not covered.all():
+        un = np.nonzero(~covered)[0]
+        ctree = cKDTree(patches.centers)
+        # nearest center whose ball is closest relative to its radius
+        dists, nearest = ctree.query(points[un], k=min(4, k_))
+        dists = np.atleast_2d(dists)
+        nearest = np.atleast_2d(nearest)
+        rel = dists / patches.radii[nearest]
+        pick = nearest[np.arange(len(un)), rel.argmin(axis=1)]
+        for vi, k in zip(un, pick):
+            forced_lists[int(k)].append(int(vi))
+
+    tiles_patch, tiles_vidx, tiles_forced = [], [], []
+    for k in range(k_):
+        items = list(per_patch[k]) + forced_lists[k]
+        flags = [0.0] * len(per_patch[k]) + [1.0] * len(forced_lists[k])
+        for i in range(0, len(items), tile_v):
+            chunk_i = items[i: i + tile_v]
+            chunk_f = flags[i: i + tile_v]
+            pad = tile_v - len(chunk_i)
+            tiles_patch.append(k)
+            tiles_vidx.append(chunk_i + [-1] * pad)
+            tiles_forced.append(chunk_f + [0.0] * pad)
+    if not tiles_patch:  # degenerate: no patches (empty rig) — no tiles
+        tiles_patch, tiles_vidx, tiles_forced = [0], [[-1] * tile_v], [[0.0] * tile_v]
+    return PUEvalPlan(
+        tiles_patch=np.asarray(tiles_patch, np.int32),
+        tiles_vidx=np.asarray(tiles_vidx, np.int32),
+        forced=np.asarray(tiles_forced, np.float32),
+        num_points=v,
+    )
+
+
+def _wendland_c2(r: jnp.ndarray) -> jnp.ndarray:
+    """Compact C2 blend weight on [0, 1]: (1-r)^4 (4r+1)."""
+    r = jnp.clip(r, 0.0, 1.0)
+    om = 1.0 - r
+    om2 = om * om
+    return om2 * om2 * (4.0 * r + 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "term", "num_points"))
+def evaluate_pu(
+    model: PUModel,
+    points: jnp.ndarray,
+    tiles_patch: jnp.ndarray,
+    tiles_vidx: jnp.ndarray,
+    forced: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    num_points: int,
+) -> jnp.ndarray:
+    """PU displacement field: (V, 3) from the tiled eval plan.
+
+    Per tile: (tile_v x P) distance -> phi -> df-weight contraction
+    against ONE patch (dynamic index), Wendland blend weight, then a
+    global segment-sum over query rows normalizes the partition.
+    """
+    pts = points.astype(jnp.float32)
+    m = model.poly_hi.shape[1]
+
+    from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+    use_df = kernel in GROWING_KERNELS
+
+    def one_tile(args):
+        kidx, vidx, force = args
+        x = pts[jnp.clip(vidx, 0, num_points - 1)]         # (tv, 3)
+        ctrl_k = model.ctrl[kidx]                          # (P, 3)
+        valid = model.valid[kidx]                          # (P,)
+        center = model.centers[kidx]
+        local = (ctrl_k - center) * valid[:, None]
+        xl = x - center
+        w_hi, w_lo = model.w_hi[kidx], model.w_lo[kidx]
+        if use_df:
+            # Growing kernels: patch-local MQ/TPS bases are nearly flat
+            # across the patch, so the weights cancel massively against
+            # the polynomial tail — an f32 contraction loses
+            # u * sum|phi w| ~ 1e-3 (measured on MQ).  Compute phi and
+            # the contraction in double-float, like the global precise
+            # eval path (ops/precise_eval.py).
+            from facedeform_tpu.ops.dfloat import (
+                _df_sum_axis0, _phi_df, _sqdist_df, _two_prod,
+                df_add, df_mul, df_recip,
+            )
+
+            d2 = _sqdist_df(xl, local)                     # (tv, P) df
+            eps_v = jnp.broadcast_to(model.eps[kidx], (local.shape[0],))
+            e2 = _two_prod(eps_v, eps_v)
+            ie2 = df_recip(e2)
+            s = df_mul(d2, (ie2[0][None, :], ie2[1][None, :]))
+            ph, pl = _phi_df(kernel, s)
+            ph = ph * valid[None, :]
+            pl = pl * valid[None, :]
+            prod = df_mul(
+                (ph[:, :, None], pl[:, :, None]),
+                (w_hi[None], w_lo[None]),
+            )                                              # (tv, P, 3) df
+            hi, lo = _df_sum_axis0(
+                jnp.moveaxis(prod[0], 1, 0), jnp.moveaxis(prod[1], 1, 0)
+            )
+            disp_df = (hi, lo)
+            if m:
+                pb = _patch_poly_basis(xl, jnp.ones(x.shape[0]), term)
+                tail = (
+                    jnp.dot(pb, model.poly_hi[kidx], **_HP),
+                    jnp.dot(pb, model.poly_lo[kidx], **_HP),
+                )
+                disp_df = df_add(disp_df, tail)
+            disp = disp_df[0] + disp_df[1]
+        else:
+            d2 = (
+                jnp.sum(xl * xl, axis=1)[:, None]
+                - 2.0 * jnp.dot(xl, local.T, **_HP)
+                + jnp.sum(local * local, axis=1)[None, :]
+            )
+            d2 = jnp.maximum(d2, 0.0)
+            phi = apply_kernel(kernel, d2, model.eps[kidx]) * valid[None, :]
+            disp = jnp.dot(phi, w_hi, **_HP) + jnp.dot(phi, w_lo, **_HP)
+            if m:
+                pb = _patch_poly_basis(xl, jnp.ones(x.shape[0]), term)
+                disp = disp + jnp.dot(
+                    pb, model.poly_hi[kidx] + model.poly_lo[kidx], **_HP
+                )
+        r = jnp.linalg.norm(xl, axis=1) / jnp.maximum(model.radii[kidx], 1e-30)
+        w = jnp.maximum(_wendland_c2(r), 0.0)
+        w = jnp.where(force > 0, 1.0, w)                   # fallback items
+        w = jnp.where(vidx >= 0, w, 0.0)                   # padding
+        return disp * w[:, None], w
+
+    # batch_size vmaps groups of tiles: a bare sequential scan over ~1e4
+    # tiny (tile_v x P) blocks would serialize the chip.
+    disp_t, w_t = jax.lax.map(
+        one_tile, (tiles_patch, tiles_vidx, forced), batch_size=64
+    )                                                       # (T, tv, 3/())
+    seg = jnp.where(
+        tiles_vidx.reshape(-1) >= 0, tiles_vidx.reshape(-1), num_points
+    )
+    acc_d = jax.ops.segment_sum(
+        disp_t.reshape(-1, 3), seg, num_segments=num_points + 1
+    )[:num_points]
+    acc_w = jax.ops.segment_sum(
+        w_t.reshape(-1), seg, num_segments=num_points + 1
+    )[:num_points]
+    return acc_d / jnp.maximum(acc_w, 1e-20)[:, None]
+
+
+class PUDeformer:
+    """Solve-once / eval-many facade over fit_pu + evaluate_pu.
+
+    Mirrors Deformer's surface for the any-N regime; eval plans are cached
+    per query-point buffer identity (id + length) like the node's data-id
+    caches.
+    """
+
+    def __init__(self, model: PUModel, patches: PUPatches,
+                 kernel: RBFKernel, term: PolyTerm):
+        self.model = model
+        self.patches = patches
+        self.kernel = kernel
+        self.term = term
+        self._plan_cache: dict = {}
+
+    @classmethod
+    def fit(cls, rest_ctrl, deformed_ctrl, kernel=RBFKernel.THIN_PLATE,
+            term=PolyTerm.LINEAR, eps="auto", lam=0.01,
+            patch_size=192, overlap=1.3) -> "PUDeformer":
+        patches = build_patches(np.asarray(rest_ctrl, np.float32),
+                                patch_size, overlap)
+        model, report = fit_pu(
+            rest_ctrl, deformed_ctrl, kernel, term, eps, lam,
+            patches=patches,
+        )
+        self = cls(model, patches, kernel, term)
+        self.report = report
+        return self
+
+    def displacement(self, points, plan: Optional[PUEvalPlan] = None):
+        points_np = np.asarray(points, np.float32)
+        if plan is None:
+            key = (points_np.shape[0], points_np.tobytes()[:64])
+            plan = self._plan_cache.get(key)
+            if plan is None:
+                plan = plan_eval(self.patches, points_np)
+                self._plan_cache[key] = plan
+        return evaluate_pu(
+            self.model, jnp.asarray(points_np),
+            jnp.asarray(plan.tiles_patch), jnp.asarray(plan.tiles_vidx),
+            jnp.asarray(plan.forced), self.kernel, self.term,
+            plan.num_points,
+        )

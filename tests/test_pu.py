@@ -1,0 +1,107 @@
+"""Partition-of-unity RBF: patch invariants, exactness, parity, fallback."""
+
+import numpy as np
+import pytest
+
+from facedeform_tpu import DeformConfig, DeformParams, Deformer, RBFModelType
+from facedeform_tpu.config import PolyTerm, RBFKernel
+from facedeform_tpu.geometry.primitives import fibonacci_points
+from facedeform_tpu.ops import pu
+
+
+def _smooth_rig(n, rng=None):
+    rest = fibonacci_points(n)
+    disp = (
+        0.1
+        * np.exp(-3 * np.sum((rest - [0, 1, 0]) ** 2, -1, keepdims=True))
+        .astype(np.float32)
+        * np.float32([0, 1, 0])
+    )
+    return rest, disp
+
+
+def test_kd_cells_compact_and_complete(rng):
+    pts = rng.standard_normal((1000, 3)).astype(np.float32)
+    cells = pu._kd_cells(pts, 64)
+    all_idx = np.sort(np.concatenate(cells))
+    np.testing.assert_array_equal(all_idx, np.arange(1000))
+    assert max(len(c) for c in cells) <= 64
+    # compactness: every cell's bounding radius well under the cloud's
+    cloud_r = np.linalg.norm(pts - pts.mean(0), axis=1).max()
+    for c in cells:
+        center = pts[c].mean(0)
+        assert np.linalg.norm(pts[c] - center, axis=1).max() < 0.75 * cloud_r
+
+
+def test_build_patches_invariants():
+    rest, _ = _smooth_rig(2000)
+    patches = pu.build_patches(rest, patch_size=64, overlap=1.6)
+    k_, p_ = patches.idx.shape
+    assert p_ < 2000  # patches are genuinely local (no global swallow)
+    # exactness invariant: patch control set == ALL controls within R_k
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(rest)
+    for k in range(0, k_, 7):
+        ball = set(tree.query_ball_point(patches.centers[k], patches.radii[k]))
+        stored = set(patches.idx[k][: patches.counts[k]].tolist())
+        assert stored == ball
+    # coverage: every control strictly inside at least one support
+    d = np.linalg.norm(
+        rest[None, :, :] - patches.centers[:, None, :], axis=-1
+    )  # (K, N)
+    assert (d < patches.radii[:, None] - 1e-7).any(axis=0).all()
+
+
+def test_pu_exact_interpolation_and_global_parity(rng):
+    """Interpolation error at controls within the repo's 5e-5 budget, and
+    agreement with the global dense-df fit on a smooth field."""
+    rest, disp = _smooth_rig(2000)
+    # lam smooths: the residual at controls is ~lam*|w| (same as the
+    # global fit) — use a tiny lam so the assert tests the method, not
+    # the regularizer.
+    d = pu.PUDeformer.fit(
+        rest, rest + disp, kernel=RBFKernel.THIN_PLATE,
+        eps="auto", lam=1e-5, patch_size=64,
+    )
+    assert float(d.report.backward_error()) < 1e-9
+    got = np.asarray(d.displacement(rest))
+    assert np.abs(got - disp).max() < 5e-5
+    q = (fibonacci_points(1000) * 1.01).astype(np.float32)
+    pu_q = np.asarray(d.displacement(q))
+    g = Deformer.fit(
+        rest, rest + disp,
+        DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE,
+                     solver="direct"),
+        DeformParams(radius=1.0, lam=0.01),  # min clamp is 0.01
+    )
+    g_q = np.asarray(g.displacement(q))
+    # different methods AND different lam (global clamps at 0.01):
+    # agreement on a smooth field is approximate
+    assert np.abs(pu_q - g_q).max() < 2e-2 * max(np.abs(g_q).max(), 1e-6) + 5e-5
+
+
+def test_pu_far_points_fallback_finite():
+    rest, disp = _smooth_rig(600)
+    d = pu.PUDeformer.fit(rest, rest + disp, patch_size=64)
+    far = np.float32([[6, 6, 6], [0, 0, -9], [100, 0, 0]])
+    out = np.asarray(d.displacement(far))
+    assert np.isfinite(out).all()
+
+
+def test_pu_small_rig_single_patch():
+    rest, disp = _smooth_rig(50)
+    d = pu.PUDeformer.fit(rest, rest + disp, patch_size=192, lam=1e-6)
+    assert d.patches.idx.shape[0] == 1
+    got = np.asarray(d.displacement(rest))
+    assert np.abs(got - disp).max() < 5e-5
+
+
+@pytest.mark.parametrize("kernel", [RBFKernel.GAUSSIAN, RBFKernel.MULTIQUADRIC])
+def test_pu_other_kernels(kernel):
+    rest, disp = _smooth_rig(800)
+    d = pu.PUDeformer.fit(
+        rest, rest + disp, kernel=kernel, eps="auto", lam=1e-5, patch_size=64
+    )
+    got = np.asarray(d.displacement(rest))
+    assert np.abs(got - disp).max() < 5e-5
