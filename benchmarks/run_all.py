@@ -302,6 +302,47 @@ def config8_cpd_preconditioned(rng, n=16384):
     }
 
 
+def config9_pu_any_n(rng, n=30000, n_query=200000):
+    """Round-2 extension: partition-of-unity TPS fit past the dense limit
+    at dense double-float precision (ops/pu.py) — interpolation error at
+    the controls is the claim the Krylov route cannot make there."""
+    import time as _time
+
+    from facedeform_tpu.config import RBFKernel
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops.pu import PUDeformer
+
+    rest = fibonacci_points(n)
+    disp = (
+        0.1
+        * np.exp(-3 * np.sum((rest - [0, 1, 0]) ** 2, -1, keepdims=True))
+        .astype(np.float32)
+        * np.float32([0, 1, 0])
+    )
+    d = PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE, lam=1e-5)
+    t0 = _time.time()
+    d = PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE, lam=1e-5)
+    warm_fit_s = _time.time() - t0
+    got = np.asarray(d.displacement(rest))
+    interp_err = float(np.abs(got - disp).max())
+    q = (fibonacci_points(n_query) * 1.01).astype(np.float32)
+    out = np.asarray(d.displacement(q))     # cold: builds + caches the plan
+    t0 = _time.time()
+    out = np.asarray(d.displacement(q))
+    eval_s = _time.time() - t0
+    return {
+        "config": "9: PU any-N TPS (dense df per patch)",
+        "controls": n,
+        "patches": int(d.patches.idx.shape[0]),
+        "patch_width": int(d.patches.idx.shape[1]),
+        "warm_fit_s": warm_fit_s,
+        "interp_err_at_controls": interp_err,
+        "query_points": n_query,
+        "warm_eval_s": eval_s,
+        "pass": bool(interp_err < PARITY_BUDGET and np.isfinite(out).all()),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -310,7 +351,8 @@ def main():
     results = []
     for fn in (config1_gaussian_sphere, config2_kernel_zoo, config3_capture,
                config4_dbse, config5_animated, config6_large_n,
-               config7_growing_kernel_precision, config8_cpd_preconditioned):
+               config7_growing_kernel_precision, config8_cpd_preconditioned,
+               config9_pu_any_n):
         t0 = time.time()
         r = fn(rng)
         r["bench_wall_s"] = round(time.time() - t0, 2)

@@ -100,8 +100,32 @@ class KernelZooDeformModel(_DeformModelBase):
         return DeformParams(radius=self.radius, lam=self.lam)
 
 
+@dataclasses.dataclass(frozen=True)
+class PartitionOfUnityModel(_DeformModelBase):
+    """Any-N precision family (rebuild extension, ops/pu.py): overlapping
+    kd-cell patches, dense double-float solves, Wendland-blended eval.
+    The full-precision counterpart of ALGLIB v2's hierarchical any-N
+    models.  fit() returns a PUDeformer (displacement-only surface)."""
+
+    kernel: RBFKernel = RBFKernel.THIN_PLATE
+    eps: object = "auto"     # per-patch shape parameter, or a float
+    lam: float = 0.01
+    patch_size: int = 192
+    overlap: float = 1.3
+
+    def fit(self, rest_ctrl, deformed_ctrl):
+        from facedeform_tpu.ops.pu import PUDeformer
+
+        return PUDeformer.fit(
+            rest_ctrl, deformed_ctrl, kernel=self.kernel, term=self.term,
+            eps=self.eps, lam=self.lam, patch_size=self.patch_size,
+            overlap=self.overlap,
+        )
+
+
 __all__ = [
     "QNNDeformModel",
     "MultilayerDeformModel",
     "KernelZooDeformModel",
+    "PartitionOfUnityModel",
 ]
