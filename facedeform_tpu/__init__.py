@@ -73,6 +73,7 @@ __all__ = [
     "ProximityCapture",
     "CaptureResult",
     "Mesh",
+    "PUDeformer",
     "RBFModel",
     "fit",
     "fit_rig",

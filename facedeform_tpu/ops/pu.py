@@ -329,7 +329,9 @@ def fit_pu(
         )
         xs_hi.append(np.asarray(x_hi)[live])
         xs_lo.append(np.asarray(x_lo)[live])
-        reports.append(rep)
+        # slice report rows like the solutions: the tail chunk's padded
+        # duplicate patches must not overweight the aggregate
+        reports.append(jax.tree.map(lambda a: np.asarray(a)[live], rep))
     x_hi = np.concatenate(xs_hi)   # (K, P+m, 3)
     x_lo = np.concatenate(xs_lo)
     m = _n_poly(term)
@@ -390,21 +392,32 @@ def plan_eval(
     tree = cKDTree(points)
     per_patch: list[np.ndarray] = []
     covered = np.zeros(v, bool)
+    # Coverage needs a margin: at r -> R the Wendland blend weight
+    # underflows ((1-r/R)^4 ~ 1e-29 inside the last 1e-7 of the support),
+    # and a point whose ONLY patch weight underflows would divide ~0/clamp
+    # and read as undeformed — a C0 seam right at the coverage boundary.
+    # Points in the thin (0.9999R, R] shell therefore ALSO get the
+    # nearest-patch fallback item; the blend stays continuous because a
+    # single-patch ratio W s / W equals s at any W > 0.
+    margin = 0.9999
     for k in range(k_):
         hits = np.asarray(
             tree.query_ball_point(patches.centers[k], patches.radii[k]),
             np.int64,
         )
         per_patch.append(hits)
-        covered[hits] = True
+        if hits.size:
+            d = np.linalg.norm(points[hits] - patches.centers[k], axis=1)
+            covered[hits[d <= margin * patches.radii[k]]] = True
     forced_lists: list[list[int]] = [[] for _ in range(k_)]
     if not covered.all():
         un = np.nonzero(~covered)[0]
         ctree = cKDTree(patches.centers)
         # nearest center whose ball is closest relative to its radius
-        dists, nearest = ctree.query(points[un], k=min(4, k_))
-        dists = np.atleast_2d(dists)
-        nearest = np.atleast_2d(nearest)
+        kq = min(4, k_)
+        dists, nearest = ctree.query(points[un], k=kq)
+        dists = np.asarray(dists).reshape(len(un), kq)
+        nearest = np.asarray(nearest).reshape(len(un), kq)
         rel = dists / patches.radii[nearest]
         pick = nearest[np.arange(len(un)), rel.argmin(axis=1)]
         for vi, k in zip(un, pick):
@@ -431,12 +444,9 @@ def plan_eval(
     )
 
 
-def _wendland_c2(r: jnp.ndarray) -> jnp.ndarray:
-    """Compact C2 blend weight on [0, 1]: (1-r)^4 (4r+1)."""
-    r = jnp.clip(r, 0.0, 1.0)
-    om = 1.0 - r
-    om2 = om * om
-    return om2 * om2 * (4.0 * r + 1.0)
+# The PU blend weight IS the Wendland C2 kernel — reuse the zoo's
+# implementation (ops/kernels.apply_kernel) rather than re-deriving the
+# polynomial here and letting two copies drift.
 
 
 @functools.partial(jax.jit, static_argnames=("kernel", "term", "num_points"))
@@ -522,8 +532,10 @@ def evaluate_pu(
                 disp = disp + jnp.dot(
                     pb, model.poly_hi[kidx] + model.poly_lo[kidx], **_HP
                 )
-        r = jnp.linalg.norm(xl, axis=1) / jnp.maximum(model.radii[kidx], 1e-30)
-        w = jnp.maximum(_wendland_c2(r), 0.0)
+        d2c = jnp.sum(xl * xl, axis=1)
+        w = apply_kernel(
+            RBFKernel.WENDLAND_C2, d2c, jnp.maximum(model.radii[kidx], 1e-30)
+        )
         w = jnp.where(force > 0, 1.0, w)                   # fallback items
         w = jnp.where(vidx >= 0, w, 0.0)                   # padding
         return disp * w[:, None], w
@@ -542,15 +554,21 @@ def evaluate_pu(
     acc_w = jax.ops.segment_sum(
         w_t.reshape(-1), seg, num_segments=num_points + 1
     )[:num_points]
-    return acc_d / jnp.maximum(acc_w, 1e-20)[:, None]
+    # plan_eval's coverage margin guarantees every live point has either a
+    # non-underflowed blend weight or a forced (w=1) fallback item, so
+    # acc_w > ~5e-17 always; the where keeps the op total for empty rows.
+    return jnp.where(
+        (acc_w > 1e-30)[:, None], acc_d / jnp.maximum(acc_w, 1e-30)[:, None], 0.0
+    )
 
 
 class PUDeformer:
     """Solve-once / eval-many facade over fit_pu + evaluate_pu.
 
     Mirrors Deformer's surface for the any-N regime; eval plans are cached
-    per query-point buffer identity (id + length) like the node's data-id
-    caches.
+    by a full content digest of the query buffer (bounded LRU-ish cache) —
+    a prefix key would silently reuse a stale plan for a buffer that only
+    differs past the prefix.
     """
 
     def __init__(self, model: PUModel, patches: PUPatches,
@@ -578,10 +596,17 @@ class PUDeformer:
     def displacement(self, points, plan: Optional[PUEvalPlan] = None):
         points_np = np.asarray(points, np.float32)
         if plan is None:
-            key = (points_np.shape[0], points_np.tobytes()[:64])
+            import hashlib
+
+            key = (
+                points_np.shape,
+                hashlib.blake2b(points_np.tobytes(), digest_size=16).digest(),
+            )
             plan = self._plan_cache.get(key)
             if plan is None:
                 plan = plan_eval(self.patches, points_np)
+                while len(self._plan_cache) >= 8:  # bound the cache
+                    self._plan_cache.pop(next(iter(self._plan_cache)))
                 self._plan_cache[key] = plan
         return evaluate_pu(
             self.model, jnp.asarray(points_np),

@@ -105,3 +105,51 @@ def test_pu_other_kernels(kernel):
     )
     got = np.asarray(d.displacement(rest))
     assert np.abs(got - disp).max() < 5e-5
+
+
+def test_pu_plan_cache_not_fooled_by_prefix(rng):
+    """Two query sets sharing length and leading points must not share an
+    eval plan (the old prefix-keyed cache returned zeros for the moved
+    tail points)."""
+    rest, disp = _smooth_rig(600)
+    d = pu.PUDeformer.fit(rest, rest + disp, patch_size=64, lam=1e-5)
+    q1 = (fibonacci_points(200) * 1.01).astype(np.float32)
+    q2 = q1.copy()
+    q2[100:] += np.float32([5, 5, 5])          # same prefix, moved tail
+    out1 = np.asarray(d.displacement(q1))
+    out2 = np.asarray(d.displacement(q2))
+    fresh = pu.PUDeformer.fit(rest, rest + disp, patch_size=64, lam=1e-5)
+    ref2 = np.asarray(fresh.displacement(q2))
+    np.testing.assert_allclose(out2, ref2, atol=1e-6)
+    assert np.abs(out1[:100] - out2[:100]).max() < 1e-6  # prefix agrees
+
+
+def test_pu_single_patch_many_far_points():
+    """K == 1 with several uncovered points exercised the (n, k) reshape
+    bug in the nearest-patch fallback query."""
+    rest, disp = _smooth_rig(40)
+    d = pu.PUDeformer.fit(rest, rest + disp, patch_size=192, lam=1e-6)
+    assert d.patches.idx.shape[0] == 1
+    far = np.float32([[4, 4, 4], [0, 0, -7], [9, 0, 0], [0, 9, 0]])
+    out = np.asarray(d.displacement(far))
+    assert np.isfinite(out).all()
+
+
+def test_pu_no_seam_at_coverage_boundary():
+    """Displacement must be continuous across the support boundary: the
+    blend-weight underflow shell used to collapse to ~0 between two
+    correctly-deformed regions."""
+    rest, disp = _smooth_rig(60)
+    d = pu.PUDeformer.fit(rest, rest + disp, patch_size=192, lam=1e-6)
+    c = np.asarray(d.model.centers[0])
+    R = float(d.model.radii[0])
+    ray = np.float32([0, 1, 0])
+    qs = np.stack([
+        c + ray * R * (1.0 - 1e-3),
+        c + ray * R * (1.0 - 1e-7),   # underflow shell
+        c + ray * R * (1.0 + 1e-3),
+    ]).astype(np.float32)
+    out = np.asarray(d.displacement(qs))
+    # all three nearly equal (same local interpolant, continuous blend)
+    assert np.abs(out[1] - out[0]).max() < 1e-4
+    assert np.abs(out[2] - out[1]).max() < 1e-4
