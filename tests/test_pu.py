@@ -153,3 +153,16 @@ def test_pu_no_seam_at_coverage_boundary():
     # all three nearly equal (same local interpolant, continuous blend)
     assert np.abs(out[1] - out[0]).max() < 1e-4
     assert np.abs(out[2] - out[1]).max() < 1e-4
+
+
+def test_pu_f32_matches_df_with_auto_eps():
+    """eps='auto' keeps local bases well-conditioned enough that the fast
+    f32 tile eval matches the df tiles (the adaptive `precise` default)."""
+    rest, disp = _smooth_rig(1200)
+    d = pu.PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE,
+                          patch_size=64, lam=1e-5)
+    assert d.auto_eps
+    q = (fibonacci_points(500) * 1.01).astype(np.float32)
+    fast = np.asarray(d.displacement(q, precise=False))
+    slow = np.asarray(d.displacement(q, precise=True))
+    np.testing.assert_allclose(fast, slow, atol=5e-6)
