@@ -1,0 +1,323 @@
+"""Fused Mosaic kernel for the partition-of-unity tile eval.
+
+The XLA composition in ops/pu.evaluate_pu (lax.map over per-patch tiles
+plus a 1.4M-row segment_sum) sustains ~10 Gpair-ops/s on v5e.  This
+kernel runs the whole plan as ONE pallas_call over (vertex tile, patch)
+ITEMS sorted by vertex tile:
+
+  * patch indirection by scalar prefetch — each per-patch operand's
+    index_map picks block item_patch[i] (the block-sparse / MoE expert
+    gather pattern);
+  * the OUTPUT block's index_map returns item_vt[i], which repeats for
+    consecutive items, so Mosaic keeps the accumulator resident in VMEM
+    across a tile's items (the matmul-k-loop revisiting rule) — the
+    kernel accumulates w * s_k(x) and w in place and NO scatter /
+    segment_sum exists anywhere;
+  * a first-visit @pl.when zero-initializes each accumulator block, and
+    a tile-level early-out skips patches that only graze the tile.
+
+Per item, the body mirrors ops/pallas_eval's VPU-only layout: (3, TV)
+points against (P, 3) patch controls via broadcast squared differences,
+phi on the VPU (+ transcendental unit), weighted sublane reductions for
+the contraction, centered polynomial tail, Wendland-C2 partition weight.
+
+f32 only: this is the eps="auto" fast path (well-conditioned local
+bases, measured equal to the df tiles at 7.5e-8 — see
+PUDeformer.displacement); precise=True stays on the XLA df tiles.
+
+Measured (v5e, 20k-control TPS, 500k device-resident query points,
+explicit PUTilePlan): 138 ms vs 363 ms for the XLA composition (whose
+segment_sum alone measures ~600 ms at full plan width) — and both paths
+are tunnel-transfer-bound (~0.6 s per 6 MB h2d) when callers re-upload
+host points per frame; keep points device-resident and pass the plan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from facedeform_tpu.config import PolyTerm, RBFKernel
+from facedeform_tpu.ops.pallas_eval import _phi
+
+
+# ------------------------------------------------- vertex-tile-major variant
+class PUTilePlan:
+    """Vertex-tile-major eval plan (host-built; cache alongside the model).
+
+    The per-patch plan above needs a 1.4M-row segment_sum to scatter tile
+    contributions back to vertices — measured comparable to the whole
+    compute on v5e.  This plan inverts the nesting: the grid walks
+    (vertex_tile, patch) ITEMS sorted by vertex tile, the output block's
+    index_map returns the vertex tile, and Mosaic's revisiting rule keeps
+    that block resident in VMEM across its consecutive items — the kernel
+    ACCUMULATES displacement and partition weight in place and the final
+    normalize is one elementwise op.  No scatter anywhere.
+
+    Query points should be spatially ordered (the builder Z-orders
+    internally and records the permutation) so each vertex tile intersects
+    few patch balls.
+    """
+
+    def __init__(self, item_patch, item_vt, forced_patch, perm, inv_perm,
+                 num_points, tile_v):
+        self.item_patch = item_patch      # (T',) int32
+        self.item_vt = item_vt            # (T',) int32, sorted ascending
+        self.forced_patch = forced_patch  # (Vp,) int32 (-1 = none)
+        self.perm = perm                  # (V,) Z-order permutation
+        self.inv_perm = inv_perm
+        self.num_points = num_points
+        self.tile_v = tile_v
+
+
+def plan_eval_tiles(patches, points, tile_v: int = 256) -> PUTilePlan:
+    """Build a PUTilePlan: Z-order the queries, list (vertex tile, patch)
+    items, and the per-point nearest-patch fallback assignments."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    points = np.asarray(points, np.float32)
+    v = points.shape[0]
+    # host Z-order (cheap mirror of ops.morton on numpy)
+    lo, hi = points.min(0), points.max(0)
+    scale = 1023.0 / np.maximum(hi - lo, 1e-12)
+    q = np.clip((points - lo) * scale, 0, 1023).astype(np.uint32)
+
+    def expand(x):
+        x = x.astype(np.uint32)
+        x = (x | (x << 16)) & np.uint32(0x030000FF)
+        x = (x | (x << 8)) & np.uint32(0x0300F00F)
+        x = (x | (x << 4)) & np.uint32(0x030C30C3)
+        x = (x | (x << 2)) & np.uint32(0x09249249)
+        return x
+
+    code = expand(q[:, 0]) | (expand(q[:, 1]) << 1) | (expand(q[:, 2]) << 2)
+    perm = np.argsort(code, kind="stable").astype(np.int32)
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(v, dtype=np.int32)
+    pz = points[perm]
+
+    vp = v + ((-v) % tile_v)
+    n_vt = vp // tile_v
+    point_vt = np.arange(v) // tile_v                  # in Z order
+
+    k_ = patches.centers.shape[0]
+    tree = cKDTree(pz)
+    margin = 0.9999
+    vt_sets: list[set] = [set() for _ in range(n_vt)]
+    covered = np.zeros(v, bool)
+    for k in range(k_):
+        hits = np.asarray(
+            tree.query_ball_point(patches.centers[k], patches.radii[k]),
+            np.int64,
+        )
+        if hits.size:
+            d = np.linalg.norm(pz[hits] - patches.centers[k], axis=1)
+            covered[hits[d <= margin * patches.radii[k]]] = True
+            for vt in np.unique(point_vt[hits]):
+                vt_sets[vt].add(int(k))
+    forced_patch = np.full(vp, -1, np.int32)
+    if not covered.all():
+        un = np.nonzero(~covered)[0]
+        ctree = cKDTree(patches.centers)
+        kq = min(4, k_)
+        dists, nearest = ctree.query(pz[un], k=kq)
+        dists = np.asarray(dists).reshape(len(un), kq)
+        nearest = np.asarray(nearest).reshape(len(un), kq)
+        rel = dists / patches.radii[nearest]
+        pick = nearest[np.arange(len(un)), rel.argmin(axis=1)]
+        forced_patch[un] = pick.astype(np.int32)
+        for vi, k in zip(un, pick):
+            vt_sets[point_vt[vi]].add(int(k))
+
+    item_vt, item_patch = [], []
+    for vt in range(n_vt):
+        ks = sorted(vt_sets[vt]) or [0]   # empty tile: one no-op item
+        item_vt.extend([vt] * len(ks))
+        item_patch.extend(ks)
+    return PUTilePlan(
+        item_patch=np.asarray(item_patch, np.int32),
+        item_vt=np.asarray(item_vt, np.int32),
+        forced_patch=forced_patch,
+        perm=perm, inv_perm=inv_perm,
+        num_points=v, tile_v=tile_v,
+    )
+
+
+def _pu_accum_kernel(
+    item_patch_ref,    # (T',) SMEM
+    item_vt_ref,       # (T',) SMEM
+    pts_ref,           # (1, 3, TV) VMEM: this vertex tile's points (Z order)
+    lane_ref,          # (1, 2, TV): row 0 valid, row 1 forced patch id (f32)
+    ctrl_ref,          # (1, P, 3)
+    cvalid_ref,        # (1, 1, P)
+    w_ref,             # (1, P, 3)
+    poly_ref,          # (1, 4, 3)
+    geom_ref,          # (1, 1, 8)
+    out_ref,           # (1, 3, TV) accumulator (revisited across items)
+    wout_ref,          # (1, 1, TV)
+    *,
+    kernel: RBFKernel,
+):
+    i = pl.program_id(0)
+    vt = item_vt_ref[i]
+    prev_vt = item_vt_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, vt != prev_vt)
+
+    @pl.when(first)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+        wout_ref[0] = jnp.zeros_like(wout_ref[0])
+
+    pts = pts_ref[0]
+    geom = geom_ref[0, 0]
+    cx, cy, cz = geom[0], geom[1], geom[2]
+    inv_eps2 = geom[3]
+    inv_r2 = geom[4]
+
+    xl0 = pts[0:1, :] - cx
+    xl1 = pts[1:2, :] - cy
+    xl2 = pts[2:3, :] - cz
+
+    # this item's partition weight at the tile's points: Wendland of the
+    # center distance, or 1 where this patch is the point's forced fallback
+    d2c = xl0 * xl0 + xl1 * xl1 + xl2 * xl2
+    bw = _phi(RBFKernel.WENDLAND_C2, d2c, inv_r2)
+    lane_valid = lane_ref[0, 0:1, :]
+    forced_k = lane_ref[0, 1:2, :]
+    kf = item_patch_ref[i].astype(jnp.float32)
+    w = jnp.where(forced_k == kf, 1.0, bw) * lane_valid
+
+    # Tile-level early out: this patch may touch only a corner of the tile
+    @pl.when(jnp.max(w) > 0.0)
+    def _contrib():
+        ctrl = ctrl_ref[0]
+        cvalid = cvalid_ref[0]
+        lc0 = (ctrl[:, 0:1] - cx) * cvalid.T
+        lc1 = (ctrl[:, 1:2] - cy) * cvalid.T
+        lc2 = (ctrl[:, 2:3] - cz) * cvalid.T
+        dx = lc0 - xl0
+        dy = lc1 - xl1
+        dz = lc2 - xl2
+        d2 = dx * dx + dy * dy + dz * dz
+        phi = _phi(kernel, d2, inv_eps2) * cvalid.T
+        w_loc = w_ref[0]
+        disp = jnp.concatenate(
+            [
+                jnp.sum(phi * w_loc[:, c : c + 1], axis=0, keepdims=True)
+                for c in range(3)
+            ],
+            axis=0,
+        )
+        wp = poly_ref[0]
+        disp = (
+            disp
+            + wp[0][:, None]
+            + wp[1][:, None] * xl0
+            + wp[2][:, None] * xl1
+            + wp[3][:, None] * xl2
+        )
+        out_ref[0] = out_ref[0] + disp * w
+        wout_ref[0] = wout_ref[0] + w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "term", "num_points", "tile_v", "interpret"),
+)
+def evaluate_pu_tiles(
+    model,
+    points: jnp.ndarray,       # (V, 3) ORIGINAL order
+    item_patch: jnp.ndarray,   # (T',)
+    item_vt: jnp.ndarray,      # (T',) sorted
+    forced_patch: jnp.ndarray, # (Vp,) int32 in Z order
+    perm: jnp.ndarray,
+    inv_perm: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    num_points: int,
+    tile_v: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Scatter-free PU displacement: (V, 3) in the caller's point order."""
+    t_ = item_patch.shape[0]
+    k_, p_, _ = model.ctrl.shape
+    v = num_points
+    vp = v + ((-v) % tile_v)
+
+    pz = points.astype(jnp.float32)[perm]              # Z-ordered
+    pz = jnp.pad(pz, ((0, vp - v), (0, 0)))
+    pts_t = pz.T.reshape(1, 3, vp).reshape(3, vp)      # (3, Vp)
+    pts_blocks = pts_t.reshape(3, vp // tile_v, tile_v).transpose(1, 0, 2)
+    lane = jnp.stack(
+        [
+            (jnp.arange(vp) < v).astype(jnp.float32).reshape(-1, tile_v),
+            forced_patch.astype(jnp.float32).reshape(-1, tile_v),
+        ],
+        axis=1,
+    )                                                   # (n_vt, 2, TV)
+
+    p_pad = (-p_) % 8
+    ctrl = jnp.pad(model.ctrl, ((0, 0), (0, p_pad), (0, 0)))
+    cvalid = jnp.pad(model.valid, ((0, 0), (0, p_pad)))[:, None, :]
+    w_loc = jnp.pad(model.w_hi + model.w_lo, ((0, 0), (0, p_pad), (0, 0)))
+    m = model.poly_hi.shape[1]
+    poly = jnp.zeros((k_, 4, 3), jnp.float32)
+    if m:
+        poly = poly.at[:, :m].set(model.poly_hi + model.poly_lo)
+    inv_eps2 = 1.0 / jnp.maximum(model.eps * model.eps, 1e-30)
+    inv_r2 = 1.0 / jnp.maximum(model.radii * model.radii, 1e-30)
+    geom = jnp.concatenate(
+        [
+            model.centers.astype(jnp.float32),
+            inv_eps2[:, None].astype(jnp.float32),
+            inv_r2[:, None].astype(jnp.float32),
+            jnp.zeros((k_, 3), jnp.float32),
+        ],
+        axis=1,
+    )[:, None, :]
+
+    def by_vt(i, ip, ivt):
+        return (ivt[i], 0, 0)
+
+    def by_patch(i, ip, ivt):
+        return (ip[i], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_,),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_v), by_vt),
+            pl.BlockSpec((1, 2, tile_v), by_vt),
+            pl.BlockSpec((1, ctrl.shape[1], 3), by_patch),
+            pl.BlockSpec((1, 1, ctrl.shape[1]), by_patch),
+            pl.BlockSpec((1, ctrl.shape[1], 3), by_patch),
+            pl.BlockSpec((1, 4, 3), by_patch),
+            pl.BlockSpec((1, 1, 8), by_patch),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, tile_v), by_vt),
+            pl.BlockSpec((1, 1, tile_v), by_vt),
+        ],
+    )
+    acc_d, acc_w = pl.pallas_call(
+        functools.partial(_pu_accum_kernel, kernel=RBFKernel(kernel)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((vp // tile_v, 3, tile_v), jnp.float32),
+            jax.ShapeDtypeStruct((vp // tile_v, 1, tile_v), jnp.float32),
+        ],
+        interpret=interpret,
+    )(item_patch.astype(jnp.int32), item_vt.astype(jnp.int32),
+      pts_blocks, lane, ctrl, cvalid, w_loc, poly, geom)
+
+    acc_d = acc_d.transpose(0, 2, 1).reshape(vp, 3)[:v]
+    acc_w = acc_w.reshape(vp)[:v]
+    out_z = jnp.where(
+        (acc_w > 1e-30)[:, None], acc_d / jnp.maximum(acc_w, 1e-30)[:, None], 0.0
+    )
+    return out_z[inv_perm]

@@ -601,7 +601,7 @@ class PUDeformer:
         return self
 
     def displacement(self, points, plan: Optional[PUEvalPlan] = None,
-                     precise: Optional[bool] = None):
+                     precise: Optional[bool] = None, backend: str = "auto"):
         """PU displacement at `points`.
 
         precise=None (default) picks the fast f32 tile eval when the fit
@@ -610,7 +610,32 @@ class PUDeformer:
         7.5e-8 vs 7.5e-8 at 20k TPS controls, 2-3x faster).  A forced
         global eps >= the patch scale makes growing-kernel bases nearly
         flat (huge cancelling weights), so those default to the df tiles.
+
+        backend: "auto" runs the fused Mosaic tile kernel
+        (ops/pallas_pu.py) for the f32 path on TPU and the XLA
+        composition otherwise; "xla" / "pallas" force a path.
+
+        plan: a PUEvalPlan (XLA path) or pallas_pu.PUTilePlan (pallas
+        path).  Passing the matching plan skips the content-digest cache
+        lookup, which needs HOST bytes — for device-resident points that
+        lookup costs a d2h pull over the tunnel; per-frame callers should
+        build the plan once and pass it explicitly.
         """
+        from facedeform_tpu.ops.pallas_pu import PUTilePlan
+
+        if isinstance(plan, PUTilePlan):
+            if precise is None:
+                precise = not self.auto_eps
+            from facedeform_tpu.ops.pallas_pu import evaluate_pu_tiles
+
+            return evaluate_pu_tiles(
+                self.model, jnp.asarray(points, jnp.float32),
+                jnp.asarray(plan.item_patch), jnp.asarray(plan.item_vt),
+                jnp.asarray(plan.forced_patch), jnp.asarray(plan.perm),
+                jnp.asarray(plan.inv_perm), self.kernel, self.term,
+                plan.num_points, plan.tile_v,
+                interpret=jax.default_backend() != "tpu",
+            )
         points_np = np.asarray(points, np.float32)
         if plan is None:
             import hashlib
@@ -627,6 +652,37 @@ class PUDeformer:
                 self._plan_cache[key] = plan
         if precise is None:
             precise = not self.auto_eps
+        use_pallas = backend == "pallas" or (
+            backend == "auto"
+            and not precise
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from facedeform_tpu.ops.pallas_pu import (
+                evaluate_pu_tiles, plan_eval_tiles,
+            )
+
+            import hashlib
+
+            tkey = (
+                points_np.shape,
+                hashlib.blake2b(points_np.tobytes(), digest_size=16).digest(),
+                "tiles",
+            )
+            tplan = self._plan_cache.get(tkey)
+            if tplan is None:
+                tplan = plan_eval_tiles(self.patches, points_np)
+                while len(self._plan_cache) >= 8:
+                    self._plan_cache.pop(next(iter(self._plan_cache)))
+                self._plan_cache[tkey] = tplan
+            return evaluate_pu_tiles(
+                self.model, jnp.asarray(points_np),
+                jnp.asarray(tplan.item_patch), jnp.asarray(tplan.item_vt),
+                jnp.asarray(tplan.forced_patch), jnp.asarray(tplan.perm),
+                jnp.asarray(tplan.inv_perm), self.kernel, self.term,
+                tplan.num_points, tplan.tile_v,
+                interpret=jax.default_backend() != "tpu",
+            )
         return evaluate_pu(
             self.model, jnp.asarray(points_np),
             jnp.asarray(plan.tiles_patch), jnp.asarray(plan.tiles_vidx),

@@ -166,3 +166,20 @@ def test_pu_f32_matches_df_with_auto_eps():
     fast = np.asarray(d.displacement(q, precise=False))
     slow = np.asarray(d.displacement(q, precise=True))
     np.testing.assert_allclose(fast, slow, atol=5e-6)
+
+
+def test_pu_pallas_matches_xla(rng):
+    """The fused Mosaic tile kernel (interpret mode on CPU) reproduces the
+    XLA f32 composition."""
+    rest, disp = _smooth_rig(900)
+    d = pu.PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE,
+                          patch_size=64, lam=1e-5)
+    q = np.concatenate([
+        (fibonacci_points(400) * 1.01).astype(np.float32),
+        np.float32([[5, 5, 5], [0, 0, -8]]),      # forced-fallback items too
+    ])
+    ref = np.asarray(d.displacement(q, precise=False, backend="xla"))
+    got = np.asarray(d.displacement(q, backend="pallas"))
+    # the XLA branch computes d2 by the expansion identity, the kernel by
+    # exact diffs — equal to f32 roundoff on centered coords
+    np.testing.assert_allclose(got, ref, atol=1e-5)
