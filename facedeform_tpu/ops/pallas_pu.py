@@ -72,6 +72,19 @@ class PUTilePlan:
         self.inv_perm = inv_perm
         self.num_points = num_points
         self.tile_v = tile_v
+        self._device = None
+
+    def device_arrays(self):
+        """The plan's arrays as device-resident jnp arrays, uploaded ONCE
+        (per-frame re-wrapping would pay ~6 MB h2d per call at 500k
+        points on a tunneled link)."""
+        if self._device is None:
+            self._device = tuple(
+                jnp.asarray(a)
+                for a in (self.item_patch, self.item_vt, self.forced_patch,
+                          self.perm, self.inv_perm)
+            )
+        return self._device
 
 
 def plan_eval_tiles(patches, points, tile_v: int = 256) -> PUTilePlan:
@@ -243,7 +256,20 @@ def evaluate_pu_tiles(
     tile_v: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Scatter-free PU displacement: (V, 3) in the caller's point order."""
+    """Scatter-free PU displacement: (V, 3) in the caller's point order.
+
+    Note on the Z-order round trip: CLAUDE.md bans per-frame gathers on
+    the MAIN mesh eval path (8 ms/1M-row permute vs a 8-23 ms kernel);
+    here the kernel itself runs 74+ ms on PU-scale rigs and the two
+    permutes cost <10% — accepted, and callers can amortize by passing
+    pre-Z-ordered points whose plan permutation is the identity.
+    """
+    if points.shape[0] != num_points:
+        raise ValueError(
+            f"plan was built for {num_points} points, got "
+            f"{points.shape[0]} — stale plan? (a mismatched gather would "
+            "clamp out of range and return garbage silently on TPU)"
+        )
     t_ = item_patch.shape[0]
     k_, p_, _ = model.ctrl.shape
     v = num_points

@@ -600,7 +600,7 @@ class PUDeformer:
         self.report = report
         return self
 
-    def displacement(self, points, plan: Optional[PUEvalPlan] = None,
+    def displacement(self, points, plan=None,
                      precise: Optional[bool] = None, backend: str = "auto"):
         """PU displacement at `points`.
 
@@ -615,76 +615,83 @@ class PUDeformer:
         (ops/pallas_pu.py) for the f32 path on TPU and the XLA
         composition otherwise; "xla" / "pallas" force a path.
 
-        plan: a PUEvalPlan (XLA path) or pallas_pu.PUTilePlan (pallas
-        path).  Passing the matching plan skips the content-digest cache
+        plan: the plan TYPE selects the path — a pallas_pu.PUTilePlan
+        drives the Mosaic kernel (f32 only), a PUEvalPlan the XLA
+        composition.  Passing a plan skips the content-digest cache
         lookup, which needs HOST bytes — for device-resident points that
         lookup costs a d2h pull over the tunnel; per-frame callers should
         build the plan once and pass it explicitly.
         """
         from facedeform_tpu.ops.pallas_pu import PUTilePlan
 
-        if isinstance(plan, PUTilePlan):
-            if precise is None:
-                precise = not self.auto_eps
-            from facedeform_tpu.ops.pallas_pu import evaluate_pu_tiles
-
-            return evaluate_pu_tiles(
-                self.model, jnp.asarray(points, jnp.float32),
-                jnp.asarray(plan.item_patch), jnp.asarray(plan.item_vt),
-                jnp.asarray(plan.forced_patch), jnp.asarray(plan.perm),
-                jnp.asarray(plan.inv_perm), self.kernel, self.term,
-                plan.num_points, plan.tile_v,
-                interpret=jax.default_backend() != "tpu",
-            )
-        points_np = np.asarray(points, np.float32)
-        if plan is None:
-            import hashlib
-
-            key = (
-                points_np.shape,
-                hashlib.blake2b(points_np.tobytes(), digest_size=16).digest(),
-            )
-            plan = self._plan_cache.get(key)
-            if plan is None:
-                plan = plan_eval(self.patches, points_np)
-                while len(self._plan_cache) >= 8:  # bound the cache
-                    self._plan_cache.pop(next(iter(self._plan_cache)))
-                self._plan_cache[key] = plan
         if precise is None:
             precise = not self.auto_eps
+
+        # Explicit plan: its type IS the path selection.
+        if isinstance(plan, PUTilePlan):
+            if precise:
+                raise ValueError(
+                    "a PUTilePlan drives the f32 Mosaic kernel; the "
+                    "double-float eval (precise=True, the default for "
+                    "forced-global-eps fits) needs the XLA path — pass a "
+                    "plan_eval() PUEvalPlan or precise=False"
+                )
+            if backend == "xla":
+                raise ValueError("backend='xla' cannot run a PUTilePlan")
+            return self._run_tiles(points, plan)
+        if isinstance(plan, PUEvalPlan):
+            return self._run_xla(points, plan, precise)
+
+        # No plan: route first, then build/cache only the plan that path
+        # needs (building both would waste seconds of host KD work and
+        # cache slots).
         use_pallas = backend == "pallas" or (
             backend == "auto"
             and not precise
             and jax.default_backend() == "tpu"
         )
+        points_np = np.asarray(points, np.float32)
         if use_pallas:
-            from facedeform_tpu.ops.pallas_pu import (
-                evaluate_pu_tiles, plan_eval_tiles,
-            )
+            from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
 
-            import hashlib
+            tplan = self._cached_plan(
+                points_np, "tiles", lambda: plan_eval_tiles(self.patches, points_np)
+            )
+            return self._run_tiles(points_np, tplan)
+        eplan = self._cached_plan(
+            points_np, "xla", lambda: plan_eval(self.patches, points_np)
+        )
+        return self._run_xla(points_np, eplan, precise)
 
-            tkey = (
-                points_np.shape,
-                hashlib.blake2b(points_np.tobytes(), digest_size=16).digest(),
-                "tiles",
-            )
-            tplan = self._plan_cache.get(tkey)
-            if tplan is None:
-                tplan = plan_eval_tiles(self.patches, points_np)
-                while len(self._plan_cache) >= 8:
-                    self._plan_cache.pop(next(iter(self._plan_cache)))
-                self._plan_cache[tkey] = tplan
-            return evaluate_pu_tiles(
-                self.model, jnp.asarray(points_np),
-                jnp.asarray(tplan.item_patch), jnp.asarray(tplan.item_vt),
-                jnp.asarray(tplan.forced_patch), jnp.asarray(tplan.perm),
-                jnp.asarray(tplan.inv_perm), self.kernel, self.term,
-                tplan.num_points, tplan.tile_v,
-                interpret=jax.default_backend() != "tpu",
-            )
+    def _cached_plan(self, points_np: np.ndarray, tag: str, build):
+        import hashlib
+
+        key = (
+            points_np.shape,
+            hashlib.blake2b(points_np.tobytes(), digest_size=16).digest(),
+            tag,
+        )
+        plan = self._plan_cache.get(key)
+        if plan is None:
+            plan = build()
+            while len(self._plan_cache) >= 8:  # bound the cache
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = plan
+        return plan
+
+    def _run_tiles(self, points, tplan):
+        from facedeform_tpu.ops.pallas_pu import evaluate_pu_tiles
+
+        return evaluate_pu_tiles(
+            self.model, jnp.asarray(points, jnp.float32),
+            *tplan.device_arrays(), self.kernel, self.term,
+            tplan.num_points, tplan.tile_v,
+            interpret=jax.default_backend() != "tpu",
+        )
+
+    def _run_xla(self, points, plan, precise):
         return evaluate_pu(
-            self.model, jnp.asarray(points_np),
+            self.model, jnp.asarray(points, jnp.float32),
             jnp.asarray(plan.tiles_patch), jnp.asarray(plan.tiles_vidx),
             jnp.asarray(plan.forced), self.kernel, self.term,
             plan.num_points, precise=precise,

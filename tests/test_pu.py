@@ -183,3 +183,29 @@ def test_pu_pallas_matches_xla(rng):
     # the XLA branch computes d2 by the expansion identity, the kernel by
     # exact diffs — equal to f32 roundoff on centered coords
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_pu_plan_type_selects_path(rng):
+    """Plan TYPE drives dispatch: PUTilePlan -> Mosaic kernel (f32 only,
+    errors on precise), PUEvalPlan -> XLA; device arrays upload once."""
+    import pytest as _pytest
+
+    from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
+
+    rest, disp = _smooth_rig(600)
+    d = pu.PUDeformer.fit(rest, rest + disp, patch_size=64, lam=1e-5)
+    q = (fibonacci_points(300) * 1.01).astype(np.float32)
+    tplan = plan_eval_tiles(d.patches, q)
+    eplan = pu.plan_eval(d.patches, q)
+    out_t = np.asarray(d.displacement(q, plan=tplan))
+    out_x = np.asarray(d.displacement(q, plan=eplan, precise=False))
+    np.testing.assert_allclose(out_t, out_x, atol=1e-5)
+    assert tplan.device_arrays() is tplan.device_arrays()  # uploaded once
+    with _pytest.raises(ValueError, match="precise"):
+        d.displacement(q, plan=tplan, precise=True)
+    with _pytest.raises(ValueError, match="xla"):
+        d.displacement(q, plan=tplan, backend="xla")
+    with _pytest.raises(ValueError, match="stale plan|points"):
+        from facedeform_tpu.ops.pallas_pu import evaluate_pu_tiles
+
+        d.displacement(q[:100], plan=tplan)
