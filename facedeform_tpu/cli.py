@@ -70,6 +70,10 @@ def _add_cook_flags(d) -> None:
                    "wendland_c2"], default="gaussian")
     d.add_argument("--term", choices=["linear", "constant", "zero"],
                    default="linear")
+    d.add_argument("--solver", choices=["auto", "direct", "krylov", "pu"],
+                   default="auto",
+                   help="RBF solve route; 'pu' = partition-of-unity "
+                        "(any-N rigs at dense double-float precision)")
     d.add_argument("--qcoef", type=float, default=1.0)
     d.add_argument("--zcoef", type=float, default=5.0)
     d.add_argument("--radius", type=float, default=1.0)
@@ -107,6 +111,7 @@ def _cfg_params_from(args):
         doclampweight=args.clamp_weights,
         dofalloff=args.dofalloff,
         strict_parity=args.strict_parity,
+        solver=args.solver,
     )
     params = DeformParams(
         qcoef=args.qcoef, zcoef=args.zcoef, radius=args.radius,
@@ -151,13 +156,26 @@ def _cmd_deform(args) -> int:
     with stage("save", times):
         save_mesh(args.output, res.mesh)
     if args.save_deformer:
-        from facedeform_tpu.utils import checkpoint
-
-        checkpoint.save(args.save_deformer, node._deformer)
+        _save_deformer(node, args.save_deformer)
     if args.timing:
         print(f"timing: {times.summary()}", file=sys.stderr)
     print(f"wrote {args.output} ({res.mesh.num_points} points)")
     return 0
+
+
+def _save_deformer(node, path: str) -> None:
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.utils import checkpoint
+
+    if isinstance(node._deformer, Deformer):
+        checkpoint.save(path, node._deformer)
+    else:
+        # PU models are patch pytrees without a checkpoint codec yet
+        print(
+            "warning: --save-deformer supports the global RBF solvers "
+            "only; the PU model was not saved",
+            file=sys.stderr,
+        )
 
 
 def _cmd_deform_seq(args) -> int:
@@ -222,9 +240,7 @@ def _cmd_deform_seq(args) -> int:
     if args.save_deformer:
         # the last frame's solved deformer (matches deform's semantics of
         # checkpointing the state the node ended the run with)
-        from facedeform_tpu.utils import checkpoint
-
-        checkpoint.save(args.save_deformer, node._deformer)
+        _save_deformer(node, args.save_deformer)
     if args.timing:
         print(f"timing: {times.summary()}", file=sys.stderr)
     print(

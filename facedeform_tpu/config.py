@@ -101,7 +101,9 @@ class DeformConfig:
     # and matrix-free Krylov (ops/krylov.py) beyond — block-Jacobi
     # preconditioned MINRES for the symmetric families (MULTILAYER/KERNEL),
     # restarted GMRES for QNN's non-symmetric per-point-radius system.
-    # "direct"/"krylov" force a path.
+    # "direct"/"krylov" force a path; "pu" fits the partition-of-unity
+    # model (ops/pu.py: dense double-float per patch, any N) — the node
+    # then evaluates through the PU blend instead of the global RBF.
     solver: str = "auto"
 
     def __post_init__(self):
@@ -111,9 +113,10 @@ class DeformConfig:
         if self.layers < 1:
             # reference clamp: layers >= 1 (src/SOP_FaceDeform.cpp:252)
             object.__setattr__(self, "layers", 1)
-        if self.solver not in ("auto", "direct", "krylov"):
+        if self.solver not in ("auto", "direct", "krylov", "pu"):
             raise ValueError(
-                f"solver must be 'auto', 'direct' or 'krylov', got {self.solver!r}"
+                "solver must be 'auto', 'direct', 'krylov' or 'pu', "
+                f"got {self.solver!r}"
             )
 
     @property

@@ -111,7 +111,10 @@ class FaceDeformNode:
         from facedeform_tpu.ops.pallas_eval import kernel_is_cullable
 
         from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+        from facedeform_tpu.ops.pu import PUNodeDeformer
 
+        if isinstance(deformer, PUNodeDeformer):
+            return "auto"  # PU picks its own (Mosaic-tile) path internally
         kernel = fit_mod.effective_kernel(deformer.cfg)
         if (
             jax.default_backend() != "tpu"
@@ -261,9 +264,19 @@ class FaceDeformNode:
         )
         if fit_key != self._fit_key:
             with stage("solve", times):
-                self._deformer = Deformer.fit(
-                    rest_rig.points, deform_rig.points, cfg, params
-                )
+                if cfg.solver == "pu":
+                    # partition-of-unity model (ops/pu.py): any-N rigs at
+                    # dense double-float precision, node semantics via the
+                    # Deformer-compatible adapter
+                    from facedeform_tpu.ops.pu import PUNodeDeformer
+
+                    self._deformer = PUNodeDeformer.fit(
+                        rest_rig.points, deform_rig.points, cfg, params
+                    )
+                else:
+                    self._deformer = Deformer.fit(
+                        rest_rig.points, deform_rig.points, cfg, params
+                    )
             self._fit_key = fit_key
         elif (
             self._deformer.cfg != cfg
@@ -310,6 +323,15 @@ class FaceDeformNode:
 
         # ------------------------------------------------------- eval loop
         dist2 = capture.dist2 if capture is not None else None
+        from facedeform_tpu.ops.pu import PUNodeDeformer as _PUND
+
+        if mesh_devices is not None and isinstance(deformer, _PUND):
+            # PU evals are plan-driven single-device (the Mosaic tile
+            # kernel); never silently change semantics — say so.
+            warnings.append(
+                "PU solver evaluates single-device; ignoring mesh_devices."
+            )
+            mesh_devices = None
         with stage("eval", times):
             if mesh_devices is not None:
                 from facedeform_tpu.parallel.sharding import sharded_apply

@@ -42,6 +42,7 @@ solves), 500k-point eval 2.1 s at coverage 2.8.  Sweeps: overlap 1.6 ->
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
 import functools
 from typing import NamedTuple, Optional, Tuple
 
@@ -696,3 +697,63 @@ class PUDeformer:
             jnp.asarray(plan.forced), self.kernel, self.term,
             plan.num_points, precise=precise,
         )
+
+
+@_dataclasses.dataclass(frozen=True)
+class PUNodeDeformer:
+    """Deformer-compatible facade for the node path (cfg.solver == "pu").
+
+    Exposes the contract FaceDeformNode drives (`report`, `cfg`, `params`,
+    `apply(points, dist2, frame, group_mask, backend)`): the PU
+    displacement field composed with the node's falloff / tangent / group
+    semantics, byte-identical to deformer.apply_fn's treatment of the
+    global model (eval loop src/SOP_FaceDeform.cpp:404-439).
+    """
+
+    pud: PUDeformer
+    cfg: object
+    params: object
+
+    @property
+    def report(self):
+        return self.pud.report
+
+    @classmethod
+    def fit(cls, rest_ctrl, deformed_ctrl, cfg, params) -> "PUNodeDeformer":
+        from facedeform_tpu.ops import fit as fit_mod
+
+        params_c = params.clamped()
+        pud = PUDeformer.fit(
+            rest_ctrl, deformed_ctrl,
+            kernel=fit_mod.effective_kernel(cfg), term=cfg.term,
+            eps="auto",                      # per-patch shape parameter
+            lam=float(np.asarray(params_c.lam)),
+        )
+        from facedeform_tpu.utils import errors
+
+        errors.check_solve(pud.report)
+        return cls(pud=pud, cfg=cfg, params=params)
+
+    def apply(self, points, dist2=None, frame=None, group_mask=None,
+              backend: str = "auto"):
+        from facedeform_tpu.ops.falloff import falloff_weight
+        from facedeform_tpu.ops.tangent import project_to_tangents
+
+        params = self.params.clamped()
+        pts = jnp.asarray(points, jnp.float32)
+        disp = self.pud.displacement(np.asarray(points, np.float32))
+        if self.cfg.tangent and frame is not None:
+            disp = project_to_tangents(*frame, jnp.asarray(disp))
+        v = pts.shape[0]
+        d2 = (
+            jnp.zeros(v, jnp.float32) if dist2 is None
+            else jnp.asarray(dist2, jnp.float32)
+        )
+        w, active = falloff_weight(
+            d2, params.radius, params.falloffrate,
+            strict_parity=self.cfg.strict_parity,
+        )
+        if group_mask is not None:
+            active = jnp.logical_and(active, jnp.asarray(group_mask))
+        w = jnp.where(active, w, 0.0)
+        return pts + jnp.asarray(disp) * w[:, None], w

@@ -209,3 +209,56 @@ def test_pu_plan_type_selects_path(rng):
         from facedeform_tpu.ops.pallas_pu import evaluate_pu_tiles
 
         d.displacement(q[:100], plan=tplan)
+
+
+def test_node_cook_with_pu_solver(rng):
+    """cfg.solver='pu' routes the node's solve/eval through the PU adapter
+    with full node semantics (capture falloff, groups, caching)."""
+    from facedeform_tpu import DeformConfig, DeformParams, FaceDeformNode, Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+
+    mesh = uv_sphere(30, 30)
+    rig = Mesh(points=fibonacci_points(80))
+    drig = Mesh(points=rig.points * 1.06)
+    cfg = DeformConfig(solver="pu")
+    node = FaceDeformNode()
+    res = node.cook([mesh, rig, drig], cfg, DeformParams())
+    ref = FaceDeformNode().cook([mesh, rig, drig], DeformConfig(solver="direct"),
+                                DeformParams())
+    # PU and the global QNN model are different interpolants of the same
+    # data; on a smooth scaling field they agree closely
+    err = np.abs(res.mesh.points - ref.mesh.points).max()
+    scale = np.abs(ref.mesh.points - mesh.points).max()
+    assert err < 0.15 * scale + 1e-4, (err, scale)
+    assert "fd_falloff" in res.mesh.point_attrs
+    # cook cache: same inputs -> no re-fit
+    d_before = node._deformer
+    node.cook([mesh, rig, drig], cfg, DeformParams())
+    assert node._deformer is d_before
+    # group gating pins excluded points exactly
+    mesh.set_group("top", mesh.points[:, 1] > 0)
+    res_g = node.cook([mesh, rig, drig], cfg, DeformParams(), group="top")
+    pinned = ~mesh.group_mask("top")
+    np.testing.assert_array_equal(res_g.mesh.points[pinned], mesh.points[pinned])
+
+
+def test_cli_pu_solver(tmp_path):
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+
+    mesh = uv_sphere(10, 10)
+    rig_pts = fibonacci_points(20)
+    mesh_p = str(tmp_path / "m.geo"); save_geo(mesh_p, mesh)
+    rig_p = str(tmp_path / "r.geo"); save_geo(rig_p, Mesh(points=rig_pts))
+    drig_p = str(tmp_path / "d.geo"); save_geo(drig_p, Mesh(points=rig_pts * 1.07))
+    out_p = str(tmp_path / "o.geo")
+    ck = str(tmp_path / "d.npz")
+    rc = main(["deform", mesh_p, rig_p, drig_p, "-o", out_p,
+               "--solver", "pu", "--save-deformer", ck])
+    assert rc == 0
+    out = load_geo(out_p)
+    assert np.abs(out.points - mesh.points).max() > 1e-3
+    import os
+    assert not os.path.exists(ck)  # PU checkpoint warned + skipped
