@@ -170,12 +170,8 @@ def _save_deformer(node, path: str) -> None:
     if isinstance(node._deformer, Deformer):
         checkpoint.save(path, node._deformer)
     else:
-        # PU models are patch pytrees without a checkpoint codec yet
-        print(
-            "warning: --save-deformer supports the global RBF solvers "
-            "only; the PU model was not saved",
-            file=sys.stderr,
-        )
+        # PU adapter: persist the underlying PU model
+        checkpoint.save_pu(path, node._deformer.pud)
 
 
 def _cmd_deform_seq(args) -> int:

@@ -142,3 +142,72 @@ def load_orbax(path: str) -> Deformer:
     return Deformer(
         model=model, cfg=_cfg_from_json(meta["cfg"]), params=params, report=report
     )
+
+
+# -------------------------------------------------------------------- PU
+def save_pu(path: str, pud) -> None:
+    """Serialize a PUDeformer (ops/pu.py) to one .npz file.
+
+    Stores the fitted PUModel arrays, the host patch geometry (so eval
+    plans can be rebuilt), and the kernel/term/auto_eps statics; the
+    aggregated report carries over for node messages."""
+    from facedeform_tpu.ops.pu import PUDeformer
+
+    assert isinstance(pud, PUDeformer), type(pud)
+    m, p = pud.model, pud.patches
+    np.savez(
+        path,
+        format_version=_FORMAT_VERSION,
+        pu=1,
+        kernel=int(pud.kernel),
+        term=int(pud.term),
+        auto_eps=int(pud.auto_eps),
+        centers=np.asarray(m.centers), radii=np.asarray(m.radii),
+        ctrl=np.asarray(m.ctrl), valid=np.asarray(m.valid),
+        w_hi=np.asarray(m.w_hi), w_lo=np.asarray(m.w_lo),
+        poly_hi=np.asarray(m.poly_hi), poly_lo=np.asarray(m.poly_lo),
+        eps=np.asarray(m.eps),
+        p_idx=p.idx, p_counts=p.counts, p_spacing=p.spacing,
+        residual_norm=float(pud.report.residual_norm),
+        rhs_norm=float(pud.report.rhs_norm),
+        scale_norm=float(pud.report.scale_norm),
+        col_backward=np.asarray(pud.report.col_backward),
+    )
+
+
+def load_pu(path: str):
+    """Restore a PUDeformer saved by save_pu()."""
+    from facedeform_tpu.config import PolyTerm, RBFKernel
+    from facedeform_tpu.ops.pu import PUDeformer, PUModel, PUPatches
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    if "pu" not in data:
+        raise ValueError(f"{path} is not a PU checkpoint (use load())")
+    model = PUModel(
+        centers=jnp.asarray(data["centers"]), radii=jnp.asarray(data["radii"]),
+        ctrl=jnp.asarray(data["ctrl"]), valid=jnp.asarray(data["valid"]),
+        w_hi=jnp.asarray(data["w_hi"]), w_lo=jnp.asarray(data["w_lo"]),
+        poly_hi=jnp.asarray(data["poly_hi"]),
+        poly_lo=jnp.asarray(data["poly_lo"]),
+        eps=jnp.asarray(data["eps"]),
+    )
+    patches = PUPatches(
+        centers=np.asarray(data["centers"]), radii=np.asarray(data["radii"]),
+        idx=np.asarray(data["p_idx"]), counts=np.asarray(data["p_counts"]),
+        spacing=np.asarray(data["p_spacing"]),
+    )
+    pud = PUDeformer(
+        model, patches,
+        RBFKernel(int(data["kernel"])), PolyTerm(int(data["term"])),
+        auto_eps=bool(int(data["auto_eps"])),
+    )
+    pud.report = SolveReport(
+        residual_norm=jnp.asarray(float(data["residual_norm"])),
+        rhs_norm=jnp.asarray(float(data["rhs_norm"])),
+        scale_norm=jnp.asarray(float(data["scale_norm"])),
+        cond_est=None,
+        col_backward=jnp.asarray(data["col_backward"]),
+    )
+    return pud

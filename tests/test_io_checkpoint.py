@@ -80,3 +80,38 @@ def test_stage_times(rng):
     assert set(times.ms) == {"solve", "eval"}
     assert times.counts["eval"] == 2
     assert "solve" in times.summary()
+
+
+def test_pu_checkpoint_roundtrip(tmp_path, rng):
+    from facedeform_tpu.config import RBFKernel
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops.pu import PUDeformer
+    from facedeform_tpu.utils import checkpoint
+
+    rest = fibonacci_points(400)
+    disp = 0.05 * rng.standard_normal((400, 3)).astype(np.float32)
+    d = PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE,
+                       patch_size=64, lam=1e-5)
+    path = str(tmp_path / "pu.npz")
+    checkpoint.save_pu(path, d)
+    d2 = checkpoint.load_pu(path)
+    q = (fibonacci_points(300) * 1.01).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(d.displacement(q)), np.asarray(d2.displacement(q)),
+        atol=1e-6,
+    )
+    assert float(d2.report.backward_error()) == float(d.report.backward_error())
+    # non-PU loader refuses clearly
+    import pytest as _pytest
+
+    checkpoint.save(str(tmp_path / "g.npz"), _fit_small())
+    with _pytest.raises(ValueError, match="not a PU"):
+        checkpoint.load_pu(str(tmp_path / "g.npz"))
+
+
+def _fit_small():
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+
+    rest = fibonacci_points(30)
+    return Deformer.fit(rest, rest * 1.02, DeformConfig(), DeformParams())

@@ -260,5 +260,10 @@ def test_cli_pu_solver(tmp_path):
     assert rc == 0
     out = load_geo(out_p)
     assert np.abs(out.points - mesh.points).max() > 1e-3
-    import os
-    assert not os.path.exists(ck)  # PU checkpoint warned + skipped
+    # PU checkpoint round-trips and reproduces the displacement field
+    from facedeform_tpu.utils import checkpoint
+
+    pud = checkpoint.load_pu(ck)
+    q = mesh.points[:200]
+    got = np.asarray(pud.displacement(q))
+    assert np.isfinite(got).all() and np.abs(got).max() > 1e-4
