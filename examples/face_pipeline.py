@@ -14,6 +14,7 @@ feature set plus the rebuild's extensions):
   9. named point groups + the "picked" eval-pass falloff color viz
   10. growing kernels (thin-plate) on the double-float precision path
   11. the deformation server: binary-framed client round trip
+  12. partition-of-unity: a 20k-marker dense scan rig (any-N precision)
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -156,6 +157,23 @@ def main():
     print(f"served deform ({face.num_points} verts, binary framing): "
           f"{(time.time() - t0) * 1e3:.0f} ms round trip")
     client.shutdown()
+
+    # 12. partition-of-unity: dense scan-scale rigs (beyond the global
+    # solvers' reach) at dense double-float precision — also reachable as
+    # DeformConfig(solver="pu") through the node/CLI
+    from facedeform_tpu import PUDeformer
+
+    scan_rig = fibonacci_points(20000)
+    scan_disp = (0.08 * np.exp(
+        -4 * np.sum((scan_rig - [0, 1, 0]) ** 2, -1, keepdims=True)
+    ).astype(np.float32) * np.float32([0, 1, 0]))
+    t0 = time.time()
+    pud = PUDeformer.fit(scan_rig, scan_rig + scan_disp,
+                         kernel=RBFKernel.THIN_PLATE, lam=1e-5)
+    back = pud.displacement(scan_rig)
+    err = float(np.abs(np.asarray(back) - scan_disp).max())
+    print(f"PU 20k-marker rig: fit+check {time.time() - t0:.1f} s, "
+          f"{pud.patches.idx.shape[0]} patches, interp err {err:.1e}")
 
 
 if __name__ == "__main__":
