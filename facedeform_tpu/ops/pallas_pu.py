@@ -204,6 +204,9 @@ def _pu_accum_kernel(
     forced_k = lane_ref[0, 1:2, :]
     kf = item_patch_ref[i].astype(jnp.float32)
     w = jnp.where(forced_k == kf, 1.0, bw) * lane_valid
+    # dead items (patch id -1: sharded-plan padding) contribute nothing —
+    # gate BEFORE the forced comparison could match a -1 forced sentinel
+    w = jnp.where(kf >= 0.0, w, 0.0)
 
     # Tile-level early out: this patch may touch only a corner of the tile
     @pl.when(jnp.max(w) > 0.0)
@@ -287,6 +290,23 @@ def evaluate_pu_tiles(
         axis=1,
     )                                                   # (n_vt, 2, TV)
 
+    acc_d, acc_w = _tiles_pallas_call(
+        item_patch, item_vt, pts_blocks, lane,
+        _pack_patch_operands(model),
+        RBFKernel(kernel), tile_v, interpret,
+    )
+
+    acc_d = acc_d.transpose(0, 2, 1).reshape(vp, 3)[:v]
+    acc_w = acc_w.reshape(vp)[:v]
+    out_z = jnp.where(
+        (acc_w > 1e-30)[:, None], acc_d / jnp.maximum(acc_w, 1e-30)[:, None], 0.0
+    )
+    return out_z[inv_perm]
+
+
+def _pack_patch_operands(model):
+    """Pad/pack the per-patch operand arrays the tile kernel consumes."""
+    k_, p_, _ = model.ctrl.shape
     p_pad = (-p_) % 8
     ctrl = jnp.pad(model.ctrl, ((0, 0), (0, p_pad), (0, 0)))
     cvalid = jnp.pad(model.valid, ((0, 0), (0, p_pad)))[:, None, :]
@@ -306,12 +326,27 @@ def evaluate_pu_tiles(
         ],
         axis=1,
     )[:, None, :]
+    return ctrl, cvalid, w_loc, poly, geom
+
+
+def _tiles_pallas_call(item_patch, item_vt, pts_blocks, lane, packed,
+                       kernel, tile_v, interpret):
+    """The raw accumulating pallas_call over (vertex tile, patch) items.
+
+    item_vt indexes pts_blocks/lane/output blocks LOCALLY (whatever tiling
+    the caller passed — global for the single-device path, shard-local for
+    the sharded one).  Dead items (patch -1) are index-clamped and weight-
+    gated to zero.
+    """
+    ctrl, cvalid, w_loc, poly, geom = packed
+    t_ = item_patch.shape[0]
+    n_vt = pts_blocks.shape[0]
 
     def by_vt(i, ip, ivt):
         return (ivt[i], 0, 0)
 
     def by_patch(i, ip, ivt):
-        return (ip[i], 0, 0)
+        return (jnp.maximum(ip[i], 0), 0, 0)   # dead items clamp to 0
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -330,20 +365,13 @@ def evaluate_pu_tiles(
             pl.BlockSpec((1, 1, tile_v), by_vt),
         ],
     )
-    acc_d, acc_w = pl.pallas_call(
-        functools.partial(_pu_accum_kernel, kernel=RBFKernel(kernel)),
+    return pl.pallas_call(
+        functools.partial(_pu_accum_kernel, kernel=kernel),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((vp // tile_v, 3, tile_v), jnp.float32),
-            jax.ShapeDtypeStruct((vp // tile_v, 1, tile_v), jnp.float32),
+            jax.ShapeDtypeStruct((n_vt, 3, tile_v), jnp.float32),
+            jax.ShapeDtypeStruct((n_vt, 1, tile_v), jnp.float32),
         ],
         interpret=interpret,
     )(item_patch.astype(jnp.int32), item_vt.astype(jnp.int32),
       pts_blocks, lane, ctrl, cvalid, w_loc, poly, geom)
-
-    acc_d = acc_d.transpose(0, 2, 1).reshape(vp, 3)[:v]
-    acc_w = acc_w.reshape(vp)[:v]
-    out_z = jnp.where(
-        (acc_w > 1e-30)[:, None], acc_d / jnp.maximum(acc_w, 1e-30)[:, None], 0.0
-    )
-    return out_z[inv_perm]

@@ -1,0 +1,174 @@
+"""Vertex-sharded partition-of-unity eval: PU tiles across the ICI mesh.
+
+The PU tile plan is already a list of (vertex tile, patch) items sorted
+by vertex tile, so the multichip promotion is the same replicated-model /
+sharded-vertices design as the main eval path (parallel/sharding.py):
+split the VERTEX TILES contiguously across the device mesh, replicate the
+(small) per-patch model operands, and run the scatter-free Mosaic
+accumulator kernel per shard — zero steady-state collectives, exactly
+like the dense path.
+
+Item counts differ per device, so each device's item list is padded to
+the max with dead items (patch id -1): the kernel gates their weight to
+zero and their vertex tile repeats the shard's last tile, so they neither
+re-init an accumulator nor contribute.  Empty vertex tiles from the
+sharding pad get one dead item each (the accumulator must still be
+zero-initialized for its store).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from facedeform_tpu.config import PolyTerm, RBFKernel
+from facedeform_tpu.parallel.sharding import VERTEX_AXIS
+
+
+class PUShardedPlan(NamedTuple):
+    """Per-device tiling of a PUTilePlan (host-built; cache with it)."""
+
+    item_patch: np.ndarray   # (D, Tmax) int32, -1 dead padding
+    item_vt: np.ndarray      # (D, Tmax) int32 LOCAL vertex-tile indices
+    forced_patch: np.ndarray # (Vp,) int32, Z order, padded
+    perm: np.ndarray         # (V,)
+    inv_perm: np.ndarray
+    num_points: int
+    tile_v: int
+    vp: int                  # padded point count (multiple of D * tile_v)
+
+
+def shard_tile_plan(tplan, n_devices: int) -> PUShardedPlan:
+    """Split a pallas_pu.PUTilePlan across n_devices contiguous vt ranges."""
+    tile_v = tplan.tile_v
+    v = tplan.num_points
+    vp = v + ((-v) % (n_devices * tile_v))
+    n_vt = vp // tile_v
+    if n_vt < n_devices:
+        raise ValueError(
+            f"{v} points make only {n_vt} vertex tiles — fewer than "
+            f"{n_devices} devices; use the single-device path"
+        )
+    per_dev = n_vt // n_devices
+
+    fp = np.full(vp, -1, np.int32)
+    fp[: tplan.forced_patch.shape[0]] = tplan.forced_patch
+
+    dev_items: list[list[tuple[int, int]]] = [[] for _ in range(n_devices)]
+    for ip, vt in zip(tplan.item_patch, tplan.item_vt):
+        d = min(int(vt) // per_dev, n_devices - 1)
+        dev_items[d].append((int(ip), int(vt) - d * per_dev))
+    # every LOCAL tile needs >= 1 item (accumulator init): add dead items
+    for d in range(n_devices):
+        have = {vt for _, vt in dev_items[d]}
+        for vt in range(per_dev):
+            if vt not in have:
+                dev_items[d].append((-1, vt))
+        dev_items[d].sort(key=lambda t: t[1])
+    tmax = max(len(items) for items in dev_items)
+    item_patch = np.full((n_devices, tmax), -1, np.int32)
+    item_vt = np.zeros((n_devices, tmax), np.int32)
+    for d, items in enumerate(dev_items):
+        for j, (ip, vt) in enumerate(items):
+            item_patch[d, j] = ip
+            item_vt[d, j] = vt
+        if len(items) < tmax:
+            # dead tail repeats the last tile: no re-init, no contribution
+            item_vt[d, len(items):] = items[-1][1]
+    return PUShardedPlan(
+        item_patch=item_patch, item_vt=item_vt, forced_patch=fp,
+        perm=tplan.perm, inv_perm=tplan.inv_perm,
+        num_points=v, tile_v=tile_v, vp=vp,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "term", "num_points", "tile_v", "vp", "mesh"),
+)
+def sharded_pu_displacement(
+    model,
+    points: jnp.ndarray,       # (V, 3) original order
+    item_patch: jnp.ndarray,   # (D, Tmax)
+    item_vt: jnp.ndarray,      # (D, Tmax)
+    forced_patch: jnp.ndarray, # (Vp,)
+    perm: jnp.ndarray,
+    inv_perm: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    num_points: int,
+    tile_v: int,
+    vp: int,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """PU displacement, vertex tiles sharded over the 1-D device mesh."""
+    from facedeform_tpu.ops.pallas_pu import (
+        _pack_patch_operands, _tiles_pallas_call,
+    )
+
+    v = num_points
+    pz = points.astype(jnp.float32)[perm]
+    pz = jnp.pad(pz, ((0, vp - v), (0, 0)))
+    pts_blocks = pz.T.reshape(3, vp // tile_v, tile_v).transpose(1, 0, 2)
+    lane = jnp.stack(
+        [
+            (jnp.arange(vp) < v).astype(jnp.float32).reshape(-1, tile_v),
+            forced_patch.astype(jnp.float32).reshape(-1, tile_v),
+        ],
+        axis=1,
+    )                                                   # (n_vt, 2, TV)
+    packed = _pack_patch_operands(model)
+    use_interpret = (
+        np.asarray(mesh.devices).flat[0].platform != "tpu"
+    )
+
+    def body(ip, ivt, pts_b, lane_b, *packed_b):
+        acc_d, acc_w = _tiles_pallas_call(
+            ip[0], ivt[0], pts_b, lane_b, packed_b,
+            RBFKernel(kernel), tile_v, use_interpret,
+        )
+        n_loc = pts_b.shape[0]
+        d_flat = acc_d.transpose(0, 2, 1).reshape(n_loc * tile_v, 3)
+        w_flat = acc_w.reshape(n_loc * tile_v)
+        return jnp.where(
+            (w_flat > 1e-30)[:, None],
+            d_flat / jnp.maximum(w_flat, 1e-30)[:, None],
+            0.0,
+        )
+
+    out_z = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(VERTEX_AXIS), P(VERTEX_AXIS),       # item arrays: (D, Tmax)
+            P(VERTEX_AXIS), P(VERTEX_AXIS),       # pts blocks / lane
+        ) + (P(),) * len(packed),                 # model operands replicated
+        out_specs=P(VERTEX_AXIS),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )(item_patch, item_vt, pts_blocks, lane, *packed)
+    return out_z[:v][inv_perm]
+
+
+def pu_displacement_sharded(pud, points, mesh: Mesh, splan=None):
+    """Convenience wrapper: build/split the plan and run the sharded eval.
+
+    pud: a fitted ops.pu.PUDeformer; splan may be passed in (cache it with
+    the plan, like the single-device paths)."""
+    from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
+
+    points_np = np.asarray(points, np.float32)
+    if splan is None:
+        tplan = plan_eval_tiles(pud.patches, points_np)
+        splan = shard_tile_plan(tplan, mesh.shape[VERTEX_AXIS])
+    return sharded_pu_displacement(
+        pud.model, jnp.asarray(points_np),
+        jnp.asarray(splan.item_patch), jnp.asarray(splan.item_vt),
+        jnp.asarray(splan.forced_patch), jnp.asarray(splan.perm),
+        jnp.asarray(splan.inv_perm), pud.kernel, pud.term,
+        splan.num_points, splan.tile_v, splan.vp, mesh,
+    )
