@@ -96,6 +96,15 @@ class Deformer:
         input contract, src/SOP_FaceDeform.cpp:231-234) and SolveFailedError
         on solver blow-up (:363-368).
         """
+        if cfg.solver == "pu":
+            # The PU model is a different artifact (patch pytree, not an
+            # RBFModel); silently running the dense route here would OOM
+            # at the rig sizes PU exists for.  Route explicitly.
+            raise ValueError(
+                "solver='pu' is not a Deformer route — use "
+                "FaceDeformNode.cook (full node semantics) or "
+                "ops.pu.PUDeformer.fit directly"
+            )
         rest_ctrl = jnp.asarray(rest_ctrl, jnp.float32)
         deformed_ctrl = jnp.asarray(deformed_ctrl, jnp.float32)
         if rest_ctrl.shape != deformed_ctrl.shape:

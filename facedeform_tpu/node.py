@@ -260,7 +260,10 @@ class FaceDeformNode:
         # not re-run the solve (it would pay the tunnel RTT every cook).
         fit_key = (
             rest_rig.pos_id, deform_rig.pos_id, cfg.solve_view(),
-            _fit_params_key(params),
+            # PU consumes only lam (auto per-patch radii): qcoef/zcoef/
+            # radius slider changes must not re-run a scan-scale PU fit
+            (float(params.lam),) if cfg.solver == "pu"
+            else _fit_params_key(params),
         )
         if fit_key != self._fit_key:
             with stage("solve", times):
@@ -357,10 +360,19 @@ class FaceDeformNode:
                 backend = self._choose_backend(
                     mesh_in, deformer, out.points, dist2, frame, group_mask
                 )
-                new_pts, falloff = deformer.apply(
-                    out.points, dist2=dist2, frame=frame,
-                    group_mask=group_mask, backend=backend,
-                )
+                if isinstance(deformer, _PUND):
+                    # plan keyed on the mesh positions' data id: no
+                    # per-cook content hash of the full point buffer
+                    new_pts, falloff = deformer.apply(
+                        out.points, dist2=dist2, frame=frame,
+                        group_mask=group_mask, backend=backend,
+                        plan_key=(mesh_in.pos_id, out.num_points),
+                    )
+                else:
+                    new_pts, falloff = deformer.apply(
+                        out.points, dist2=dist2, frame=frame,
+                        group_mask=group_mask, backend=backend,
+                    )
             new_pts = np.asarray(new_pts)
         out.set_attr("fd_falloff", np.asarray(falloff, np.float32))
         if picked:

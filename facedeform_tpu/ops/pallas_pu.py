@@ -273,8 +273,6 @@ def evaluate_pu_tiles(
             f"{points.shape[0]} — stale plan? (a mismatched gather would "
             "clamp out of range and return garbage silently on TPU)"
         )
-    t_ = item_patch.shape[0]
-    k_, p_, _ = model.ctrl.shape
     v = num_points
     vp = v + ((-v) % tile_v)
 

@@ -664,6 +664,18 @@ class PUDeformer:
         )
         return self._run_xla(points_np, eplan, precise)
 
+    def make_plan(self, points_np: np.ndarray):
+        """Build the eval plan displacement()'s auto route would use for
+        these points (tile plan on TPU f32, XLA plan otherwise) — for
+        callers that key plans themselves (e.g. the node's pos_id cache)
+        instead of paying the content-digest hash per call."""
+        precise = not self.auto_eps
+        if not precise and jax.default_backend() == "tpu":
+            from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
+
+            return plan_eval_tiles(self.patches, points_np)
+        return plan_eval(self.patches, points_np)
+
     def _cached_plan(self, points_np: np.ndarray, tag: str, build):
         import hashlib
 
@@ -713,6 +725,11 @@ class PUNodeDeformer:
     pud: PUDeformer
     cfg: object
     params: object
+    # mutable per-instance plan cache (mesh pos_id -> eval plan); compare/
+    # repr excluded so the frozen dataclass semantics stay value-like
+    _plans: dict = _dataclasses.field(
+        default_factory=dict, compare=False, repr=False
+    )
 
     @property
     def report(self):
@@ -720,14 +737,22 @@ class PUNodeDeformer:
 
     @classmethod
     def fit(cls, rest_ctrl, deformed_ctrl, cfg, params) -> "PUNodeDeformer":
+        from facedeform_tpu.config import RBFModelType
         from facedeform_tpu.ops import fit as fit_mod
 
         params_c = params.clamped()
+        # QNN semantics are EXACT interpolation (the global solver uses
+        # lam=0, ops/fit.py); only the explicit families take the user's
+        # ridge — otherwise the default lam=0.1 silently smooths the fit.
+        lam = (
+            0.0 if cfg.model == RBFModelType.QNN
+            else float(np.asarray(params_c.lam))
+        )
         pud = PUDeformer.fit(
             rest_ctrl, deformed_ctrl,
             kernel=fit_mod.effective_kernel(cfg), term=cfg.term,
             eps="auto",                      # per-patch shape parameter
-            lam=float(np.asarray(params_c.lam)),
+            lam=lam,
         )
         from facedeform_tpu.utils import errors
 
@@ -735,13 +760,23 @@ class PUNodeDeformer:
         return cls(pud=pud, cfg=cfg, params=params)
 
     def apply(self, points, dist2=None, frame=None, group_mask=None,
-              backend: str = "auto"):
+              backend: str = "auto", plan_key=None):
         from facedeform_tpu.ops.falloff import falloff_weight
         from facedeform_tpu.ops.tangent import project_to_tangents
 
         params = self.params.clamped()
         pts = jnp.asarray(points, jnp.float32)
-        disp = self.pud.displacement(np.asarray(points, np.float32))
+        points_np = np.asarray(points, np.float32)
+        plan = None
+        if plan_key is not None:
+            # node path: key the plan on the mesh's pos_id instead of
+            # re-hashing the full point buffer every cook/frame
+            plan = self._plans.get(plan_key)
+            if plan is None:
+                plan = self.pud.make_plan(points_np)
+                self._plans.clear()       # one mesh per node in practice
+                self._plans[plan_key] = plan
+        disp = self.pud.displacement(points_np, plan=plan)
         if self.cfg.tangent and frame is not None:
             disp = project_to_tangents(*frame, jnp.asarray(disp))
         v = pts.shape[0]

@@ -47,13 +47,11 @@ def shard_tile_plan(tplan, n_devices: int) -> PUShardedPlan:
     """Split a pallas_pu.PUTilePlan across n_devices contiguous vt ranges."""
     tile_v = tplan.tile_v
     v = tplan.num_points
+    # vp pads to a multiple of n_devices * tile_v, so every device owns
+    # at least one (possibly all-padding) vertex tile — small inputs are
+    # padded out rather than rejected.
     vp = v + ((-v) % (n_devices * tile_v))
     n_vt = vp // tile_v
-    if n_vt < n_devices:
-        raise ValueError(
-            f"{v} points make only {n_vt} vertex tiles — fewer than "
-            f"{n_devices} devices; use the single-device path"
-        )
     per_dev = n_vt // n_devices
 
     fp = np.full(vp, -1, np.int32)

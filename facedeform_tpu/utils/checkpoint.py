@@ -69,6 +69,8 @@ def load(path: str) -> Deformer:
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     data = np.load(path, allow_pickle=False)
+    if "pu" in data:
+        raise ValueError(f"{path} is a PU checkpoint (use load_pu())")
     version = int(data["format_version"])
     if version > _FORMAT_VERSION:
         raise ValueError(f"checkpoint format {version} is newer than supported")
@@ -153,7 +155,11 @@ def save_pu(path: str, pud) -> None:
     aggregated report carries over for node messages."""
     from facedeform_tpu.ops.pu import PUDeformer
 
-    assert isinstance(pud, PUDeformer), type(pud)
+    if not isinstance(pud, PUDeformer):
+        raise ValueError(
+            f"save_pu expects a PUDeformer, got {type(pud).__name__} "
+            "(use save() for global-RBF Deformers)"
+        )
     m, p = pud.model, pud.patches
     np.savez(
         path,
@@ -185,6 +191,9 @@ def load_pu(path: str):
     data = np.load(path, allow_pickle=False)
     if "pu" not in data:
         raise ValueError(f"{path} is not a PU checkpoint (use load())")
+    version = int(data["format_version"])
+    if version > _FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {version} is newer than supported")
     model = PUModel(
         centers=jnp.asarray(data["centers"]), radii=jnp.asarray(data["radii"]),
         ctrl=jnp.asarray(data["ctrl"]), valid=jnp.asarray(data["valid"]),

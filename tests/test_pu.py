@@ -267,3 +267,34 @@ def test_cli_pu_solver(tmp_path):
     q = mesh.points[:200]
     got = np.asarray(pud.displacement(q))
     assert np.isfinite(got).all() and np.abs(got).max() > 1e-4
+
+
+def test_deformer_fit_rejects_pu_solver():
+    import pytest as _pytest
+
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer
+
+    rest = fibonacci_points(30)
+    with _pytest.raises(ValueError, match="solver='pu'"):
+        Deformer.fit(rest, rest * 1.02, DeformConfig(solver="pu"),
+                     DeformParams())
+
+
+def test_node_pu_qnn_interpolates_exactly(rng):
+    """QNN semantics are exact interpolation: the PU route must not smooth
+    with the default lam=0.1 (mirrors ops/fit.py's lam0=0 for QNN)."""
+    from facedeform_tpu import DeformConfig, DeformParams, FaceDeformNode, Mesh
+
+    rig_pts = fibonacci_points(300)
+    disp = (
+        0.1 * np.exp(-3 * np.sum((rig_pts - [0, 1, 0]) ** 2, -1, keepdims=True))
+        .astype(np.float32) * np.float32([0, 1, 0])
+    )
+    # evaluate AT the rig points: exact interpolation must reproduce disp
+    mesh = Mesh(points=rig_pts)
+    node = FaceDeformNode()
+    res = node.cook([mesh, Mesh(points=rig_pts),
+                     Mesh(points=rig_pts + disp)],
+                    DeformConfig(solver="pu"), DeformParams())
+    err = np.abs(res.mesh.points - (rig_pts + disp)).max()
+    assert err < 5e-5, err
