@@ -272,7 +272,10 @@ def fit_pu(
     lam: float = 0.01,
     patch_size: int = 192,
     overlap: float = 1.3,
-    chunk: int = 16,
+    # swept on v5e at 30k ctrl (P=570): chunk 16/32/64 -> 10.2/7.9/6.4 s
+    # warm; 32 balances throughput against the chunk x (P+m)^2 x ~6-buffer
+    # working set for fat patches (P ~ 2k would put 64 near HBM limits)
+    chunk: int = 32,
     patches: Optional[PUPatches] = None,
 ) -> tuple[PUModel, SolveReport]:
     """Fit a PU-RBF displacement model at any N (dense df per patch).
