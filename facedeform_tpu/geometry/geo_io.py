@@ -29,7 +29,7 @@ re-implementation.  The writer emits the plain `tuples` storage with a
 from __future__ import annotations
 
 import json
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

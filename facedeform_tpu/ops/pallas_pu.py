@@ -91,7 +91,6 @@ def plan_eval_tiles(patches, points, tile_v: int = 256) -> PUTilePlan:
     """Build a PUTilePlan: Z-order the queries, list (vertex tile, patch)
     items, and the per-point nearest-patch fallback assignments."""
     import numpy as np
-    from scipy.spatial import cKDTree
 
     points = np.asarray(points, np.float32)
     v = points.shape[0]
@@ -118,34 +117,18 @@ def plan_eval_tiles(patches, points, tile_v: int = 256) -> PUTilePlan:
     n_vt = vp // tile_v
     point_vt = np.arange(v) // tile_v                  # in Z order
 
-    k_ = patches.centers.shape[0]
-    tree = cKDTree(pz)
-    margin = 0.9999
+    from facedeform_tpu.ops.pu import coverage_and_fallback
+
     vt_sets: list[set] = [set() for _ in range(n_vt)]
-    covered = np.zeros(v, bool)
-    for k in range(k_):
-        hits = np.asarray(
-            tree.query_ball_point(patches.centers[k], patches.radii[k]),
-            np.int64,
-        )
+    per_patch, covered, (un, pick) = coverage_and_fallback(patches, pz)
+    for k, hits in enumerate(per_patch):
         if hits.size:
-            d = np.linalg.norm(pz[hits] - patches.centers[k], axis=1)
-            covered[hits[d <= margin * patches.radii[k]]] = True
             for vt in np.unique(point_vt[hits]):
                 vt_sets[vt].add(int(k))
     forced_patch = np.full(vp, -1, np.int32)
-    if not covered.all():
-        un = np.nonzero(~covered)[0]
-        ctree = cKDTree(patches.centers)
-        kq = min(4, k_)
-        dists, nearest = ctree.query(pz[un], k=kq)
-        dists = np.asarray(dists).reshape(len(un), kq)
-        nearest = np.asarray(nearest).reshape(len(un), kq)
-        rel = dists / patches.radii[nearest]
-        pick = nearest[np.arange(len(un)), rel.argmin(axis=1)]
-        forced_patch[un] = pick.astype(np.int32)
-        for vi, k in zip(un, pick):
-            vt_sets[point_vt[vi]].add(int(k))
+    forced_patch[un] = pick.astype(np.int32)
+    for vi, k in zip(un, pick):
+        vt_sets[point_vt[vi]].add(int(k))
 
     item_vt, item_patch = [], []
     for vt in range(n_vt):
@@ -275,18 +258,9 @@ def evaluate_pu_tiles(
         )
     v = num_points
     vp = v + ((-v) % tile_v)
-
-    pz = points.astype(jnp.float32)[perm]              # Z-ordered
-    pz = jnp.pad(pz, ((0, vp - v), (0, 0)))
-    pts_t = pz.T.reshape(1, 3, vp).reshape(3, vp)      # (3, Vp)
-    pts_blocks = pts_t.reshape(3, vp // tile_v, tile_v).transpose(1, 0, 2)
-    lane = jnp.stack(
-        [
-            (jnp.arange(vp) < v).astype(jnp.float32).reshape(-1, tile_v),
-            forced_patch.astype(jnp.float32).reshape(-1, tile_v),
-        ],
-        axis=1,
-    )                                                   # (n_vt, 2, TV)
+    pts_blocks, lane = _blocked_vertex_operands(
+        points, perm, forced_patch, v, vp, tile_v
+    )
 
     acc_d, acc_w = _tiles_pallas_call(
         item_patch, item_vt, pts_blocks, lane,
@@ -373,3 +347,20 @@ def _tiles_pallas_call(item_patch, item_vt, pts_blocks, lane, packed,
         interpret=interpret,
     )(item_patch.astype(jnp.int32), item_vt.astype(jnp.int32),
       pts_blocks, lane, ctrl, cvalid, w_loc, poly, geom)
+
+
+def _blocked_vertex_operands(points, perm, forced_patch, v, vp, tile_v):
+    """(pts_blocks (n_vt, 3, TV), lane (n_vt, 2, TV)) for the tile kernel:
+    Z-ordered padded points plus the [valid, forced-patch-id] lane rows.
+    Shared by the single-device and vertex-sharded callers."""
+    pz = points.astype(jnp.float32)[perm]
+    pz = jnp.pad(pz, ((0, vp - v), (0, 0)))
+    pts_blocks = pz.T.reshape(3, vp // tile_v, tile_v).transpose(1, 0, 2)
+    lane = jnp.stack(
+        [
+            (jnp.arange(vp) < v).astype(jnp.float32).reshape(-1, tile_v),
+            forced_patch.astype(jnp.float32).reshape(-1, tile_v),
+        ],
+        axis=1,
+    )
+    return pts_blocks, lane

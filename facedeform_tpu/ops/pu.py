@@ -44,7 +44,7 @@ from __future__ import annotations
 
 import dataclasses as _dataclasses
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -383,27 +383,30 @@ class PUEvalPlan(NamedTuple):
     num_points: int
 
 
-def plan_eval(
-    patches: PUPatches, points: np.ndarray, tile_v: int = 256
-) -> PUEvalPlan:
-    """Assign every query point its covering patches (+ nearest-patch
-    fallback when uncovered), packed into fixed-size per-patch tiles."""
+
+def coverage_and_fallback(patches: PUPatches, points: np.ndarray):
+    """Shared coverage/fallback policy for both eval-plan builders.
+
+    Returns (per_patch_hits, covered, (uncovered_idx, picked_patch)).
+    Coverage needs a margin: at r -> R the Wendland blend weight
+    underflows ((1-r/R)^4 ~ 1e-29 inside the last 1e-7 of the support),
+    and a point whose ONLY patch weight underflows would divide ~0/clamp
+    and read as undeformed — a C0 seam right at the coverage boundary.
+    Points in the thin (0.9999R, R] shell therefore ALSO get the
+    nearest-patch fallback; the blend stays continuous because a
+    single-patch ratio W s / W equals s at any W > 0.  Factored here so
+    the per-patch (plan_eval) and vertex-tile (pallas_pu.plan_eval_tiles)
+    builders cannot drift on this seam-avoidance policy.
+    """
     from scipy.spatial import cKDTree
 
     points = np.asarray(points, np.float32)
     v = points.shape[0]
     k_ = patches.centers.shape[0]
     tree = cKDTree(points)
-    per_patch: list[np.ndarray] = []
-    covered = np.zeros(v, bool)
-    # Coverage needs a margin: at r -> R the Wendland blend weight
-    # underflows ((1-r/R)^4 ~ 1e-29 inside the last 1e-7 of the support),
-    # and a point whose ONLY patch weight underflows would divide ~0/clamp
-    # and read as undeformed — a C0 seam right at the coverage boundary.
-    # Points in the thin (0.9999R, R] shell therefore ALSO get the
-    # nearest-patch fallback item; the blend stays continuous because a
-    # single-patch ratio W s / W equals s at any W > 0.
     margin = 0.9999
+    per_patch: list = []
+    covered = np.zeros(v, bool)
     for k in range(k_):
         hits = np.asarray(
             tree.query_ball_point(patches.centers[k], patches.radii[k]),
@@ -413,19 +416,32 @@ def plan_eval(
         if hits.size:
             d = np.linalg.norm(points[hits] - patches.centers[k], axis=1)
             covered[hits[d <= margin * patches.radii[k]]] = True
+    if covered.all():
+        return per_patch, covered, (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    un = np.nonzero(~covered)[0]
+    ctree = cKDTree(patches.centers)
+    # nearest center whose ball is closest RELATIVE to its radius
+    kq = min(4, k_)
+    dists, nearest = ctree.query(points[un], k=kq)
+    dists = np.asarray(dists).reshape(len(un), kq)
+    nearest = np.asarray(nearest).reshape(len(un), kq)
+    rel = dists / patches.radii[nearest]
+    pick = nearest[np.arange(len(un)), rel.argmin(axis=1)]
+    return per_patch, covered, (un, pick.astype(np.int64))
+
+
+def plan_eval(
+    patches: PUPatches, points: np.ndarray, tile_v: int = 256
+) -> PUEvalPlan:
+    """Assign every query point its covering patches (+ nearest-patch
+    fallback when uncovered), packed into fixed-size per-patch tiles."""
+    points = np.asarray(points, np.float32)
+    v = points.shape[0]
+    k_ = patches.centers.shape[0]
+    per_patch, covered, (un, pick) = coverage_and_fallback(patches, points)
     forced_lists: list[list[int]] = [[] for _ in range(k_)]
-    if not covered.all():
-        un = np.nonzero(~covered)[0]
-        ctree = cKDTree(patches.centers)
-        # nearest center whose ball is closest relative to its radius
-        kq = min(4, k_)
-        dists, nearest = ctree.query(points[un], k=kq)
-        dists = np.asarray(dists).reshape(len(un), kq)
-        nearest = np.asarray(nearest).reshape(len(un), kq)
-        rel = dists / patches.radii[nearest]
-        pick = nearest[np.arange(len(un)), rel.argmin(axis=1)]
-        for vi, k in zip(un, pick):
-            forced_lists[int(k)].append(int(vi))
+    for vi, k in zip(un, pick):
+        forced_lists[int(k)].append(int(vi))
 
     tiles_patch, tiles_vidx, tiles_forced = [], [], []
     for k in range(k_):

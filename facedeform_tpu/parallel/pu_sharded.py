@@ -106,20 +106,13 @@ def sharded_pu_displacement(
 ) -> jnp.ndarray:
     """PU displacement, vertex tiles sharded over the 1-D device mesh."""
     from facedeform_tpu.ops.pallas_pu import (
-        _pack_patch_operands, _tiles_pallas_call,
+        _blocked_vertex_operands, _pack_patch_operands, _tiles_pallas_call,
     )
 
     v = num_points
-    pz = points.astype(jnp.float32)[perm]
-    pz = jnp.pad(pz, ((0, vp - v), (0, 0)))
-    pts_blocks = pz.T.reshape(3, vp // tile_v, tile_v).transpose(1, 0, 2)
-    lane = jnp.stack(
-        [
-            (jnp.arange(vp) < v).astype(jnp.float32).reshape(-1, tile_v),
-            forced_patch.astype(jnp.float32).reshape(-1, tile_v),
-        ],
-        axis=1,
-    )                                                   # (n_vt, 2, TV)
+    pts_blocks, lane = _blocked_vertex_operands(
+        points, perm, forced_patch, v, vp, tile_v
+    )
     packed = _pack_patch_operands(model)
     use_interpret = (
         np.asarray(mesh.devices).flat[0].platform != "tpu"
