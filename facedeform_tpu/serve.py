@@ -202,11 +202,16 @@ class DeformServer:
             if cmd == "fit":
                 cfg = DeformConfig(**req.get("cfg", {}))
                 params = DeformParams(**req.get("params", {}))
-                d = Deformer.fit(
-                    decode_array(req["rest_ctrl"]),
-                    decode_array(req["deformed_ctrl"]),
-                    cfg, params,
-                )
+                rest = decode_array(req["rest_ctrl"])
+                deformed = decode_array(req["deformed_ctrl"])
+                if cfg.solver == "pu":
+                    # partition-of-unity route: the adapter exposes the
+                    # same apply() contract, so downstream cmds just work
+                    from facedeform_tpu.ops.pu import PUNodeDeformer
+
+                    d = PUNodeDeformer.fit(rest, deformed, cfg, params)
+                else:
+                    d = Deformer.fit(rest, deformed, cfg, params)
                 did = self._new_id()
                 self._deformers[did] = d
                 return {
@@ -214,12 +219,31 @@ class DeformServer:
                     "residual": float(d.report.residual_norm),
                 }
             if cmd == "load":
-                d = checkpoint.load(req["path"])
+                try:
+                    d = checkpoint.load(req["path"])
+                except ValueError as e:
+                    if "PU checkpoint" not in str(e):
+                        raise
+                    # PU checkpoints carry the model, not eval knobs —
+                    # optional cfg/params in the request set those
+                    from facedeform_tpu.ops.pu import PUNodeDeformer
+
+                    d = PUNodeDeformer(
+                        pud=checkpoint.load_pu(req["path"]),
+                        cfg=DeformConfig(**req.get("cfg", {})),
+                        params=DeformParams(**req.get("params", {})),
+                    )
                 did = self._new_id()
                 self._deformers[did] = d
                 return {"ok": True, "deformer": did}
             if cmd == "save":
-                checkpoint.save(req["path"], self._deformers[req["deformer"]])
+                d = self._deformers[req["deformer"]]
+                from facedeform_tpu.ops.pu import PUNodeDeformer
+
+                if isinstance(d, PUNodeDeformer):
+                    checkpoint.save_pu(req["path"], d.pud)
+                else:
+                    checkpoint.save(req["path"], d)
                 return {"ok": True}
             if cmd == "apply":
                 d = self._deformers[req["deformer"]]

@@ -161,3 +161,37 @@ def test_binary_framing_with_dist2_and_gate(server, rng):
     np.testing.assert_array_equal(new_pts[gate == 0], pts[gate == 0])
     assert (falloff[gate == 0] == 0).all()
     c.close()
+
+
+def test_serve_pu_fit_apply_save_load(tmp_path):
+    """solver='pu' rides the serve protocol: fit, apply, save, load."""
+    import numpy as np
+
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.serve import DeformServer
+
+    srv = DeformServer()
+    rig = fibonacci_points(300)
+    disp = (0.1 * np.exp(-3 * np.sum((rig - [0, 1, 0]) ** 2, -1, keepdims=True))
+            .astype(np.float32) * np.float32([0, 1, 0]))
+    from facedeform_tpu.serve import encode_array
+
+    r = srv.handle({"cmd": "fit", "cfg": {"solver": "pu"}, "params": {},
+                    "rest_ctrl": encode_array(rig),
+                    "deformed_ctrl": encode_array(rig + disp)})
+    assert r["ok"], r
+    did = r["deformer"]
+    # apply AT the rig: exact interpolation through the wire
+    r2 = srv.handle({"cmd": "apply", "deformer": did,
+                     "points": encode_array(rig)}, raw=True)
+    assert r2["ok"], r2
+    got = np.asarray(r2["points"])
+    assert np.abs(got - (rig + disp)).max() < 5e-4
+    # save -> load round trip (PU codec auto-detected)
+    path = str(tmp_path / "pu_served.npz")
+    assert srv.handle({"cmd": "save", "deformer": did, "path": path})["ok"]
+    r3 = srv.handle({"cmd": "load", "path": path})
+    assert r3["ok"], r3
+    r4 = srv.handle({"cmd": "apply", "deformer": r3["deformer"],
+                     "points": encode_array(rig)}, raw=True)
+    np.testing.assert_allclose(np.asarray(r4["points"]), got, atol=1e-6)
