@@ -396,10 +396,17 @@ class FaceDeformNode:
             if cfg.dbse_lstsq and mesh_devices is not None:
                 from facedeform_tpu.parallel.dbse_sharded import weights_lstsq_sharded
 
-                w = weights_lstsq_sharded(
+                w, w_report = weights_lstsq_sharded(
                     dbse_model.deltas, cur, rest_attr, mesh_devices
                 )
-                ok = bool(np.isfinite(np.asarray(w)).all())
+                # Same Gram-solve health check as the single-device path:
+                # an ill-conditioned blend basis must trip the warning on
+                # both (src/SOP_FaceDeform.cpp:363-368's terminationtype).
+                try:
+                    errors.check_solve(w_report)
+                    ok = True
+                except errors.SolveFailedError:
+                    ok = False
             elif cfg.dbse_lstsq:
                 w, w_report = dbse_ops.weights_lstsq(dbse_model, cur, rest_attr)
                 try:

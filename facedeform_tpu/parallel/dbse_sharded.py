@@ -46,11 +46,16 @@ def weights_lstsq_sharded(
     rest: jnp.ndarray,       # (V, 3)
     mesh: Mesh,
     ridge: float = 1e-6,
-) -> jnp.ndarray:
+):
     """Least-squares blendshape weights with all O(V) work vertex-sharded.
 
     Equivalent to ops.dbse.weights_lstsq (zero-padding the vertex axis
-    contributes zero to both G and c); returns (S,) weights replicated.
+    contributes zero to both G and c); returns ((S,) weights, SolveReport),
+    both replicated.  The report is the same normwise Gram-solve health
+    signal the single-device path feeds errors.check_solve — the Gram
+    matrix is psum-reduced before the solve, so every device computes the
+    identical report (the sharded path must not silently skip the
+    terminationtype check of src/SOP_FaceDeform.cpp:363-368).
     """
     n_dev = mesh.shape[VERTEX_AXIS]
     s = deltas.shape[0]
@@ -63,10 +68,10 @@ def weights_lstsq_sharded(
         g = jax.lax.psum(g, VERTEX_AXIS)
         c = jax.lax.psum(c, VERTEX_AXIS)
         reg = ridge * jnp.trace(g) / s + 1e-30
-        w, _ = cholesky_solve_refined(
+        w, report = cholesky_solve_refined(
             g + reg * jnp.eye(s, dtype=g.dtype), c[:, None]
         )
-        return w[:, 0]
+        return w[:, 0], report
 
     return jax.shard_map(
         local,
@@ -116,7 +121,7 @@ def morph_pass_sharded(
     P = rest + sum_s B_s cw_s (the dofalloff residual term is applied by the
     caller, as in node.py).
     """
-    w = weights_lstsq_sharded(model.deltas, positions, rest, mesh, ridge)
+    w, _ = weights_lstsq_sharded(model.deltas, positions, rest, mesh, ridge)
     cw = w * 3.0 if parity_scale else w
     if clamp is not None:
         cw = jnp.clip(cw, clamp[0], clamp[1])

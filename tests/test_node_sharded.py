@@ -53,6 +53,26 @@ def test_cook_sharded_morphspace(rng, dev_mesh):
     )
 
 
+def test_cook_sharded_morphspace_bad_basis_warns_like_single(rng, dev_mesh):
+    """A degenerate blendshape basis (overflowing Gram) must trip the
+    'Can't compute weights' warning on BOTH the sharded and single-device
+    morph paths (round-2 gap: sharded only checked isfinite(w))."""
+    mesh, r0, r1 = _inputs(rng)
+    good = Mesh(points=mesh.points + 0.05 * rng.standard_normal(
+        (mesh.num_points, 3)).astype(np.float32))
+    bad = Mesh(points=mesh.points + np.float32(1e20) * rng.standard_normal(
+        (mesh.num_points, 3)).astype(np.float32))
+    cfg = DeformConfig(morphspace=True)
+    res_single = FaceDeformNode().cook([mesh, r0, r1, good, bad], cfg)
+    res_sharded = FaceDeformNode().cook(
+        [mesh, r0, r1, good, bad], cfg, mesh_devices=dev_mesh
+    )
+    msg = "Can't compute weights for morphspace deformation. Ignoring it."
+    assert msg in res_single.warnings
+    assert msg in res_sharded.warnings
+    assert res_single.weights is None and res_sharded.weights is None
+
+
 def test_cook_sharded_group_mask(rng, dev_mesh):
     mesh, r0, r1 = _inputs(rng)
     mask = np.zeros(mesh.num_points, bool)
