@@ -328,15 +328,18 @@ class FaceDeformNode:
         dist2 = capture.dist2 if capture is not None else None
         from facedeform_tpu.ops.pu import PUNodeDeformer as _PUND
 
-        if mesh_devices is not None and isinstance(deformer, _PUND):
-            # PU evals are plan-driven single-device (the Mosaic tile
-            # kernel); never silently change semantics — say so.
-            warnings.append(
-                "PU solver evaluates single-device; ignoring mesh_devices."
-            )
-            mesh_devices = None
         with stage("eval", times):
-            if mesh_devices is not None:
+            if mesh_devices is not None and isinstance(deformer, _PUND):
+                # Vertex-sharded PU eval (parallel/pu_sharded.py): same
+                # falloff/tangent/group composition as single-device, with
+                # the displacement field computed across the mesh.
+                new_pts, falloff = deformer.apply(
+                    out.points, dist2=dist2, frame=frame,
+                    group_mask=group_mask,
+                    plan_key=(mesh_in.pos_id, out.num_points),
+                    mesh_devices=mesh_devices,
+                )
+            elif mesh_devices is not None:
                 from facedeform_tpu.parallel.sharding import sharded_apply
 
                 v = out.num_points

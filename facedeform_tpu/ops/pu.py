@@ -779,23 +779,49 @@ class PUNodeDeformer:
         return cls(pud=pud, cfg=cfg, params=params)
 
     def apply(self, points, dist2=None, frame=None, group_mask=None,
-              backend: str = "auto", plan_key=None):
+              backend: str = "auto", plan_key=None, mesh_devices=None):
         from facedeform_tpu.ops.falloff import falloff_weight
         from facedeform_tpu.ops.tangent import project_to_tangents
 
         params = self.params.clamped()
         pts = jnp.asarray(points, jnp.float32)
         points_np = np.asarray(points, np.float32)
-        plan = None
-        if plan_key is not None:
-            # node path: key the plan on the mesh's pos_id instead of
-            # re-hashing the full point buffer every cook/frame
-            plan = self._plans.get(plan_key)
-            if plan is None:
-                plan = self.pud.make_plan(points_np)
-                self._plans.clear()       # one mesh per node in practice
-                self._plans[plan_key] = plan
-        disp = self.pud.displacement(points_np, plan=plan)
+        if mesh_devices is not None:
+            # Vertex-sharded PU eval across the device mesh
+            # (parallel/pu_sharded.py): the PU analogue of the promoted
+            # thread pool (src/SOP_FaceDeform.hpp:116-188) — sharding must
+            # not change results.  Node fits use eps='auto', where the f32
+            # tile kernel equals the df tiles (ops/pu.py module docstring),
+            # so the Mosaic sharded path is exact for this route.
+            from facedeform_tpu.parallel.pu_sharded import (
+                pu_displacement_sharded, shard_tile_plan,
+            )
+
+            n_dev = int(np.asarray(mesh_devices.devices).size)
+            skey = None if plan_key is None else (plan_key, "sharded", n_dev)
+            splan = self._plans.get(skey) if skey is not None else None
+            if splan is None:
+                from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
+
+                tplan = plan_eval_tiles(self.pud.patches, points_np)
+                splan = shard_tile_plan(tplan, n_dev)
+                if skey is not None:
+                    self._plans.clear()   # one mesh per node in practice
+                    self._plans[skey] = splan
+            disp = pu_displacement_sharded(
+                self.pud, points_np, mesh_devices, splan=splan
+            )
+        else:
+            plan = None
+            if plan_key is not None:
+                # node path: key the plan on the mesh's pos_id instead of
+                # re-hashing the full point buffer every cook/frame
+                plan = self._plans.get(plan_key)
+                if plan is None:
+                    plan = self.pud.make_plan(points_np)
+                    self._plans.clear()   # one mesh per node in practice
+                    self._plans[plan_key] = plan
+            disp = self.pud.displacement(points_np, plan=plan)
         if self.cfg.tangent and frame is not None:
             disp = project_to_tangents(*frame, jnp.asarray(disp))
         v = pts.shape[0]

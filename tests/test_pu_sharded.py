@@ -50,6 +50,43 @@ def test_shard_tile_plan_invariants():
     )
 
 
+def test_node_cook_pu_sharded_matches_single(rng):
+    """node.cook(mesh_devices=...) with solver='pu' must route through the
+    sharded PU eval (round-2 gap: it warned and fell back) and match the
+    single-device cook bit-for-tolerance on positions AND falloff."""
+    from facedeform_tpu import DeformConfig, DeformParams, FaceDeformNode, Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+
+    mesh = uv_sphere(40, 40)
+    rest = fibonacci_points(300)
+    rig0 = Mesh(points=rest.copy())
+    rig1 = Mesh(points=(rest * 1.03).astype(np.float32))
+    cfg = DeformConfig(solver="pu", dofalloff=True)
+    params = DeformParams(radius=2.0)
+    dev_mesh = sharding.make_mesh()
+    res_single = FaceDeformNode().cook([mesh, rig0, rig1], cfg, params)
+    node_sh = FaceDeformNode()
+    res_sharded = node_sh.cook(
+        [mesh, rig0, rig1], cfg, params, mesh_devices=dev_mesh
+    )
+    assert not any("ignoring mesh_devices" in w for w in res_sharded.warnings)
+    np.testing.assert_allclose(
+        res_sharded.mesh.points, res_single.mesh.points, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        res_sharded.mesh.point_attrs["fd_falloff"],
+        res_single.mesh.point_attrs["fd_falloff"], atol=1e-6,
+    )
+    # group restriction composes identically through the sharded route
+    mask = np.zeros(mesh.num_points, bool)
+    mask[::3] = True
+    res_m = node_sh.cook([mesh, rig0, rig1], cfg, params,
+                         group_mask=mask, mesh_devices=dev_mesh)
+    assert (res_m.mesh.points[~mask] == mesh.points[~mask]).all()
+    moved = np.abs(res_m.mesh.points[mask] - mesh.points[mask]).max()
+    assert moved > 1e-4
+
+
 def test_sharded_pu_matches_single_device(rng):
     d, rest, disp = _fit()
     mesh = sharding.make_mesh()
