@@ -19,10 +19,13 @@ solves (vmapped over patches), and the eval is tiles of (tile_v x P)
 fused distance->phi->contract blocks — O(V * P * coverage) work instead
 of the global O(V * N).
 
-Exact interpolation at every control point holds BY CONSTRUCTION: patch
-k's control set is every control within its support radius R_k, so at a
-control x_i every patch with W_k(x_i) > 0 interpolates it and the blend
-of values d_i is d_i.  Patch coverage of the controls is likewise
+Exact interpolation at every control point holds BY CONSTRUCTION at
+lam=0 (the QNN/interpolation route): patch k's control set is every
+control within its support radius R_k, so at a control x_i every patch
+with W_k(x_i) > 0 interpolates it and the blend of values d_i is d_i.
+With a ridge (fit_pu's default lam=0.01, or the user ridge on non-QNN
+families) the per-patch solves smooth, and controls are approximated,
+not interpolated.  Patch coverage of the controls is likewise
 guaranteed (each control lies within its own slab's support).  Query
 points outside every support (far from the rig) fall back to their
 nearest patch's local interpolant — the PU analogue of RBF
@@ -703,12 +706,14 @@ class PUDeformer:
             hashlib.blake2b(points_np.tobytes(), digest_size=16).digest(),
             tag,
         )
-        plan = self._plan_cache.get(key)
+        plan = self._plan_cache.pop(key, None)
         if plan is None:
             plan = build()
-            while len(self._plan_cache) >= 8:  # bound the cache
+            while len(self._plan_cache) >= 8:  # bound the cache (LRU)
                 self._plan_cache.pop(next(iter(self._plan_cache)))
-            self._plan_cache[key] = plan
+        # (re)insert at the end: hits move to MRU position so a hot plan
+        # alternating with others doesn't re-pay its host KD build
+        self._plan_cache[key] = plan
         return plan
 
     def _run_tiles(self, points, tplan):

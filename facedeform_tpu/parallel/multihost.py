@@ -142,8 +142,24 @@ def global_vertex_array(local_rows: np.ndarray, mesh: Mesh, v_total: int | None 
             d for d in np.asarray(mesh.devices).reshape(-1)
             if d.process_index == jax.process_index()
         ])
-        # every host holds the same share: local slab x (devices/local)
+        # every host holds the same share: local slab x (devices/local).
+        # The inference is only valid for equal-size slabs — hosts with
+        # uneven slabs MUST pass v_total explicitly or the global shape
+        # handed to make_array_from_process_local_data is wrong.
+        if n_local == 0 or local_rows.shape[0] % n_local:
+            raise ValueError(
+                f"local slab of {local_rows.shape[0]} rows does not divide "
+                f"across this host's {n_local} mesh devices; pass v_total "
+                "explicitly (uneven host slabs cannot be inferred)"
+            )
         v_total = local_rows.shape[0] * (mesh.shape[VERTEX_AXIS] // n_local)
+    else:
+        sl = host_slice(v_total, mesh)
+        if local_rows.shape[0] != sl.stop - sl.start:
+            raise ValueError(
+                f"local slab has {local_rows.shape[0]} rows but "
+                f"host_slice({v_total}) expects {sl.stop - sl.start}"
+            )
     sharding = NamedSharding(mesh, P(VERTEX_AXIS))
     global_shape = (v_total,) + tuple(local_rows.shape[1:])
     return jax.make_array_from_process_local_data(
