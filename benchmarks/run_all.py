@@ -319,9 +319,15 @@ def config9_pu_any_n(rng, n=30000, n_query=200000):
         .astype(np.float32)
         * np.float32([0, 1, 0])
     )
+    import jax.numpy as _jnp
+
     d = PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE, lam=1e-5)
+    float(_jnp.sum(d.model.w_hi))
     t0 = _time.time()
     d = PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE, lam=1e-5)
+    # the device-resident fit returns without materializing: fence via a
+    # scalar pull (block_until_ready does not fence the axon tunnel)
+    float(_jnp.sum(d.model.w_hi))
     warm_fit_s = _time.time() - t0
     got = np.asarray(d.displacement(rest))
     interp_err = float(np.abs(got - disp).max())

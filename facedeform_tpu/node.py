@@ -274,7 +274,8 @@ class FaceDeformNode:
                     from facedeform_tpu.ops.pu import PUNodeDeformer
 
                     self._deformer = PUNodeDeformer.fit(
-                        rest_rig.points, deform_rig.points, cfg, params
+                        rest_rig.points, deform_rig.points, cfg, params,
+                        mesh_devices=mesh_devices,
                     )
                 else:
                     self._deformer = Deformer.fit(

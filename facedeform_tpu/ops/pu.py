@@ -36,11 +36,16 @@ Host-side patch/plan construction is cached by callers like capture
 (kd cells + cKDTree ball queries); everything per-frame is jitted.
 
 Measured (v5e, 50k-control TPS, defaults patch_size=192 / overlap=1.3):
-interp error at controls 6.7e-8 (the matrix-free Krylov route floors at
-~1e-4 backward there), warm fit 19.5 s (512 batched (552)^2 df LU-IR
-solves), 500k-point eval 2.1 s at coverage 2.8.  Sweeps: overlap 1.6 ->
+interp error at controls 7.5e-8 (the matrix-free Krylov route floors at
+~1e-4 backward there), warm fit 1.32 s (512 batched (552)^2 df LU +
+stationary df-IR solves, device-resident chunks of 128), 500k-point
+host-buffer eval 0.36 s at coverage 2.8.  Round-2 host-chauffeured
+GMRES-IR fit was 19.5 s on the same config: ~4x of it chunk pull/push
+over the tunnel, the rest Krylov sweeps the spacing-scale conditioning
+doesn't need (see lu_solve_refined_against_df).  Sweeps: overlap 1.6 ->
 1.3 cut P 835 -> 548 and halved eval time at identical error; patch_size
-96 raised K to 1024 and slowed both phases.
+96 raised K to 1024 and slowed the fit (XLA's batched LU is not
+flops-bound in P).
 """
 
 from __future__ import annotations
@@ -236,8 +241,7 @@ def _assemble_patch_df(
     return a_hi, a_lo, local
 
 
-@functools.partial(jax.jit, static_argnames=("kernel", "term"))
-def _fit_chunk(
+def _fit_chunk_core(
     ctrl_chunk: jnp.ndarray,    # (C, P, 3)
     valid_chunk: jnp.ndarray,   # (C, P)
     centers_chunk: jnp.ndarray, # (C, 3)
@@ -246,6 +250,7 @@ def _fit_chunk(
     kernel: RBFKernel,
     term: PolyTerm,
     lam: jnp.ndarray,
+    gmres_ir: bool = True,
 ):
     """Batched df assembly + LU-IR solve for a chunk of patches."""
     from facedeform_tpu.ops.solve import lu_solve_refined_against_df
@@ -258,12 +263,59 @@ def _fit_chunk(
         b = jnp.concatenate(
             [rhs * valid[:, None], jnp.zeros((m, 3), jnp.float32)], axis=0
         )
-        (x_hi, x_lo), report = lu_solve_refined_against_df(a_hi, a_lo, b)
+        (x_hi, x_lo), report = lu_solve_refined_against_df(
+            a_hi, a_lo, b, gmres_ir=gmres_ir
+        )
         return x_hi, x_lo, report
 
     return jax.vmap(one)(
         ctrl_chunk, valid_chunk, centers_chunk, rhs_chunk, eps_chunk
     )
+
+
+_fit_chunk = jax.jit(
+    _fit_chunk_core, static_argnames=("kernel", "term", "gmres_ir")
+)
+
+
+@functools.cache
+def _sharded_fitter(mesh, kernel: RBFKernel, term: PolyTerm, chunk: int,
+                    gmres_ir: bool = True):
+    """One-dispatch fit: patches sharded over the mesh's vertex axis;
+    each device lax.map's its local patches in chunk-bounded batches.
+
+    Patches are independent (embarrassingly parallel), so the program has
+    ZERO collectives — the chip analogue of ALGLIB's internally-threaded
+    any-N rbfbuildmodel (src/SOP_FaceDeform.cpp:363).  The chunk bound
+    keeps the per-device batched-LU working set at
+    chunk x (P+m)^2 x ~6 buffers regardless of patch count.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from facedeform_tpu.parallel.sharding import VERTEX_AXIS
+
+    def local(ctrl_l, valid_l, centers_l, rhs_l, eps_l, lam_l):
+        s = ctrl_l.shape[0] // chunk
+        part = lambda a: a.reshape((s, chunk) + a.shape[1:])
+        x_hi, x_lo, rep = jax.lax.map(
+            lambda t: _fit_chunk_core(*t, kernel, term, lam_l, gmres_ir),
+            (part(ctrl_l), part(valid_l), part(centers_l),
+             part(rhs_l), part(eps_l)),
+        )
+        flat = lambda a: a.reshape((-1,) + a.shape[2:])
+        return flat(x_hi), flat(x_lo), jax.tree.map(flat, rep)
+
+    spec = P(VERTEX_AXIS)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P()),
+        out_specs=(spec, spec, spec),
+        # purely local per-shard compute (no collectives); the solver's
+        # fori_loop carries trip the varying-manual-axes typecheck the
+        # same way pallas_call does (CLAUDE.md) — disable it
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def fit_pu(
@@ -275,11 +327,13 @@ def fit_pu(
     lam: float = 0.01,
     patch_size: int = 192,
     overlap: float = 1.3,
-    # swept on v5e at 30k ctrl (P=570): chunk 16/32/64 -> 10.2/7.9/6.4 s
-    # warm; 32 balances throughput against the chunk x (P+m)^2 x ~6-buffer
-    # working set for fat patches (P ~ 2k would put 64 near HBM limits)
-    chunk: int = 32,
+    # None = auto: the largest chunk whose chunk x (P+m)^2 x ~6-buffer
+    # working set fits a ~2 GB budget, capped at 128 (measured on v5e at
+    # 30k ctrl / P=570 with device-resident chunks: 32/64/128/256 ->
+    # 5.9/5.4/5.0/5.1 s warm)
+    chunk: Optional[int] = None,
     patches: Optional[PUPatches] = None,
+    mesh=None,
 ) -> tuple[PUModel, SolveReport]:
     """Fit a PU-RBF displacement model at any N (dense df per patch).
 
@@ -294,6 +348,13 @@ def fit_pu(
 
     patches may be passed in (cached by callers on the rig's pos_id);
     chunk bounds the batched-LU working set (chunk x (P+m)^2 buffers).
+
+    mesh (a jax.sharding.Mesh) distributes the independent patch solves
+    across its devices in ONE dispatch (zero collectives); without it the
+    chunks run as a host-driven loop on the default device.  Either way
+    every buffer stays device-resident — the fit never pulls a chunk
+    through the host (the round-2 chauffeur cost: ~4x the solution bytes
+    over the tunnel).
     """
     rest_np = np.asarray(rest_ctrl, np.float32)
     delta = np.asarray(deformed_ctrl, np.float32) - rest_np
@@ -311,62 +372,91 @@ def fit_pu(
         eps_arr = (2.0 * patches.spacing).astype(np.float32)
     else:
         eps_arr = np.full(k_, float(eps), np.float32)
+    # auto-eps patches are well conditioned (~2e6 at the spacing scale):
+    # stationary df-IR contracts and costs ~30x fewer triangular solves
+    # than GMRES-IR per sweep (see lu_solve_refined_against_df); forced
+    # global eps can reach cond ~5e10 and must keep the Krylov correction
+    gmres_ir = not isinstance(eps, str)
     lam_j = jnp.asarray(lam, jnp.float32)
-    xs_hi, xs_lo, reports = [], [], []
-    pad_k = (-k_) % chunk
-    for start in range(0, k_ + pad_k, chunk):
-        sl = slice(start, start + chunk)
-        cc = ctrl_pad[sl]
-        if cc.shape[0] < chunk:  # pad the tail chunk (same jit shape)
-            reps = chunk - cc.shape[0]
-            pad1 = lambda a: np.concatenate([a, np.repeat(a[-1:], reps, 0)])
-            cc = pad1(cc)
-            vv = pad1(valid[sl])
-            ce = pad1(patches.centers[sl])
-            rr = pad1(rhs_pad[sl])
-            ee = pad1(eps_arr[sl])
-            live = slice(0, chunk - reps)
-        else:
-            vv, ce, rr = valid[sl], patches.centers[sl], rhs_pad[sl]
-            ee = eps_arr[sl]
-            live = slice(0, chunk)
-        x_hi, x_lo, rep = _fit_chunk(
-            jnp.asarray(cc), jnp.asarray(vv), jnp.asarray(ce),
-            jnp.asarray(rr), jnp.asarray(ee), kernel, term, lam_j,
+    if chunk is None:
+        sys_bytes = (p_ + _n_poly(term)) ** 2 * 4 * 6
+        chunk = max(8, min(128, (2 << 30) // sys_bytes))
+
+    # Pad the WHOLE batch once (host-side; duplicate last patch) so every
+    # chunk/device slab has the same jit shape, upload each buffer in one
+    # h2d, and keep all chunk solutions device-resident.
+    if mesh is not None:
+        n_dev = int(np.asarray(mesh.devices).size)
+        k_loc = -(-k_ // n_dev)                      # patches per device
+        chunk_eff = min(chunk, k_loc)
+        k_loc = -(-k_loc // chunk_eff) * chunk_eff   # chunk multiple
+        k_pad = n_dev * k_loc
+    else:
+        chunk_eff = chunk
+        k_pad = -(-k_ // chunk) * chunk
+    reps = k_pad - k_
+    pad1 = (
+        (lambda a: np.concatenate([a, np.repeat(a[-1:], reps, 0)]))
+        if reps else (lambda a: a)
+    )
+    ctrl_b, valid_b, cen_b, rhs_b, eps_b = (
+        pad1(ctrl_pad), pad1(valid), pad1(patches.centers),
+        pad1(rhs_pad), pad1(eps_arr),
+    )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from facedeform_tpu.parallel.sharding import VERTEX_AXIS
+
+        sh = NamedSharding(mesh, P(VERTEX_AXIS))
+        put = lambda a: jax.device_put(np.ascontiguousarray(a), sh)
+        fitter = _sharded_fitter(mesh, kernel, term, chunk_eff, gmres_ir)
+        x_hi, x_lo, rep_all = fitter(
+            put(ctrl_b), put(valid_b), put(cen_b), put(rhs_b), put(eps_b),
+            lam_j,
         )
-        xs_hi.append(np.asarray(x_hi)[live])
-        xs_lo.append(np.asarray(x_lo)[live])
-        # slice report rows like the solutions: the tail chunk's padded
-        # duplicate patches must not overweight the aggregate
-        reports.append(jax.tree.map(lambda a: np.asarray(a)[live], rep))
-    x_hi = np.concatenate(xs_hi)   # (K, P+m, 3)
-    x_lo = np.concatenate(xs_lo)
+    else:
+        ctrl_d, valid_d, cen_d, rhs_d, eps_d = map(
+            jnp.asarray, (ctrl_b, valid_b, cen_b, rhs_b, eps_b)
+        )
+        outs = []
+        for start in range(0, k_pad, chunk_eff):
+            sl = slice(start, start + chunk_eff)
+            outs.append(_fit_chunk(
+                ctrl_d[sl], valid_d[sl], cen_d[sl], rhs_d[sl], eps_d[sl],
+                kernel, term, lam_j, gmres_ir,
+            ))
+        x_hi = jnp.concatenate([o[0] for o in outs])
+        x_lo = jnp.concatenate([o[1] for o in outs])
+        rep_all = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *[o[2] for o in outs]
+        )
+    # Drop the padded duplicate patches (they must not overweight the
+    # aggregate report) — a device-side slice, not a host pull.
+    x_hi, x_lo = x_hi[:k_], x_lo[:k_]          # (K, P+m, 3)
+    rep_all = jax.tree.map(lambda a: a[:k_], rep_all)
     m = _n_poly(term)
     model = PUModel(
         centers=jnp.asarray(patches.centers),
         radii=jnp.asarray(patches.radii),
         ctrl=jnp.asarray(ctrl_pad),
         valid=jnp.asarray(valid),
-        w_hi=jnp.asarray(x_hi[:, :p_]),
-        w_lo=jnp.asarray(x_lo[:, :p_]),
-        poly_hi=jnp.asarray(x_hi[:, p_:]) if m else jnp.zeros((k_, 0, 3)),
-        poly_lo=jnp.asarray(x_lo[:, p_:]) if m else jnp.zeros((k_, 0, 3)),
+        w_hi=x_hi[:, :p_],
+        w_lo=x_lo[:, :p_],
+        poly_hi=x_hi[:, p_:] if m else jnp.zeros((k_, 0, 3)),
+        poly_lo=x_lo[:, p_:] if m else jnp.zeros((k_, 0, 3)),
         eps=jnp.asarray(eps_arr),
     )
-    # Aggregate health across all patches (reports are vmapped over the
-    # chunk axis, so every leaf carries a leading chunk dim).
-    res = np.concatenate([np.ravel(np.asarray(r.residual_norm)) for r in reports])
-    rhs = np.concatenate([np.ravel(np.asarray(r.rhs_norm)) for r in reports])
-    scale = np.concatenate([np.ravel(np.asarray(r.scale_norm)) for r in reports])
-    back = np.concatenate([np.ravel(np.asarray(r.col_backward)) for r in reports])
+    # Aggregate health across all patches, on device (reports carry a
+    # leading patch dim per leaf).
     agg = SolveReport(
-        residual_norm=jnp.asarray(np.linalg.norm(res), jnp.float32),
-        rhs_norm=jnp.asarray(np.linalg.norm(rhs), jnp.float32),
+        residual_norm=jnp.linalg.norm(jnp.ravel(rep_all.residual_norm)),
+        rhs_norm=jnp.linalg.norm(jnp.ravel(rep_all.rhs_norm)),
         # norm of per-patch denominators: keeps backward_error() a true
         # normwise aggregate over the batched solves
-        scale_norm=jnp.asarray(np.linalg.norm(scale), jnp.float32),
+        scale_norm=jnp.linalg.norm(jnp.ravel(rep_all.scale_norm)),
         cond_est=None,
-        col_backward=jnp.asarray([np.nanmax(back)], jnp.float32),
+        col_backward=jnp.nanmax(jnp.ravel(rep_all.col_backward))[None],
     )
     return model, agg
 
@@ -611,12 +701,12 @@ class PUDeformer:
     @classmethod
     def fit(cls, rest_ctrl, deformed_ctrl, kernel=RBFKernel.THIN_PLATE,
             term=PolyTerm.LINEAR, eps="auto", lam=0.01,
-            patch_size=192, overlap=1.3) -> "PUDeformer":
+            patch_size=192, overlap=1.3, mesh=None) -> "PUDeformer":
         patches = build_patches(np.asarray(rest_ctrl, np.float32),
                                 patch_size, overlap)
         model, report = fit_pu(
             rest_ctrl, deformed_ctrl, kernel, term, eps, lam,
-            patches=patches,
+            patches=patches, mesh=mesh,
         )
         self = cls(model, patches, kernel, term,
                    auto_eps=isinstance(eps, str))
@@ -760,7 +850,8 @@ class PUNodeDeformer:
         return self.pud.report
 
     @classmethod
-    def fit(cls, rest_ctrl, deformed_ctrl, cfg, params) -> "PUNodeDeformer":
+    def fit(cls, rest_ctrl, deformed_ctrl, cfg, params,
+            mesh_devices=None) -> "PUNodeDeformer":
         from facedeform_tpu.config import RBFModelType
         from facedeform_tpu.ops import fit as fit_mod
 
@@ -777,6 +868,7 @@ class PUNodeDeformer:
             kernel=fit_mod.effective_kernel(cfg), term=cfg.term,
             eps="auto",                      # per-patch shape parameter
             lam=lam,
+            mesh=mesh_devices,               # patch solves over the mesh
         )
         from facedeform_tpu.utils import errors
 

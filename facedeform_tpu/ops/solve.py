@@ -175,12 +175,13 @@ def lu_solve_refined_df(
     return _lu_refined_impl(a, b, n_refine, want_lo=True)
 
 
-@functools.partial(jax.jit, static_argnames=("n_refine",))
+@functools.partial(jax.jit, static_argnames=("n_refine", "gmres_ir"))
 def lu_solve_refined_against_df(
     a_hi: jnp.ndarray,
     a_lo: jnp.ndarray,
     b: jnp.ndarray,
     n_refine: int = 3,
+    gmres_ir: bool = True,
 ) -> tuple[tuple[jnp.ndarray, jnp.ndarray], SolveReport]:
     """Solve (A_hi + A_lo) X = B with an f32 LU of A_hi and df-x refinement.
 
@@ -194,6 +195,16 @@ def lu_solve_refined_against_df(
     GMRES (GMRES-IR, Carson & Higham), which converges for conditioning far
     beyond the stationary limit — measured 7.8e-4 -> 2.3e-6 relative weight
     error in 2 sweeps on that system.
+
+    gmres_ir=False runs STATIONARY df-IR instead (one preconditioned
+    correction per sweep, no inner Krylov): ~30x fewer triangular solves
+    and matvecs per sweep.  Correct ONLY when cond * u < 1 so the
+    stationary iteration contracts — the PU patch solves at the auto
+    spacing-scale shape parameter (cond ~2e6, contraction ~0.24/sweep)
+    qualify, and their residual-type interp error at the controls reaches
+    the same ~u ||A|| ||X|| floor (measured: identical 7.45e-8 interp at
+    30k controls, warm fit 5.0 s -> 0.68 s on v5e).  Forced-global-eps
+    fits (cond ~5e10) MUST keep GMRES-IR.
     """
     from facedeform_tpu.ops.krylov import gmres
 
@@ -233,13 +244,16 @@ def lu_solve_refined_against_df(
                 x_lo, x_hi + x_lo
             )
 
-        for _ in range(n_refine):
-            dx, _ = gmres(
-                matvec, residual(x_hi, x_lo), msolve=msolve,
-                restart=16, max_restarts=2,
-            )
-            from facedeform_tpu.ops.dfloat import _two_sum as _guarded_two_sum
+        from facedeform_tpu.ops.dfloat import _two_sum as _guarded_two_sum
 
+        for _ in range(n_refine):
+            if gmres_ir:
+                dx, _ = gmres(
+                    matvec, residual(x_hi, x_lo), msolve=msolve,
+                    restart=16, max_restarts=2,
+                )
+            else:
+                dx = msolve(residual(x_hi, x_lo))
             s, e = _guarded_two_sum(x_hi, dx)
             x_hi, x_lo = s, x_lo + e
         r = residual(x_hi, x_lo)

@@ -50,6 +50,36 @@ def test_shard_tile_plan_invariants():
     )
 
 
+def test_fit_pu_sharded_matches_single(rng):
+    """fit_pu(mesh=...) distributes the patch solves over the 8-device
+    mesh in one dispatch; the model and its displacements must match the
+    host-loop fit (patches are independent — sharding cannot change
+    results).  Exercises the non-divisible case: K patches not a multiple
+    of n_devices * chunk (padding correctness)."""
+    rest = fibonacci_points(1100)
+    disp = (
+        0.08 * np.exp(-2 * np.sum((rest - [1, 0, 0]) ** 2, -1, keepdims=True))
+    ).astype(np.float32) * np.float32([1, 0, 0])
+    kw = dict(kernel=RBFKernel.THIN_PLATE, patch_size=48, lam=1e-5)
+    d_single = PUDeformer.fit(rest, rest + disp, **kw)
+    d_sharded = PUDeformer.fit(rest, rest + disp, mesh=sharding.make_mesh(),
+                               **kw)
+    assert d_single.model.w_hi.shape == d_sharded.model.w_hi.shape
+    np.testing.assert_allclose(
+        np.asarray(d_sharded.model.w_hi), np.asarray(d_single.model.w_hi),
+        rtol=0, atol=1e-5,
+    )
+    q = (fibonacci_points(700) * 1.02).astype(np.float32)
+    out_s = np.asarray(d_single.displacement(q))
+    out_m = np.asarray(d_sharded.displacement(q))
+    np.testing.assert_allclose(out_m, out_s, rtol=0, atol=1e-6)
+    # aggregate report must exclude padded duplicate patches: backward
+    # error finite and within the PU budget on both paths
+    for d in (d_single, d_sharded):
+        be = float(np.asarray(d.report.backward_error()))
+        assert np.isfinite(be) and be < 1e-4
+
+
 def test_node_cook_pu_sharded_matches_single(rng):
     """node.cook(mesh_devices=...) with solver='pu' must route through the
     sharded PU eval (round-2 gap: it warned and fell back) and match the
