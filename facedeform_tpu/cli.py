@@ -123,6 +123,13 @@ def _cfg_params_from(args):
     return cfg, params
 
 
+def _print_load_warnings(paths, meshes) -> None:
+    """Surface .geo-bridge skip notes (mesh.load_warnings) on stderr."""
+    for path, m in zip(paths, meshes):
+        for w in getattr(m, "load_warnings", []):
+            print(f"warning: {path}: {w}", file=sys.stderr)
+
+
 def _cmd_deform(args) -> int:
     from facedeform_tpu.geometry import load_mesh, save_mesh
     from facedeform_tpu.geometry.topology import compute_tangent_frame
@@ -136,6 +143,10 @@ def _cmd_deform(args) -> int:
         rest_rig = load_mesh(args.rest_rig)
         deform_rig = load_mesh(args.deform_rig)
         blends = [load_mesh(b) for b in args.blend]
+    _print_load_warnings(
+        [args.mesh, args.rest_rig, args.deform_rig] + list(args.blend),
+        [mesh, rest_rig, deform_rig] + blends,
+    )
 
     cfg, params = _cfg_params_from(args)
     if cfg.tangent and not mesh.has_tangent_frame():
@@ -197,6 +208,10 @@ def _cmd_deform_seq(args) -> int:
         rest_rig = load_mesh(args.rest_rig)
         rigs = [load_mesh(p) for p in args.deform_rigs]
         blends = [load_mesh(b) for b in args.blend]
+    _print_load_warnings(
+        [args.mesh, args.rest_rig] + list(args.deform_rigs) + list(args.blend),
+        [mesh, rest_rig] + rigs + blends,
+    )
 
     cfg, params = _cfg_params_from(args)
     if cfg.tangent and not mesh.has_tangent_frame():

@@ -21,9 +21,11 @@ Supported on load:
   * point groups: `i8` bitmask and `boolRLE` selections
 
 Unsupported constructs (string attributes, packed prims, volumes, ...)
-are skipped silently on load — this is a geometry bridge, not a Houdini
-re-implementation.  The writer emits the plain `tuples` storage with a
-`Polygon_run`, which Houdini (12.0+) reads back losslessly.
+are skipped on load — this is a geometry bridge, not a Houdini
+re-implementation — but never silently: each skip is recorded on
+`mesh.load_warnings` (and printed by the CLI) so a Houdini round trip
+that drops data says so.  The writer emits the plain `tuples` storage
+with a `Polygon_run`, which Houdini (12.0+) reads back losslessly.
 """
 
 from __future__ import annotations
@@ -123,6 +125,28 @@ def _decode_paged_constant(flat, size, packing, pagesize, cpf, n, dtype):
     return out
 
 
+def _skip_reason(entry: List[Any], kind: str) -> str:
+    """Human-readable reason an attribute/group entry was not decoded
+    (best effort — malformed entries get a generic note)."""
+    try:
+        defn = _pairs(entry[0])
+        name = defn.get("name", "?")
+        typ = defn.get("type", "?")
+        if kind == "point group":
+            return f"skipped {kind} {name!r} (unsupported selection encoding)"
+        if typ != "numeric":
+            return f"skipped {kind} {name!r} (unsupported type {typ!r})"
+        data = _pairs(entry[1])
+        values = data.get("values")
+        if values is not None:
+            values = _pairs(values) if isinstance(values, list) else values
+            storage = values.get("storage", "?")
+            return f"skipped {kind} {name!r} (unsupported storage {storage!r})"
+        return f"skipped {kind} {name!r} (no decodable payload)"
+    except Exception:
+        return f"skipped malformed {kind} entry"
+
+
 def _decode_attribute(entry: List[Any], n_expected: int):
     """One attribute entry: [definition-pairs, data-pairs] -> (name, array)."""
     if not isinstance(entry, list) or len(entry) != 2:
@@ -174,14 +198,23 @@ def _decode_group(entry: List[Any], n_points: int):
     return name, mask
 
 
-def _decode_primitives(prims: List[Any], pointref: np.ndarray):
+def _decode_primitives(prims: List[Any], pointref: np.ndarray,
+                       load_warnings: Optional[List[str]] = None):
     """Polygon faces as a -1-padded (F, k) int32 array (Mesh contract)."""
     faces: List[np.ndarray] = []
+    skipped: Dict[str, int] = {}
     for entry in prims:
         if not isinstance(entry, list) or not entry:
             continue
         head = _pairs(entry[0])
         ptype = head.get("type")
+        if ptype not in ("Polygon_run", "run", "Polygon") or (
+            ptype == "run" and head.get("runtype") != "Polygon"
+        ):
+            # packed prims, volumes, curves, ... — count per type
+            key = str(head.get("runtype")) if ptype == "run" else str(ptype)
+            skipped[key] = skipped.get(key, 0) + 1
+            continue
         body = _pairs(entry[1]) if len(entry) > 1 else {}
         if ptype in ("Polygon_run", "run") and (
             ptype == "Polygon_run" or head.get("runtype") == "Polygon"
@@ -205,6 +238,12 @@ def _decode_primitives(prims: List[Any], pointref: np.ndarray):
             vtx = body.get("vertex")
             if vtx is not None:
                 faces.append(pointref[np.asarray(vtx, np.int64)])
+    if load_warnings is not None:
+        for ptype, count in sorted(skipped.items()):
+            load_warnings.append(
+                f"skipped {count} {ptype!r} primitive(s) (only polygons "
+                "are bridged)"
+            )
     if not faces:
         return None
     k = max(len(f) for f in faces)
@@ -217,9 +256,12 @@ def _decode_primitives(prims: List[Any], pointref: np.ndarray):
 def load_geo(path: str) -> Mesh:
     """Load a Houdini JSON .geo file into a Mesh (see module docstring).
 
-    Raises ValueError with a one-line diagnosis for non-JSON inputs (the
-    pre-H12 classic ASCII format, binary .bgeo renamed to .geo, truncated
-    files) instead of leaking a JSONDecodeError traceback."""
+    Unsupported constructs (string attrs, packed prims, ...) are skipped
+    and listed on the returned mesh's `load_warnings`; the CLI prints
+    them.  Raises ValueError with a one-line diagnosis for non-JSON
+    inputs (the pre-H12 classic ASCII format, binary .bgeo renamed to
+    .geo, truncated files) instead of leaking a JSONDecodeError
+    traceback."""
     try:
         with open(path, "r") as fh:
             head = fh.read(32)
@@ -242,6 +284,10 @@ def load_geo(path: str) -> Mesh:
         ) from e
     top = _pairs(doc)
     n_points = int(top.get("pointcount", 0))
+    # every construct the bridge cannot represent is recorded here and
+    # attached as mesh.load_warnings — Houdini round trips must not drop
+    # data silently (the attr surface: src/SOP_FaceDeform.cpp:289-297)
+    load_warnings: List[str] = []
 
     # topology: vertex -> point map
     pointref = np.zeros(0, np.int64)
@@ -262,6 +308,7 @@ def load_geo(path: str) -> Mesh:
         for entry in attrs.get("pointattributes", []) or []:
             decoded = _decode_attribute(entry, n_points)
             if decoded is None:
+                load_warnings.append(_skip_reason(entry, "point attribute"))
                 continue
             name, arr = decoded
             if name == "P":
@@ -271,6 +318,7 @@ def load_geo(path: str) -> Mesh:
         for entry in attrs.get("globalattributes", []) or []:
             decoded = _decode_attribute(entry, 1)
             if decoded is None:
+                load_warnings.append(_skip_reason(entry, "detail attribute"))
                 continue
             name, arr = decoded
             detail_attrs[name] = np.asarray(arr).reshape(-1)
@@ -278,7 +326,7 @@ def load_geo(path: str) -> Mesh:
     faces = None
     prims = top.get("primitives")
     if prims is not None and pointref.size:
-        faces = _decode_primitives(prims, pointref)
+        faces = _decode_primitives(prims, pointref, load_warnings)
 
     mesh = Mesh(points=points, faces=faces)
     for name, arr in point_attrs.items():
@@ -286,8 +334,11 @@ def load_geo(path: str) -> Mesh:
     mesh.detail_attrs.update(detail_attrs)
     for entry in top.get("pointgroups", []) or []:
         decoded = _decode_group(entry, n_points)
-        if decoded is not None:
+        if decoded is None:
+            load_warnings.append(_skip_reason(entry, "point group"))
+        else:
             mesh.set_group(decoded[0], decoded[1])
+    mesh.load_warnings = load_warnings
     return mesh
 
 

@@ -147,6 +147,16 @@ class Mesh:
                 f"{sorted(self.point_groups)}"
             ) from None
 
+    def select_points(self, pattern: str) -> np.ndarray:
+        """Resolve a Houdini group-pattern string to a boolean mask:
+        names, globs, point numbers, ranges (`3-40`, `3-40:2`,
+        `3-40:2,5`), `!` complements and `^` subtraction — the
+        `cookInputGroups` grammar (src/SOP_FaceDeform.cpp:156-173).  A
+        plain group name behaves exactly like group_mask(name)."""
+        from facedeform_tpu.geometry.grouppattern import parse_group_pattern
+
+        return parse_group_pattern(pattern, self)
+
     def has_tangent_frame(self) -> bool:
         """True if the tangentu/tangentv/N attributes the reference requires
         for tangent projection are present (src/SOP_FaceDeform.cpp:289-297)."""

@@ -177,11 +177,13 @@ class FaceDeformNode:
                 "need at least 3 inputs: mesh, rest rig, deformed rig"
             )
         if group is not None:
-            # Named point-group restriction (the reference's `group` string
+            # Point-group restriction (the reference's `group` string
             # parameter, src/SOP_FaceDeform.cpp:119-120, applied :485).
+            # Full Houdini pattern syntax: names, globs, ranges, ^/!
+            # (cookInputGroups grammar, :156-173).
             if group_mask is not None:
                 raise ValueError("pass either group or group_mask, not both")
-            group_mask = inputs[0].group_mask(group)
+            group_mask = inputs[0].select_points(group)
         warnings: List[str] = []
         messages: List[str] = []
         mesh_in, rest_rig, deform_rig = inputs[0], inputs[1], inputs[2]

@@ -176,3 +176,89 @@ def deform(rest_ctrl, deformed_ctrl, points, cfg: DeformConfig,
         active = np.logical_and(active, group_mask)
     w = np.where(active, w, 0.0)
     return points + disp * w[:, None], w
+
+
+# ---------------------------------------------------------------- PU oracle
+def pu_fit_patch(ctrl_k, rhs_k, center, kernel, term, eps, lam,
+                 tail_reg=1e-8):
+    """One patch's f64 saddle solve on centered coordinates — mirrors
+    ops.pu._assemble_patch_df / lu_solve_refined_against_df semantics
+    (including the quasi-definite -tail_reg tail)."""
+    local = np.asarray(ctrl_k, np.float64) - np.asarray(center, np.float64)
+    p = local.shape[0]
+    phi = apply_kernel(kernel, pairwise_sqdist(local, local), eps)
+    phi = phi + lam * np.eye(p)
+    pb = poly_basis(local, term)
+    m = pb.shape[1]
+    a = np.block([
+        [phi, pb],
+        [pb.T, -tail_reg * np.eye(m)],
+    ]) if m else phi
+    b = np.concatenate([np.asarray(rhs_k, np.float64), np.zeros((m, 3))])
+    x = np.linalg.solve(a, b)
+    return x[:p], x[p:], local
+
+
+def pu_deform(rest_ctrl, deformed_ctrl, points, patches, kernel, term,
+              eps_arr, lam, margin=0.9999):
+    """f64 partition-of-unity displacement field.
+
+    `patches` supplies the combinatorial plan only (kd-cell membership,
+    centers, radii — shared input with the implementation under test);
+    every solve, kernel evaluation, Wendland blend weight and the
+    coverage/fallback policy (points whose best patch distance exceeds
+    margin * R fall back to the nearest-relative patch's local
+    interpolant, ops.pu.coverage_and_fallback) are recomputed here in
+    float64.
+    """
+    rest = np.asarray(rest_ctrl, np.float64)
+    delta = np.asarray(deformed_ctrl, np.float64) - rest
+    pts = np.asarray(points, np.float64)
+    k_ = patches.centers.shape[0]
+    centers = np.asarray(patches.centers, np.float64)
+    radii = np.asarray(patches.radii, np.float64)
+    eps_arr = np.asarray(eps_arr, np.float64)
+
+    sols = []
+    for k in range(k_):
+        idx = patches.idx[k]
+        idx = idx[idx >= 0]
+        w, poly, _ = pu_fit_patch(
+            rest[idx], delta[idx], centers[k], kernel, term,
+            float(eps_arr[k]), lam,
+        )
+        sols.append((idx, w, poly))
+
+    def eval_patch(k, x):
+        idx, w, poly = sols[k]
+        local_x = x - centers[k]
+        d2 = np.sum((rest[idx] - x) ** 2, axis=-1)
+        phi = apply_kernel(kernel, d2, float(eps_arr[k]))
+        s = phi @ w
+        pb = poly_basis(local_x[None], term)[0]
+        if pb.size:
+            s = s + pb @ poly
+        return s
+
+    out = np.zeros((pts.shape[0], 3))
+    d_all = np.sqrt(
+        np.sum((pts[:, None, :] - centers[None, :, :]) ** 2, axis=-1)
+    )                                                   # (V, K)
+    rel = d_all / radii[None, :]
+    for i, x in enumerate(pts):
+        covered = rel[i] <= margin
+        if covered.any():
+            t = np.minimum(rel[i][covered], 1.0)
+            base = np.maximum(1.0 - t, 0.0)
+            wk = base ** 4 * (4.0 * t + 1.0)            # Wendland C2
+            num = np.zeros(3)
+            for k, wv in zip(np.nonzero(covered)[0], wk):
+                num = num + wv * eval_patch(int(k), x)
+            out[i] = num / np.sum(wk)
+        else:
+            # nearest-RELATIVE patch among the 4 nearest centers (the
+            # coverage_and_fallback pick policy, ops/pu.py)
+            kq = min(4, k_)
+            near = np.argsort(d_all[i])[:kq]
+            out[i] = eval_patch(int(near[np.argmin(rel[i][near])]), x)
+    return out

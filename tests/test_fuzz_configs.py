@@ -94,3 +94,130 @@ def test_fuzzed_config_matches_oracle(trial):
         np.asarray(got_w), want_w, atol=1e-5,
         err_msg=f"trial {trial} falloff mismatch",
     )
+
+
+# ------------------------------------------------------------- PU route fuzz
+# The PU field is a DIFFERENT interpolant from the global solve, so it gets
+# its own f64 oracle (oracle.pu_deform: per-patch f64 saddle solves +
+# Wendland blend + the coverage/fallback policy).  Budget: 5e-5 on
+# displacement, scaled by field magnitude like the global fuzz — the f32
+# tile eval at auto eps was measured equal to the df tiles (ops/pu.py).
+_PU_KERNELS = [
+    RBFKernel.THIN_PLATE, RBFKernel.GAUSSIAN, RBFKernel.MULTIQUADRIC,
+    RBFKernel.INVERSE_MULTIQUADRIC, RBFKernel.LINEAR, RBFKernel.CUBIC,
+]
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzzed_pu_matches_pu_oracle(trial):
+    from facedeform_tpu.ops import pu
+
+    rng = np.random.default_rng(7000 + trial)
+    kernel = _PU_KERNELS[int(rng.integers(0, len(_PU_KERNELS)))]
+    term = PolyTerm(int(rng.integers(0, 2)))  # LINEAR/CONSTANT (PU default)
+    lam = float(rng.choice([0.0, 1e-5, 1e-2]))
+    patch_size = int(rng.choice([48, 64, 96]))
+    n = int(rng.integers(250, 900))
+    rest = fibonacci_points(n) * float(rng.uniform(0.5, 2.0))
+    rest = rest + rng.uniform(-3, 3, 3).astype(np.float32)
+    disp = (
+        0.1 * np.exp(-2 * np.sum((rest - rest.mean(0)) ** 2, -1, keepdims=True))
+    ).astype(np.float32) * rng.standard_normal(3).astype(np.float32)
+    d = pu.PUDeformer.fit(
+        rest, rest + disp, kernel=kernel, term=term, eps="auto", lam=lam,
+        patch_size=patch_size,
+    )
+    v = int(rng.integers(100, 400))
+    q = (rest.mean(0) + (fibonacci_points(v) * float(rng.uniform(0.8, 1.4)))
+         * float(np.abs(rest - rest.mean(0)).max())).astype(np.float32)
+    got = np.asarray(d.displacement(q), np.float64)
+    eps_arr = np.asarray(d.model.eps)
+    want = oracle.pu_deform(
+        rest, rest + disp, q, d.patches, kernel, term, eps_arr, lam
+    )
+    scale = max(1.0, np.abs(want).max())
+    err = np.abs(got - want).max() / scale
+    assert err < 5e-5, (
+        f"trial {trial}: kernel={kernel} term={term} lam={lam} "
+        f"ps={patch_size} n={n} err={err:.2e}"
+    )
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzzed_pu_node_composition(trial):
+    """solver='pu' through the NODE: falloff x tangent x group x
+    strict_parity interactions must compose around the PU field exactly
+    as the oracle composes them around the same displacement (budget
+    1e-5 + falloff atol 1e-5 — composition is pure f32 arithmetic)."""
+    from facedeform_tpu import FaceDeformNode, Mesh
+    from facedeform_tpu.ops import pu
+
+    rng = np.random.default_rng(8000 + trial)
+    cfg = DeformConfig(
+        solver="pu",
+        model=RBFModelType(int(rng.integers(0, 3))),
+        kernel=KERNELS[int(rng.integers(0, len(KERNELS)))],
+        tangent=bool(rng.integers(0, 2)),
+        dofalloff=True,
+        strict_parity=bool(rng.integers(0, 2)),
+    )
+    params = DeformParams(
+        radius=float(rng.uniform(0.5, 2.0)),
+        lam=float(rng.uniform(0.01, 0.3)),
+        falloffrate=float(rng.uniform(0.0, 2.0)),
+    )
+    n = int(rng.integers(200, 600))
+    v = int(rng.integers(100, 400))
+    rest = fibonacci_points(n)
+    deformed = rest * float(rng.uniform(1.01, 1.1))
+    mesh = Mesh(points=(fibonacci_points(v) * 1.02).astype(np.float32))
+    if cfg.tangent:
+        for name in ("tangentu", "tangentv", "N"):
+            mesh.set_attr(
+                name, rng.standard_normal((v, 3)).astype(np.float32)
+            )
+    group_mask = None
+    if rng.random() < 0.5:
+        group_mask = rng.standard_normal(v) > 0
+    res = FaceDeformNode().cook(
+        [mesh, Mesh(points=rest), Mesh(points=deformed.astype(np.float32))],
+        cfg, params, group_mask=group_mask,
+    )
+    # oracle composition around the library's own PU displacement field
+    from facedeform_tpu.ops.fit import effective_kernel
+
+    lam = 0.0 if cfg.model == RBFModelType.QNN else float(params.clamped().lam)
+    d = pu.PUDeformer.fit(
+        rest, deformed, kernel=effective_kernel(cfg), term=cfg.term,
+        eps="auto", lam=lam,
+    )
+    disp = np.asarray(d.displacement(mesh.points), np.float64)
+    if cfg.tangent:
+        disp = oracle.project_to_tangents(
+            mesh.point_attrs["tangentu"], mesh.point_attrs["tangentv"],
+            mesh.point_attrs["N"], disp,
+        )
+    # capture dist2 is a shared input (capture has its own unit tests);
+    # the falloff/gate COMPOSITION around it is what this fuzz checks
+    from facedeform_tpu.capture.capture import ProximityCapture
+
+    pc = ProximityCapture()
+    pc.init(mesh, Mesh(points=rest))
+    cap = pc.capture(
+        int(params.clamped().maxedges), float(params.clamped().radius),
+        cfg.dofalloff, float(params.clamped().falloffrate),
+        strict_parity=cfg.strict_parity,
+    )
+    w, _ = oracle.falloff_weight(
+        cap.dist2, float(params.clamped().radius),
+        float(params.clamped().falloffrate), cfg.strict_parity,
+    )
+    if group_mask is not None:
+        w = w * group_mask
+    want = mesh.points + disp * w[:, None]
+    got = np.asarray(res.mesh.points, np.float64)
+    scale = max(1.0, np.abs(disp).max())
+    assert np.abs(got - want).max() / scale < 1e-5, f"trial {trial} cfg={cfg}"
+    np.testing.assert_allclose(
+        np.asarray(res.mesh.point_attrs["fd_falloff"]), w, atol=1e-5
+    )

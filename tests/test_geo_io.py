@@ -116,6 +116,65 @@ def test_geo_houdini_style_document(tmp_path):
     np.testing.assert_array_equal(
         mesh.group_mask("front"), [True, True, False, False, False, False]
     )
+    # ... but not silently: the skip is surfaced with name and reason
+    assert any(
+        "label" in w and "string" in w for w in mesh.load_warnings
+    ), mesh.load_warnings
+
+
+def test_geo_skips_surface_warnings(tmp_path, capsys):
+    """Unsupported constructs (string attr, packed prim, ordered group)
+    produce load_warnings, and the CLI prints them (VERDICT round 2:
+    Houdini round trips must not drop data silently)."""
+    doc = [
+        "pointcount", 3,
+        "vertexcount", 3,
+        "primitivecount", 2,
+        "topology", ["pointref", ["indices", [0, 1, 2]]],
+        "attributes", [
+            "pointattributes", [
+                [
+                    ["scope", "public", "type", "numeric", "name", "P",
+                     "options", {}],
+                    ["size", 3, "storage", "fpreal32",
+                     "values", ["size", 3, "storage", "fpreal32",
+                                "tuples", [[0, 0, 0], [1, 0, 0], [2, 0, 0]]]],
+                ],
+                [
+                    ["scope", "public", "type", "string", "name", "name",
+                     "options", {}],
+                    ["size", 1, "storage", "int32", "strings", ["x"],
+                     "values", ["size", 1, "storage", "int32",
+                                "arrays", [[0, 0, 0]]]],
+                ],
+            ],
+        ],
+        "primitives", [
+            [["type", "Polygon"], ["vertex", [0, 1, 2]]],
+            [["type", "PackedGeometry"], ["parameters", {}]],
+        ],
+        "pointgroups", [
+            [["name", "sel"],
+             ["selection", ["ordered", [0, 2]]]],   # unsupported encoding
+        ],
+    ]
+    path = str(tmp_path / "skips.geo")
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    mesh = load_geo(path)
+    ws = mesh.load_warnings
+    assert any("'name'" in w and "string" in w for w in ws), ws
+    assert any("PackedGeometry" in w for w in ws), ws
+    assert any("'sel'" in w and "selection" in w for w in ws), ws
+    # polygons and P still load
+    assert mesh.num_points == 3 and mesh.faces.shape == (1, 3)
+
+    # the CLI prints each warning with the source path
+    from facedeform_tpu.cli import _print_load_warnings
+
+    _print_load_warnings([path], [mesh])
+    err = capsys.readouterr().err
+    assert "skips.geo" in err and "PackedGeometry" in err
 
 
 def test_geo_polygon_run_uniform_nvertices(tmp_path):
