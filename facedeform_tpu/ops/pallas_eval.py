@@ -369,6 +369,237 @@ def evaluate_pallas(
     return out_t.T[:v], falloff[0, :v]
 
 
+# ---------------------------------------------------------- frames-batched
+def _eval_frames_kernel(
+    scalars_ref,   # (2,) SMEM: [radius^2, falloffrate]
+    pts_ref,       # (3, TILE_V) VMEM
+    dist2_ref,     # (1, TILE_V) VMEM
+    gate_ref,      # (1, TILE_V) VMEM
+    ctrl_ref,      # (N, 3) VMEM (frame-invariant)
+    w_ref,         # (L, N, 3F) VMEM: weights, frames packed on columns
+    inv_eps2_ref,  # (L, N) VMEM (frame-invariant: radii depend on rest rig)
+    w_poly_ref,    # (4, 3F) VMEM
+    out_ref,       # (3F, TILE_V) VMEM
+    falloff_ref,   # (1, TILE_V) VMEM
+    *,
+    kernel: RBFKernel,
+    n_layers: int,
+    n_frames: int,
+    strict_parity: bool,
+    center_phi: bool,
+):
+    """All-frames eval in one pass: distances + phi computed ONCE per
+    (control block x vertex tile), contracted against every frame's
+    weights in a single MXU matmul.
+
+    An animated shot shares ctrl/eps across frames (the rest rig is
+    fixed), so phi — the expensive VPU/transcendental chain — amortizes
+    over the frame axis, and the contraction becomes a (3F, B) x (B, TV)
+    dot.  The single-frame kernel rejects the MXU because a 3-column
+    matmul is a pad-dominated sliver (see _eval_kernel); at 3F = 24+
+    columns the sliver argument flips and one HIGHEST-precision dot beats
+    3F separate VPU reductions (measured: the unrolled-reduction variant
+    ran 19.5 G effective; this one ~90 G at F=8).  Reference context: the
+    per-cook model rebuild this replaces, src/SOP_FaceDeform.cpp:330-439.
+    """
+    pts = pts_ref[:]
+    n_total = ctrl_ref.shape[0]
+    n_blocks = pl.cdiv(n_total, _CTRL_BLOCK) if n_total > _CTRL_BLOCK else 1
+    block = n_total if n_blocks == 1 else _CTRL_BLOCK
+    f3 = 3 * n_frames
+
+    r2 = scalars_ref[0]
+    rate = scalars_ref[1]
+    cap_d2 = dist2_ref[:]
+    if not strict_parity:
+        cap_d2 = jnp.maximum(cap_d2, 0.0)
+    active = (cap_d2 <= r2).astype(jnp.float32) * gate_ref[:]
+    tile_alive = jnp.max(active) > 0.0
+
+    def block_d2(lo):
+        ctrl = ctrl_ref[pl.ds(lo, block)]
+        dx = ctrl[:, 0:1] - pts[0:1, :]
+        dy = ctrl[:, 1:2] - pts[1:2, :]
+        dz = ctrl[:, 2:3] - pts[2:3, :]
+        return dx * dx + dy * dy + dz * dz
+
+    def block_contrib(lo, disp, center):
+        d2 = block_d2(lo)
+        for layer in range(n_layers):
+            phi = _phi(kernel, d2, inv_eps2_ref[layer, pl.ds(lo, block)][:, None])
+            if center is not None and layer == 0:
+                phi = phi - center
+            w_l = w_ref[layer, pl.ds(lo, block)]         # (B, 3F)
+            disp = disp + jax.lax.dot_general(
+                w_l, phi, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # (3F, TV)
+        return disp
+
+    def compute_disp(_):
+        disp = jnp.zeros((f3, pts.shape[1]), jnp.float32)
+        if n_blocks == 1:
+            center = None
+            if center_phi:
+                phi0 = _phi(
+                    kernel, block_d2(0), inv_eps2_ref[0, pl.ds(0, block)][:, None]
+                )
+                center = jnp.mean(phi0, axis=0, keepdims=True)
+            disp = block_contrib(0, disp, center)
+        else:
+            if center_phi:
+                def mean_body(b, acc):
+                    phi = _phi(
+                        kernel,
+                        block_d2(b * block),
+                        inv_eps2_ref[0, pl.ds(b * block, block)][:, None],
+                    )
+                    return acc + jnp.sum(phi, axis=0, keepdims=True)
+                row_sum = jax.lax.fori_loop(
+                    0, n_blocks, mean_body,
+                    jnp.zeros((1, pts.shape[1]), jnp.float32),
+                )
+                center = row_sum / (n_blocks * block)
+            else:
+                center = None
+            disp = jax.lax.fori_loop(
+                0,
+                n_blocks,
+                lambda b, acc: block_contrib(b * block, acc, center),
+                disp,
+            )
+        # per-frame polynomial tails: w_poly rows [1, x, y, z] x (3F,)
+        wp = w_poly_ref[:]                               # (4, 3F)
+        disp = (
+            disp
+            + wp[0][:, None]
+            + wp[1][:, None] * pts[0:1, :]
+            + wp[2][:, None] * pts[1:2, :]
+            + wp[3][:, None] * pts[2:3, :]
+        )
+        return disp
+
+    disp = jax.lax.cond(
+        tile_alive, compute_disp,
+        lambda _: jnp.zeros((f3, pts.shape[1]), jnp.float32), 0,
+    )
+    ratio = jnp.minimum(cap_d2 / r2, 1.0)
+    base = (1.0 - ratio) if strict_parity else jnp.maximum(1.0 - ratio, 0.0)
+    w = jnp.power(base, rate) * active                   # (1, TV)
+    falloff_ref[:] = w
+    pts_rep = jnp.concatenate([pts] * n_frames, axis=0)  # (3F, TV)
+    out_ref[:] = pts_rep + disp * w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "term", "strict_parity", "tile_v", "interpret"),
+)
+def evaluate_pallas_frames(
+    model: RBFModel,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    radius: jnp.ndarray,
+    falloffrate: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    strict_parity: bool = False,
+    tile_v: int = _TILE_V,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused ALL-FRAMES deform step: model carries a leading frame axis on
+    w_rbf (F, L, N, 3) / w_poly (F, m, 3) (parallel.batched.fit_frames);
+    returns ((F, V, 3) positions, (V,) falloff).
+
+    Must match vmapping evaluate_pallas over the frame axis exactly — the
+    kernel only reorders the contraction, distances and phi are computed
+    identically (tests/test_sharding.py fused-parity test).
+    """
+    v = points.shape[0]
+    n = model.ctrl.shape[0]
+    n_frames, n_layers = model.w_rbf.shape[0], model.w_rbf.shape[1]
+
+    n_pad = (-n) % (8 if n <= _CTRL_BLOCK else _CTRL_BLOCK)
+    ctrl = jnp.pad(model.ctrl, ((0, n_pad), (0, 0)))
+    # pack frames onto the weight columns: (F, L, N, 3) -> (L, N, 3F)
+    # with column f*3+i, so the kernel contracts every frame in one
+    # (3F, B) x (B, TV) MXU dot and row f*3+i of its output is frame f's
+    # component i
+    w_rbf = jnp.transpose(model.w_rbf, (1, 2, 0, 3)).reshape(
+        n_layers, n, 3 * n_frames
+    )
+    w_rbf = jnp.pad(w_rbf, ((0, 0), (0, n_pad), (0, 0)))
+    inv_eps2 = 1.0 / jnp.maximum(model.eps * model.eps, 1e-30)
+    inv_eps2 = jnp.pad(inv_eps2, ((0, 0), (0, n_pad)), constant_values=1.0)
+    m = model.w_poly.shape[1]
+    w_poly = jnp.zeros((n_frames, 4, 3), jnp.float32)
+    if m > 0:
+        w_poly = w_poly.at[:, :m].set(model.w_poly)
+    w_poly = jnp.transpose(w_poly, (1, 0, 2)).reshape(4, 3 * n_frames)
+
+    v_pad = (-v) % tile_v
+    pts_t = jnp.pad(points.astype(jnp.float32), ((0, v_pad), (0, 0))).T
+    d2_in = jnp.pad(dist2.astype(jnp.float32), (0, v_pad))[None, :]
+    gate_in = jnp.pad(gate.astype(jnp.float32), (0, v_pad))[None, :]
+    vp = pts_t.shape[1]
+    grid = (vp // tile_v,)
+
+    scalars = jnp.stack(
+        [
+            (radius * radius).astype(jnp.float32),
+            jnp.asarray(falloffrate, jnp.float32),
+        ]
+    )
+
+    from facedeform_tpu.ops.evaluate import _center_phi
+
+    kern = functools.partial(
+        _eval_frames_kernel,
+        kernel=RBFKernel(kernel),
+        n_layers=n_layers,
+        n_frames=n_frames,
+        strict_parity=strict_parity,
+        center_phi=_center_phi(kernel, term),
+    )
+    flops_per_tile = 2 * (ctrl.shape[0] * tile_v * 3) * (1 + n_layers * n_frames)
+    out_t, falloff = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # ctrl
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # inv_eps2
+            pl.BlockSpec(memory_space=pltpu.VMEM),                    # w_poly
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (3 * n_frames, tile_v), lambda i: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, tile_v), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3 * n_frames, vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, vp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_tile * grid[0],
+            bytes_accessed=vp * 3 * 4 * (1 + n_frames),
+            transcendentals=ctrl.shape[0] * vp * n_layers,
+        ),
+        interpret=interpret,
+    )(scalars, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly)
+    # rows f*3+i -> (F, Vp, 3)
+    out = out_t.reshape(n_frames, 3, vp)
+    return jnp.swapaxes(out, 1, 2)[:, :v], falloff[0, :v]
+
+
 # ------------------------------------------------------------- culled eval
 # For decaying kernels (gaussian, wendland) a control point contributes
 # nothing measurable beyond a cutoff radius.  With vertices in Z-order

@@ -101,3 +101,48 @@ def test_deformer_auto_backend_on_cpu_uses_dense(rng):
     a, _ = d.apply(pts)  # would raise if pallas compiled for cpu
     b, _ = d.apply(pts, backend="dense")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_frames_matches_per_frame_kernel(rng):
+    """evaluate_pallas_frames (one pass, phi shared across frames) must
+    equal evaluate_pallas run per frame: the frames kernel only reorders
+    the contraction loop."""
+    import jax
+
+    from facedeform_tpu.ops.fit import RBFModel
+    from facedeform_tpu.ops.pallas_eval import evaluate_pallas_frames
+    from facedeform_tpu.parallel import batched
+
+    rest = fibonacci_points(40)
+    frames = jnp.asarray(np.stack([
+        rest + 0.05 * rng.standard_normal((40, 3)).astype(np.float32)
+        for _ in range(3)
+    ]))
+    for cfg in (DeformConfig(),
+                DeformConfig(model=RBFModelType.KERNEL,
+                             kernel=RBFKernel.THIN_PLATE)):
+        model, _ = batched.fit_frames(
+            jnp.asarray(rest), frames, cfg, DeformParams()
+        )
+        pts = rng.standard_normal((300, 3)).astype(np.float32)
+        dist2 = np.abs(rng.standard_normal(300)).astype(np.float32)
+        gate = np.ones(300, np.float32)
+        kern = effective_kernel(cfg)
+        out_f, w_f = evaluate_pallas_frames(
+            model, jnp.asarray(pts), jnp.asarray(dist2), jnp.asarray(gate),
+            jnp.float32(1.2), jnp.float32(1.0), kern, cfg.term,
+            tile_v=128, interpret=True,
+        )
+        assert out_f.shape == (3, 300, 3)
+        for f in range(3):
+            m1 = RBFModel(ctrl=model.ctrl, w_rbf=model.w_rbf[f],
+                          w_poly=model.w_poly[f], eps=model.eps)
+            want, w1 = evaluate_pallas(
+                m1, jnp.asarray(pts), jnp.asarray(dist2), jnp.asarray(gate),
+                jnp.float32(1.2), jnp.float32(1.0), kern, cfg.term,
+                tile_v=128, interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out_f[f]), np.asarray(want), atol=1e-6
+            )
+        np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w1))

@@ -101,6 +101,33 @@ def test_apply_frames_sharded(rng, mesh):
         np.testing.assert_allclose(np.asarray(out_sharded[f]), np.asarray(ref), atol=2e-5)
 
 
+def test_deform_frames_fused_matches_split(rng, mesh):
+    """One-dispatch deform_frames == fit_frames + apply_frames, sharded
+    and unsharded (the fused program exists to drop a dispatch RTT, not
+    to change math)."""
+    rest = fibonacci_points(25)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((25, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    cfg, params = DeformConfig(), DeformParams()
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    dist2 = np.abs(rng.standard_normal(300)).astype(np.float32)
+    gate = np.ones(300, np.float32)
+    args = (jnp.asarray(rest), jnp.asarray(frames), jnp.asarray(pts),
+            jnp.asarray(dist2), jnp.asarray(gate), cfg, params)
+    model, _ = batched.fit_frames(args[0], args[1], cfg, params)
+    for m in (None, mesh):
+        want, w_want = batched.apply_frames(
+            model, args[2], args[3], args[4], cfg, params, m
+        )
+        got, w_got = batched.deform_frames(*args, m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(w_got), np.asarray(w_want),
+                                   atol=1e-7)
+
+
 def test_fit_sharded_matches_single_device(rng, mesh):
     """Control-row-sharded Krylov fit == single-device krylov fit (the
     huge-rig scaling axis, SURVEY.md section 5 'ring/partial-Phi' note)."""
