@@ -157,6 +157,26 @@ class Client:
         _, out = self.request({"cmd": "apply", "deformer": deformer}, arrays)
         return out["points"], out["falloff"]
 
+    def fit_seq(self, rest_ctrl, deformed_frames, cfg: Optional[dict] = None,
+                params: Optional[dict] = None) -> str:
+        """One batched solve for an (F, N, 3) animated rig sequence."""
+        resp, out = self.request(
+            {"cmd": "fit_seq", "cfg": cfg or {}, "params": params or {}},
+            {"rest_ctrl": np.asarray(rest_ctrl, np.float32),
+             "deformed_frames": np.asarray(deformed_frames, np.float32)},
+        )
+        return resp["deformer"]
+
+    def apply_seq(self, deformer: str, points, dist2=None, gate=None):
+        """Evaluate every frame of a fit_seq model: (F, V, 3), (V,)."""
+        arrays = {"points": np.asarray(points, np.float32)}
+        if dist2 is not None:
+            arrays["dist2"] = np.asarray(dist2, np.float32)
+        if gate is not None:
+            arrays["gate"] = np.asarray(gate, np.float32)
+        _, out = self.request({"cmd": "apply_seq", "deformer": deformer}, arrays)
+        return out["points"], out["falloff"]
+
     def info(self) -> dict:
         resp, _ = self.request({"cmd": "info"})
         return resp
@@ -245,6 +265,14 @@ class DeformServer:
                 else:
                     checkpoint.save(req["path"], d)
                 return {"ok": True}
+            if cmd in ("apply", "save") and isinstance(
+                self._deformers.get(req.get("deformer")), tuple
+            ):
+                return {
+                    "ok": False,
+                    "error": f"{cmd} does not take a fit_seq deformer "
+                             "(sequence models serve via apply_seq)",
+                }
             if cmd == "apply":
                 d = self._deformers[req["deformer"]]
                 pts = decode_array(req["points"])
@@ -257,6 +285,65 @@ class DeformServer:
                 return {
                     "ok": True,
                     "points": enc(new_pts),
+                    "falloff": enc(falloff),
+                }
+            if cmd == "fit_seq":
+                # animated shot: ONE batched solve for all F posed rigs
+                # (parallel/batched.fit_frames); apply_seq evaluates every
+                # frame in one dispatch via the MXU frames kernel
+                import jax.numpy as jnp
+
+                from facedeform_tpu.parallel import batched
+
+                cfg = DeformConfig(**req.get("cfg", {}))
+                params = DeformParams(**req.get("params", {}))
+                rest = decode_array(req["rest_ctrl"])
+                frames = decode_array(req["deformed_frames"])
+                if frames.ndim != 3 or frames.shape[1:] != rest.shape:
+                    raise errors.ShapeMismatchError(
+                        f"deformed_frames {frames.shape} must be "
+                        f"(F,) + rest_ctrl {rest.shape}"
+                    )
+                model, resid = batched.fit_frames(
+                    jnp.asarray(rest), jnp.asarray(frames), cfg, params
+                )
+                did = self._new_id()
+                self._deformers[did] = ("seq", model, cfg, params)
+                return {
+                    "ok": True, "deformer": did,
+                    "frames": int(frames.shape[0]),
+                    "residuals": enc(np.asarray(resid)),
+                }
+            if cmd == "apply_seq":
+                import jax.numpy as jnp
+
+                from facedeform_tpu.parallel import batched
+
+                entry = self._deformers[req["deformer"]]
+                if not (isinstance(entry, tuple) and entry[0] == "seq"):
+                    return {
+                        "ok": False,
+                        "error": "apply_seq needs a fit_seq deformer "
+                                 "(use apply for single-pose fits)",
+                    }
+                _, model, cfg, params = entry
+                pts = decode_array(req["points"])
+                v = pts.shape[0]
+                dist2 = (
+                    decode_array(req["dist2"]) if "dist2" in req
+                    else np.zeros(v, np.float32)
+                )
+                gate = (
+                    decode_array(req["gate"]).astype(np.float32)
+                    if "gate" in req else np.ones(v, np.float32)
+                )
+                out, falloff = batched.apply_frames(
+                    model, jnp.asarray(pts), jnp.asarray(dist2),
+                    jnp.asarray(gate), cfg, params, None,
+                )
+                return {
+                    "ok": True,
+                    "points": enc(out),          # (F, V, 3)
                     "falloff": enc(falloff),
                 }
             if cmd == "info":

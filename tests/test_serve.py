@@ -195,3 +195,35 @@ def test_serve_pu_fit_apply_save_load(tmp_path):
     r4 = srv.handle({"cmd": "apply", "deformer": r3["deformer"],
                      "points": encode_array(rig)}, raw=True)
     np.testing.assert_allclose(np.asarray(r4["points"]), got, atol=1e-6)
+
+
+def test_serve_sequence_fit_apply(server, rng):
+    """fit_seq + apply_seq: one batched solve, all frames in one reply;
+    per-frame parity with the single-pose fit route."""
+    import jax.numpy as jnp
+
+    rest = fibonacci_points(25)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((25, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    pts = rng.standard_normal((500, 3)).astype(np.float32)
+
+    c = serve_mod.Client(*server)
+    sid = c.fit_seq(rest, frames)
+    out, falloff = c.apply_seq(sid, pts)
+    assert out.shape == (3, 500, 3) and falloff.shape == (500,)
+
+    for f in range(3):
+        did = c.fit(rest, frames[f])
+        want, _ = c.apply(did, pts)
+        np.testing.assert_allclose(out[f], want, atol=2e-5)
+
+    # apply/save reject a sequence model with a pointed error
+    with pytest.raises(RuntimeError, match="apply_seq"):
+        c.request({"cmd": "apply", "deformer": sid},
+                  {"points": pts})
+    # shape contract enforced
+    with pytest.raises(RuntimeError, match="deformed_frames"):
+        c.fit_seq(rest, frames[:, :10])
+    c.close()
