@@ -46,6 +46,12 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out-pattern", default="frame_%04d.obj",
                    help="per-frame filename with a %%d frame index "
                         "(.obj or .geo; default frame_%%04d.obj)")
+    s.add_argument("--batch", action="store_true",
+                   help="batch all frame solves+evals into one dispatch "
+                        "(parallel.batched.deform_frames): frame 0 cooks "
+                        "through the full node (capture/falloff/group), "
+                        "the rest ride the MXU frames kernel; falls back "
+                        "per-frame for blends/tangent/picked/pu/krylov")
     _add_cook_flags(s)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
@@ -232,25 +238,106 @@ def _cmd_deform_seq(args) -> int:
         return 1
     node = FaceDeformNode()
     warned: set = set()
+
+    use_batch = bool(getattr(args, "batch", False))
+    if use_batch:
+        from facedeform_tpu.ops import fit as fit_mod
+
+        n = rest_rig.num_points
+        blockers = []
+        if blends:
+            blockers.append("blendshapes")
+        if cfg.tangent:
+            blockers.append("tangent")
+        if args.picked:
+            blockers.append("picked")
+        if cfg.solver == "pu":
+            blockers.append("solver=pu")
+        elif cfg.solver == "krylov" or fit_mod.uses_krylov(cfg, n):
+            blockers.append("krylov-size rig")
+        if any(r.num_points != n for r in rigs):
+            blockers.append("rig point counts differ across frames")
+        if blockers:
+            print(
+                "warning: --batch falls back to per-frame cooks "
+                f"({', '.join(blockers)})", file=sys.stderr,
+            )
+            use_batch = False
+
     t0 = time.time()
-    for f, rig in enumerate(rigs):
-        with stage(f"cook[{f}]", times):
-            res = node.cook(
-                [mesh, rest_rig, rig] + blends, cfg, params,
+    if use_batch:
+        # Frame 0 through the FULL node (capture, falloff, group pattern,
+        # autotune) — its fd_falloff is the composed falloff x group gate,
+        # which is frame-invariant (it depends on capture distances and
+        # the mask, not the posed rig).  Frames 1+ then reduce to
+        # P + disp_f * gate: one dispatch for all remaining solves+evals
+        # (parallel.batched.deform_frames, MXU frames kernel on TPU).
+        import jax.numpy as jnp
+        import numpy as np
+
+        from facedeform_tpu.parallel import batched
+
+        with stage("cook[0]", times):
+            res0 = node.cook(
+                [mesh, rest_rig, rigs[0]], cfg, params,
                 group=args.group, picked=args.picked,
             )
-        for w in res.warnings:
-            if w not in warned:  # each distinct warning once per sequence
+        for w in res0.warnings:
+            if w not in warned:
                 warned.add(w)
                 print(f"warning: {w}", file=sys.stderr)
-        out_path = os.path.join(args.outdir, args.out_pattern % f)
         with stage("save", times):
-            save_mesh(out_path, res.mesh)
+            save_mesh(os.path.join(args.outdir, args.out_pattern % 0),
+                      res0.mesh)
+        if len(rigs) > 1:
+            gate = np.asarray(
+                res0.mesh.point_attrs["fd_falloff"], np.float32
+            )
+            frames_arr = np.stack(
+                [r.points for r in rigs[1:]]
+            ).astype(np.float32)
+            with stage("batch[1:]", times):
+                out_frames, _ = batched.deform_frames(
+                    jnp.asarray(rest_rig.points), jnp.asarray(frames_arr),
+                    jnp.asarray(mesh.points),
+                    jnp.zeros(mesh.num_points, jnp.float32),
+                    jnp.asarray(gate), cfg, params,
+                )
+                out_frames = np.asarray(out_frames)
+            for f in range(1, len(rigs)):
+                fm = res0.mesh.copy()
+                fm.points = np.ascontiguousarray(
+                    out_frames[f - 1], np.float32
+                )
+                with stage("save", times):
+                    save_mesh(
+                        os.path.join(args.outdir, args.out_pattern % f), fm
+                    )
+    else:
+        for f, rig in enumerate(rigs):
+            with stage(f"cook[{f}]", times):
+                res = node.cook(
+                    [mesh, rest_rig, rig] + blends, cfg, params,
+                    group=args.group, picked=args.picked,
+                )
+            for w in res.warnings:
+                if w not in warned:  # each distinct warning once per sequence
+                    warned.add(w)
+                    print(f"warning: {w}", file=sys.stderr)
+            out_path = os.path.join(args.outdir, args.out_pattern % f)
+            with stage("save", times):
+                save_mesh(out_path, res.mesh)
     n = len(rigs)
     dt = time.time() - t0
     if args.save_deformer:
         # the last frame's solved deformer (matches deform's semantics of
         # checkpointing the state the node ended the run with)
+        if use_batch and len(rigs) > 1:
+            print(
+                "warning: --batch solves frames 1+ outside the node; "
+                "--save-deformer checkpoints frame 0's solve",
+                file=sys.stderr,
+            )
         _save_deformer(node, args.save_deformer)
     if args.timing:
         print(f"timing: {times.summary()}", file=sys.stderr)

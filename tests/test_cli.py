@@ -51,3 +51,47 @@ def test_cli_deform_morphspace_and_flags(tmp_path, rng):
     assert rc == 0
     out = load_obj(str(tmp_path / "out2.obj"))
     assert "weights" in out.detail_attrs
+
+
+def test_cli_deform_seq_batch_matches_per_frame(tmp_path):
+    """--batch (one dispatch for frames 1+) must write the same frames as
+    the per-frame node loop, and must fall back cleanly when the config
+    needs full per-frame semantics (tangent)."""
+    import numpy as np
+
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    mesh = uv_sphere(12, 12)
+    rig_pts = fibonacci_points(20)
+    mesh_p = str(tmp_path / "mesh.geo")
+    rig_p = str(tmp_path / "rig.geo")
+    save_geo(mesh_p, mesh)
+    save_geo(rig_p, Mesh(points=rig_pts))
+    rig_frames = []
+    for f in range(4):
+        p = str(tmp_path / f"posed{f}.geo")
+        save_geo(p, Mesh(points=rig_pts * (1.0 + 0.03 * (f + 1))))
+        rig_frames.append(p)
+
+    base_args = ["deform-seq", mesh_p, rig_p, *rig_frames,
+                 "--out-pattern", "f_%02d.geo", "--radius", "2.0"]
+    assert main(base_args + ["-o", str(tmp_path / "ref")]) == 0
+    assert main(base_args + ["-o", str(tmp_path / "bat"), "--batch"]) == 0
+    for f in range(4):
+        ref = load_geo(str(tmp_path / "ref" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "bat" / f"f_{f:02d}.geo"))
+        np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
+                                   err_msg=f"frame {f}")
+        np.testing.assert_allclose(
+            got.point_attrs["fd_falloff"], ref.point_attrs["fd_falloff"],
+            atol=1e-6,
+        )
+
+    # tangent forces the per-frame fallback (still correct output)
+    rc = main(base_args + ["-o", str(tmp_path / "tan"), "--batch",
+                           "--tangent"])
+    assert rc == 0
+    assert (tmp_path / "tan" / "f_03.geo").exists()
