@@ -50,8 +50,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="batch all frame solves+evals into one dispatch "
                         "(parallel.batched.deform_frames): frame 0 cooks "
                         "through the full node (capture/falloff/group), "
-                        "the rest ride the MXU frames kernel; falls back "
-                        "per-frame for blends/tangent/picked/pu/krylov")
+                        "the rest ride the MXU frames kernel (tangent "
+                        "fused); falls back per-frame for "
+                        "blends/picked/pu/krylov")
     _add_cook_flags(s)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
@@ -247,8 +248,6 @@ def _cmd_deform_seq(args) -> int:
         blockers = []
         if blends:
             blockers.append("blendshapes")
-        if cfg.tangent:
-            blockers.append("tangent")
         if args.picked:
             blockers.append("picked")
         if cfg.solver == "pu":
@@ -296,12 +295,17 @@ def _cmd_deform_seq(args) -> int:
             frames_arr = np.stack(
                 [r.points for r in rigs[1:]]
             ).astype(np.float32)
+            frame = None
+            if cfg.tangent and mesh.has_tangent_frame():
+                frame = tuple(
+                    mesh.point_attrs[k] for k in ("tangentu", "tangentv", "N")
+                )
             with stage("batch[1:]", times):
                 out_frames, _ = batched.deform_frames(
                     jnp.asarray(rest_rig.points), jnp.asarray(frames_arr),
                     jnp.asarray(mesh.points),
                     jnp.zeros(mesh.num_points, jnp.float32),
-                    jnp.asarray(gate), cfg, params,
+                    jnp.asarray(gate), cfg, params, frame=frame,
                 )
                 out_frames = np.asarray(out_frames)
             for f in range(1, len(rigs)):

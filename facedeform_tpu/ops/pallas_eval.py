@@ -97,12 +97,11 @@ def _normalize_cols(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     )
 
 
-def _project_frame_cols(disp, u_raw, v_raw, n_raw):
-    """Fused tangent projection on (3, TV) columns (component G,
-    SOP_FaceDeform.hpp:28-41): with unit u, v, n and B = [u; v; n],
-    x.B = (x.u)u + (x.v)v + (x.n)n, then disp' = a1 (disp.a1) + a2 (disp.a2)
-    with a1 = norm(u.B), a2 = norm(v.B) — the reference's oblique
-    projection verbatim."""
+def _frame_axes(u_raw, v_raw, n_raw):
+    """The oblique-projection axes a1, a2 from raw (3, TV) tangent
+    attributes (component G, SOP_FaceDeform.hpp:28-41): with unit u, v, n
+    and B = [u; v; n], a1 = norm(u.B), a2 = norm(v.B).  Displacement-
+    independent, so multi-frame callers compute them once."""
     u = _normalize_cols(u_raw)
     tv = _normalize_cols(v_raw)
     nn = _normalize_cols(n_raw)
@@ -114,12 +113,21 @@ def _project_frame_cols(disp, u_raw, v_raw, n_raw):
             + jnp.sum(x * nn, axis=0, keepdims=True) * nn
         )
 
-    a1 = _normalize_cols(dot_b(u))
-    a2 = _normalize_cols(dot_b(tv))
+    return _normalize_cols(dot_b(u)), _normalize_cols(dot_b(tv))
+
+
+def _project_cols(disp, a1, a2):
+    """disp' = a1 (disp.a1) + a2 (disp.a2) on (3, TV) columns — the
+    reference's oblique projection verbatim."""
     return (
         a1 * jnp.sum(disp * a1, axis=0, keepdims=True)
         + a2 * jnp.sum(disp * a2, axis=0, keepdims=True)
     )
+
+
+def _project_frame_cols(disp, u_raw, v_raw, n_raw):
+    """Fused tangent projection on (3, TV) columns (see _frame_axes)."""
+    return _project_cols(disp, *_frame_axes(u_raw, v_raw, n_raw))
 
 
 def _eval_kernel(
@@ -379,13 +387,12 @@ def _eval_frames_kernel(
     w_ref,         # (L, N, 3F) VMEM: weights, frames packed on columns
     inv_eps2_ref,  # (L, N) VMEM (frame-invariant: radii depend on rest rig)
     w_poly_ref,    # (4, 3F) VMEM
-    out_ref,       # (3F, TILE_V) VMEM
-    falloff_ref,   # (1, TILE_V) VMEM
-    *,
+    *refs,         # [u_ref, v_ref, n_ref,] out_ref, falloff_ref
     kernel: RBFKernel,
     n_layers: int,
     n_frames: int,
     strict_parity: bool,
+    has_frame: bool,
     center_phi: bool,
 ):
     """All-frames eval in one pass: distances + phi computed ONCE per
@@ -399,9 +406,16 @@ def _eval_frames_kernel(
     matmul is a pad-dominated sliver (see _eval_kernel); at 3F = 24+
     columns the sliver argument flips and one HIGHEST-precision dot beats
     3F separate VPU reductions (measured: the unrolled-reduction variant
-    ran 19.5 G effective; this one ~90 G at F=8).  Reference context: the
-    per-cook model rebuild this replaces, src/SOP_FaceDeform.cpp:330-439.
+    ran 19.5 G effective; this one 291 G at F=8).  An optional tangent
+    frame (u, v, n) applies the reference's oblique projection to each
+    frame's 3-row group of the packed displacement, before falloff
+    (src/SOP_FaceDeform.cpp:416-422).  Reference context: the per-cook
+    model rebuild this replaces, src/SOP_FaceDeform.cpp:330-439.
     """
+    if has_frame:
+        u_ref, vt_ref, nrm_ref, out_ref, falloff_ref = refs
+    else:
+        out_ref, falloff_ref = refs
     pts = pts_ref[:]
     n_total = ctrl_ref.shape[0]
     n_blocks = pl.cdiv(n_total, _CTRL_BLOCK) if n_total > _CTRL_BLOCK else 1
@@ -478,6 +492,14 @@ def _eval_frames_kernel(
             + wp[2][:, None] * pts[1:2, :]
             + wp[3][:, None] * pts[2:3, :]
         )
+        if has_frame:
+            # axes are displacement-independent: compute once, project
+            # every frame's 3-row group
+            a1, a2 = _frame_axes(u_ref[:], vt_ref[:], nrm_ref[:])
+            disp = jnp.concatenate([
+                _project_cols(disp[3 * f : 3 * f + 3], a1, a2)
+                for f in range(n_frames)
+            ], axis=0)
         return disp
 
     disp = jax.lax.cond(
@@ -508,10 +530,12 @@ def evaluate_pallas_frames(
     strict_parity: bool = False,
     tile_v: int = _TILE_V,
     interpret: bool = False,
+    frame=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused ALL-FRAMES deform step: model carries a leading frame axis on
     w_rbf (F, L, N, 3) / w_poly (F, m, 3) (parallel.batched.fit_frames);
-    returns ((F, V, 3) positions, (V,) falloff).
+    returns ((F, V, 3) positions, (V,) falloff).  frame=(u, v, n) of
+    (V, 3) tangent attrs fuses the tangent projection per frame.
 
     Must match vmapping evaluate_pallas over the frame axis exactly — the
     kernel only reorders the contraction, distances and phi are computed
@@ -555,12 +579,16 @@ def evaluate_pallas_frames(
 
     from facedeform_tpu.ops.evaluate import _center_phi
 
+    has_frame = frame is not None
+    frame_inputs, frame_specs = _pad_frame_inputs(frame, v_pad, tile_v)
+
     kern = functools.partial(
         _eval_frames_kernel,
         kernel=RBFKernel(kernel),
         n_layers=n_layers,
         n_frames=n_frames,
         strict_parity=strict_parity,
+        has_frame=has_frame,
         center_phi=_center_phi(kernel, term),
     )
     flops_per_tile = 2 * (ctrl.shape[0] * tile_v * 3) * (1 + n_layers * n_frames)
@@ -576,7 +604,7 @@ def evaluate_pallas_frames(
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # w
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # inv_eps2
             pl.BlockSpec(memory_space=pltpu.VMEM),                    # w_poly
-        ],
+        ] + frame_specs,
         out_specs=[
             pl.BlockSpec(
                 (3 * n_frames, tile_v), lambda i: (0, i),
@@ -594,7 +622,8 @@ def evaluate_pallas_frames(
             transcendentals=ctrl.shape[0] * vp * n_layers,
         ),
         interpret=interpret,
-    )(scalars, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly)
+    )(scalars, pts_t, d2_in, gate_in, ctrl, w_rbf, inv_eps2, w_poly,
+      *frame_inputs)
     # rows f*3+i -> (F, Vp, 3)
     out = out_t.reshape(n_frames, 3, vp)
     return jnp.swapaxes(out, 1, 2)[:, :v], falloff[0, :v]

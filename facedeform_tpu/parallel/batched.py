@@ -74,13 +74,17 @@ def apply_frames(
     cfg: DeformConfig,
     params: DeformParams,
     mesh: Mesh | None = None,
+    frame=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Evaluate every frame: -> ((F, V, 3) positions, (V,) falloff).
 
     The falloff depends only on capture distances, not the frame, so it is
-    computed once.  With a mesh, vertices shard over 'v' and the frame loop
-    runs inside each shard (weights are small and replicated, so F x N x 3
-    per chip is trivial); without one, a plain vmap over frames.
+    computed once.  An optional tangent frame=(u, v, n) of (V, 3) attrs
+    applies the reference's oblique projection to every frame's
+    displacement (fused in the kernel on TPU).  With a mesh, vertices
+    shard over 'v' and the frame loop runs inside each shard (weights are
+    small and replicated, so F x N x 3 per chip is trivial); without one,
+    a plain vmap over frames.
     """
     params = params.clamped()
     kernel = fit_mod.effective_kernel(cfg)
@@ -95,7 +99,7 @@ def apply_frames(
         _mesh_on_tpu(mesh) if mesh is not None else jax.default_backend() == "tpu"
     )
 
-    def eval_frames_local(model, pts, wloc):
+    def eval_frames_local(model, pts, wloc, frm):
         if use_pallas:
             from facedeform_tpu.ops.pallas_eval import evaluate_pallas_frames
 
@@ -107,33 +111,50 @@ def apply_frames(
             out, _ = evaluate_pallas_frames(
                 model, pts, jnp.zeros(pts.shape[0], jnp.float32), wloc,
                 jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
-                kernel, cfg.term, strict_parity=False,
+                kernel, cfg.term, strict_parity=False, frame=frm,
             )
             return out
 
         def one(f_w_rbf, f_w_poly):
             m = RBFModel(ctrl=model.ctrl, w_rbf=f_w_rbf, w_poly=f_w_poly, eps=model.eps)
             disp = evaluate_block(m, pts, kernel, cfg.term)
+            if frm is not None:
+                from facedeform_tpu.ops.tangent import project_to_tangents
+
+                disp = project_to_tangents(*frm, disp)
             return pts + disp * wloc[:, None]
 
         return jax.vmap(one)(model.w_rbf, model.w_poly)
 
+    if frame is not None:
+        frame = tuple(jnp.asarray(f, jnp.float32) for f in frame)
     if mesh is None:
-        return eval_frames_local(batched_model, points.astype(jnp.float32), w), w
+        return (
+            eval_frames_local(batched_model, points.astype(jnp.float32), w,
+                              frame),
+            w,
+        )
 
     n_dev = mesh.shape[VERTEX_AXIS]
     v = points.shape[0]
     pad = (-v) % n_dev
     pts_p = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
     w_p = jnp.pad(w, (0, pad))
+    frame_p = (
+        None if frame is None
+        else tuple(jnp.pad(f, ((0, pad), (0, 0))) for f in frame)
+    )
     mapped = jax.shard_map(
         eval_frames_local,
         mesh=mesh,
-        in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS)),
+        in_specs=(
+            P(), P(VERTEX_AXIS), P(VERTEX_AXIS),
+            P() if frame is None else (P(VERTEX_AXIS),) * 3,
+        ),
         out_specs=P(None, VERTEX_AXIS),
         check_vma=False,  # pallas_call out_shapes carry no vma annotations
     )
-    out = mapped(batched_model, pts_p, w_p)
+    out = mapped(batched_model, pts_p, w_p, frame_p)
     return out[:, :v], w
 
 
@@ -147,6 +168,7 @@ def deform_frames(
     cfg: DeformConfig,
     params: DeformParams = DeformParams(),
     mesh: Mesh | None = None,
+    frame=None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-sequence step in ONE dispatch: batched solve + all-frame eval.
 
@@ -161,4 +183,4 @@ def deform_frames(
     """
     # nested jit calls inline into this trace: one compiled program
     model, _ = fit_frames(rest_ctrl, deformed_frames, cfg, params)
-    return apply_frames(model, points, dist2, gate, cfg, params, mesh)
+    return apply_frames(model, points, dist2, gate, cfg, params, mesh, frame)

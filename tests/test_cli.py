@@ -90,8 +90,23 @@ def test_cli_deform_seq_batch_matches_per_frame(tmp_path):
             atol=1e-6,
         )
 
-    # tangent forces the per-frame fallback (still correct output)
-    rc = main(base_args + ["-o", str(tmp_path / "tan"), "--batch",
-                           "--tangent"])
+    # tangent rides the batch path too (fused per-frame projection):
+    # must match the per-frame node loop
+    assert main(base_args + ["-o", str(tmp_path / "tanref"),
+                             "--tangent"]) == 0
+    assert main(base_args + ["-o", str(tmp_path / "tan"), "--batch",
+                             "--tangent"]) == 0
+    for f in range(4):
+        ref = load_geo(str(tmp_path / "tanref" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "tan" / f"f_{f:02d}.geo"))
+        np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
+                                   err_msg=f"tangent frame {f}")
+
+    # blendshapes force the per-frame fallback (still correct output)
+    blend_p = str(tmp_path / "blend.geo")
+    save_geo(blend_p, Mesh(points=(mesh.points * 1.01).astype(np.float32),
+                           faces=mesh.faces))
+    rc = main(base_args + ["-o", str(tmp_path / "bl"), "--batch",
+                           "--morphspace", "--blend", blend_p])
     assert rc == 0
-    assert (tmp_path / "tan" / "f_03.geo").exists()
+    assert (tmp_path / "bl" / "f_03.geo").exists()

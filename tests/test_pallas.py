@@ -128,21 +128,26 @@ def test_pallas_frames_matches_per_frame_kernel(rng):
         dist2 = np.abs(rng.standard_normal(300)).astype(np.float32)
         gate = np.ones(300, np.float32)
         kern = effective_kernel(cfg)
-        out_f, w_f = evaluate_pallas_frames(
-            model, jnp.asarray(pts), jnp.asarray(dist2), jnp.asarray(gate),
-            jnp.float32(1.2), jnp.float32(1.0), kern, cfg.term,
-            tile_v=128, interpret=True,
+        tangent = tuple(
+            rng.standard_normal((300, 3)).astype(np.float32) for _ in range(3)
         )
-        assert out_f.shape == (3, 300, 3)
-        for f in range(3):
-            m1 = RBFModel(ctrl=model.ctrl, w_rbf=model.w_rbf[f],
-                          w_poly=model.w_poly[f], eps=model.eps)
-            want, w1 = evaluate_pallas(
-                m1, jnp.asarray(pts), jnp.asarray(dist2), jnp.asarray(gate),
+        for frm in (None, tangent):
+            out_f, w_f = evaluate_pallas_frames(
+                model, jnp.asarray(pts), jnp.asarray(dist2), jnp.asarray(gate),
                 jnp.float32(1.2), jnp.float32(1.0), kern, cfg.term,
-                tile_v=128, interpret=True,
+                tile_v=128, interpret=True, frame=frm,
             )
-            np.testing.assert_allclose(
-                np.asarray(out_f[f]), np.asarray(want), atol=1e-6
-            )
-        np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w1))
+            assert out_f.shape == (3, 300, 3)
+            for f in range(3):
+                m1 = RBFModel(ctrl=model.ctrl, w_rbf=model.w_rbf[f],
+                              w_poly=model.w_poly[f], eps=model.eps)
+                want, w1 = evaluate_pallas(
+                    m1, jnp.asarray(pts), jnp.asarray(dist2),
+                    jnp.asarray(gate),
+                    jnp.float32(1.2), jnp.float32(1.0), kern, cfg.term,
+                    tile_v=128, interpret=True, frame=frm,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(out_f[f]), np.asarray(want), atol=1e-6
+                )
+            np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w1))
