@@ -54,6 +54,14 @@ import numpy as np
 
 MAGIC = b"FDTB"
 
+# Framing caps: the length prefix and array descriptors come off the wire
+# untrusted — without bounds a corrupt/hostile frame demands a multi-GB
+# allocation before any request validation runs.  16 MB of JSON header is
+# orders of magnitude past any real request; 4 GB of payload covers a
+# 350M-vertex f32 frame (the biggest meshes served are ~1M vertices).
+MAX_HEADER_BYTES = 16 << 20
+MAX_FRAME_PAYLOAD_BYTES = 4 << 30
+
 
 def encode_array(a: np.ndarray) -> dict:
     a = np.ascontiguousarray(a)
@@ -109,13 +117,24 @@ def read_frame(rfile, magic_consumed: bool = False) -> Tuple[dict, Dict[str, np.
         if magic != MAGIC:
             raise ValueError(f"bad frame magic {magic!r}")
     hlen = struct.unpack("<I", _read_exact(rfile, 4))[0]
+    if hlen > MAX_HEADER_BYTES:
+        raise ValueError(f"frame header {hlen} bytes exceeds {MAX_HEADER_BYTES}")
     header = json.loads(_read_exact(rfile, hlen))
     arrays: Dict[str, np.ndarray] = {}
+    total = 0
     for m in header.pop("arrays", []):
         dt = np.dtype(m["dtype"])
-        n = int(np.prod(m["shape"])) * dt.itemsize
+        shape = m["shape"]
+        if not all(isinstance(s, int) and s >= 0 for s in shape):
+            raise ValueError(f"bad array shape {shape!r} in frame header")
+        n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+        total += n
+        if total > MAX_FRAME_PAYLOAD_BYTES:
+            raise ValueError(
+                f"frame payload exceeds {MAX_FRAME_PAYLOAD_BYTES} bytes"
+            )
         buf = _read_exact(rfile, n)
-        arrays[m["name"]] = np.frombuffer(buf, dtype=dt).reshape(m["shape"])
+        arrays[m["name"]] = np.frombuffer(buf, dtype=dt).reshape(shape)
     return header, arrays
 
 
@@ -407,7 +426,11 @@ class _Handler(socketserver.StreamRequestHandler):
                     self.rfile, magic_consumed=magic_consumed
                 )
                 magic_consumed = False
-            except (ConnectionError, ValueError):
+            except (ConnectionError, ValueError, KeyError, TypeError,
+                    AttributeError):
+                # Corrupt framing metadata (bad magic/length/shape/dtype or a
+                # non-object header) leaves the stream unsyncable — drop the
+                # connection rather than guess at the payload boundary.
                 return
             req = dict(header, **arrays)
             resp = self.server.deform_server.handle(req, raw=True)

@@ -197,6 +197,43 @@ def test_serve_pu_fit_apply_save_load(tmp_path):
     np.testing.assert_allclose(np.asarray(r4["points"]), got, atol=1e-6)
 
 
+def test_binary_framing_rejects_hostile_metadata(server):
+    """Untrusted length prefixes / shape descriptors must not trigger huge
+    allocations: the server drops the connection instead of reading on."""
+    import struct
+
+    # header length past the cap
+    with socket.create_connection(server, timeout=30) as s:
+        s.sendall(serve_mod.MAGIC + struct.pack("<I", serve_mod.MAX_HEADER_BYTES + 1))
+        assert s.recv(1) == b""  # server closed without reading 16MB+
+
+    # array descriptor with a negative dimension
+    hdr = json.dumps({"cmd": "info", "arrays": [
+        {"name": "x", "shape": [-1, 3], "dtype": "float32"}]}).encode()
+    with socket.create_connection(server, timeout=30) as s:
+        s.sendall(serve_mod.MAGIC + struct.pack("<I", len(hdr)) + hdr)
+        assert s.recv(1) == b""
+
+    # array descriptor demanding more payload than the frame cap
+    hdr = json.dumps({"cmd": "info", "arrays": [
+        {"name": "x", "shape": [1 << 40, 3], "dtype": "float32"}]}).encode()
+    with socket.create_connection(server, timeout=30) as s:
+        s.sendall(serve_mod.MAGIC + struct.pack("<I", len(hdr)) + hdr)
+        assert s.recv(1) == b""
+
+    # bogus dtype string closes cleanly too (TypeError inside np.dtype)
+    hdr = json.dumps({"cmd": "info", "arrays": [
+        {"name": "x", "shape": [1, 3], "dtype": "notatype"}]}).encode()
+    with socket.create_connection(server, timeout=30) as s:
+        s.sendall(serve_mod.MAGIC + struct.pack("<I", len(hdr)) + hdr)
+        assert s.recv(1) == b""
+
+    # the server survives all of the above: a well-formed request still works
+    c = serve_mod.Client(*server)
+    assert c.info()["ok"]
+    c.close()
+
+
 def test_serve_sequence_fit_apply(server, rng):
     """fit_seq + apply_seq: one batched solve, all frames in one reply;
     per-frame parity with the single-pose fit route."""
