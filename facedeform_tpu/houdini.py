@@ -162,16 +162,21 @@ def write_mesh_to_geometry(geo, mesh: Mesh) -> None:
     """
     import hou
 
-    geo.setPointFloatAttribValues("P", mesh.points.ravel().tolist())
+    # setPointFloatAttribValues accepts any buffer/sequence of floats, so
+    # hand it the contiguous numpy data directly — .tolist() would box V*3
+    # Python floats per cook (tens of MB of churn at film-res meshes).
+    geo.setPointFloatAttribValues(
+        "P", np.ascontiguousarray(mesh.points, np.float32).ravel()
+    )
     for name in ("fd_falloff", "Cd", "rest"):
         val = mesh.point_attrs.get(name)
         if val is None:
             continue
-        val = np.asarray(val, np.float32)
+        val = np.ascontiguousarray(val, np.float32)
         if geo.findPointAttrib(name) is None:
             default = 0.0 if val.ndim == 1 else (0.0,) * val.shape[1]
             geo.addAttrib(hou.attribType.Point, name, default)
-        geo.setPointFloatAttribValues(name, val.ravel().tolist())
+        geo.setPointFloatAttribValues(name, val.ravel())
     weights = mesh.detail_attrs.get("weights")
     if weights is not None:
         if geo.findGlobalAttrib("weights") is None:
@@ -287,9 +292,14 @@ def _input_mesh(state: dict, slot: int, input_node, warnings: List[str]) -> Mesh
     key = (input_node.path(), input_node.cookCount(), len(geo.points()))
     cached = state["geo_cache"].get(slot)
     if cached is not None and cached[0] == key:
+        warnings += cached[2]
         return cached[1]
-    mesh = mesh_from_geometry(geo, warnings)
-    state["geo_cache"][slot] = (key, mesh)
+    conv_warnings: List[str] = []
+    mesh = mesh_from_geometry(geo, conv_warnings)
+    # Warnings ride the cache so a warm cook re-reports skipped attributes
+    # instead of going silent once the conversion is cached.
+    state["geo_cache"][slot] = (key, mesh, conv_warnings)
+    warnings += conv_warnings
     return mesh
 
 
@@ -309,9 +319,16 @@ def cook_sop(node) -> Optional[CookResult]:
     state = _NODE_STATE.setdefault(
         node.path(), {"node": FaceDeformNode(), "geo_cache": {}}
     )
-    inputs = [i for i in node.inputs() if i is not None]
-    if len(inputs) < 3:
-        raise hou.NodeError("need at least 3 inputs: mesh, rest rig, deform rig")
+    # hou.Node.inputs() reports unconnected intermediate slots as None;
+    # compacting them would shift the mesh/rest/deform roles, so the first
+    # three slots must be positionally connected.  Later None slots (gaps
+    # between blendshape inputs) are simply skipped.
+    raw_inputs = list(node.inputs())
+    if len(raw_inputs) < 3 or any(i is None for i in raw_inputs[:3]):
+        raise hou.NodeError(
+            "inputs 1-3 must be connected: mesh, rest rig, deform rig"
+        )
+    inputs = raw_inputs[:3] + [i for i in raw_inputs[3:] if i is not None]
 
     warnings: List[str] = []
     meshes = [

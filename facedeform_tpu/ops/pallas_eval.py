@@ -514,6 +514,27 @@ def _eval_frames_kernel(
     out_ref[:] = pts_rep + disp * w
 
 
+def frames_per_dispatch(
+    n_ctrl: int,
+    n_layers: int,
+    tile_v: int = _TILE_V,
+    budget_bytes: int = 8 << 20,
+) -> int:
+    """Max frames one evaluate_pallas_frames call may carry within VMEM.
+
+    The frames kernel keeps the whole (L, Npad, 3F) weight stack VMEM-
+    resident plus three (3F, TILE_V) tile buffers (disp accumulator,
+    replicated points, output block) — all linear in F.  At QNN defaults
+    (L=4, N=1k, tile_v=1024) that is ~96 KB/frame, so a 200-frame shot
+    alone would claim ~19 MB of the 16 MB VMEM and fail to compile.
+    Callers chunk the frame axis at this bound (half of VMEM, leaving the
+    F-independent phi/d2 slabs and double buffering their usual room).
+    """
+    n_pad = n_ctrl + ((-n_ctrl) % (8 if n_ctrl <= _CTRL_BLOCK else _CTRL_BLOCK))
+    per_frame = n_layers * n_pad * 12 + tile_v * 48
+    return max(1, budget_bytes // per_frame)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("kernel", "term", "strict_parity", "tile_v", "interpret"),

@@ -56,6 +56,52 @@ def fit_frames(
     return model, reports.residual_norm
 
 
+def _eval_frames_pallas_chunked(
+    model: RBFModel,
+    pts: jnp.ndarray,
+    wloc: jnp.ndarray,
+    frm,
+    kernel,
+    term,
+    f_max: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One kernel pass for ALL frames: distances + phi computed once per
+    tile, contracted against every frame's weights (frames share
+    ctrl/eps).  Falloff/gate pre-folded into wloc: pass dist2=0, gate=wloc
+    so the kernel computes pts + disp * wloc directly.
+
+    The frame axis is chunked at frames_per_dispatch so the VMEM-resident
+    (F, L, N, 3) weight stack stays in budget on long shots; the chunks
+    are static slices inside the caller's jit trace, so the whole sequence
+    still compiles to one dispatch.
+    """
+    from facedeform_tpu.ops.pallas_eval import (
+        evaluate_pallas_frames,
+        frames_per_dispatch,
+    )
+
+    f_total = model.w_rbf.shape[0]
+    if f_max is None:
+        f_max = frames_per_dispatch(model.ctrl.shape[0], model.w_rbf.shape[1])
+    outs = []
+    for lo in range(0, f_total, f_max):
+        sub = RBFModel(
+            ctrl=model.ctrl,
+            w_rbf=model.w_rbf[lo : lo + f_max],
+            w_poly=model.w_poly[lo : lo + f_max],
+            eps=model.eps,
+        )
+        out, _ = evaluate_pallas_frames(
+            sub, pts, jnp.zeros(pts.shape[0], jnp.float32), wloc,
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
+            kernel, term, strict_parity=False, frame=frm,
+            interpret=interpret,
+        )
+        outs.append(out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
 def _frame_model(batched: RBFModel, f: int | jnp.ndarray) -> RBFModel:
     return RBFModel(
         ctrl=batched.ctrl,
@@ -101,19 +147,9 @@ def apply_frames(
 
     def eval_frames_local(model, pts, wloc, frm):
         if use_pallas:
-            from facedeform_tpu.ops.pallas_eval import evaluate_pallas_frames
-
-            # One kernel pass for ALL frames: distances + phi computed
-            # once per tile, contracted against every frame's weights
-            # (frames share ctrl/eps).  Falloff/gate pre-folded into
-            # wloc: pass dist2=0, gate=wloc so the kernel computes
-            # pts + disp * wloc directly.
-            out, _ = evaluate_pallas_frames(
-                model, pts, jnp.zeros(pts.shape[0], jnp.float32), wloc,
-                jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
-                kernel, cfg.term, strict_parity=False, frame=frm,
+            return _eval_frames_pallas_chunked(
+                model, pts, wloc, frm, kernel, cfg.term
             )
-            return out
 
         def one(f_w_rbf, f_w_poly):
             m = RBFModel(ctrl=model.ctrl, w_rbf=f_w_rbf, w_poly=f_w_poly, eps=model.eps)

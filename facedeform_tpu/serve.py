@@ -275,6 +275,14 @@ class DeformServer:
                 did = self._new_id()
                 self._deformers[did] = d
                 return {"ok": True, "deformer": did}
+            if cmd in ("apply", "save") and isinstance(
+                self._deformers.get(req.get("deformer")), tuple
+            ):
+                return {
+                    "ok": False,
+                    "error": f"{cmd} does not take a fit_seq deformer "
+                             "(sequence models serve via apply_seq)",
+                }
             if cmd == "save":
                 d = self._deformers[req["deformer"]]
                 from facedeform_tpu.ops.pu import PUNodeDeformer
@@ -284,14 +292,6 @@ class DeformServer:
                 else:
                     checkpoint.save(req["path"], d)
                 return {"ok": True}
-            if cmd in ("apply", "save") and isinstance(
-                self._deformers.get(req.get("deformer")), tuple
-            ):
-                return {
-                    "ok": False,
-                    "error": f"{cmd} does not take a fit_seq deformer "
-                             "(sequence models serve via apply_seq)",
-                }
             if cmd == "apply":
                 d = self._deformers[req["deformer"]]
                 pts = decode_array(req["points"])
@@ -316,6 +316,14 @@ class DeformServer:
 
                 cfg = DeformConfig(**req.get("cfg", {}))
                 params = DeformParams(**req.get("params", {}))
+                if cfg.solver == "pu":
+                    return {
+                        "ok": False,
+                        "error": "fit_seq does not support solver='pu' "
+                                 "(sequence solves batch the dense/Krylov "
+                                 "global model; fit each frame with "
+                                 "cmd='fit' instead)",
+                    }
                 rest = decode_array(req["rest_ctrl"])
                 frames = decode_array(req["deformed_frames"])
                 if frames.ndim != 3 or frames.shape[1:] != rest.shape:

@@ -186,7 +186,15 @@ def test_cook_sop_caches_across_cooks(rng):
 def test_cook_sop_errors_and_warnings(rng):
     # fewer than 3 inputs
     node = mock_hou.SopNode("/obj/geo/fd_short", inputs=())
-    with pytest.raises(mock_hou.NodeError, match="at least 3 inputs"):
+    with pytest.raises(mock_hou.NodeError, match="must be connected"):
+        hadapt.cook_sop(node)
+
+    # a None among the first three slots must NOT be compacted away —
+    # hou.Node.inputs() reports unconnected intermediate slots as None and
+    # shifting them would silently swap the mesh/rest/deform roles
+    node, _ = _scene(rng)
+    node._inputs = (node.inputs()[0], None, node.inputs()[2])
+    with pytest.raises(mock_hou.NodeError, match="must be connected"):
         hadapt.cook_sop(node)
 
     # rig count mismatch surfaces the reference error text

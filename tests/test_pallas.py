@@ -151,3 +151,50 @@ def test_pallas_frames_matches_per_frame_kernel(rng):
                     np.asarray(out_f[f]), np.asarray(want), atol=1e-6
                 )
             np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w1))
+
+
+def test_frames_per_dispatch_bounds():
+    """VMEM budget for the frames kernel: the (F, L, N, 3) weight stack is
+    kept VMEM-resident, so F must be capped per dispatch."""
+    from facedeform_tpu.ops.pallas_eval import frames_per_dispatch
+
+    # QNN defaults: ~96 KB/frame -> well under the 200-frame shot that
+    # would otherwise claim ~19 MB of the 16 MB VMEM
+    f = frames_per_dispatch(1000, 4)
+    assert 1 <= f < 200
+    # huge rigs still get at least one frame through
+    assert frames_per_dispatch(50_000, 4) >= 1
+    # tiny rigs allow many frames per pass
+    assert frames_per_dispatch(30, 1) > 100
+
+
+def test_apply_frames_chunked_matches_single_dispatch(rng):
+    """Chunking the frame axis (VMEM cap on long shots) must be
+    invisible: f_max=2 over 5 frames == one unchunked pass."""
+    from facedeform_tpu.parallel import batched
+    from facedeform_tpu.parallel.batched import _eval_frames_pallas_chunked
+
+    rest = fibonacci_points(30)
+    frames = jnp.asarray(np.stack([
+        rest + 0.05 * rng.standard_normal((30, 3)).astype(np.float32)
+        for _ in range(5)
+    ]))
+    cfg = DeformConfig()
+    model, _ = batched.fit_frames(
+        jnp.asarray(rest), frames, cfg, DeformParams()
+    )
+    pts = jnp.asarray(rng.standard_normal((200, 3)).astype(np.float32))
+    wloc = jnp.asarray(
+        np.abs(rng.standard_normal(200)).astype(np.float32)
+    )
+    kern = effective_kernel(cfg)
+    want = _eval_frames_pallas_chunked(
+        model, pts, wloc, None, kern, cfg.term, f_max=5, interpret=True
+    )
+    got = _eval_frames_pallas_chunked(
+        model, pts, wloc, None, kern, cfg.term, f_max=2, interpret=True
+    )
+    assert got.shape == (5, 200, 3)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-6
+    )

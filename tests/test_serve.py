@@ -256,11 +256,18 @@ def test_serve_sequence_fit_apply(server, rng):
         want, _ = c.apply(did, pts)
         np.testing.assert_allclose(out[f], want, atol=2e-5)
 
-    # apply/save reject a sequence model with a pointed error
+    # apply/save reject a sequence model with a pointed error (save used
+    # to hit the checkpoint codec with the raw tuple before the guard ran)
     with pytest.raises(RuntimeError, match="apply_seq"):
         c.request({"cmd": "apply", "deformer": sid},
                   {"points": pts})
+    with pytest.raises(RuntimeError, match="apply_seq"):
+        c.request({"cmd": "save", "deformer": sid, "path": "/tmp/x.npz"}, {})
     # shape contract enforced
     with pytest.raises(RuntimeError, match="deformed_frames"):
         c.fit_seq(rest, frames[:, :10])
+    # sequence solves batch the global model; PU must refuse, not silently
+    # fit dense
+    with pytest.raises(RuntimeError, match="pu"):
+        c.fit_seq(rest, frames, cfg={"solver": "pu"})
     c.close()
