@@ -260,8 +260,12 @@ def _fit_chunk_core(
     def one(ctrl_k, valid, center, rhs, eps):
         out = _assemble_patch_df(ctrl_k, valid, center, kernel, term, eps, lam)
         a_hi, a_lo = out[0], out[1]
+        # rhs may carry 3 columns (one pose) or 3F (an animated sequence,
+        # fit_pu_frames): the patch system depends only on the rest rig,
+        # so every frame shares this assembly + LU factorization.
         b = jnp.concatenate(
-            [rhs * valid[:, None], jnp.zeros((m, 3), jnp.float32)], axis=0
+            [rhs * valid[:, None],
+             jnp.zeros((m, rhs.shape[-1]), jnp.float32)], axis=0
         )
         (x_hi, x_lo), report = lu_solve_refined_against_df(
             a_hi, a_lo, b, gmres_ir=gmres_ir
@@ -360,10 +364,99 @@ def fit_pu(
     delta = np.asarray(deformed_ctrl, np.float32) - rest_np
     if patches is None:
         patches = build_patches(rest_np, patch_size, overlap)
+    safe_idx = np.maximum(patches.idx, 0)
+    rhs_pad = delta[safe_idx]                         # (K, P, 3)
+    model, agg, _ = _fit_pu_rhs(
+        rest_np, patches, rhs_pad, kernel, term, eps, lam, chunk, mesh
+    )
+    return model, agg
+
+
+def fit_pu_frames(
+    rest_ctrl,
+    deformed_frames,
+    kernel: RBFKernel = RBFKernel.THIN_PLATE,
+    term: PolyTerm = PolyTerm.LINEAR,
+    eps="auto",
+    lam: float = 0.01,
+    patch_size: int = 192,
+    overlap: float = 1.3,
+    chunk: Optional[int] = None,
+    patches: Optional[PUPatches] = None,
+    mesh=None,
+) -> tuple[list[PUModel], SolveReport]:
+    """Fit F posed frames of one rest rig: (N, 3), (F, N, 3) -> F models.
+
+    The any-N analogue of parallel/batched.fit_frames: every patch system
+    depends ONLY on the rest rig (the deformed positions are pure RHS),
+    so all F frames share one df assembly + batched LU factorization and
+    differ only in 3F right-hand-side columns — an F-frame fit costs
+    ~1.1x a single-frame fit instead of F x (the triangular solves and
+    refinement sweeps are O(P^2) per column vs O(P^3) to factor).
+
+    Returns per-frame PUModels (static geometry shared by reference) and
+    one aggregate SolveReport across all patches and frames.  The models
+    evaluate with a SHARED plan — see PUSeqDeformer.
+    """
+    rest_np = np.asarray(rest_ctrl, np.float32)
+    frames = np.asarray(deformed_frames, np.float32)
+    if frames.ndim != 3 or frames.shape[1:] != rest_np.shape:
+        raise ValueError(
+            f"deformed_frames {frames.shape} must be (F,) + rest "
+            f"{rest_np.shape}"
+        )
+    f_n = frames.shape[0]
+    if patches is None:
+        patches = build_patches(rest_np, patch_size, overlap)
+    k_, p_ = patches.idx.shape
+    safe_idx = np.maximum(patches.idx, 0)
+    delta = frames - rest_np[None]                    # (F, N, 3)
+    # (F, K, P, 3) -> (K, P, F*3): frame f occupies columns 3f..3f+2
+    rhs_pad = np.ascontiguousarray(
+        delta[:, safe_idx].transpose(1, 2, 0, 3).reshape(k_, p_, 3 * f_n)
+    )
+    model_all, agg, (x_hi, x_lo) = _fit_pu_rhs(
+        rest_np, patches, rhs_pad, kernel, term, eps, lam, chunk, mesh
+    )
+    m = _n_poly(term)
+    # split the 3F solution columns back into per-frame (K, P+m, 3) views
+    def col(a, f):
+        return a.reshape(a.shape[0], a.shape[1], f_n, 3)[:, :, f]
+
+    models = [
+        PUModel(
+            centers=model_all.centers, radii=model_all.radii,
+            ctrl=model_all.ctrl, valid=model_all.valid,
+            w_hi=col(x_hi, f)[:, :p_], w_lo=col(x_lo, f)[:, :p_],
+            poly_hi=col(x_hi, f)[:, p_:] if m else jnp.zeros((k_, 0, 3)),
+            poly_lo=col(x_lo, f)[:, p_:] if m else jnp.zeros((k_, 0, 3)),
+            eps=model_all.eps,
+        )
+        for f in range(f_n)
+    ]
+    return models, agg
+
+
+def _fit_pu_rhs(
+    rest_np: np.ndarray,
+    patches: PUPatches,
+    rhs_pad: np.ndarray,   # (K, P, C) — C=3 single pose, 3F sequence
+    kernel: RBFKernel,
+    term: PolyTerm,
+    eps,
+    lam: float,
+    chunk: Optional[int],
+    mesh,
+):
+    """Shared fit machinery: chunked/sharded batched df LU-IR solves.
+
+    Returns (PUModel built from the first 3 solution columns, aggregate
+    SolveReport over every patch and column, raw (x_hi, x_lo) of shape
+    (K, P+m, C) for callers that carry extra frame columns).
+    """
     k_, p_ = patches.idx.shape
     safe_idx = np.maximum(patches.idx, 0)
     ctrl_pad = rest_np[safe_idx]                      # (K, P, 3)
-    rhs_pad = delta[safe_idx]
     valid = (patches.idx >= 0).astype(np.float32)
 
     if isinstance(eps, str):
@@ -433,7 +526,7 @@ def fit_pu(
         )
     # Drop the padded duplicate patches (they must not overweight the
     # aggregate report) — a device-side slice, not a host pull.
-    x_hi, x_lo = x_hi[:k_], x_lo[:k_]          # (K, P+m, 3)
+    x_hi, x_lo = x_hi[:k_], x_lo[:k_]          # (K, P+m, C)
     rep_all = jax.tree.map(lambda a: a[:k_], rep_all)
     m = _n_poly(term)
     model = PUModel(
@@ -441,10 +534,10 @@ def fit_pu(
         radii=jnp.asarray(patches.radii),
         ctrl=jnp.asarray(ctrl_pad),
         valid=jnp.asarray(valid),
-        w_hi=x_hi[:, :p_],
-        w_lo=x_lo[:, :p_],
-        poly_hi=x_hi[:, p_:] if m else jnp.zeros((k_, 0, 3)),
-        poly_lo=x_lo[:, p_:] if m else jnp.zeros((k_, 0, 3)),
+        w_hi=x_hi[:, :p_, :3],
+        w_lo=x_lo[:, :p_, :3],
+        poly_hi=x_hi[:, p_:, :3] if m else jnp.zeros((k_, 0, 3)),
+        poly_lo=x_lo[:, p_:, :3] if m else jnp.zeros((k_, 0, 3)),
         eps=jnp.asarray(eps_arr),
     )
     # Aggregate health across all patches, on device (reports carry a
@@ -458,7 +551,7 @@ def fit_pu(
         cond_est=None,
         col_backward=jnp.nanmax(jnp.ravel(rep_all.col_backward))[None],
     )
-    return model, agg
+    return model, agg, (x_hi, x_lo)
 
 
 # --------------------------------------------------------------- eval plan
@@ -823,6 +916,88 @@ class PUDeformer:
             jnp.asarray(plan.forced), self.kernel, self.term,
             plan.num_points, precise=precise,
         )
+
+
+class PUSeqDeformer:
+    """Animated-sequence facade over fit_pu_frames: F posed frames of one
+    rest rig, any N, at dense double-float precision.
+
+    The per-frame models share every static field (patches, ctrl, eps)
+    and — crucially — the EVAL PLAN: the plan depends only on (patches,
+    query points), so a shot pays one host KD build and one h2d plan
+    upload no matter how many frames it evaluates.  The PU analogue of
+    parallel/batched (fit_frames + apply_frames) for rigs past the dense
+    limit.
+    """
+
+    def __init__(self, models: list, patches: PUPatches,
+                 kernel: RBFKernel, term: PolyTerm, auto_eps: bool = True):
+        self.patches = patches
+        self.kernel = kernel
+        self.term = term
+        self.auto_eps = auto_eps
+        self.puds = [
+            PUDeformer(m, patches, kernel, term, auto_eps) for m in models
+        ]
+        # one plan cache across all frames (the whole point)
+        shared: dict = {}
+        for p in self.puds:
+            p._plan_cache = shared
+
+    @property
+    def num_frames(self) -> int:
+        return len(self.puds)
+
+    @classmethod
+    def fit(cls, rest_ctrl, deformed_frames, kernel=RBFKernel.THIN_PLATE,
+            term=PolyTerm.LINEAR, eps="auto", lam=0.01,
+            patch_size=192, overlap=1.3, mesh=None) -> "PUSeqDeformer":
+        patches = build_patches(np.asarray(rest_ctrl, np.float32),
+                                patch_size, overlap)
+        models, report = fit_pu_frames(
+            rest_ctrl, deformed_frames, kernel, term, eps, lam,
+            patches=patches, mesh=mesh,
+        )
+        self = cls(models, patches, kernel, term,
+                   auto_eps=isinstance(eps, str))
+        self.report = report
+        return self
+
+    def displacement_frames(self, points) -> jnp.ndarray:
+        """(F, V, 3) displacements; one shared plan, one eval per frame."""
+        points_np = np.asarray(points, np.float32)
+        plan = self.puds[0].make_plan(points_np)
+        return jnp.stack([
+            p.displacement(points_np, plan=plan) for p in self.puds
+        ])
+
+    def apply_seq(self, points, dist2=None, gate=None, cfg=None,
+                  params=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """((F, V, 3) positions, (V,) falloff): the serve/batched
+        composition — falloff from capture distances (frame-invariant),
+        gate folded in, displacement added per frame."""
+        from facedeform_tpu.config import DeformConfig, DeformParams
+        from facedeform_tpu.ops.falloff import falloff_weight
+
+        cfg = cfg or DeformConfig()
+        params = (params or DeformParams()).clamped()
+        pts = jnp.asarray(points, jnp.float32)
+        v = pts.shape[0]
+        d2 = (
+            jnp.zeros(v, jnp.float32) if dist2 is None
+            else jnp.asarray(dist2, jnp.float32)
+        )
+        g = (
+            jnp.ones(v, jnp.float32) if gate is None
+            else jnp.asarray(gate, jnp.float32)
+        )
+        w, _ = falloff_weight(
+            d2, params.radius, params.falloffrate,
+            strict_parity=cfg.strict_parity,
+        )
+        w = w * g
+        disp = self.displacement_frames(points)
+        return pts[None] + disp * w[None, :, None], w
 
 
 @_dataclasses.dataclass(frozen=True)

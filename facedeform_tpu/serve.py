@@ -316,14 +316,6 @@ class DeformServer:
 
                 cfg = DeformConfig(**req.get("cfg", {}))
                 params = DeformParams(**req.get("params", {}))
-                if cfg.solver == "pu":
-                    return {
-                        "ok": False,
-                        "error": "fit_seq does not support solver='pu' "
-                                 "(sequence solves batch the dense/Krylov "
-                                 "global model; fit each frame with "
-                                 "cmd='fit' instead)",
-                    }
                 rest = decode_array(req["rest_ctrl"])
                 frames = decode_array(req["deformed_frames"])
                 if frames.ndim != 3 or frames.shape[1:] != rest.shape:
@@ -331,6 +323,34 @@ class DeformServer:
                         f"deformed_frames {frames.shape} must be "
                         f"(F,) + rest_ctrl {rest.shape}"
                     )
+                if cfg.solver == "pu":
+                    # any-N sequence: all frames share one patch
+                    # factorization (ops/pu.fit_pu_frames) and one eval
+                    # plan across apply_seq calls
+                    from facedeform_tpu.config import RBFModelType
+                    from facedeform_tpu.ops import fit as fit_mod
+                    from facedeform_tpu.ops.pu import PUSeqDeformer
+
+                    lam = (
+                        0.0 if cfg.model == RBFModelType.QNN
+                        else float(params.clamped().lam)
+                    )
+                    seq = PUSeqDeformer.fit(
+                        rest, frames,
+                        kernel=fit_mod.effective_kernel(cfg),
+                        term=cfg.term, lam=lam,
+                    )
+                    errors.check_solve(seq.report)
+                    did = self._new_id()
+                    self._deformers[did] = ("pu_seq", seq, cfg, params)
+                    return {
+                        "ok": True, "deformer": did,
+                        "frames": int(frames.shape[0]),
+                        "residuals": enc(np.full(
+                            frames.shape[0],
+                            float(seq.report.residual_norm), np.float32,
+                        )),
+                    }
                 model, resid = batched.fit_frames(
                     jnp.asarray(rest), jnp.asarray(frames), cfg, params
                 )
@@ -347,13 +367,15 @@ class DeformServer:
                 from facedeform_tpu.parallel import batched
 
                 entry = self._deformers[req["deformer"]]
-                if not (isinstance(entry, tuple) and entry[0] == "seq"):
+                if not (
+                    isinstance(entry, tuple) and entry[0] in ("seq", "pu_seq")
+                ):
                     return {
                         "ok": False,
                         "error": "apply_seq needs a fit_seq deformer "
                                  "(use apply for single-pose fits)",
                     }
-                _, model, cfg, params = entry
+                kind, model, cfg, params = entry
                 pts = decode_array(req["points"])
                 v = pts.shape[0]
                 dist2 = (
@@ -364,10 +386,15 @@ class DeformServer:
                     decode_array(req["gate"]).astype(np.float32)
                     if "gate" in req else np.ones(v, np.float32)
                 )
-                out, falloff = batched.apply_frames(
-                    model, jnp.asarray(pts), jnp.asarray(dist2),
-                    jnp.asarray(gate), cfg, params, None,
-                )
+                if kind == "pu_seq":
+                    out, falloff = model.apply_seq(
+                        pts, dist2=dist2, gate=gate, cfg=cfg, params=params
+                    )
+                else:
+                    out, falloff = batched.apply_frames(
+                        model, jnp.asarray(pts), jnp.asarray(dist2),
+                        jnp.asarray(gate), cfg, params, None,
+                    )
                 return {
                     "ok": True,
                     "points": enc(out),          # (F, V, 3)

@@ -298,3 +298,56 @@ def test_node_pu_qnn_interpolates_exactly(rng):
                     DeformConfig(solver="pu"), DeformParams())
     err = np.abs(res.mesh.points - (rig_pts + disp)).max()
     assert err < 5e-5, err
+
+
+def test_fit_pu_frames_matches_per_frame(rng):
+    """fit_pu_frames shares one patch factorization across F frames (the
+    RHS is the only frame-dependent input): each frame's model must match
+    an independent fit_pu of that frame, and the shared-plan sequence
+    eval must match per-frame displacement."""
+    rest = fibonacci_points(400)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((400, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    patches = pu.build_patches(rest, patch_size=64)
+    models, report = pu.fit_pu_frames(
+        rest, frames, RBFKernel.THIN_PLATE, PolyTerm.LINEAR,
+        patches=patches, lam=0.0,
+    )
+    assert len(models) == 3
+    assert float(report.backward_error()) < 1e-5
+    pts = rng.standard_normal((200, 3)).astype(np.float32)
+    for f in range(3):
+        want_model, _ = pu.fit_pu(
+            rest, frames[f], RBFKernel.THIN_PLATE, PolyTerm.LINEAR,
+            patches=patches, lam=0.0,
+        )
+        d_seq = pu.PUDeformer(
+            models[f], patches, RBFKernel.THIN_PLATE, PolyTerm.LINEAR
+        ).displacement(pts)
+        d_ref = pu.PUDeformer(
+            want_model, patches, RBFKernel.THIN_PLATE, PolyTerm.LINEAR
+        ).displacement(pts)
+        np.testing.assert_allclose(
+            np.asarray(d_seq), np.asarray(d_ref), atol=1e-6
+        )
+
+
+def test_pu_seq_deformer_apply(rng):
+    """PUSeqDeformer: one fit, one shared plan, (F, V, 3) out; exact
+    interpolation at the controls per frame (lam=0)."""
+    rest = fibonacci_points(300)
+    frames = np.stack([
+        rest + 0.04 * rng.standard_normal((300, 3)).astype(np.float32)
+        for _ in range(2)
+    ])
+    seq = pu.PUSeqDeformer.fit(rest, frames, lam=0.0)
+    out, falloff = seq.apply_seq(rest)
+    assert np.asarray(out).shape == (2, 300, 3)
+    for f in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out[f]), frames[f], atol=5e-5
+        )
+    # plan is built once and shared across the frame evals
+    assert len(seq.puds[0]._plan_cache) == 0  # explicit plan, no cache use

@@ -266,8 +266,31 @@ def test_serve_sequence_fit_apply(server, rng):
     # shape contract enforced
     with pytest.raises(RuntimeError, match="deformed_frames"):
         c.fit_seq(rest, frames[:, :10])
-    # sequence solves batch the global model; PU must refuse, not silently
-    # fit dense
-    with pytest.raises(RuntimeError, match="pu"):
-        c.fit_seq(rest, frames, cfg={"solver": "pu"})
+    c.close()
+
+
+def test_serve_sequence_pu_route(server, rng):
+    """fit_seq with solver='pu' shares one patch factorization across all
+    frames (ops/pu.fit_pu_frames); per-frame parity with the single-pose
+    PU fit route."""
+    rest = fibonacci_points(40)
+    frames = np.stack([
+        rest + 0.04 * rng.standard_normal((40, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+
+    c = serve_mod.Client(*server)
+    sid = c.fit_seq(rest, frames, cfg={"solver": "pu"})
+    out, falloff = c.apply_seq(sid, pts)
+    assert out.shape == (3, 300, 3) and falloff.shape == (300,)
+
+    for f in range(3):
+        did = c.fit(rest, frames[f], cfg={"solver": "pu"})
+        want, _ = c.apply(did, pts)
+        np.testing.assert_allclose(out[f], want, atol=2e-5)
+
+    # sequence guards apply to the PU route too
+    with pytest.raises(RuntimeError, match="apply_seq"):
+        c.request({"cmd": "apply", "deformer": sid}, {"points": pts})
     c.close()
