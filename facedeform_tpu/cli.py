@@ -51,8 +51,9 @@ def _build_parser() -> argparse.ArgumentParser:
                         "(parallel.batched.deform_frames): frame 0 cooks "
                         "through the full node (capture/falloff/group), "
                         "the rest ride the MXU frames kernel (tangent "
-                        "fused); falls back per-frame for "
-                        "blends/picked/pu/krylov")
+                        "fused); solver=pu shares one patch factorization "
+                        "across frames (ops.pu.fit_pu_frames); falls back "
+                        "per-frame for blends/picked/krylov")
     _add_cook_flags(s)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
@@ -251,7 +252,8 @@ def _cmd_deform_seq(args) -> int:
         if args.picked:
             blockers.append("picked")
         if cfg.solver == "pu":
-            blockers.append("solver=pu")
+            pass  # any-N batch route: ops/pu.fit_pu_frames shares one
+            #       patch factorization across every frame
         elif cfg.solver == "krylov" or fit_mod.uses_krylov(cfg, n):
             blockers.append("krylov-size rig")
         if any(r.num_points != n for r in rigs):
@@ -301,12 +303,37 @@ def _cmd_deform_seq(args) -> int:
                     mesh.point_attrs[k] for k in ("tangentu", "tangentv", "N")
                 )
             with stage("batch[1:]", times):
-                out_frames, _ = batched.deform_frames(
-                    jnp.asarray(rest_rig.points), jnp.asarray(frames_arr),
-                    jnp.asarray(mesh.points),
-                    jnp.zeros(mesh.num_points, jnp.float32),
-                    jnp.asarray(gate), cfg, params, frame=frame,
-                )
+                if cfg.solver == "pu":
+                    # any-N route: one patch factorization for all frames
+                    # (ops/pu.fit_pu_frames), one shared eval plan
+                    from facedeform_tpu.config import RBFModelType
+                    from facedeform_tpu.ops import fit as fit_mod
+                    from facedeform_tpu.ops.pu import PUSeqDeformer
+                    from facedeform_tpu.utils import errors
+
+                    lam = (
+                        0.0 if cfg.model == RBFModelType.QNN
+                        else float(params.clamped().lam)
+                    )
+                    seq = PUSeqDeformer.fit(
+                        rest_rig.points, frames_arr,
+                        kernel=fit_mod.effective_kernel(cfg),
+                        term=cfg.term, lam=lam,
+                    )
+                    errors.check_solve(seq.report)
+                    # dist2=None -> falloff 1; the composed falloff x
+                    # group gate from frame 0 rides in via `gate`
+                    out_frames, _ = seq.apply_seq(
+                        mesh.points, gate=gate, cfg=cfg, params=params,
+                        frame=frame,
+                    )
+                else:
+                    out_frames, _ = batched.deform_frames(
+                        jnp.asarray(rest_rig.points), jnp.asarray(frames_arr),
+                        jnp.asarray(mesh.points),
+                        jnp.zeros(mesh.num_points, jnp.float32),
+                        jnp.asarray(gate), cfg, params, frame=frame,
+                    )
                 out_frames = np.asarray(out_frames)
             for f in range(1, len(rigs)):
                 fm = res0.mesh.copy()

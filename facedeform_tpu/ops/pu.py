@@ -972,10 +972,14 @@ class PUSeqDeformer:
         ])
 
     def apply_seq(self, points, dist2=None, gate=None, cfg=None,
-                  params=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  params=None, frame=None) -> tuple[jnp.ndarray, jnp.ndarray]:
         """((F, V, 3) positions, (V,) falloff): the serve/batched
         composition — falloff from capture distances (frame-invariant),
-        gate folded in, displacement added per frame."""
+        gate folded in, displacement added per frame.  `frame`
+        (tangentu, tangentv, N) projects each frame's displacement into
+        the tangent basis before the falloff multiply, the same order as
+        PUNodeDeformer.apply / the reference eval loop
+        (src/SOP_FaceDeform.cpp:404-439)."""
         from facedeform_tpu.config import DeformConfig, DeformParams
         from facedeform_tpu.ops.falloff import falloff_weight
 
@@ -997,6 +1001,13 @@ class PUSeqDeformer:
         )
         w = w * g
         disp = self.displacement_frames(points)
+        if frame is not None:
+            from facedeform_tpu.ops.tangent import project_to_tangents
+
+            disp = jnp.stack([
+                project_to_tangents(*frame, disp[f])
+                for f in range(disp.shape[0])
+            ])
         return pts[None] + disp * w[None, :, None], w
 
 

@@ -110,3 +110,53 @@ def test_cli_deform_seq_batch_matches_per_frame(tmp_path):
                            "--morphspace", "--blend", blend_p])
     assert rc == 0
     assert (tmp_path / "bl" / "f_03.geo").exists()
+
+
+def test_cli_deform_seq_batch_pu_matches_per_frame(tmp_path):
+    """solver=pu rides --batch through ops.pu.fit_pu_frames (one patch
+    factorization for all frames, shared eval plan): output must match
+    the per-frame node loop's independent PU fits."""
+    import numpy as np
+
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    mesh = uv_sphere(12, 12)
+    rig_pts = fibonacci_points(20)
+    mesh_p = str(tmp_path / "mesh.geo")
+    rig_p = str(tmp_path / "rig.geo")
+    save_geo(mesh_p, mesh)
+    save_geo(rig_p, Mesh(points=rig_pts))
+    rig_frames = []
+    for f in range(3):
+        p = str(tmp_path / f"posed{f}.geo")
+        save_geo(p, Mesh(points=rig_pts * (1.0 + 0.03 * (f + 1))))
+        rig_frames.append(p)
+
+    base_args = ["deform-seq", mesh_p, rig_p, *rig_frames,
+                 "--out-pattern", "f_%02d.geo", "--radius", "2.0",
+                 "--solver", "pu"]
+    assert main(base_args + ["-o", str(tmp_path / "ref")]) == 0
+    assert main(base_args + ["-o", str(tmp_path / "bat"), "--batch"]) == 0
+    for f in range(3):
+        ref = load_geo(str(tmp_path / "ref" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "bat" / f"f_{f:02d}.geo"))
+        np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
+                                   err_msg=f"pu frame {f}")
+        np.testing.assert_allclose(
+            got.point_attrs["fd_falloff"], ref.point_attrs["fd_falloff"],
+            atol=1e-6,
+        )
+
+    # tangent composes on the PU batch path too
+    assert main(base_args + ["-o", str(tmp_path / "tanref"),
+                             "--tangent"]) == 0
+    assert main(base_args + ["-o", str(tmp_path / "tan"), "--batch",
+                             "--tangent"]) == 0
+    for f in range(3):
+        ref = load_geo(str(tmp_path / "tanref" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "tan" / f"f_{f:02d}.geo"))
+        np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
+                                   err_msg=f"pu tangent frame {f}")
