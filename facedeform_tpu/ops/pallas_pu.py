@@ -151,10 +151,10 @@ def _pu_accum_kernel(
     lane_ref,          # (1, 2, TV): row 0 valid, row 1 forced patch id (f32)
     ctrl_ref,          # (1, P, 3)
     cvalid_ref,        # (1, 1, P)
-    w_ref,             # (1, P, 3)
-    poly_ref,          # (1, 4, 3)
+    w_ref,             # (1, P, C)  C=3 one pose, 3F animated shot
+    poly_ref,          # (1, 4, C)
     geom_ref,          # (1, 1, 8)
-    out_ref,           # (1, 3, TV) accumulator (revisited across items)
+    out_ref,           # (1, C, TV) accumulator (revisited across items)
     wout_ref,          # (1, 1, TV)
     *,
     kernel: RBFKernel,
@@ -205,10 +205,13 @@ def _pu_accum_kernel(
         d2 = dx * dx + dy * dy + dz * dz
         phi = _phi(kernel, d2, inv_eps2) * cvalid.T
         w_loc = w_ref[0]
+        # column count is whatever the weight operand carries: 3 for one
+        # pose, 3F for an animated shot (evaluate_pu_tiles_frames) — phi
+        # is computed ONCE and contracted against every column
         disp = jnp.concatenate(
             [
                 jnp.sum(phi * w_loc[:, c : c + 1], axis=0, keepdims=True)
-                for c in range(3)
+                for c in range(w_loc.shape[1])
             ],
             axis=0,
         )
@@ -301,6 +304,111 @@ def _pack_patch_operands(model):
     return ctrl, cvalid, w_loc, poly, geom
 
 
+def _pack_frames_operands(models):
+    """Pack F per-frame PUModels (shared geometry, distinct weights) into
+    one operand set with 3F weight/poly columns: frame f's weights occupy
+    columns 3f..3f+2, matching fit_pu_frames' RHS layout."""
+    base = models[0]
+    k_, p_, _ = base.ctrl.shape
+    p_pad = (-p_) % 8
+    ctrl = jnp.pad(base.ctrl, ((0, 0), (0, p_pad), (0, 0)))
+    cvalid = jnp.pad(base.valid, ((0, 0), (0, p_pad)))[:, None, :]
+    w_loc = jnp.concatenate(
+        [jnp.pad(m.w_hi + m.w_lo, ((0, 0), (0, p_pad), (0, 0)))
+         for m in models],
+        axis=2,
+    )
+    m_ = base.poly_hi.shape[1]
+    poly = jnp.zeros((k_, 4, 3 * len(models)), jnp.float32)
+    if m_:
+        poly_all = jnp.concatenate(
+            [m.poly_hi + m.poly_lo for m in models], axis=2
+        )
+        poly = poly.at[:, :m_].set(poly_all)
+    inv_eps2 = 1.0 / jnp.maximum(base.eps * base.eps, 1e-30)
+    inv_r2 = 1.0 / jnp.maximum(base.radii * base.radii, 1e-30)
+    geom = jnp.concatenate(
+        [
+            base.centers.astype(jnp.float32),
+            inv_eps2[:, None].astype(jnp.float32),
+            inv_r2[:, None].astype(jnp.float32),
+            jnp.zeros((k_, 3), jnp.float32),
+        ],
+        axis=1,
+    )[:, None, :]
+    return ctrl, cvalid, w_loc, poly, geom
+
+
+# Frame-axis chunking bound for evaluate_pu_tiles_frames: the output
+# accumulator block is (3F, TV) and the weight operand (P, 3F) — at
+# tile_v=256, P~200 this is ~(3F+0.8F) KB per block, trivially VMEM-safe
+# to F=32; beyond that chunk (still one jit program per chunk size).
+frames_per_dispatch = 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "term", "num_points", "tile_v", "interpret"),
+)
+def _tiles_frames_jit(models, points, item_patch, item_vt, forced_patch,
+                      perm, inv_perm, kernel, term, num_points, tile_v,
+                      interpret):
+    v = num_points
+    vp = v + ((-v) % tile_v)
+    pts_blocks, lane = _blocked_vertex_operands(
+        points, perm, forced_patch, v, vp, tile_v
+    )
+    f_n = len(models)
+    acc_d, acc_w = _tiles_pallas_call(
+        item_patch, item_vt, pts_blocks, lane,
+        _pack_frames_operands(models),
+        RBFKernel(kernel), tile_v, interpret,
+    )
+    acc_d = acc_d.transpose(0, 2, 1).reshape(vp, 3 * f_n)[:v]
+    acc_w = acc_w.reshape(vp)[:v]
+    out_z = jnp.where(
+        (acc_w > 1e-30)[:, None],
+        acc_d / jnp.maximum(acc_w, 1e-30)[:, None],
+        0.0,
+    )[inv_perm]
+    return out_z.reshape(v, f_n, 3).transpose(1, 0, 2)
+
+
+def evaluate_pu_tiles_frames(
+    models,
+    points: jnp.ndarray,
+    item_patch: jnp.ndarray,
+    item_vt: jnp.ndarray,
+    forced_patch: jnp.ndarray,
+    perm: jnp.ndarray,
+    inv_perm: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    num_points: int,
+    tile_v: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(F, V, 3) PU displacement for F frames in ONE kernel pass per
+    frame chunk: phi/partition weights are computed once per (tile,
+    patch) item and contracted against all 3F weight columns — the PU
+    analogue of ops/pallas_eval.evaluate_pallas_frames.  `models` share
+    geometry (fit_pu_frames output); only weights differ per frame."""
+    if points.shape[0] != num_points:
+        raise ValueError(
+            f"plan was built for {num_points} points, got "
+            f"{points.shape[0]} — stale plan?"
+        )
+    chunks = [
+        _tiles_frames_jit(
+            tuple(models[f0:f0 + frames_per_dispatch]), points,
+            item_patch, item_vt, forced_patch, perm, inv_perm,
+            RBFKernel(kernel), term, num_points, tile_v, interpret,
+        )
+        for f0 in range(0, len(models), frames_per_dispatch)
+    ]
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+
+
 def _tiles_pallas_call(item_patch, item_vt, pts_blocks, lane, packed,
                        kernel, tile_v, interpret):
     """The raw accumulating pallas_call over (vertex tile, patch) items.
@@ -313,6 +421,7 @@ def _tiles_pallas_call(item_patch, item_vt, pts_blocks, lane, packed,
     ctrl, cvalid, w_loc, poly, geom = packed
     t_ = item_patch.shape[0]
     n_vt = pts_blocks.shape[0]
+    c_ = w_loc.shape[2]      # 3 for one pose, 3F for an animated shot
 
     def by_vt(i, ip, ivt):
         return (ivt[i], 0, 0)
@@ -328,12 +437,12 @@ def _tiles_pallas_call(item_patch, item_vt, pts_blocks, lane, packed,
             pl.BlockSpec((1, 2, tile_v), by_vt),
             pl.BlockSpec((1, ctrl.shape[1], 3), by_patch),
             pl.BlockSpec((1, 1, ctrl.shape[1]), by_patch),
-            pl.BlockSpec((1, ctrl.shape[1], 3), by_patch),
-            pl.BlockSpec((1, 4, 3), by_patch),
+            pl.BlockSpec((1, ctrl.shape[1], c_), by_patch),
+            pl.BlockSpec((1, 4, c_), by_patch),
             pl.BlockSpec((1, 1, 8), by_patch),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, tile_v), by_vt),
+            pl.BlockSpec((1, c_, tile_v), by_vt),
             pl.BlockSpec((1, 1, tile_v), by_vt),
         ],
     )
@@ -341,7 +450,7 @@ def _tiles_pallas_call(item_patch, item_vt, pts_blocks, lane, packed,
         functools.partial(_pu_accum_kernel, kernel=kernel),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_vt, 3, tile_v), jnp.float32),
+            jax.ShapeDtypeStruct((n_vt, c_, tile_v), jnp.float32),
             jax.ShapeDtypeStruct((n_vt, 1, tile_v), jnp.float32),
         ],
         interpret=interpret,

@@ -390,9 +390,11 @@ def fit_pu_frames(
     The any-N analogue of parallel/batched.fit_frames: every patch system
     depends ONLY on the rest rig (the deformed positions are pure RHS),
     so all F frames share one df assembly + batched LU factorization and
-    differ only in 3F right-hand-side columns — an F-frame fit costs
-    ~1.1x a single-frame fit instead of F x (the triangular solves and
-    refinement sweeps are O(P^2) per column vs O(P^3) to factor).
+    differ only in 3F right-hand-side columns.  Sharing covers the
+    assembly + O(P^3) factorization; the df refinement sweeps still scale
+    with the column count, so the measured win is an F-frame fit well
+    under F independent fits (0.47x of 8 fits at F=8, 20k controls,
+    patch_size=192 — benchmarks/run_all.py config 10), not ~1/F.
 
     Returns per-frame PUModels (static geometry shared by reference) and
     one aggregate SolveReport across all patches and frames.  The models
@@ -472,6 +474,11 @@ def _fit_pu_rhs(
     gmres_ir = not isinstance(eps, str)
     lam_j = jnp.asarray(lam, jnp.float32)
     if chunk is None:
+        # The solver's 3-column RHS blocking (lu_solve_refined_against_df)
+        # makes peak memory independent of the RHS width, so the budget
+        # only tracks the (chunk, P+m, P+m) squares — without that
+        # blocking an 8-frame fit_pu_frames at P+m=751 demanded 17.6 GB
+        # of HBM from the refinement's pairwise-tree temps alone.
         sys_bytes = (p_ + _n_poly(term)) ** 2 * 4 * 6
         chunk = max(8, min(128, (2 << 30) // sys_bytes))
 
@@ -964,9 +971,29 @@ class PUSeqDeformer:
         return self
 
     def displacement_frames(self, points) -> jnp.ndarray:
-        """(F, V, 3) displacements; one shared plan, one eval per frame."""
+        """(F, V, 3) displacements; one shared plan.
+
+        On the f32 tile path (eps='auto' fits) the whole shot runs
+        through ONE Mosaic pass per <=32-frame chunk
+        (pallas_pu.evaluate_pu_tiles_frames): phi and the partition
+        weights are computed once per (tile, patch) item and contracted
+        against all 3F weight columns, instead of F separate dispatches
+        re-deriving them.  The precise/df route (forced global eps)
+        stays per-frame on the XLA tiles."""
         points_np = np.asarray(points, np.float32)
         plan = self.puds[0].make_plan(points_np)
+        from facedeform_tpu.ops.pallas_pu import (
+            PUTilePlan, evaluate_pu_tiles_frames,
+        )
+
+        if isinstance(plan, PUTilePlan):
+            return evaluate_pu_tiles_frames(
+                tuple(p.model for p in self.puds),
+                jnp.asarray(points_np),
+                *plan.device_arrays(), self.kernel, self.term,
+                plan.num_points, plan.tile_v,
+                interpret=jax.default_backend() != "tpu",
+            )
         return jnp.stack([
             p.displacement(points_np, plan=plan) for p in self.puds
         ])

@@ -236,27 +236,55 @@ def lu_solve_refined_against_df(
         def matvec(v):
             return _dot_pair(v, v)
 
-        x_hi = msolve(b)
-        x_lo = jnp.zeros_like(x_hi)
-
-        def residual(x_hi, x_lo):
-            return residual_compensated(a_hi, x_hi, b) - _dot_pair(
-                x_lo, x_hi + x_lo
-            )
-
         from facedeform_tpu.ops.dfloat import _two_sum as _guarded_two_sum
 
-        for _ in range(n_refine):
-            if gmres_ir:
-                dx, _ = gmres(
-                    matvec, residual(x_hi, x_lo), msolve=msolve,
-                    restart=16, max_restarts=2,
+        def _refine(b_blk):
+            """Full refinement of one column block against the shared LU.
+
+            Columns are independent given the factorization, and
+            residual_compensated materializes pairwise-tree temps of size
+            (n/2, n, K) PER LEVEL — at K = 3F frame columns
+            (fit_pu_frames) that tensor alone reached 17.6 GB of HBM at
+            F=8, chunk=128, n=751.  Blocking the RHS into 3-column groups
+            under a sequential lax.map caps peak memory at the
+            single-pose case no matter how many frames ride the solve.
+            """
+            x_hi = msolve(b_blk)
+            x_lo = jnp.zeros_like(x_hi)
+
+            def residual(x_hi, x_lo):
+                return residual_compensated(a_hi, x_hi, b_blk) - _dot_pair(
+                    x_lo, x_hi + x_lo
                 )
-            else:
-                dx = msolve(residual(x_hi, x_lo))
-            s, e = _guarded_two_sum(x_hi, dx)
-            x_hi, x_lo = s, x_lo + e
-        r = residual(x_hi, x_lo)
+
+            for _ in range(n_refine):
+                if gmres_ir:
+                    dx, _ = gmres(
+                        matvec, residual(x_hi, x_lo), msolve=msolve,
+                        restart=16, max_restarts=2,
+                    )
+                else:
+                    dx = msolve(residual(x_hi, x_lo))
+                s, e = _guarded_two_sum(x_hi, dx)
+                x_hi, x_lo = s, x_lo + e
+            return x_hi, x_lo, residual(x_hi, x_lo)
+
+        kb = 3
+        k = b.shape[1]
+        if k <= kb:
+            x_hi, x_lo, r = _refine(b)
+        else:
+            pad = (-k) % kb
+            b_pad = jnp.pad(b, ((0, 0), (0, pad)))
+            nb = b_pad.shape[1] // kb
+            # (n, nb*kb) -> (nb, n, kb) consecutive-column blocks
+            blocks = b_pad.T.reshape(nb, kb, -1).transpose(0, 2, 1)
+            xh, xl, rr = jax.lax.map(_refine, blocks)
+
+            def unblk(a):
+                return a.transpose(0, 2, 1).reshape(nb * kb, -1).T[:, :k]
+
+            x_hi, x_lo, r = unblk(xh), unblk(xl), unblk(rr)
     report = _report_from(
         jnp.linalg.norm(a_hi), jnp.diagonal(lu), x_hi, b, r
     )

@@ -351,3 +351,55 @@ def test_pu_seq_deformer_apply(rng):
         )
     # plan is built once and shared across the frame evals
     assert len(seq.puds[0]._plan_cache) == 0  # explicit plan, no cache use
+
+
+def test_pu_frames_kernel_matches_per_frame_tiles(rng):
+    """evaluate_pu_tiles_frames (one Mosaic pass, 3F weight columns) must
+    reproduce F independent evaluate_pu_tiles runs on the same plan —
+    phi/partition weights are shared across columns, so agreement is
+    f32-exact, and chunking the frame axis must not change results."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.ops import pallas_pu
+
+    rest, disp = _smooth_rig(600)
+    frames = np.stack([
+        rest + disp * s for s in (1.0, -0.5, 0.25)
+    ])
+    patches = pu.build_patches(rest, patch_size=64)
+    models, _ = pu.fit_pu_frames(
+        rest, frames, RBFKernel.THIN_PLATE, pu.PolyTerm.LINEAR,
+        patches=patches, lam=1e-5,
+    )
+    q = np.concatenate([
+        (fibonacci_points(300) * 1.01).astype(np.float32),
+        np.float32([[5, 5, 5], [0, 0, -8]]),      # forced-fallback items
+    ])
+    tplan = pallas_pu.plan_eval_tiles(patches, q)
+    got = np.asarray(pallas_pu.evaluate_pu_tiles_frames(
+        tuple(models), jnp.asarray(q), *tplan.device_arrays(),
+        RBFKernel.THIN_PLATE, pu.PolyTerm.LINEAR,
+        tplan.num_points, tplan.tile_v, interpret=True,
+    ))
+    assert got.shape == (3, q.shape[0], 3)
+    for f in range(3):
+        want = np.asarray(pallas_pu.evaluate_pu_tiles(
+            models[f], jnp.asarray(q), *tplan.device_arrays(),
+            RBFKernel.THIN_PLATE, pu.PolyTerm.LINEAR,
+            tplan.num_points, tplan.tile_v, interpret=True,
+        ))
+        np.testing.assert_allclose(got[f], want, atol=1e-6,
+                                   err_msg=f"frame {f}")
+
+    # frame-axis chunking is a static slice of the same math
+    old = pallas_pu.frames_per_dispatch
+    try:
+        pallas_pu.frames_per_dispatch = 2
+        chunked = np.asarray(pallas_pu.evaluate_pu_tiles_frames(
+            tuple(models), jnp.asarray(q), *tplan.device_arrays(),
+            RBFKernel.THIN_PLATE, pu.PolyTerm.LINEAR,
+            tplan.num_points, tplan.tile_v, interpret=True,
+        ))
+    finally:
+        pallas_pu.frames_per_dispatch = old
+    np.testing.assert_allclose(chunked, got, atol=0)
