@@ -196,6 +196,21 @@ class Client:
         _, out = self.request({"cmd": "apply_seq", "deformer": deformer}, arrays)
         return out["points"], out["falloff"]
 
+    def save(self, deformer: str, path: str) -> None:
+        """Checkpoint a fitted deformer server-side (any kind: dense, pu,
+        seq, pu_seq — the matching utils/checkpoint codec is picked)."""
+        self.request({"cmd": "save", "deformer": deformer, "path": path})
+
+    def load(self, path: str, cfg: Optional[dict] = None,
+             params: Optional[dict] = None) -> str:
+        """Restore a server-side checkpoint; PU kinds take optional
+        cfg/params eval knobs (the model file carries only the solve)."""
+        resp, _ = self.request(
+            {"cmd": "load", "path": path, "cfg": cfg or {},
+             "params": params or {}}
+        )
+        return resp["deformer"]
+
     def info(self) -> dict:
         resp, _ = self.request({"cmd": "info"})
         return resp
@@ -258,11 +273,32 @@ class DeformServer:
                     "residual": float(d.report.residual_norm),
                 }
             if cmd == "load":
-                try:
-                    d = checkpoint.load(req["path"])
-                except ValueError as e:
-                    if "PU checkpoint" not in str(e):
-                        raise
+                ck = checkpoint.kind(req["path"])
+                if ck == "seq":
+                    model, cfg, params, resid = checkpoint.load_seq(
+                        req["path"]
+                    )
+                    did = self._new_id()
+                    self._deformers[did] = ("seq", model, cfg, params, resid)
+                    return {
+                        "ok": True, "deformer": did,
+                        "frames": int(model.w_rbf.shape[0]),
+                    }
+                if ck == "pu_seq":
+                    # sequence PU checkpoints carry the models, not eval
+                    # knobs — optional cfg/params in the request set those
+                    seq = checkpoint.load_pu_seq(req["path"])
+                    did = self._new_id()
+                    self._deformers[did] = (
+                        "pu_seq", seq,
+                        DeformConfig(**req.get("cfg", {})),
+                        DeformParams(**req.get("params", {})),
+                    )
+                    return {
+                        "ok": True, "deformer": did,
+                        "frames": seq.num_frames,
+                    }
+                if ck == "pu":
                     # PU checkpoints carry the model, not eval knobs —
                     # optional cfg/params in the request set those
                     from facedeform_tpu.ops.pu import PUNodeDeformer
@@ -272,22 +308,32 @@ class DeformServer:
                         cfg=DeformConfig(**req.get("cfg", {})),
                         params=DeformParams(**req.get("params", {})),
                     )
+                else:
+                    d = checkpoint.load(req["path"])
                 did = self._new_id()
                 self._deformers[did] = d
                 return {"ok": True, "deformer": did}
-            if cmd in ("apply", "save") and isinstance(
+            if cmd == "apply" and isinstance(
                 self._deformers.get(req.get("deformer")), tuple
             ):
                 return {
                     "ok": False,
-                    "error": f"{cmd} does not take a fit_seq deformer "
+                    "error": "apply does not take a fit_seq deformer "
                              "(sequence models serve via apply_seq)",
                 }
             if cmd == "save":
                 d = self._deformers[req["deformer"]]
                 from facedeform_tpu.ops.pu import PUNodeDeformer
 
-                if isinstance(d, PUNodeDeformer):
+                if isinstance(d, tuple) and d[0] == "seq":
+                    _, model, cfg, params = d[:4]
+                    checkpoint.save_seq(
+                        req["path"], model, cfg, params,
+                        residuals=d[4] if len(d) > 4 else None,
+                    )
+                elif isinstance(d, tuple) and d[0] == "pu_seq":
+                    checkpoint.save_pu_seq(req["path"], d[1])
+                elif isinstance(d, PUNodeDeformer):
                     checkpoint.save_pu(req["path"], d.pud)
                 else:
                     checkpoint.save(req["path"], d)
@@ -355,7 +401,9 @@ class DeformServer:
                     jnp.asarray(rest), jnp.asarray(frames), cfg, params
                 )
                 did = self._new_id()
-                self._deformers[did] = ("seq", model, cfg, params)
+                self._deformers[did] = (
+                    "seq", model, cfg, params, np.asarray(resid)
+                )
                 return {
                     "ok": True, "deformer": did,
                     "frames": int(frames.shape[0]),
@@ -375,7 +423,7 @@ class DeformServer:
                         "error": "apply_seq needs a fit_seq deformer "
                                  "(use apply for single-pose fits)",
                     }
-                kind, model, cfg, params = entry
+                kind, model, cfg, params = entry[:4]
                 pts = decode_array(req["points"])
                 v = pts.shape[0]
                 dist2 = (

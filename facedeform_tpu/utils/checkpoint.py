@@ -64,11 +64,31 @@ def save(path: str, deformer: Deformer) -> None:
     )
 
 
+def kind(path: str) -> str:
+    """Checkpoint kind marker: 'dense' | 'pu' | 'seq' | 'pu_seq'.
+
+    Lets callers (serve's `load` cmd) dispatch to the right codec without
+    trial-and-error; each load_* still validates the marker itself."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    with np.load(path, allow_pickle=False) as data:
+        for k in ("pu_seq", "seq", "pu"):
+            if k in data:
+                return k
+    return "dense"
+
+
 def load(path: str) -> Deformer:
     """Restore a Deformer saved by save(); ready for apply() immediately."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     data = np.load(path, allow_pickle=False)
+    if "pu_seq" in data:
+        raise ValueError(
+            f"{path} is a PU sequence checkpoint (use load_pu_seq())"
+        )
+    if "seq" in data:
+        raise ValueError(f"{path} is a sequence checkpoint (use load_seq())")
     if "pu" in data:
         raise ValueError(f"{path} is a PU checkpoint (use load_pu())")
     version = int(data["format_version"])
@@ -144,6 +164,154 @@ def load_orbax(path: str) -> Deformer:
     return Deformer(
         model=model, cfg=_cfg_from_json(meta["cfg"]), params=params, report=report
     )
+
+
+# ------------------------------------------------------------- sequences
+def save_seq(path: str, model: RBFModel, cfg: DeformConfig,
+             params: DeformParams, residuals=None) -> None:
+    """Serialize an F-stacked fit_frames model (parallel/batched.fit_frames)
+    to one .npz: w_rbf carries the (F, L, N, 3) frame axis, ctrl/eps are
+    frame-invariant.  The dense-sequence analogue of save(): a shot fitted
+    once serves apply_seq across sessions without re-solving (the
+    reference re-solves every cook, src/SOP_FaceDeform.cpp:330-368)."""
+    params = params.clamped()
+    f_n = int(model.w_rbf.shape[0])
+    np.savez(
+        path,
+        format_version=_FORMAT_VERSION,
+        seq=f_n,
+        cfg_json=_cfg_to_json(cfg),
+        params=np.asarray([float(v) for v in params[:8]], np.float64),
+        maxedges=int(params.maxedges),
+        ctrl=np.asarray(model.ctrl),
+        w_rbf=np.asarray(model.w_rbf),
+        w_poly=np.asarray(model.w_poly),
+        eps=np.asarray(model.eps),
+        residuals=(
+            np.zeros(f_n, np.float32) if residuals is None
+            else np.asarray(residuals, np.float32)
+        ),
+    )
+
+
+def load_seq(path: str):
+    """Restore (model, cfg, params, residuals) saved by save_seq().
+
+    The model feeds parallel/batched.apply_frames directly."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    if "seq" not in data or "pu_seq" in data:
+        raise ValueError(
+            f"{path} is not a dense sequence checkpoint (kind='{kind(path)}')"
+        )
+    version = int(data["format_version"])
+    if version > _FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {version} is newer than supported")
+    cfg = _cfg_from_json(str(data["cfg_json"]))
+    pvals = data["params"]
+    params = DeformParams(
+        qcoef=float(pvals[0]), zcoef=float(pvals[1]), radius=float(pvals[2]),
+        lam=float(pvals[3]), falloffrate=float(pvals[4]),
+        falloffradius=float(pvals[5]), weight_lo=float(pvals[6]),
+        weight_hi=float(pvals[7]), maxedges=int(data["maxedges"]),
+    )
+    model = RBFModel(
+        ctrl=jnp.asarray(data["ctrl"]),
+        w_rbf=jnp.asarray(data["w_rbf"]),
+        w_poly=jnp.asarray(data["w_poly"]),
+        eps=jnp.asarray(data["eps"]),
+    )
+    return model, cfg, params, np.asarray(data["residuals"])
+
+
+def save_pu_seq(path: str, seq) -> None:
+    """Serialize a PUSeqDeformer (ops/pu.py) to one .npz.
+
+    The per-frame models share every static field (patches, ctrl, valid,
+    eps — fit_pu_frames output), so geometry is stored once and only the
+    (F, K, P, 3) weight / (F, K, m, 3) poly stacks carry the frame axis."""
+    from facedeform_tpu.ops.pu import PUSeqDeformer
+
+    if not isinstance(seq, PUSeqDeformer):
+        raise ValueError(
+            f"save_pu_seq expects a PUSeqDeformer, got {type(seq).__name__}"
+        )
+    models = [p.model for p in seq.puds]
+    m, p = models[0], seq.patches
+    np.savez(
+        path,
+        format_version=_FORMAT_VERSION,
+        pu_seq=len(models),
+        kernel=int(seq.kernel),
+        term=int(seq.term),
+        auto_eps=int(seq.auto_eps),
+        centers=np.asarray(m.centers), radii=np.asarray(m.radii),
+        ctrl=np.asarray(m.ctrl), valid=np.asarray(m.valid),
+        eps=np.asarray(m.eps),
+        w_hi=np.stack([np.asarray(mm.w_hi) for mm in models]),
+        w_lo=np.stack([np.asarray(mm.w_lo) for mm in models]),
+        poly_hi=np.stack([np.asarray(mm.poly_hi) for mm in models]),
+        poly_lo=np.stack([np.asarray(mm.poly_lo) for mm in models]),
+        p_idx=p.idx, p_counts=p.counts, p_spacing=p.spacing,
+        residual_norm=float(seq.report.residual_norm),
+        rhs_norm=float(seq.report.rhs_norm),
+        scale_norm=float(seq.report.scale_norm),
+        col_backward=np.asarray(seq.report.col_backward),
+    )
+
+
+def load_pu_seq(path: str):
+    """Restore a PUSeqDeformer saved by save_pu_seq(); the restored shot
+    shares one eval plan across frames exactly like a fresh fit."""
+    from facedeform_tpu.config import PolyTerm, RBFKernel
+    from facedeform_tpu.ops.pu import (
+        PUDeformer, PUModel, PUPatches, PUSeqDeformer,
+    )
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    if "pu_seq" not in data:
+        raise ValueError(
+            f"{path} is not a PU sequence checkpoint (kind='{kind(path)}')"
+        )
+    version = int(data["format_version"])
+    if version > _FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {version} is newer than supported")
+    shared = dict(
+        centers=jnp.asarray(data["centers"]), radii=jnp.asarray(data["radii"]),
+        ctrl=jnp.asarray(data["ctrl"]), valid=jnp.asarray(data["valid"]),
+        eps=jnp.asarray(data["eps"]),
+    )
+    models = [
+        PUModel(
+            w_hi=jnp.asarray(data["w_hi"][f]),
+            w_lo=jnp.asarray(data["w_lo"][f]),
+            poly_hi=jnp.asarray(data["poly_hi"][f]),
+            poly_lo=jnp.asarray(data["poly_lo"][f]),
+            **shared,
+        )
+        for f in range(int(data["pu_seq"]))
+    ]
+    patches = PUPatches(
+        centers=np.asarray(data["centers"]), radii=np.asarray(data["radii"]),
+        idx=np.asarray(data["p_idx"]), counts=np.asarray(data["p_counts"]),
+        spacing=np.asarray(data["p_spacing"]),
+    )
+    seq = PUSeqDeformer(
+        models, patches,
+        RBFKernel(int(data["kernel"])), PolyTerm(int(data["term"])),
+        auto_eps=bool(int(data["auto_eps"])),
+    )
+    seq.report = SolveReport(
+        residual_norm=jnp.asarray(float(data["residual_norm"])),
+        rhs_norm=jnp.asarray(float(data["rhs_norm"])),
+        scale_norm=jnp.asarray(float(data["scale_norm"])),
+        cond_est=None,
+        col_backward=jnp.asarray(data["col_backward"]),
+    )
+    return seq
 
 
 # -------------------------------------------------------------------- PU

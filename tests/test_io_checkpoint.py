@@ -115,3 +115,81 @@ def _fit_small():
 
     rest = fibonacci_points(30)
     return Deformer.fit(rest, rest * 1.02, DeformConfig(), DeformParams())
+
+
+def test_seq_checkpoint_roundtrip(tmp_path, rng):
+    """save_seq/load_seq: an F-stacked fit_frames model round-trips and
+    apply_frames reproduces the original shot bit-for-bit."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.parallel import batched
+
+    rest = fibonacci_points(40)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((40, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    cfg = DeformConfig(tangent=False)
+    params = DeformParams(radius=1.3, falloffrate=1.2)
+    model, resid = batched.fit_frames(
+        jnp.asarray(rest), jnp.asarray(frames), cfg, params
+    )
+    path = str(tmp_path / "seq.npz")
+    checkpoint.save_seq(path, model, cfg, params, residuals=resid)
+    model2, cfg2, params2, resid2 = checkpoint.load_seq(path)
+    assert cfg2 == cfg
+    assert float(params2.radius) == pytest.approx(float(params.clamped().radius))
+    np.testing.assert_allclose(resid2, np.asarray(resid), atol=0)
+
+    pts = rng.standard_normal((64, 3)).astype(np.float32)
+    d2 = np.zeros(64, np.float32)
+    g = np.ones(64, np.float32)
+    a, _ = batched.apply_frames(model, jnp.asarray(pts), jnp.asarray(d2),
+                                jnp.asarray(g), cfg, params, None)
+    b, _ = batched.apply_frames(model2, jnp.asarray(pts), jnp.asarray(d2),
+                                jnp.asarray(g), cfg, params, None)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # wrong-kind loaders refuse clearly
+    with pytest.raises(ValueError, match="sequence checkpoint"):
+        checkpoint.load(path)
+    assert checkpoint.kind(path) == "seq"
+
+
+def test_pu_seq_checkpoint_roundtrip(tmp_path, rng):
+    """save_pu_seq/load_pu_seq: geometry stored once, (F, ...) weight
+    stacks round-trip, and the restored shot evaluates identically
+    through the shared-plan frames path."""
+    from facedeform_tpu.ops.pu import PUSeqDeformer
+    from facedeform_tpu.utils import checkpoint as ck
+
+    rest = fibonacci_points(300)
+    frames = np.stack([
+        rest + 0.04 * rng.standard_normal((300, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    seq = PUSeqDeformer.fit(rest, frames, kernel=RBFKernel.THIN_PLATE,
+                            lam=1e-5, patch_size=64)
+    path = str(tmp_path / "pu_seq.npz")
+    ck.save_pu_seq(path, seq)
+    assert ck.kind(path) == "pu_seq"
+    seq2 = ck.load_pu_seq(path)
+    assert seq2.num_frames == 3
+    q = (fibonacci_points(200) * 1.01).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(seq.displacement_frames(q)),
+        np.asarray(seq2.displacement_frames(q)),
+        atol=1e-6,
+    )
+    assert float(seq2.report.backward_error()) == float(
+        seq.report.backward_error()
+    )
+    # wrong-kind loaders refuse clearly
+    with pytest.raises(ValueError, match="PU sequence"):
+        checkpoint.load(path)
+    with pytest.raises(ValueError, match="not a PU checkpoint"):
+        checkpoint.load_pu(path)
+    with pytest.raises(ValueError, match="not a dense sequence"):
+        checkpoint.load_seq(path)
+    with pytest.raises(ValueError, match="expects a PUSeqDeformer"):
+        ck.save_pu_seq(str(tmp_path / "x.npz"), object())

@@ -256,16 +256,46 @@ def test_serve_sequence_fit_apply(server, rng):
         want, _ = c.apply(did, pts)
         np.testing.assert_allclose(out[f], want, atol=2e-5)
 
-    # apply/save reject a sequence model with a pointed error (save used
-    # to hit the checkpoint codec with the raw tuple before the guard ran)
+    # apply rejects a sequence model with a pointed error
     with pytest.raises(RuntimeError, match="apply_seq"):
         c.request({"cmd": "apply", "deformer": sid},
                   {"points": pts})
-    with pytest.raises(RuntimeError, match="apply_seq"):
-        c.request({"cmd": "save", "deformer": sid, "path": "/tmp/x.npz"}, {})
     # shape contract enforced
     with pytest.raises(RuntimeError, match="deformed_frames"):
         c.fit_seq(rest, frames[:, :10])
+    c.close()
+
+
+def test_serve_sequence_save_load(server, rng, tmp_path):
+    """Sequence fits checkpoint across sessions: save_seq/save_pu_seq via
+    the protocol, load restores a deformer whose apply_seq matches the
+    original shot (dense bit-for-bit; PU through the shared-plan path)."""
+    c = serve_mod.Client(*server)
+    rest = fibonacci_points(30)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((30, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    pts = rng.standard_normal((200, 3)).astype(np.float32)
+
+    # dense sequence
+    sid = c.fit_seq(rest, frames)
+    path = str(tmp_path / "seq.npz")
+    c.save(sid, path)
+    rid = c.load(path)
+    a, fa = c.apply_seq(sid, pts)
+    b, fb = c.apply_seq(rid, pts)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(fa, fb)
+
+    # PU sequence (cfg knobs ride the load request, like single-pose PU)
+    sid_pu = c.fit_seq(rest, frames, cfg={"solver": "pu"})
+    path_pu = str(tmp_path / "pu_seq.npz")
+    c.save(sid_pu, path_pu)
+    rid_pu = c.load(path_pu, cfg={"solver": "pu"})
+    a, _ = c.apply_seq(sid_pu, pts)
+    b, _ = c.apply_seq(rid_pu, pts)
+    np.testing.assert_allclose(a, b, atol=1e-6)
     c.close()
 
 
