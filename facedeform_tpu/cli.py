@@ -100,7 +100,9 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--picked", action="store_true",
                    help="write the eval-pass falloff color viz to Cd (the "
                         "reference's selected-node behavior)")
-    d.add_argument("--save-deformer", help="checkpoint the solved deformer (.npz)")
+    d.add_argument("--save-deformer",
+                   help="checkpoint the solved deformer (.npz); with "
+                        "deform-seq --batch, the whole F-frame sequence")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
 
 
@@ -265,6 +267,7 @@ def _cmd_deform_seq(args) -> int:
             )
             use_batch = False
 
+    seq_ckpt = None
     t0 = time.time()
     if use_batch:
         # Frame 0 through the FULL node (capture, falloff, group pattern,
@@ -302,6 +305,15 @@ def _cmd_deform_seq(args) -> int:
                 frame = tuple(
                     mesh.point_attrs[k] for k in ("tangentu", "tangentv", "N")
                 )
+            # --save-deformer on the batch path checkpoints the WHOLE
+            # shot (save_seq/save_pu_seq), so the fit must cover frame 0
+            # too; output for frame 0 still comes from the full node cook.
+            fit_all = bool(args.save_deformer)
+            seq_ckpt = None
+            if fit_all:
+                frames_arr = np.stack(
+                    [r.points for r in rigs]
+                ).astype(np.float32)
             with stage("batch[1:]", times):
                 if cfg.solver == "pu":
                     # any-N route: one patch factorization for all frames
@@ -327,6 +339,21 @@ def _cmd_deform_seq(args) -> int:
                         mesh.points, gate=gate, cfg=cfg, params=params,
                         frame=frame,
                     )
+                    if fit_all:
+                        seq_ckpt = ("pu_seq", seq)
+                elif fit_all:
+                    # fit_frames + apply_frames instead of the fused
+                    # deform_frames: the checkpoint needs the model stack
+                    model_all, resid = batched.fit_frames(
+                        jnp.asarray(rest_rig.points),
+                        jnp.asarray(frames_arr), cfg, params,
+                    )
+                    out_frames, _ = batched.apply_frames(
+                        model_all, jnp.asarray(mesh.points),
+                        jnp.zeros(mesh.num_points, jnp.float32),
+                        jnp.asarray(gate), cfg, params, None, frame,
+                    )
+                    seq_ckpt = ("seq", (model_all, np.asarray(resid)))
                 else:
                     out_frames, _ = batched.deform_frames(
                         jnp.asarray(rest_rig.points), jnp.asarray(frames_arr),
@@ -335,6 +362,10 @@ def _cmd_deform_seq(args) -> int:
                         jnp.asarray(gate), cfg, params, frame=frame,
                     )
                 out_frames = np.asarray(out_frames)
+                if fit_all:
+                    # frames_arr covered frame 0 for the checkpoint; the
+                    # written frame 0 stays the full node cook's output
+                    out_frames = out_frames[1:]
             for f in range(1, len(rigs)):
                 fm = res0.mesh.copy()
                 fm.points = np.ascontiguousarray(
@@ -361,15 +392,27 @@ def _cmd_deform_seq(args) -> int:
     n = len(rigs)
     dt = time.time() - t0
     if args.save_deformer:
-        # the last frame's solved deformer (matches deform's semantics of
-        # checkpointing the state the node ended the run with)
-        if use_batch and len(rigs) > 1:
+        if seq_ckpt is not None:
+            # batch path: the whole F-frame shot in one sequence
+            # checkpoint (serve load / apply_seq ready)
+            from facedeform_tpu.utils import checkpoint
+
+            if seq_ckpt[0] == "pu_seq":
+                checkpoint.save_pu_seq(args.save_deformer, seq_ckpt[1])
+            else:
+                model_all, resid = seq_ckpt[1]
+                checkpoint.save_seq(
+                    args.save_deformer, model_all, cfg, params, resid
+                )
             print(
-                "warning: --batch solves frames 1+ outside the node; "
-                "--save-deformer checkpoints frame 0's solve",
+                f"checkpointed the {len(rigs)}-frame sequence "
+                f"({seq_ckpt[0]}) to {args.save_deformer}",
                 file=sys.stderr,
             )
-        _save_deformer(node, args.save_deformer)
+        else:
+            # per-frame path: the last frame's solved deformer (matches
+            # deform's semantics of checkpointing the node's end state)
+            _save_deformer(node, args.save_deformer)
     if args.timing:
         print(f"timing: {times.summary()}", file=sys.stderr)
     print(

@@ -321,3 +321,35 @@ def test_cli_deform_seq_save_deformer(tmp_path):
     assert rc == 0
     d = checkpoint.load(ckpt)
     assert d.model.ctrl.shape == (12, 3)
+
+
+def test_cli_deform_seq_batch_save_sequence(tmp_path):
+    """--batch + --save-deformer checkpoints the WHOLE shot (save_seq),
+    not just frame 0's solve; the file restores as an F-frame model."""
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.utils import checkpoint
+
+    mesh_p = str(tmp_path / "m.geo")
+    rig_p = str(tmp_path / "r.geo")
+    save_geo(mesh_p, uv_sphere(8, 8))
+    rig = fibonacci_points(12)
+    save_geo(rig_p, Mesh(points=rig))
+    posed = []
+    for f, s in enumerate((1.05, 1.1, 0.95)):
+        p = str(tmp_path / f"p{f}.geo")
+        save_geo(p, Mesh(points=rig * s))
+        posed.append(p)
+    ckpt = str(tmp_path / "shot.npz")
+    rc = main(["deform-seq", mesh_p, rig_p] + posed + [
+        "-o", str(tmp_path / "out"), "--batch", "--save-deformer", ckpt])
+    assert rc == 0
+    assert checkpoint.kind(ckpt) == "seq"
+    model, cfg2, params2, resid = checkpoint.load_seq(ckpt)
+    assert model.w_rbf.shape[0] == 3          # all 3 frames, incl. frame 0
+    assert resid.shape == (3,)
+    # all 3 frame files were still written
+    import os
+    objs = sorted(f for f in os.listdir(tmp_path / "out")
+                  if f.endswith(".obj"))
+    assert objs == ["frame_0000.obj", "frame_0001.obj", "frame_0002.obj"]

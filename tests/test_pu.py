@@ -403,3 +403,35 @@ def test_pu_frames_kernel_matches_per_frame_tiles(rng):
     finally:
         pallas_pu.frames_per_dispatch = old
     np.testing.assert_allclose(chunked, got, atol=0)
+
+
+def test_cli_deform_seq_batch_pu_save_sequence(tmp_path):
+    """--batch --solver pu + --save-deformer writes a pu_seq checkpoint
+    covering every frame (fit_pu_frames over all F rigs)."""
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.utils import checkpoint
+
+    mesh_p = str(tmp_path / "m.geo")
+    rig_p = str(tmp_path / "r.geo")
+    save_geo(mesh_p, uv_sphere(8, 8))
+    rig = fibonacci_points(24)
+    save_geo(rig_p, Mesh(points=rig))
+    posed = []
+    for f, s in enumerate((1.04, 1.08, 0.96)):
+        p = str(tmp_path / f"p{f}.geo")
+        save_geo(p, Mesh(points=rig * s))
+        posed.append(p)
+    ckpt = str(tmp_path / "shot_pu.npz")
+    rc = main(["deform-seq", mesh_p, rig_p] + posed + [
+        "-o", str(tmp_path / "out"), "--batch", "--solver", "pu",
+        "--save-deformer", ckpt])
+    assert rc == 0
+    assert checkpoint.kind(ckpt) == "pu_seq"
+    seq = checkpoint.load_pu_seq(ckpt)
+    assert seq.num_frames == 3
+    q = (fibonacci_points(100) * 1.01).astype(np.float32)
+    out = np.asarray(seq.displacement_frames(q))
+    assert out.shape == (3, 100, 3) and np.isfinite(out).all()
