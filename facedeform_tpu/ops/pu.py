@@ -970,7 +970,7 @@ class PUSeqDeformer:
         self.report = report
         return self
 
-    def displacement_frames(self, points) -> jnp.ndarray:
+    def displacement_frames(self, points, mesh=None) -> jnp.ndarray:
         """(F, V, 3) displacements; one shared plan.
 
         On the f32 tile path (eps='auto' fits) the whole shot runs
@@ -979,8 +979,19 @@ class PUSeqDeformer:
         weights are computed once per (tile, patch) item and contracted
         against all 3F weight columns, instead of F separate dispatches
         re-deriving them.  The precise/df route (forced global eps)
-        stays per-frame on the XLA tiles."""
+        stays per-frame on the XLA tiles.
+
+        `mesh` (jax.sharding.Mesh) shards the vertex tiles across the
+        device mesh (parallel/pu_sharded.pu_displacement_frames_sharded)
+        — the promoted thread pool (src/SOP_FaceDeform.hpp:116-188)
+        applied to whole shots; sharding must not change results."""
         points_np = np.asarray(points, np.float32)
+        if mesh is not None and self.auto_eps:
+            from facedeform_tpu.parallel.pu_sharded import (
+                pu_displacement_frames_sharded,
+            )
+
+            return pu_displacement_frames_sharded(self, points_np, mesh)
         plan = self.puds[0].make_plan(points_np)
         from facedeform_tpu.ops.pallas_pu import (
             PUTilePlan, evaluate_pu_tiles_frames,
@@ -999,7 +1010,8 @@ class PUSeqDeformer:
         ])
 
     def apply_seq(self, points, dist2=None, gate=None, cfg=None,
-                  params=None, frame=None) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  params=None, frame=None,
+                  mesh=None) -> tuple[jnp.ndarray, jnp.ndarray]:
         """((F, V, 3) positions, (V,) falloff): the serve/batched
         composition — falloff from capture distances (frame-invariant),
         gate folded in, displacement added per frame.  `frame`
@@ -1027,7 +1039,7 @@ class PUSeqDeformer:
             strict_parity=cfg.strict_parity,
         )
         w = w * g
-        disp = self.displacement_frames(points)
+        disp = self.displacement_frames(points, mesh=mesh)
         if frame is not None:
             from facedeform_tpu.ops.tangent import project_to_tangents
 

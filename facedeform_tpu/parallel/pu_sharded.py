@@ -145,6 +145,98 @@ def sharded_pu_displacement(
     return out_z[:v][inv_perm]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "term", "num_points", "tile_v", "vp", "mesh"),
+)
+def _sharded_pu_frames_jit(
+    models,                    # tuple of PUModel pytrees (shared geometry)
+    points: jnp.ndarray,
+    item_patch: jnp.ndarray,
+    item_vt: jnp.ndarray,
+    forced_patch: jnp.ndarray,
+    perm: jnp.ndarray,
+    inv_perm: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    num_points: int,
+    tile_v: int,
+    vp: int,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """(F, V, 3) whole-shot PU displacement, vertex tiles sharded over the
+    device mesh: the frames trick (3F weight columns per kernel item,
+    pallas_pu._pack_frames_operands) composed with the replicated-model /
+    sharded-vertices design above — still zero steady-state collectives."""
+    from facedeform_tpu.ops.pallas_pu import (
+        _blocked_vertex_operands, _pack_frames_operands, _tiles_pallas_call,
+    )
+
+    v = num_points
+    f_n = len(models)
+    pts_blocks, lane = _blocked_vertex_operands(
+        points, perm, forced_patch, v, vp, tile_v
+    )
+    packed = _pack_frames_operands(models)
+    use_interpret = (
+        np.asarray(mesh.devices).flat[0].platform != "tpu"
+    )
+
+    def body(ip, ivt, pts_b, lane_b, *packed_b):
+        acc_d, acc_w = _tiles_pallas_call(
+            ip[0], ivt[0], pts_b, lane_b, packed_b,
+            RBFKernel(kernel), tile_v, use_interpret,
+        )
+        n_loc = pts_b.shape[0]
+        d_flat = acc_d.transpose(0, 2, 1).reshape(n_loc * tile_v, 3 * f_n)
+        w_flat = acc_w.reshape(n_loc * tile_v)
+        return jnp.where(
+            (w_flat > 1e-30)[:, None],
+            d_flat / jnp.maximum(w_flat, 1e-30)[:, None],
+            0.0,
+        )
+
+    out_z = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P(VERTEX_AXIS), P(VERTEX_AXIS),
+            P(VERTEX_AXIS), P(VERTEX_AXIS),
+        ) + (P(),) * len(packed),
+        out_specs=P(VERTEX_AXIS),
+        check_vma=False,
+    )(item_patch, item_vt, pts_blocks, lane, *packed)
+    out = out_z[:v][inv_perm]                      # (V, 3F)
+    return out.reshape(v, f_n, 3).transpose(1, 0, 2)
+
+
+def pu_displacement_frames_sharded(seq, points, mesh: Mesh, splan=None):
+    """Sharded whole-shot eval for a PUSeqDeformer: one Mosaic pass per
+    <=frames_per_dispatch chunk per shard, vertex tiles split across the
+    mesh.  Mirrors ops/pu.PUSeqDeformer.displacement_frames semantics."""
+    from facedeform_tpu.ops.pallas_pu import (
+        frames_per_dispatch, plan_eval_tiles,
+    )
+
+    points_np = np.asarray(points, np.float32)
+    if splan is None:
+        tplan = plan_eval_tiles(seq.patches, points_np)
+        splan = shard_tile_plan(tplan, mesh.shape[VERTEX_AXIS])
+    models = tuple(p.model for p in seq.puds)
+    args = (
+        jnp.asarray(points_np),
+        jnp.asarray(splan.item_patch), jnp.asarray(splan.item_vt),
+        jnp.asarray(splan.forced_patch), jnp.asarray(splan.perm),
+        jnp.asarray(splan.inv_perm), seq.kernel, seq.term,
+        splan.num_points, splan.tile_v, splan.vp, mesh,
+    )
+    chunks = [
+        _sharded_pu_frames_jit(models[f0:f0 + frames_per_dispatch], *args)
+        for f0 in range(0, len(models), frames_per_dispatch)
+    ]
+    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+
+
 def pu_displacement_sharded(pud, points, mesh: Mesh, splan=None):
     """Convenience wrapper: build/split the plan and run the sharded eval.
 

@@ -132,3 +132,45 @@ def test_sharded_pu_matches_single_device(rng):
     qc = rest[: n_dev * 256]
     got_c = np.asarray(pu_displacement_sharded(d, qc, mesh))
     assert np.abs(got_c - disp[: n_dev * 256]).max() < 5e-5
+
+
+def test_pu_frames_sharded_matches_single(rng):
+    """Whole-shot sharded eval (pu_displacement_frames_sharded: 3F weight
+    columns per kernel item, vertex tiles split over the 8-device mesh)
+    must equal the single-device frames pass — and compose through
+    PUSeqDeformer.displacement_frames(mesh=...)/apply_seq(mesh=...)."""
+    from facedeform_tpu.ops import pu
+    from facedeform_tpu.parallel.pu_sharded import (
+        pu_displacement_frames_sharded,
+    )
+
+    rest = fibonacci_points(700)
+    disp = (
+        0.1 * np.exp(-3 * np.sum((rest - [0, 1, 0]) ** 2, -1, keepdims=True))
+    ).astype(np.float32) * np.float32([0, 1, 0])
+    frames = np.stack([rest + disp * s for s in (1.0, -0.5, 0.25)])
+    seq = pu.PUSeqDeformer.fit(rest, frames, kernel=RBFKernel.THIN_PLATE,
+                               lam=1e-5, patch_size=64)
+    q = np.concatenate([
+        (fibonacci_points(900) * 1.01).astype(np.float32),
+        np.float32([[6, 6, 6], [0, 0, -9]]),      # forced-fallback items
+    ])
+    mesh = sharding.make_mesh()
+    got = np.asarray(pu_displacement_frames_sharded(seq, q, mesh))
+    want = np.asarray(seq.displacement_frames(q))
+    assert got.shape == (3, q.shape[0], 3)
+    # atol 1e-5: the two forced-fallback points extrapolate far outside
+    # the rig, where XLA:CPU's program-dependent FMA contraction
+    # (CLAUDE.md) leaves ~5e-6 reassociation noise between the sharded
+    # and single-device programs; in-rig points agree to ~1e-7
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    in_rig = slice(0, 900)
+    np.testing.assert_allclose(got[:, in_rig], want[:, in_rig], atol=1e-6)
+
+    # the facade routes mesh= through to the sharded path
+    via_seq = np.asarray(seq.displacement_frames(q, mesh=mesh))
+    np.testing.assert_allclose(via_seq, got, atol=0)
+    a, wa = seq.apply_seq(q, mesh=mesh)
+    b, wb = seq.apply_seq(q)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wa), np.asarray(wb), atol=0)
