@@ -446,7 +446,36 @@ def config10_pu_sequence(rng, n=20000, n_frames=8, n_query=100000):
     t0 = _time.time()
     out = seq.displacement_frames(q)
     fence(out)
+    # host-buffer call: dominated by the q h2d + (F, V, 3) d2h through
+    # the tunnel (CLAUDE.md: ~8-17 MB/s), not compute
     per_frame_eval_ms = (_time.time() - t0) / n_frames * 1e3
+
+    # device-resident whole-shot eval: explicit plan + uploaded queries,
+    # fence keeps the (F, V, 3) result on device — the serving-loop cost
+    tiles_frames_ms = None
+    if jax.default_backend() == "tpu":
+        from facedeform_tpu.ops import pallas_pu
+
+        tplan = pallas_pu.plan_eval_tiles(patches, q)
+        q_dev = jnp.asarray(q)
+        plan_args = tplan.device_arrays()
+        models_t = tuple(models)
+
+        def run():
+            return pallas_pu.evaluate_pu_tiles_frames(
+                models_t, q_dev, *plan_args,
+                RBFKernel.THIN_PLATE, pu.PolyTerm.LINEAR,
+                tplan.num_points, tplan.tile_v,
+            )
+
+        o = run(); float(jnp.sum(o))
+        best = None
+        for _ in range(5):
+            t0 = _time.time()
+            o = run(); float(jnp.sum(o))
+            dt = _time.time() - t0
+            best = dt if best is None else min(best, dt)
+        tiles_frames_ms = best / n_frames * 1e3
     return {
         "config": "10: PU animated sequence (shared patch factorization)",
         "controls": n, "frames": n_frames,
@@ -457,6 +486,7 @@ def config10_pu_sequence(rng, n=20000, n_frames=8, n_query=100000):
         "interp_err_at_controls": interp_err,
         "query_points": n_query,
         "per_frame_eval_ms_shared_plan": per_frame_eval_ms,
+        "per_frame_eval_ms_device_resident": tiles_frames_ms,
         "pass": bool(
             interp_err < PARITY_BUDGET
             and np.isfinite(np.asarray(out)).all()
@@ -471,13 +501,19 @@ def config10_pu_sequence(rng, n=20000, n_frames=8, n_query=100000):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
+    ap.add_argument("--only", type=int, default=None, metavar="N",
+                    choices=range(1, 11),
+                    help="run a single config (1-10) for iteration")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     results = []
-    for fn in (config1_gaussian_sphere, config2_kernel_zoo, config3_capture,
+    configs = (config1_gaussian_sphere, config2_kernel_zoo, config3_capture,
                config4_dbse, config5_animated, config6_large_n,
                config7_growing_kernel_precision, config8_cpd_preconditioned,
-               config9_pu_any_n, config10_pu_sequence):
+               config9_pu_any_n, config10_pu_sequence)
+    if args.only is not None:
+        configs = (configs[args.only - 1],)
+    for fn in configs:
         t0 = time.time()
         r = fn(rng)
         r["bench_wall_s"] = round(time.time() - t0, 2)

@@ -309,7 +309,6 @@ def _cmd_deform_seq(args) -> int:
             # shot (save_seq/save_pu_seq), so the fit must cover frame 0
             # too; output for frame 0 still comes from the full node cook.
             fit_all = bool(args.save_deformer)
-            seq_ckpt = None
             if fit_all:
                 frames_arr = np.stack(
                     [r.points for r in rigs]
@@ -318,19 +317,14 @@ def _cmd_deform_seq(args) -> int:
                 if cfg.solver == "pu":
                     # any-N route: one patch factorization for all frames
                     # (ops/pu.fit_pu_frames), one shared eval plan
-                    from facedeform_tpu.config import RBFModelType
-                    from facedeform_tpu.ops import fit as fit_mod
-                    from facedeform_tpu.ops.pu import PUSeqDeformer
+                    from facedeform_tpu.ops.pu import (
+                        PUSeqDeformer, node_fit_kwargs,
+                    )
                     from facedeform_tpu.utils import errors
 
-                    lam = (
-                        0.0 if cfg.model == RBFModelType.QNN
-                        else float(params.clamped().lam)
-                    )
                     seq = PUSeqDeformer.fit(
                         rest_rig.points, frames_arr,
-                        kernel=fit_mod.effective_kernel(cfg),
-                        term=cfg.term, lam=lam,
+                        **node_fit_kwargs(cfg, params),
                     )
                     errors.check_solve(seq.report)
                     # dist2=None -> falloff 1; the composed falloff x

@@ -227,10 +227,6 @@ def _pu_accum_kernel(
         wout_ref[0] = wout_ref[0] + w
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("kernel", "term", "num_points", "tile_v", "interpret"),
-)
 def evaluate_pu_tiles(
     model,
     points: jnp.ndarray,       # (V, 3) ORIGINAL order
@@ -247,6 +243,11 @@ def evaluate_pu_tiles(
 ) -> jnp.ndarray:
     """Scatter-free PU displacement: (V, 3) in the caller's point order.
 
+    One pose is the F=1 case of the frames pipeline (the kernel's column
+    count is whatever the weight operand carries), so this delegates to
+    _tiles_frames_jit with a single model — one implementation of the
+    block/call/normalize math to maintain.
+
     Note on the Z-order round trip: CLAUDE.md bans per-frame gathers on
     the MAIN mesh eval path (8 ms/1M-row permute vs a 8-23 ms kernel);
     here the kernel itself runs 74+ ms on PU-scale rigs and the two
@@ -259,49 +260,11 @@ def evaluate_pu_tiles(
             f"{points.shape[0]} — stale plan? (a mismatched gather would "
             "clamp out of range and return garbage silently on TPU)"
         )
-    v = num_points
-    vp = v + ((-v) % tile_v)
-    pts_blocks, lane = _blocked_vertex_operands(
-        points, perm, forced_patch, v, vp, tile_v
-    )
-
-    acc_d, acc_w = _tiles_pallas_call(
-        item_patch, item_vt, pts_blocks, lane,
-        _pack_patch_operands(model),
-        RBFKernel(kernel), tile_v, interpret,
-    )
-
-    acc_d = acc_d.transpose(0, 2, 1).reshape(vp, 3)[:v]
-    acc_w = acc_w.reshape(vp)[:v]
-    out_z = jnp.where(
-        (acc_w > 1e-30)[:, None], acc_d / jnp.maximum(acc_w, 1e-30)[:, None], 0.0
-    )
-    return out_z[inv_perm]
-
-
-def _pack_patch_operands(model):
-    """Pad/pack the per-patch operand arrays the tile kernel consumes."""
-    k_, p_, _ = model.ctrl.shape
-    p_pad = (-p_) % 8
-    ctrl = jnp.pad(model.ctrl, ((0, 0), (0, p_pad), (0, 0)))
-    cvalid = jnp.pad(model.valid, ((0, 0), (0, p_pad)))[:, None, :]
-    w_loc = jnp.pad(model.w_hi + model.w_lo, ((0, 0), (0, p_pad), (0, 0)))
-    m = model.poly_hi.shape[1]
-    poly = jnp.zeros((k_, 4, 3), jnp.float32)
-    if m:
-        poly = poly.at[:, :m].set(model.poly_hi + model.poly_lo)
-    inv_eps2 = 1.0 / jnp.maximum(model.eps * model.eps, 1e-30)
-    inv_r2 = 1.0 / jnp.maximum(model.radii * model.radii, 1e-30)
-    geom = jnp.concatenate(
-        [
-            model.centers.astype(jnp.float32),
-            inv_eps2[:, None].astype(jnp.float32),
-            inv_r2[:, None].astype(jnp.float32),
-            jnp.zeros((k_, 3), jnp.float32),
-        ],
-        axis=1,
-    )[:, None, :]
-    return ctrl, cvalid, w_loc, poly, geom
+    return _tiles_frames_jit(
+        (model,), points, item_patch, item_vt, forced_patch, perm,
+        inv_perm, RBFKernel(kernel), PolyTerm(term), num_points, tile_v,
+        interpret,
+    )[0]
 
 
 def _pack_frames_operands(models):

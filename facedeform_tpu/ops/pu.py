@@ -556,7 +556,10 @@ def _fit_pu_rhs(
         # normwise aggregate over the batched solves
         scale_norm=jnp.linalg.norm(jnp.ravel(rep_all.scale_norm)),
         cond_est=None,
-        col_backward=jnp.nanmax(jnp.ravel(rep_all.col_backward))[None],
+        # per-COLUMN worst over all patches, shape (C,): for a 3F-column
+        # sequence fit this localizes a bad solve to its frame (serve
+        # reports it per frame) instead of one global max
+        col_backward=jnp.nanmax(rep_all.col_backward, axis=0),
     )
     return model, agg, (x_hi, x_lo)
 
@@ -946,6 +949,9 @@ class PUSeqDeformer:
         self.puds = [
             PUDeformer(m, patches, kernel, term, auto_eps) for m in models
         ]
+        # aggregate SolveReport: set by fit()/load_pu_seq(); None for a
+        # directly-constructed shot (checkpointing handles both)
+        self.report = None
         # one plan cache across all frames (the whole point)
         shared: dict = {}
         for p in self.puds:
@@ -984,29 +990,63 @@ class PUSeqDeformer:
         `mesh` (jax.sharding.Mesh) shards the vertex tiles across the
         device mesh (parallel/pu_sharded.pu_displacement_frames_sharded)
         — the promoted thread pool (src/SOP_FaceDeform.hpp:116-188)
-        applied to whole shots; sharding must not change results."""
-        points_np = np.asarray(points, np.float32)
-        if mesh is not None and self.auto_eps:
-            from facedeform_tpu.parallel.pu_sharded import (
-                pu_displacement_frames_sharded,
-            )
+        applied to whole shots; sharding must not change results.  The
+        sharded route needs the f32 tile kernel, so a forced-global-eps
+        fit (auto_eps=False, the precise/df tiles) warns and runs
+        single-device.
 
-            return pu_displacement_frames_sharded(self, points_np, mesh)
-        plan = self.puds[0].make_plan(points_np)
+        Plans are cached through the frames' shared LRU (the _plan_cache
+        wired across puds in __init__): repeated apply_seq calls on the
+        same buffer pay the host KD plan build once, like
+        PUDeformer.displacement."""
+        points_np = np.asarray(points, np.float32)
+        pud0 = self.puds[0]
+        if mesh is not None and not self.auto_eps:
+            import warnings
+
+            warnings.warn(
+                "PUSeqDeformer fitted with a forced global eps evaluates "
+                "through the per-frame df tiles; ignoring mesh= "
+                "(single-device)", stacklevel=2,
+            )
+            mesh = None
+        if mesh is not None:
+            from facedeform_tpu.parallel.pu_sharded import (
+                pu_displacement_frames_sharded, shard_tile_plan,
+            )
+            from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
+            from facedeform_tpu.parallel.sharding import VERTEX_AXIS
+
+            n_dev = int(mesh.shape[VERTEX_AXIS])
+            splan = pud0._cached_plan(
+                points_np, f"tiles-sharded-{n_dev}",
+                lambda: shard_tile_plan(
+                    plan_eval_tiles(self.patches, points_np), n_dev
+                ),
+            )
+            return pu_displacement_frames_sharded(
+                self, points_np, mesh, splan=splan
+            )
         from facedeform_tpu.ops.pallas_pu import (
-            PUTilePlan, evaluate_pu_tiles_frames,
+            evaluate_pu_tiles_frames, plan_eval_tiles,
         )
 
-        if isinstance(plan, PUTilePlan):
+        if self.auto_eps and jax.default_backend() == "tpu":
+            tplan = pud0._cached_plan(
+                points_np, "tiles",
+                lambda: plan_eval_tiles(self.patches, points_np),
+            )
             return evaluate_pu_tiles_frames(
                 tuple(p.model for p in self.puds),
                 jnp.asarray(points_np),
-                *plan.device_arrays(), self.kernel, self.term,
-                plan.num_points, plan.tile_v,
-                interpret=jax.default_backend() != "tpu",
+                *tplan.device_arrays(), self.kernel, self.term,
+                tplan.num_points, tplan.tile_v,
             )
+        eplan = pud0._cached_plan(
+            points_np, "xla", lambda: plan_eval(self.patches, points_np)
+        )
         return jnp.stack([
-            p.displacement(points_np, plan=plan) for p in self.puds
+            p.displacement(points_np, plan=eplan) for p in self.puds
         ])
 
     def apply_seq(self, points, dist2=None, gate=None, cfg=None,
@@ -1050,6 +1090,24 @@ class PUSeqDeformer:
         return pts[None] + disp * w[None, :, None], w
 
 
+def node_fit_kwargs(cfg, params) -> dict:
+    """The kernel/term/lam mapping every cfg-driven PU route shares
+    (node, CLI --batch, serve fit/fit_seq).  QNN semantics are EXACT
+    interpolation — the global solver uses lam=0 (ops/fit.py), so the PU
+    route must too; only the explicit families take the user's ridge
+    (otherwise the default lam=0.1 silently smooths the fit)."""
+    from facedeform_tpu.config import RBFModelType
+    from facedeform_tpu.ops import fit as fit_mod
+
+    lam = (
+        0.0 if cfg.model == RBFModelType.QNN
+        else float(np.asarray(params.clamped().lam))
+    )
+    return dict(
+        kernel=fit_mod.effective_kernel(cfg), term=cfg.term, lam=lam
+    )
+
+
 @_dataclasses.dataclass(frozen=True)
 class PUNodeDeformer:
     """Deformer-compatible facade for the node path (cfg.solver == "pu").
@@ -1077,22 +1135,10 @@ class PUNodeDeformer:
     @classmethod
     def fit(cls, rest_ctrl, deformed_ctrl, cfg, params,
             mesh_devices=None) -> "PUNodeDeformer":
-        from facedeform_tpu.config import RBFModelType
-        from facedeform_tpu.ops import fit as fit_mod
-
-        params_c = params.clamped()
-        # QNN semantics are EXACT interpolation (the global solver uses
-        # lam=0, ops/fit.py); only the explicit families take the user's
-        # ridge — otherwise the default lam=0.1 silently smooths the fit.
-        lam = (
-            0.0 if cfg.model == RBFModelType.QNN
-            else float(np.asarray(params_c.lam))
-        )
         pud = PUDeformer.fit(
             rest_ctrl, deformed_ctrl,
-            kernel=fit_mod.effective_kernel(cfg), term=cfg.term,
+            **node_fit_kwargs(cfg, params),  # QNN lam=0 quirk lives there
             eps="auto",                      # per-patch shape parameter
-            lam=lam,
             mesh=mesh_devices,               # patch solves over the mesh
         )
         from facedeform_tpu.utils import errors

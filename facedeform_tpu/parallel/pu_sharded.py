@@ -85,10 +85,6 @@ def shard_tile_plan(tplan, n_devices: int) -> PUShardedPlan:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("kernel", "term", "num_points", "tile_v", "vp", "mesh"),
-)
 def sharded_pu_displacement(
     model,
     points: jnp.ndarray,       # (V, 3) original order
@@ -104,45 +100,16 @@ def sharded_pu_displacement(
     vp: int,
     mesh: Mesh,
 ) -> jnp.ndarray:
-    """PU displacement, vertex tiles sharded over the 1-D device mesh."""
-    from facedeform_tpu.ops.pallas_pu import (
-        _blocked_vertex_operands, _pack_patch_operands, _tiles_pallas_call,
-    )
+    """PU displacement, vertex tiles sharded over the 1-D device mesh.
 
-    v = num_points
-    pts_blocks, lane = _blocked_vertex_operands(
-        points, perm, forced_patch, v, vp, tile_v
-    )
-    packed = _pack_patch_operands(model)
-    use_interpret = (
-        np.asarray(mesh.devices).flat[0].platform != "tpu"
-    )
-
-    def body(ip, ivt, pts_b, lane_b, *packed_b):
-        acc_d, acc_w = _tiles_pallas_call(
-            ip[0], ivt[0], pts_b, lane_b, packed_b,
-            RBFKernel(kernel), tile_v, use_interpret,
-        )
-        n_loc = pts_b.shape[0]
-        d_flat = acc_d.transpose(0, 2, 1).reshape(n_loc * tile_v, 3)
-        w_flat = acc_w.reshape(n_loc * tile_v)
-        return jnp.where(
-            (w_flat > 1e-30)[:, None],
-            d_flat / jnp.maximum(w_flat, 1e-30)[:, None],
-            0.0,
-        )
-
-    out_z = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(
-            P(VERTEX_AXIS), P(VERTEX_AXIS),       # item arrays: (D, Tmax)
-            P(VERTEX_AXIS), P(VERTEX_AXIS),       # pts blocks / lane
-        ) + (P(),) * len(packed),                 # model operands replicated
-        out_specs=P(VERTEX_AXIS),
-        check_vma=False,  # pallas_call outputs carry no vma annotations
-    )(item_patch, item_vt, pts_blocks, lane, *packed)
-    return out_z[:v][inv_perm]
+    One pose is the F=1 case of the sharded frames pipeline (the kernel's
+    column count follows the weight operand), so this delegates — one
+    shard_map/tile-call/normalize implementation to maintain."""
+    return _sharded_pu_frames_jit(
+        (model,), points, item_patch, item_vt, forced_patch, perm,
+        inv_perm, RBFKernel(kernel), PolyTerm(term), num_points, tile_v,
+        vp, mesh,
+    )[0]
 
 
 @functools.partial(

@@ -373,29 +373,29 @@ class DeformServer:
                     # any-N sequence: all frames share one patch
                     # factorization (ops/pu.fit_pu_frames) and one eval
                     # plan across apply_seq calls
-                    from facedeform_tpu.config import RBFModelType
-                    from facedeform_tpu.ops import fit as fit_mod
-                    from facedeform_tpu.ops.pu import PUSeqDeformer
-
-                    lam = (
-                        0.0 if cfg.model == RBFModelType.QNN
-                        else float(params.clamped().lam)
+                    from facedeform_tpu.ops.pu import (
+                        PUSeqDeformer, node_fit_kwargs,
                     )
+
                     seq = PUSeqDeformer.fit(
-                        rest, frames,
-                        kernel=fit_mod.effective_kernel(cfg),
-                        term=cfg.term, lam=lam,
+                        rest, frames, **node_fit_kwargs(cfg, params)
                     )
                     errors.check_solve(seq.report)
                     did = self._new_id()
                     self._deformers[did] = ("pu_seq", seq, cfg, params)
+                    # The PU solve shares one factorization across frames,
+                    # so per-frame residual NORMS don't exist — report the
+                    # aggregate once plus honest per-frame relative
+                    # backward errors (worst column of each frame's 3)
+                    f_n = int(frames.shape[0])
+                    cb = np.asarray(seq.report.col_backward, np.float32)
                     return {
                         "ok": True, "deformer": did,
-                        "frames": int(frames.shape[0]),
-                        "residuals": enc(np.full(
-                            frames.shape[0],
-                            float(seq.report.residual_norm), np.float32,
-                        )),
+                        "frames": f_n,
+                        "residual": float(seq.report.residual_norm),
+                        "frame_backward_errors": enc(
+                            cb.reshape(f_n, 3).max(axis=1)
+                        ),
                     }
                 model, resid = batched.fit_frames(
                     jnp.asarray(rest), jnp.asarray(frames), cfg, params

@@ -239,6 +239,13 @@ def save_pu_seq(path: str, seq) -> None:
         )
     models = [p.model for p in seq.puds]
     m, p = models[0], seq.patches
+    rep = getattr(seq, "report", None)
+    extra = {} if rep is None else dict(
+        residual_norm=float(rep.residual_norm),
+        rhs_norm=float(rep.rhs_norm),
+        scale_norm=float(rep.scale_norm),
+        col_backward=np.asarray(rep.col_backward),
+    )
     np.savez(
         path,
         format_version=_FORMAT_VERSION,
@@ -254,10 +261,7 @@ def save_pu_seq(path: str, seq) -> None:
         poly_hi=np.stack([np.asarray(mm.poly_hi) for mm in models]),
         poly_lo=np.stack([np.asarray(mm.poly_lo) for mm in models]),
         p_idx=p.idx, p_counts=p.counts, p_spacing=p.spacing,
-        residual_norm=float(seq.report.residual_norm),
-        rhs_norm=float(seq.report.rhs_norm),
-        scale_norm=float(seq.report.scale_norm),
-        col_backward=np.asarray(seq.report.col_backward),
+        **extra,
     )
 
 
@@ -304,13 +308,14 @@ def load_pu_seq(path: str):
         RBFKernel(int(data["kernel"])), PolyTerm(int(data["term"])),
         auto_eps=bool(int(data["auto_eps"])),
     )
-    seq.report = SolveReport(
-        residual_norm=jnp.asarray(float(data["residual_norm"])),
-        rhs_norm=jnp.asarray(float(data["rhs_norm"])),
-        scale_norm=jnp.asarray(float(data["scale_norm"])),
-        cond_est=None,
-        col_backward=jnp.asarray(data["col_backward"]),
-    )
+    if "residual_norm" in data:   # absent for report-less constructions
+        seq.report = SolveReport(
+            residual_norm=jnp.asarray(float(data["residual_norm"])),
+            rhs_norm=jnp.asarray(float(data["rhs_norm"])),
+            scale_norm=jnp.asarray(float(data["scale_norm"])),
+            cond_est=None,
+            col_backward=jnp.asarray(data["col_backward"]),
+        )
     return seq
 
 

@@ -193,3 +193,19 @@ def test_pu_seq_checkpoint_roundtrip(tmp_path, rng):
         checkpoint.load_seq(path)
     with pytest.raises(ValueError, match="expects a PUSeqDeformer"):
         ck.save_pu_seq(str(tmp_path / "x.npz"), object())
+
+    # a directly-constructed shot (no fit() -> no report) still saves;
+    # the restored report is None rather than an AttributeError
+    from facedeform_tpu.config import PolyTerm
+    from facedeform_tpu.ops.pu import PUSeqDeformer
+
+    bare = PUSeqDeformer([p.model for p in seq.puds], seq.patches,
+                         RBFKernel.THIN_PLATE, PolyTerm.LINEAR)
+    p2 = str(tmp_path / "bare.npz")
+    ck.save_pu_seq(p2, bare)
+    bare2 = ck.load_pu_seq(p2)
+    assert bare2.report is None
+    np.testing.assert_allclose(
+        np.asarray(bare2.displacement_frames(q)),
+        np.asarray(seq.displacement_frames(q)), atol=1e-6,
+    )

@@ -349,8 +349,15 @@ def test_pu_seq_deformer_apply(rng):
         np.testing.assert_allclose(
             np.asarray(out[f]), frames[f], atol=5e-5
         )
-    # plan is built once and shared across the frame evals
-    assert len(seq.puds[0]._plan_cache) == 0  # explicit plan, no cache use
+    # the plan lands in the shared LRU (one entry) and repeat calls on
+    # the same buffer hit it — the host KD build is paid once per shot
+    assert len(seq.puds[0]._plan_cache) == 1
+    cached = next(iter(seq.puds[0]._plan_cache.values()))
+    out2, _ = seq.apply_seq(rest)
+    assert next(iter(seq.puds[0]._plan_cache.values())) is cached
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=0)
+    # and the cache is shared across every frame's pud (wired in __init__)
+    assert seq.puds[1]._plan_cache is seq.puds[0]._plan_cache
 
 
 def test_pu_frames_kernel_matches_per_frame_tiles(rng):
