@@ -15,6 +15,8 @@ feature set plus the rebuild's extensions):
   10. growing kernels (thin-plate) on the double-float precision path
   11. the deformation server: binary-framed client round trip
   12. partition-of-unity: a 20k-marker dense scan rig (any-N precision)
+  13. any-N animated sequence: one patch factorization for a whole shot,
+      one shared eval plan, sequence checkpoint
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -174,6 +176,30 @@ def main():
     err = float(np.abs(np.asarray(back) - scan_disp).max())
     print(f"PU 20k-marker rig: fit+check {time.time() - t0:.1f} s, "
           f"{pud.patches.idx.shape[0]} patches, interp err {err:.1e}")
+
+    # 13. any-N animated sequence: every frame shares the scan rig's patch
+    # factorization (frames are RHS columns) and ONE eval plan; the whole
+    # shot then runs in a single Mosaic frames pass per <=32-frame chunk,
+    # and checkpoints as one file (geometry stored once)
+    from facedeform_tpu.ops.pu import PUSeqDeformer
+
+    scan_frames = np.stack([
+        scan_rig + t * scan_disp for t in np.linspace(0.25, 1.0, 6)
+    ])
+    t0 = time.time()
+    shot = PUSeqDeformer.fit(scan_rig, scan_frames,
+                             kernel=RBFKernel.THIN_PLATE, lam=1e-5)
+    fit_s = time.time() - t0
+    t0 = time.time()
+    shot_disp = np.asarray(shot.displacement_frames(scan_rig[:4096]))
+    print(f"PU shot: 6-frame fit {fit_s:.1f} s (one factorization), "
+          f"eval {shot_disp.shape} in {(time.time() - t0) * 1e3:.0f} ms")
+    checkpoint.save_pu_seq(os.path.join(args.out, "shot.npz"), shot)
+    restored = checkpoint.load_pu_seq(os.path.join(args.out, "shot.npz"))
+    r_err = float(np.abs(
+        np.asarray(restored.displacement_frames(scan_rig[:4096])) - shot_disp
+    ).max())
+    print(f"sequence checkpoint round trip: {r_err:.1e}")
 
 
 if __name__ == "__main__":

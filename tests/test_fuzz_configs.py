@@ -221,3 +221,54 @@ def test_fuzzed_pu_node_composition(trial):
     np.testing.assert_allclose(
         np.asarray(res.mesh.point_attrs["fd_falloff"]), w, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzzed_pu_sequence_matches_per_frame(trial):
+    """Randomized any-N sequence route: fit_pu_frames (one factorization,
+    3F RHS columns) must reproduce independent per-frame fit_pu models
+    across the kernel/term/lam/patch-size space.  The 3-column RHS
+    blocking in lu_solve_refined_against_df makes each frame's refinement
+    independent given the shared LU, so agreement is at f32 program-noise
+    level, not a looser analytic budget."""
+    from facedeform_tpu.ops import pu
+
+    rng = np.random.default_rng(9000 + trial)
+    kernel = _PU_KERNELS[int(rng.integers(0, len(_PU_KERNELS)))]
+    term = PolyTerm(int(rng.integers(0, 2)))
+    lam = float(rng.choice([0.0, 1e-5, 1e-2]))
+    patch_size = int(rng.choice([48, 64]))
+    n = int(rng.integers(250, 700))
+    f_n = int(rng.integers(2, 5))
+    rest = fibonacci_points(n) * float(rng.uniform(0.5, 2.0))
+    frames = np.stack([
+        rest + (
+            0.1 * np.exp(-2 * np.sum(
+                (rest - rest.mean(0)) ** 2, -1, keepdims=True
+            ))
+        ).astype(np.float32) * rng.standard_normal(3).astype(np.float32)
+        for _ in range(f_n)
+    ])
+    patches = pu.build_patches(rest, patch_size)
+    models, rep = pu.fit_pu_frames(
+        rest, frames, kernel, term, patches=patches, lam=lam,
+    )
+    assert np.asarray(rep.col_backward).shape == (3 * f_n,)
+    f = int(rng.integers(0, f_n))
+    ref_model, _ = pu.fit_pu(
+        rest, frames[f], kernel, term, patches=patches, lam=lam,
+    )
+    q = (rest.mean(0) + fibonacci_points(200)
+         * float(np.abs(rest - rest.mean(0)).max())).astype(np.float32)
+    got = np.asarray(pu.PUDeformer(
+        models[f], patches, kernel, term
+    ).displacement(q), np.float64)
+    want = np.asarray(pu.PUDeformer(
+        ref_model, patches, kernel, term
+    ).displacement(q), np.float64)
+    scale = max(1.0, np.abs(want).max())
+    err = np.abs(got - want).max() / scale
+    assert err < 1e-5, (
+        f"trial {trial}: kernel={kernel} term={term} lam={lam} "
+        f"F={f_n} frame={f} err={err:.2e}"
+    )
