@@ -103,6 +103,11 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--save-deformer",
                    help="checkpoint the solved deformer (.npz); with "
                         "deform-seq --batch, the whole F-frame sequence")
+    d.add_argument("--load-deformer",
+                   help="resume a checkpointed solve (.npz from "
+                        "--save-deformer): deform skips the fit; solve-"
+                        "model flags come from the checkpoint, eval flags "
+                        "still apply")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
 
 
@@ -163,11 +168,39 @@ def _cmd_deform(args) -> int:
         with stage("tangent_frame", times):
             compute_tangent_frame(mesh)
 
+    ext_deformer = None
+    if getattr(args, "load_deformer", None):
+        # resume a checkpointed solve: the cook skips the fit; solve-model
+        # flags come from the checkpoint (node merges them), CLI eval
+        # flags (--tangent/--falloff/--group/--picked/...) still apply
+        import dataclasses as _dc
+
+        from facedeform_tpu.utils import checkpoint
+
+        k = checkpoint.kind(args.load_deformer)
+        with stage("load_deformer", times):
+            if k == "dense":
+                ext_deformer = checkpoint.load(args.load_deformer)
+            elif k == "pu":
+                from facedeform_tpu.ops.pu import PUNodeDeformer
+
+                ext_deformer = PUNodeDeformer(
+                    pud=checkpoint.load_pu(args.load_deformer),
+                    cfg=_dc.replace(cfg, solver="pu"), params=params,
+                )
+            else:
+                print(
+                    f"error: {args.load_deformer} is a {k} (sequence) "
+                    "checkpoint — sequences serve deform-seq/serve, "
+                    "not deform", file=sys.stderr,
+                )
+                return 1
+
     node = FaceDeformNode()
     with stage("cook", times):
         res = node.cook(
             [mesh, rest_rig, deform_rig] + blends, cfg, params,
-            group=args.group, picked=args.picked,
+            group=args.group, picked=args.picked, deformer=ext_deformer,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -212,6 +245,12 @@ def _cmd_deform_seq(args) -> int:
     from facedeform_tpu.node import FaceDeformNode
     from facedeform_tpu.utils.profiling import StageTimes, stage
 
+    if getattr(args, "load_deformer", None):
+        print(
+            "warning: deform-seq solves per posed rig; --load-deformer "
+            "is ignored (it resumes a single-pose solve via `deform`)",
+            file=sys.stderr,
+        )
     times = StageTimes()
     with stage("load", times):
         mesh = load_mesh(args.mesh)

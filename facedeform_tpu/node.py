@@ -161,6 +161,7 @@ class FaceDeformNode:
         times: Optional[StageTimes] = None,
         mesh_devices=None,
         picked: bool = False,
+        deformer=None,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -171,6 +172,16 @@ class FaceDeformNode:
         headline observability metric, SURVEY.md section 5).  Pass a
         jax.sharding.Mesh as mesh_devices to run the eval loop and the
         DBSE morph pass vertex-sharded across chips (parallel/).
+
+        `deformer` (a solved Deformer or PUNodeDeformer, e.g. from
+        utils/checkpoint) skips the RBF solve stage and cooks with the
+        precomputed model — resume-from-checkpoint at node level, an
+        extension over the reference's always-resolve cook (:330-368).
+        Solve-relevant cfg fields (model/kernel/term/layers/solver) come
+        from the deformer's own fit; THIS cook's cfg supplies only the
+        eval-side toggles (tangent/morphspace/dofalloff/doclampweight/
+        strict_parity/dbse_lstsq), so a checkpoint can never be evaluated
+        under the wrong kernel.
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -260,13 +271,43 @@ class FaceDeformNode:
         # Keyed on cfg.solve_view(), not the full cfg: toggling eval-only
         # flags (tangent, morphspace, dofalloff, doclampweight, ...) must
         # not re-run the solve (it would pay the tunnel RTT every cook).
-        fit_key = (
-            rest_rig.pos_id, deform_rig.pos_id, cfg.solve_view(),
-            # PU consumes only lam (auto per-patch radii): qcoef/zcoef/
-            # radius slider changes must not re-run a scan-scale PU fit
-            (float(params.lam),) if cfg.solver == "pu"
-            else _fit_params_key(params),
-        )
+        if deformer is not None:
+            # Precomputed-solve cook: merge solve fields from the
+            # deformer's fit with this cook's eval toggles, then skip the
+            # solve stage entirely.
+            cfg = dataclasses.replace(
+                deformer.cfg,
+                tangent=cfg.tangent, morphspace=cfg.morphspace,
+                dofalloff=cfg.dofalloff, doclampweight=cfg.doclampweight,
+                strict_parity=cfg.strict_parity, dbse_lstsq=cfg.dbse_lstsq,
+            )
+            model = getattr(deformer, "model", None)
+            if (
+                model is not None
+                and int(model.ctrl.shape[-2]) != rest_rig.num_points
+            ):
+                warnings.append(
+                    f"precomputed deformer was fitted on "
+                    f"{int(model.ctrl.shape[-2])} control points but the "
+                    f"rest rig has {rest_rig.num_points}; capture islands "
+                    "follow the rig, the deformation follows the checkpoint"
+                )
+            self._deformer = dataclasses.replace(
+                deformer, cfg=cfg, params=params
+            )
+            self._fit_key = (
+                "external", id(deformer), cfg.solve_view(),
+                _all_params_key(params),
+            )
+            fit_key = self._fit_key
+        else:
+            fit_key = (
+                rest_rig.pos_id, deform_rig.pos_id, cfg.solve_view(),
+                # PU consumes only lam (auto per-patch radii): qcoef/zcoef/
+                # radius slider changes must not re-run a scan-scale PU fit
+                (float(params.lam),) if cfg.solver == "pu"
+                else _fit_params_key(params),
+            )
         if fit_key != self._fit_key:
             with stage("solve", times):
                 if cfg.solver == "pu":

@@ -160,3 +160,54 @@ def test_cli_deform_seq_batch_pu_matches_per_frame(tmp_path):
         got = load_geo(str(tmp_path / "tan" / f"f_{f:02d}.geo"))
         np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
                                    err_msg=f"pu tangent frame {f}")
+
+
+def test_cli_load_deformer_resume(tmp_path):
+    """deform --load-deformer: fit once, resume across process boundaries
+    — output matches the fitting run; sequence checkpoints are refused
+    with a pointed error."""
+    import numpy as np
+
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.obj_io import load_obj
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    mesh_p = str(tmp_path / "m.geo")
+    rig_p = str(tmp_path / "r.geo")
+    drig_p = str(tmp_path / "d.geo")
+    save_geo(mesh_p, uv_sphere(10, 10))
+    rig = fibonacci_points(25)
+    save_geo(rig_p, Mesh(points=rig))
+    save_geo(drig_p, Mesh(points=(rig * 1.06).astype(np.float32)))
+    out1 = str(tmp_path / "o1.obj")
+    out2 = str(tmp_path / "o2.obj")
+    ck = str(tmp_path / "d.npz")
+    rc = main(["deform", mesh_p, rig_p, drig_p, "-o", out1,
+               "--kernel", "multiquadric", "--model", "kernel",
+               "--save-deformer", ck])
+    assert rc == 0
+    # resume WITHOUT the solve flags: the checkpoint's kernel must win
+    rc = main(["deform", mesh_p, rig_p, drig_p, "-o", out2,
+               "--load-deformer", ck])
+    assert rc == 0
+    np.testing.assert_array_equal(
+        load_obj(out2).points, load_obj(out1).points
+    )
+
+    # a sequence checkpoint is refused
+    from facedeform_tpu import DeformConfig, DeformParams
+    from facedeform_tpu.parallel import batched
+    from facedeform_tpu.utils import checkpoint
+    import jax.numpy as jnp
+
+    frames = np.stack([rig * s for s in (1.0, 1.1)]).astype(np.float32)
+    model, resid = batched.fit_frames(
+        jnp.asarray(rig), jnp.asarray(frames), DeformConfig(), DeformParams()
+    )
+    seq_ck = str(tmp_path / "seq.npz")
+    checkpoint.save_seq(seq_ck, model, DeformConfig(), DeformParams(), resid)
+    rc = main(["deform", mesh_p, rig_p, drig_p, "-o", out2,
+               "--load-deformer", seq_ck])
+    assert rc == 1

@@ -94,3 +94,63 @@ def test_picked_eval_color_viz(rng):
     res2 = node.cook([mesh, rig, drig], cfg, DeformParams(), picked=False)
     assert res2.capture is not None
     np.testing.assert_array_equal(res2.mesh.point_attrs["Cd"], res2.capture.color)
+
+
+def test_cook_with_precomputed_deformer(rng):
+    """cook(deformer=...) skips the solve and must reproduce the fitting
+    cook bit-for-bit; solve-relevant cfg comes from the checkpointed fit
+    (a wrong --kernel flag cannot change the eval), eval toggles from the
+    cook's cfg."""
+    import dataclasses
+
+    from facedeform_tpu import (
+        DeformConfig, DeformParams, FaceDeformNode, Mesh,
+    )
+    from facedeform_tpu.config import RBFKernel, RBFModelType
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+    from facedeform_tpu.utils import checkpoint
+
+    mesh = uv_sphere(20, 20)
+    rest = fibonacci_points(40)
+    rig0 = Mesh(points=rest)
+    rig1 = Mesh(points=(rest * 1.05).astype(np.float32))
+    cfg = DeformConfig(model=RBFModelType.KERNEL,
+                       kernel=RBFKernel.MULTIQUADRIC, dofalloff=True)
+    params = DeformParams(radius=1.5)
+    fit_node = FaceDeformNode()
+    base = fit_node.cook([mesh, rig0, rig1], cfg, params)
+
+    node = FaceDeformNode()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "d.npz")
+        checkpoint.save(p, fit_node._deformer)
+        loaded = checkpoint.load(p)
+
+    # cook with a DIFFERENT solve-cfg: the merge must keep the
+    # checkpoint's kernel (multiquadric), not the cook's gaussian
+    wrong_cfg = DeformConfig(dofalloff=True)  # default QNN/gaussian
+    res = node.cook([mesh, rig0, rig1], wrong_cfg, params, deformer=loaded)
+    np.testing.assert_array_equal(res.mesh.points, base.mesh.points)
+    np.testing.assert_array_equal(
+        res.mesh.point_attrs["fd_falloff"],
+        base.mesh.point_attrs["fd_falloff"],
+    )
+
+    # eval toggles from the cook's cfg still apply: tangent on changes
+    # the result (frame attrs present)
+    from facedeform_tpu.geometry.topology import compute_tangent_frame
+
+    compute_tangent_frame(mesh)
+    res_t = node.cook([mesh, rig0, rig1],
+                      dataclasses.replace(wrong_cfg, tangent=True),
+                      params, deformer=loaded)
+    assert np.abs(res_t.mesh.points - res.mesh.points).max() > 1e-6
+
+    # mismatched rig size warns but cooks
+    rig_small = Mesh(points=rest[:30])
+    res_w = node.cook(
+        [mesh, rig_small, Mesh(points=(rest[:30] * 1.05).astype(np.float32))],
+        wrong_cfg, params, deformer=loaded,
+    )
+    assert any("precomputed deformer" in w for w in res_w.warnings)

@@ -268,6 +268,13 @@ def test_cli_pu_solver(tmp_path):
     got = np.asarray(pud.displacement(q))
     assert np.isfinite(got).all() and np.abs(got).max() > 1e-4
 
+    # resume the PU solve through the node: identical output, no refit
+    out2_p = str(tmp_path / "o2.geo")
+    rc = main(["deform", mesh_p, rig_p, drig_p, "-o", out2_p,
+               "--load-deformer", ck])
+    assert rc == 0
+    np.testing.assert_array_equal(load_geo(out2_p).points, out.points)
+
 
 def test_deformer_fit_rejects_pu_solver():
     import pytest as _pytest
