@@ -17,6 +17,7 @@ feature set plus the rebuild's extensions):
   12. partition-of-unity: a 20k-marker dense scan rig (any-N precision)
   13. any-N animated sequence: one patch factorization for a whole shot,
       one shared eval plan, sequence checkpoint
+  14. deformed-normal transport through the analytic field Jacobian
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -200,6 +201,22 @@ def main():
         np.asarray(restored.displacement_frames(scan_rig[:4096])) - shot_disp
     ).max())
     print(f"sequence checkpoint round trip: {r_err:.1e}")
+
+    # 14. deformed-normal transport: the reference leaves rest-pose normals
+    # on the deformed mesh; the analytic displacement Jacobian fixes N
+    # (node update_normals / CLI --update-normals does this inside cook)
+    n_attr = (face.points / np.linalg.norm(
+        face.points, axis=1, keepdims=True
+    )).astype(np.float32)
+    face.set_attr("N", n_attr)
+    res_n = FaceDeformNode().cook(
+        [face, rig, posed], DeformConfig(), params, update_normals=True
+    )
+    tilt = np.degrees(np.arccos(np.clip(np.sum(
+        res_n.mesh.attr("N") * n_attr, axis=1
+    ), -1, 1)))
+    print(f"normal transport: max normal tilt {tilt.max():.1f} deg over "
+          f"{int((tilt > 0.5).sum())} vertices (rest normals would be stale)")
 
 
 if __name__ == "__main__":

@@ -108,6 +108,10 @@ def _add_cook_flags(d) -> None:
                         "--save-deformer): deform skips the fit; solve-"
                         "model flags come from the checkpoint, eval flags "
                         "still apply")
+    d.add_argument("--update-normals", action="store_true",
+                   help="transport the N point attribute through the "
+                        "deformation's analytic Jacobian (the reference "
+                        "leaves rest-pose normals on the deformed surface)")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
 
 
@@ -201,6 +205,7 @@ def _cmd_deform(args) -> int:
         res = node.cook(
             [mesh, rest_rig, deform_rig] + blends, cfg, params,
             group=args.group, picked=args.picked, deformer=ext_deformer,
+            update_normals=args.update_normals,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -299,6 +304,10 @@ def _cmd_deform_seq(args) -> int:
             blockers.append("krylov-size rig")
         if any(r.num_points != n for r in rigs):
             blockers.append("rig point counts differ across frames")
+        if args.update_normals:
+            # the one-dispatch frames kernel evaluates positions only;
+            # normal transport needs the per-frame Jacobian pass
+            blockers.append("--update-normals needs per-frame cooks")
         if blockers:
             print(
                 "warning: --batch falls back to per-frame cooks "
@@ -414,6 +423,7 @@ def _cmd_deform_seq(args) -> int:
                 res = node.cook(
                     [mesh, rest_rig, rig] + blends, cfg, params,
                     group=args.group, picked=args.picked,
+                    update_normals=args.update_normals,
                 )
             for w in res.warnings:
                 if w not in warned:  # each distinct warning once per sequence

@@ -144,6 +144,39 @@ class Deformer:
             self.model, jnp.asarray(points, jnp.float32), kernel, self.cfg.term
         )
 
+    def jacobian(self, points) -> jnp.ndarray:
+        """Spatial Jacobian of the displacement field, (V, 3, 3)."""
+        from facedeform_tpu.ops.jacobian import displacement_jacobian
+
+        kernel = fit_mod.effective_kernel(self.cfg)
+        return displacement_jacobian(
+            self.model, jnp.asarray(points, jnp.float32), kernel, self.cfg.term
+        )
+
+    def deformed_normals(
+        self, points, normals, weight, frame=None
+    ) -> jnp.ndarray:
+        """Transport normals through the applied map y = x + w (T) d(x).
+
+        The reference never updates `N` after moving P
+        (src/SOP_FaceDeform.cpp:438 writes positions only), so deformed
+        surfaces shade with rest-pose normals; the rebuild owns d(x) and
+        transports n by the cofactor (inverse-transpose) rule.
+
+        Args:
+          points: (V, 3) REST positions (where the map was applied).
+          normals: (V, 3) rest normals.
+          weight: (V,) the falloff weights apply() returned (the actual
+            per-vertex multiplier, including group gating).
+          frame: optional (u, v, n) tuple; required when cfg.tangent so the
+            Jacobian composes with the same projection apply() used.
+        """
+        from facedeform_tpu.ops.jacobian import transport_normals
+
+        return transport_normals(
+            self.jacobian(points), normals, weight, self.cfg, frame
+        )
+
     def apply(
         self,
         points,

@@ -162,6 +162,7 @@ class FaceDeformNode:
         mesh_devices=None,
         picked: bool = False,
         deformer=None,
+        update_normals: bool = False,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -422,6 +423,38 @@ class FaceDeformNode:
                     )
             new_pts = np.asarray(new_pts)
         out.set_attr("fd_falloff", np.asarray(falloff, np.float32))
+
+        # ------------------------------------------------- normal transport
+        # Extension over the reference: cookMySop writes positions only
+        # (src/SOP_FaceDeform.cpp:438), leaving rest-pose normals on the
+        # deformed surface.  The displacement field's closed-form Jacobian
+        # transports N through the applied map (ops/jacobian.py).
+        if update_normals:
+            if "N" not in out.point_attrs:
+                warnings.append(
+                    "update_normals: mesh has no N point attribute; skipping"
+                )
+            elif not hasattr(deformer, "deformed_normals"):
+                warnings.append(
+                    "update_normals: not available for this model family; "
+                    "skipping"
+                )
+            else:
+                with stage("normals", times):
+                    # Query at the REST positions (where the map acted);
+                    # `falloff` is the per-vertex multiplier apply used
+                    # (incl. group gating), treated locally constant.
+                    n_new = deformer.deformed_normals(
+                        out.points, out.attr("N"),
+                        np.asarray(falloff, np.float32), frame=frame,
+                    )
+                    out.set_attr("N", np.asarray(n_new, np.float32))
+                if dbse_model is not None:
+                    warnings.append(
+                        "update_normals reflects the RBF pass; the "
+                        "morphspace reconstruction does not transport "
+                        "normals"
+                    )
         if picked:
             # Eval-pass falloff viz: the reference maps falloff onto an HSV
             # 200..250 hue when the node is selected ("picked",

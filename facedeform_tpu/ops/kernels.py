@@ -14,6 +14,8 @@ control axis of d2.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,7 @@ from facedeform_tpu.config import RBFKernel
 _TINY = 1e-30
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
 def apply_kernel(kernel: RBFKernel, d2: jnp.ndarray, eps: jnp.ndarray) -> jnp.ndarray:
     """Evaluate phi(r/eps) given squared distances.
 
@@ -61,6 +64,67 @@ def apply_kernel(kernel: RBFKernel, d2: jnp.ndarray, eps: jnp.ndarray) -> jnp.nd
         b2 = base * base
         return b2 * b2 * (4.0 * t + 1.0)
     raise ValueError(f"unknown kernel {kernel!r}")
+
+
+def phi_prime_s(kernel: RBFKernel, s: jnp.ndarray) -> jnp.ndarray:
+    """d phi / d s with s = (r/eps)^2, finite everywhere (incl. s = 0).
+
+    Autodiff of apply_kernel's raw expressions NaNs at r = 0 for every
+    kernel built through sqrt(s) (LINEAR, CUBIC, WENDLAND_C2: the inf
+    from sqrt'(0) meets the 0 tangent of s and makes 0*inf), and a mesh
+    vertex sitting exactly on a rig marker is a *normal* production input.
+    These closed forms take the correct limit instead:
+
+      LINEAR     |r| has subgradient 0 at r = 0        -> 0
+      CUBIC      d(s^1.5)/ds = 1.5 sqrt(s)             -> 0
+      WENDLAND   d((1-t)^4(4t+1))/ds = -10 (1-t)^3     -> -10 (finite!)
+      TPS        d(0.5 s log s)/ds = 0.5 (log s + 1)   -> 0 by the r->0
+                 limit of the chain rule (the log blows up slower than
+                 the (x - c) factor vanishes)
+
+    Wired into apply_kernel's custom_jvp below, so every autodiff consumer
+    (inverse rig fitting, displacement Jacobians / normal updates) is
+    r=0-safe without touching the forward precision path.
+    """
+    kernel = RBFKernel(kernel)
+    s = jnp.maximum(s, 0.0)
+    if kernel == RBFKernel.GAUSSIAN:
+        return -jnp.exp(-s)
+    if kernel == RBFKernel.THIN_PLATE:
+        from facedeform_tpu.ops.precise_math import precise_log
+
+        return jnp.where(
+            s > _TINY, 0.5 * (precise_log(jnp.maximum(s, _TINY)) + 1.0), 0.0
+        )
+    if kernel == RBFKernel.MULTIQUADRIC:
+        return 0.5 * jax.lax.rsqrt(1.0 + s)
+    if kernel == RBFKernel.INVERSE_MULTIQUADRIC:
+        q = jax.lax.rsqrt(1.0 + s)
+        return -0.5 * q / (1.0 + s)
+    if kernel == RBFKernel.LINEAR:
+        return jnp.where(
+            s > _TINY, 0.5 * jax.lax.rsqrt(jnp.maximum(s, _TINY)), 0.0
+        )
+    if kernel == RBFKernel.CUBIC:
+        return 1.5 * jnp.sqrt(s)
+    if kernel == RBFKernel.WENDLAND_C2:
+        base = jnp.maximum(1.0 - jnp.sqrt(s), 0.0)
+        return -10.0 * base * base * base
+    raise ValueError(f"unknown kernel {kernel!r}")
+
+
+@apply_kernel.defjvp
+def _apply_kernel_jvp(kernel, primals, tangents):
+    d2, eps = primals
+    d2_dot, eps_dot = tangents
+    phi = apply_kernel(kernel, d2, eps)
+    inv_e2 = 1.0 / (eps * eps)
+    s = jnp.maximum(d2, 0.0) * inv_e2
+    fp = phi_prime_s(kernel, s)
+    # s = max(d2, 0)/eps^2: no gradient from the clamped (d2 < 0) region.
+    ds = jnp.where(d2 >= 0.0, inv_e2, 0.0) * d2_dot
+    ds = ds + (-2.0 * s / eps) * eps_dot
+    return phi, fp * ds
 
 
 def kernel_is_compact(kernel: RBFKernel) -> bool:

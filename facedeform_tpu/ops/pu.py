@@ -115,7 +115,8 @@ class PUPatches(NamedTuple):
 
 
 def build_patches(
-    ctrl: np.ndarray, patch_size: int = 192, overlap: float = 1.3
+    ctrl: np.ndarray, patch_size: int = 192, overlap: float = 1.3,
+    width_bucket: int = 64,
 ) -> PUPatches:
     """kd-cells -> overlapping ball patches covering every control.
 
@@ -125,15 +126,26 @@ def build_patches(
     denser overlap raises it.  overlap multiplies each slab's bounding
     radius into its support radius; >1 guarantees every control sits
     strictly inside its own slab's support.
+
+    width_bucket rounds P up to a multiple (default 64) so that DIFFERENT
+    rigs whose natural widths land in the same bucket reuse one compiled
+    fit/eval program.  Remote first-compiles cost minutes per distinct
+    shape (a 200k-control rig's fresh width paid 307 s); the extra masked
+    columns cost ~P'/P in compute (<=1-2% at production widths, measured
+    noise-level at P 570 -> 576).  Pass width_bucket=1 for exact widths.
     """
     from scipy.spatial import cKDTree
+
+    bucket = max(int(width_bucket), 1)
+    pad_to = lambda p: -(-p // bucket) * bucket
 
     ctrl = np.asarray(ctrl, np.float32)
     n = ctrl.shape[0]
     if n <= patch_size:
         centers = ctrl.mean(axis=0, keepdims=True)
         r = float(np.linalg.norm(ctrl - centers, axis=1).max()) * overlap
-        idx = np.arange(n, dtype=np.int32)[None, :]
+        idx = np.full((1, pad_to(n)), -1, np.int32)
+        idx[0, :n] = np.arange(n, dtype=np.int32)
         return PUPatches(
             centers.astype(np.float32),
             np.asarray([max(r, 1e-6)], np.float32),
@@ -152,7 +164,7 @@ def build_patches(
         np.asarray(tree.query_ball_point(c, r), np.int32)
         for c, r in zip(centers, radii)
     ]
-    pmax = max(len(s) for s in sets)
+    pmax = pad_to(max(len(s) for s in sets))
     idx = np.full((len(sets), pmax), -1, np.int32)
     for k, s in enumerate(sets):
         idx[k, : len(s)] = s
@@ -665,6 +677,55 @@ def plan_eval(
 # polynomial here and letting two copies drift.
 
 
+def _tile_frame(model: PUModel, kidx, vidx, pts, num_points: int):
+    """One tile's centered geometry: (x, xl, local, valid).
+
+    Shared by the value eval and the Jacobian so the two paths see the
+    same masked patch frame by construction.
+    """
+    x = pts[jnp.clip(vidx, 0, num_points - 1)]             # (tv, 3)
+    ctrl_k = model.ctrl[kidx]                              # (P, 3)
+    valid = model.valid[kidx]                              # (P,)
+    center = model.centers[kidx]
+    local = (ctrl_k - center) * valid[:, None]
+    return x, x - center, local, valid
+
+
+def _tile_f32_disp(model: PUModel, kidx, xl, local, valid,
+                   kernel: RBFKernel, term: PolyTerm):
+    """Plain-f32 local interpolant on centered queries; returns (disp,
+    phi, d2).  The ONE definition of the f32 value semantics — the
+    Jacobian path consumes the same disp/phi so transported normals can
+    never drift from the positions the value path produced."""
+    d2 = (
+        jnp.sum(xl * xl, axis=1)[:, None]
+        - 2.0 * jnp.dot(xl, local.T, **_HP)
+        + jnp.sum(local * local, axis=1)[None, :]
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    phi = apply_kernel(kernel, d2, model.eps[kidx]) * valid[None, :]
+    disp = jnp.dot(phi, model.w_hi[kidx], **_HP) + jnp.dot(
+        phi, model.w_lo[kidx], **_HP
+    )
+    if model.poly_hi.shape[1]:
+        pb = _patch_poly_basis(xl, jnp.ones(xl.shape[0]), term)
+        disp = disp + jnp.dot(
+            pb, model.poly_hi[kidx] + model.poly_lo[kidx], **_HP
+        )
+    return disp, phi, d2
+
+
+def _tile_blend_weight(model: PUModel, kidx, xl, vidx, force):
+    """Wendland partition weight with the forced-fallback and padding
+    gates applied; returns (bw, d2c, r_k)."""
+    d2c = jnp.sum(xl * xl, axis=1)
+    r_k = jnp.maximum(model.radii[kidx], 1e-30)
+    bw = apply_kernel(RBFKernel.WENDLAND_C2, d2c, r_k)
+    bw = jnp.where(force > 0, 1.0, bw)                     # fallback items
+    bw = jnp.where(vidx >= 0, bw, 0.0)                     # padding
+    return bw, d2c, r_k
+
+
 @functools.partial(
     jax.jit, static_argnames=("kernel", "term", "num_points", "precise")
 )
@@ -696,12 +757,7 @@ def evaluate_pu(
 
     def one_tile(args):
         kidx, vidx, force = args
-        x = pts[jnp.clip(vidx, 0, num_points - 1)]         # (tv, 3)
-        ctrl_k = model.ctrl[kidx]                          # (P, 3)
-        valid = model.valid[kidx]                          # (P,)
-        center = model.centers[kidx]
-        local = (ctrl_k - center) * valid[:, None]
-        xl = x - center
+        x, xl, local, valid = _tile_frame(model, kidx, vidx, pts, num_points)
         w_hi, w_lo = model.w_hi[kidx], model.w_lo[kidx]
         if use_df:
             # Growing kernels: patch-local MQ/TPS bases are nearly flat
@@ -740,25 +796,9 @@ def evaluate_pu(
                 disp_df = df_add(disp_df, tail)
             disp = disp_df[0] + disp_df[1]
         else:
-            d2 = (
-                jnp.sum(xl * xl, axis=1)[:, None]
-                - 2.0 * jnp.dot(xl, local.T, **_HP)
-                + jnp.sum(local * local, axis=1)[None, :]
-            )
-            d2 = jnp.maximum(d2, 0.0)
-            phi = apply_kernel(kernel, d2, model.eps[kidx]) * valid[None, :]
-            disp = jnp.dot(phi, w_hi, **_HP) + jnp.dot(phi, w_lo, **_HP)
-            if m:
-                pb = _patch_poly_basis(xl, jnp.ones(x.shape[0]), term)
-                disp = disp + jnp.dot(
-                    pb, model.poly_hi[kidx] + model.poly_lo[kidx], **_HP
-                )
-        d2c = jnp.sum(xl * xl, axis=1)
-        w = apply_kernel(
-            RBFKernel.WENDLAND_C2, d2c, jnp.maximum(model.radii[kidx], 1e-30)
-        )
-        w = jnp.where(force > 0, 1.0, w)                   # fallback items
-        w = jnp.where(vidx >= 0, w, 0.0)                   # padding
+            disp, _, _ = _tile_f32_disp(model, kidx, xl, local, valid,
+                                        kernel, term)
+        w, _, _ = _tile_blend_weight(model, kidx, xl, vidx, force)
         return disp * w[:, None], w
 
     # batch_size vmaps groups of tiles: a bare sequential scan over ~1e4
@@ -781,6 +821,97 @@ def evaluate_pu(
     return jnp.where(
         (acc_w > 1e-30)[:, None], acc_d / jnp.maximum(acc_w, 1e-30)[:, None], 0.0
     )
+
+
+@functools.partial(jax.jit, static_argnames=("kernel", "term", "num_points"))
+def jacobian_pu(
+    model: PUModel,
+    points: jnp.ndarray,
+    tiles_patch: jnp.ndarray,
+    tiles_vidx: jnp.ndarray,
+    forced: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    num_points: int,
+) -> jnp.ndarray:
+    """Spatial Jacobian of the PU displacement field; (V, 3, 3) f32.
+
+    s(x) = sum_k W_k s_k / sum_k W_k, so by the quotient rule
+
+        J = [sum_k (W_k J_k + s_k (grad W_k)^T)] / SW
+            - s(x) [sum_k grad W_k]^T / SW
+
+    with J_k the local interpolant's analytic Jacobian (kernels.phi_prime_s
+    — finite at r = 0) and grad W_k the Wendland blend gradient.  Forced
+    fallback items carry constant weight 1, so their grad W_k = 0 and the
+    far-field Jacobian is exactly the nearest patch's J_k (matching
+    evaluate_pu's value fallback).  One fused segment_sum accumulates all
+    four per-item quantities packed as 16 columns.
+
+    f32 on purpose: this feeds normal transport (direction-only,
+    re-normalized), not quantitative strain — the df machinery the value
+    eval needs for growing kernels buys nothing after normalization.
+    """
+    pts = points.astype(jnp.float32)
+    m = model.poly_hi.shape[1]
+
+    def one_tile(args):
+        kidx, vidx, force = args
+        x, xl, local, valid = _tile_frame(model, kidx, vidx, pts, num_points)
+        # disp via the SAME f32 value helper evaluate_pu runs — transported
+        # normals cannot drift from the positions the value path produced
+        disp, _, d2 = _tile_f32_disp(model, kidx, xl, local, valid,
+                                     kernel, term)
+        w = model.w_hi[kidx] + model.w_lo[kidx]             # (P, 3)
+        eps_k = model.eps[kidx]
+        inv_e2 = 1.0 / (eps_k * eps_k)
+        from facedeform_tpu.ops.kernels import phi_prime_s
+
+        g = (2.0 * inv_e2) * phi_prime_s(kernel, d2 * inv_e2) * valid[None, :]
+        # J_k = (g @ w) xl^T - g @ (w outer local)  (two matmuls, no
+        # (tv, P, 3) intermediate — same shape trick as ops/jacobian.py)
+        sum_gw = jnp.dot(g, w, **_HP)                       # (tv, 3)
+        w_outer = (w[:, :, None] * local[:, None, :]).reshape(-1, 9)
+        t = jnp.dot(g, w_outer, **_HP).reshape(-1, 3, 3)
+        jk = sum_gw[:, :, None] * xl[:, None, :] - t        # (tv, 3, 3)
+        if m >= 4:
+            # centered basis [1, xl]: d(P c)_a / d x_b = c[1 + b, a]
+            jk = jk + (model.poly_hi[kidx] + model.poly_lo[kidx])[1:4].T[None]
+        # Wendland blend weight (shared gating) + its gradient
+        bw, d2c, r_k = _tile_blend_weight(model, kidx, xl, vidx, force)
+        gw_scalar = (2.0 / (r_k * r_k)) * phi_prime_s(
+            RBFKernel.WENDLAND_C2, d2c / (r_k * r_k)
+        )
+        live = (vidx >= 0).astype(jnp.float32)
+        gw = jnp.where(force > 0, 0.0, gw_scalar)[:, None] * xl * live[:, None]
+        num = bw[:, None, None] * jk + disp[:, :, None] * gw[:, None, :]
+        packed = jnp.concatenate(
+            [
+                num.reshape(-1, 9),
+                bw[:, None] * disp,
+                gw,
+                bw[:, None],
+            ],
+            axis=1,
+        )                                                   # (tv, 16)
+        return packed
+
+    packed_t = jax.lax.map(
+        one_tile, (tiles_patch, tiles_vidx, forced), batch_size=64
+    )                                                       # (T, tv, 16)
+    seg = jnp.where(
+        tiles_vidx.reshape(-1) >= 0, tiles_vidx.reshape(-1), num_points
+    )
+    acc = jax.ops.segment_sum(
+        packed_t.reshape(-1, 16), seg, num_segments=num_points + 1
+    )[:num_points]
+    ws = jnp.maximum(acc[:, 15:16], 1e-30)
+    live = acc[:, 15] > 1e-30
+    a = acc[:, :9].reshape(-1, 3, 3) / ws[:, :, None]
+    sx = acc[:, 9:12] / ws                                  # s(x)
+    gsum = acc[:, 12:15] / ws
+    jac = a - sx[:, :, None] * gsum[:, None, :]
+    return jnp.where(live[:, None, None], jac, 0.0)
 
 
 class PUDeformer:
@@ -878,6 +1009,26 @@ class PUDeformer:
             points_np, "xla", lambda: plan_eval(self.patches, points_np)
         )
         return self._run_xla(points_np, eplan, precise)
+
+    def jacobian(self, points, plan=None) -> jnp.ndarray:
+        """Spatial Jacobian of the PU displacement field, (V, 3, 3).
+
+        Runs the XLA tile composition (jacobian_pu); accepts/caches a
+        plan_eval() PUEvalPlan (tile plans drive the value kernel only).
+        """
+        points_np = np.asarray(points, np.float32)
+        if plan is None:
+            plan = self._cached_plan(
+                points_np, "xla", lambda: plan_eval(self.patches, points_np)
+            )
+        elif not isinstance(plan, PUEvalPlan):
+            raise ValueError("jacobian needs a plan_eval() PUEvalPlan")
+        return jacobian_pu(
+            self.model, jnp.asarray(points_np),
+            jnp.asarray(plan.tiles_patch), jnp.asarray(plan.tiles_vidx),
+            jnp.asarray(plan.forced), self.kernel, self.term,
+            plan.num_points,
+        )
 
     def make_plan(self, points_np: np.ndarray):
         """Build the eval plan displacement()'s auto route would use for
@@ -1205,3 +1356,12 @@ class PUNodeDeformer:
             active = jnp.logical_and(active, jnp.asarray(group_mask))
         w = jnp.where(active, w, 0.0)
         return pts + jnp.asarray(disp) * w[:, None], w
+
+    def deformed_normals(self, points, normals, weight, frame=None):
+        """Transport normals through y = x + w (T) s(x); see
+        Deformer.deformed_normals — same contract, PU displacement field."""
+        from facedeform_tpu.ops.jacobian import transport_normals
+
+        return transport_normals(
+            self.pud.jacobian(points), normals, weight, self.cfg, frame
+        )

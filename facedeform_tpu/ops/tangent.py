@@ -23,17 +23,8 @@ def _normalize(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
     return x * jax.lax.rsqrt(jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), eps))
 
 
-@jax.jit
-def project_to_tangents(
-    u: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray, disp: jnp.ndarray
-) -> jnp.ndarray:
-    """Project (V, 3) displacements onto the per-vertex tangent plane.
-
-    Args:
-      u, v, n: (V, 3) tangent-u, tangent-v and normal attributes (the
-        reference requires all three, src/SOP_FaceDeform.cpp:289-297).
-      disp: (V, 3) displacements.
-    """
+def _projection_axes(u: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray):
+    """The reference's (a1, a2) oblique projection axes, (V, 3) each."""
     u = _normalize(u.astype(jnp.float32))
     v = _normalize(v.astype(jnp.float32))
     n = _normalize(n.astype(jnp.float32))
@@ -47,8 +38,36 @@ def project_to_tangents(
             + jnp.sum(x * n, -1, keepdims=True) * n
         )
 
-    a1 = _normalize(_dot_b(u))
-    a2 = _normalize(_dot_b(v))
+    return _normalize(_dot_b(u)), _normalize(_dot_b(v))
+
+
+@jax.jit
+def project_to_tangents(
+    u: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray, disp: jnp.ndarray
+) -> jnp.ndarray:
+    """Project (V, 3) displacements onto the per-vertex tangent plane.
+
+    Args:
+      u, v, n: (V, 3) tangent-u, tangent-v and normal attributes (the
+        reference requires all three, src/SOP_FaceDeform.cpp:289-297).
+      disp: (V, 3) displacements.
+    """
+    a1, a2 = _projection_axes(u, v, n)
     da1 = jnp.sum(disp * a1, -1, keepdims=True)
     da2 = jnp.sum(disp * a2, -1, keepdims=True)
     return a1 * da1 + a2 * da2
+
+
+@jax.jit
+def tangent_projection_matrix(
+    u: jnp.ndarray, v: jnp.ndarray, n: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-vertex matrix T with T @ d == project_to_tangents(u, v, n, d).
+
+    T = a1 a1^T + a2 a2^T, shape (V, 3, 3).  Used to compose the tangent
+    projection into the displacement Jacobian (ops/jacobian.py): the
+    projected field's spatial gradient is T_v J_v when the frame attrs are
+    treated as locally constant (they are per-vertex data, not fields).
+    """
+    a1, a2 = _projection_axes(u, v, n)
+    return a1[:, :, None] * a1[:, None, :] + a2[:, :, None] * a2[:, None, :]

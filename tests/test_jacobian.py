@@ -1,0 +1,275 @@
+"""Displacement Jacobians, r=0-safe kernel autodiff, normal transport."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from facedeform_tpu.config import (
+    DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
+)
+from facedeform_tpu.deformer import Deformer
+from facedeform_tpu.geometry.primitives import fibonacci_points
+from facedeform_tpu.ops import kernels as K
+from facedeform_tpu.ops.evaluate import evaluate_block
+from facedeform_tpu.ops.jacobian import (
+    deformation_gradient, displacement_jacobian, transform_normals,
+)
+from facedeform_tpu.ops.tangent import (
+    project_to_tangents, tangent_projection_matrix,
+)
+
+ALL_KERNELS = list(RBFKernel)
+
+
+@pytest.mark.parametrize("kernel", ALL_KERNELS)
+def test_phi_prime_matches_finite_difference(kernel):
+    s = np.asarray([1e-4, 0.03, 0.5, 0.9, 1.7, 9.0], np.float64)
+    # h sized for f32 forward evals: big enough that phi's ~1e-7 relative
+    # rounding stays under the 5e-3 gate, small enough for the curvature
+    h = 1e-3 * np.maximum(s, 1e-2)
+
+    # evaluate phi(s) directly: apply_kernel takes d2, so eps=1 -> s == d2
+    def phi(x):
+        return np.asarray(
+            K.apply_kernel(
+                kernel, jnp.asarray(x, jnp.float32), jnp.asarray(1.0, jnp.float32)
+            ),
+            np.float64,
+        )
+
+    fd = (phi(s + h) - phi(s - h)) / (2 * h)
+    got = np.asarray(
+        K.phi_prime_s(kernel, jnp.asarray(s, jnp.float32)), np.float64
+    )
+    scale = np.maximum(np.abs(fd), 1e-3)
+    assert np.max(np.abs(got - fd) / scale) < 5e-3
+
+
+@pytest.mark.parametrize("kernel", ALL_KERNELS)
+def test_apply_kernel_jvp_finite_at_r0(kernel):
+    """A query exactly on a control (d2 = 0) must yield finite tangents —
+    raw autodiff of the sqrt-based kernels NaNs there (0 * inf)."""
+    d2 = jnp.asarray([0.0, 0.25, 4.0], jnp.float32)
+    eps = jnp.asarray(1.0, jnp.float32)
+    _, tang = jax.jvp(
+        lambda x: K.apply_kernel(kernel, x, eps), (d2,), (jnp.ones_like(d2),)
+    )
+    assert np.isfinite(np.asarray(tang)).all()
+    # Wendland's ds-derivative has the nontrivial finite limit -10 at 0
+    if kernel == RBFKernel.WENDLAND_C2:
+        np.testing.assert_allclose(np.asarray(tang)[0], -10.0, rtol=1e-6)
+    # grad w.r.t. eps finite too
+    g = jax.grad(lambda e: jnp.sum(K.apply_kernel(kernel, d2, e)))(eps)
+    assert np.isfinite(float(g))
+
+
+@pytest.mark.parametrize(
+    "kernel", [RBFKernel.GAUSSIAN, RBFKernel.THIN_PLATE, RBFKernel.WENDLAND_C2]
+)
+def test_displacement_jacobian_matches_autodiff(rng, kernel):
+    """Analytic two-matmul Jacobian == jacfwd of the tested evaluate path,
+    including a query exactly at a control point."""
+    rest = fibonacci_points(64)
+    deformed = rest + 0.05 * rng.standard_normal((64, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=kernel, solver="direct")
+    d = Deformer.fit(rest, deformed, cfg, DeformParams(radius=1.0, lam=0.01))
+    pts = np.concatenate(
+        [rest[:4], (0.9 * fibonacci_points(20)).astype(np.float32)]
+    )
+    got = np.asarray(displacement_jacobian(
+        d.model, jnp.asarray(pts), kernel, cfg.term
+    ))
+    ref = np.asarray(jax.vmap(
+        jax.jacfwd(lambda p: evaluate_block(
+            d.model, p[None], kernel, cfg.term
+        )[0])
+    )(jnp.asarray(pts)))
+    assert np.isfinite(got).all() and np.isfinite(ref).all()
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert np.abs(got - ref).max() / scale < 2e-5
+
+
+def test_multilayer_jacobian_matches_autodiff(rng):
+    rest = fibonacci_points(48)
+    deformed = rest + 0.04 * rng.standard_normal((48, 3)).astype(np.float32)
+    cfg = DeformConfig(model=RBFModelType.MULTILAYER, layers=3, solver="direct")
+    d = Deformer.fit(rest, deformed, cfg, DeformParams(radius=1.0, lam=0.05))
+    from facedeform_tpu.ops import fit as fit_mod
+
+    kernel = fit_mod.effective_kernel(cfg)
+    pts = (1.05 * fibonacci_points(17)).astype(np.float32)
+    got = np.asarray(displacement_jacobian(
+        d.model, jnp.asarray(pts), kernel, cfg.term
+    ))
+    ref = np.asarray(jax.vmap(
+        jax.jacfwd(lambda p: evaluate_block(
+            d.model, p[None], kernel, cfg.term
+        )[0])
+    )(jnp.asarray(pts)))
+    assert np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-3) < 2e-5
+
+
+def test_rigid_rotation_rotates_normals(rng):
+    """A rigidly rotated rig is exactly representable by the LINEAR tail:
+    F = R everywhere, so transported normals are the rotated normals."""
+    ang = 0.4
+    c, s = np.cos(ang), np.sin(ang)
+    r_mat = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    rest = fibonacci_points(40)
+    d = Deformer.fit(
+        rest, rest @ r_mat.T,
+        DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                     solver="direct", term=PolyTerm.LINEAR),
+        DeformParams(radius=1.0, lam=0.01),
+    )
+    pts = fibonacci_points(100)
+    normals = pts  # unit sphere: normal == position
+    w = np.ones(100, np.float32)
+    got = np.asarray(d.deformed_normals(pts, normals, w))
+    want = normals @ r_mat.T
+    assert np.abs(got - want).max() < 5e-3
+
+
+def test_uniform_scale_keeps_sphere_normals(rng):
+    """x -> 1.3 x: F = 1.3 I, cofactor transport leaves directions alone."""
+    rest = fibonacci_points(40)
+    d = Deformer.fit(
+        rest, (1.3 * rest).astype(np.float32),
+        DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                     solver="direct", term=PolyTerm.LINEAR),
+        DeformParams(radius=1.0, lam=0.01),
+    )
+    pts = fibonacci_points(64)
+    got = np.asarray(d.deformed_normals(pts, pts, np.ones(64, np.float32)))
+    assert np.abs(got - pts).max() < 5e-3
+
+
+def test_tangent_projection_matrix_matches_projection(rng):
+    u = rng.standard_normal((50, 3)).astype(np.float32)
+    v = rng.standard_normal((50, 3)).astype(np.float32)
+    n = rng.standard_normal((50, 3)).astype(np.float32)
+    disp = rng.standard_normal((50, 3)).astype(np.float32)
+    t = tangent_projection_matrix(jnp.asarray(u), jnp.asarray(v), jnp.asarray(n))
+    got = np.asarray(jnp.einsum("vab,vb->va", t, jnp.asarray(disp)))
+    want = np.asarray(project_to_tangents(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(n), jnp.asarray(disp)
+    ))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_transform_normals_degenerate_falls_back():
+    normals = np.asarray([[0, 0, 1], [1, 0, 0]], np.float32)
+    f = np.zeros((2, 3, 3), np.float32)  # fully collapsed map
+    out = np.asarray(transform_normals(jnp.asarray(normals), jnp.asarray(f)))
+    np.testing.assert_allclose(out, normals)
+
+
+def test_pu_jacobian_matches_finite_difference(rng):
+    """PU quotient-rule Jacobian vs central differences of the PU field
+    (covered region, fallback far region, and a point ON a control)."""
+    from facedeform_tpu.ops import pu
+
+    rest = fibonacci_points(300)
+    disp_field = (
+        0.1 * np.exp(-2 * np.sum((rest - [0, 1, 0]) ** 2, -1, keepdims=True))
+        .astype(np.float32) * np.float32([0.3, 1, 0.2])
+    )
+    d = pu.PUDeformer.fit(
+        rest, rest + disp_field, kernel=RBFKernel.THIN_PLATE,
+        eps="auto", lam=1e-4, patch_size=64,
+    )
+    pts = np.concatenate([
+        (0.97 * fibonacci_points(12)).astype(np.float32),
+        rest[:3],                                   # exactly on controls
+        np.float32([[3.0, 0, 0]]),                  # fallback (far) region
+    ])
+    got = np.asarray(d.jacobian(pts))
+    assert np.isfinite(got).all()
+    h = 2e-3
+    fd = np.zeros((len(pts), 3, 3), np.float32)
+    for b in range(3):
+        e = np.zeros(3, np.float32)
+        e[b] = h
+        # one shared plan per side would cache-collide across b: build fresh
+        dp = np.asarray(d.displacement(pts + e, backend="xla"))
+        dm = np.asarray(d.displacement(pts - e, backend="xla"))
+        fd[:, :, b] = (dp - dm) / (2 * h)
+    scale = max(np.abs(fd).max(), 1e-2)
+    assert np.abs(got - fd).max() / scale < 2e-2
+
+
+def test_node_update_normals(rng):
+    """node.cook(update_normals=True) rewrites N via the transport rule;
+    a rigidly rotated rig rotates the normals."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    ang = 0.3
+    c, s = np.cos(ang), np.sin(ang)
+    r_mat = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    mesh = uv_sphere(12, 12)
+    mesh.set_attr("N", mesh.points / np.linalg.norm(
+        mesh.points, axis=1, keepdims=True
+    ).astype(np.float32))
+    rig0 = Mesh(points=fibonacci_points(40))
+    rig1 = Mesh(points=(rig0.points @ r_mat.T).astype(np.float32))
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                       solver="direct", term=PolyTerm.LINEAR)
+    res = FaceDeformNode().cook(
+        [mesh, rig0, rig1], cfg, DeformParams(radius=1.0, lam=0.01),
+        update_normals=True,
+    )
+    want = np.asarray(mesh.attr("N")) @ r_mat.T
+    got = res.mesh.attr("N")
+    assert np.abs(got - want).max() < 1e-2
+    # positions rotated too (sanity that the cook actually deformed)
+    assert np.abs(res.mesh.points - mesh.points @ r_mat.T).max() < 1e-2
+
+
+def test_node_update_normals_warns_without_n(rng):
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    mesh = uv_sphere(8, 8)
+    rig0 = Mesh(points=fibonacci_points(20))
+    rig1 = Mesh(points=(rig0.points * 1.02).astype(np.float32))
+    res = FaceDeformNode().cook(
+        [mesh, rig0, rig1], DeformConfig(), DeformParams(),
+        update_normals=True,
+    )
+    assert any("no N point attribute" in w for w in res.warnings)
+
+
+def test_node_update_normals_pu_route(rng):
+    """solver='pu' cooks transport normals through the PU Jacobian."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    mesh = uv_sphere(10, 10)
+    n_attr = (mesh.points / np.linalg.norm(
+        mesh.points, axis=1, keepdims=True
+    )).astype(np.float32)
+    mesh.set_attr("N", n_attr)
+    rig0 = Mesh(points=fibonacci_points(48))
+    rig1 = Mesh(points=(1.25 * rig0.points).astype(np.float32))
+    res = FaceDeformNode().cook(
+        [mesh, rig0, rig1], DeformConfig(solver="pu", term=PolyTerm.LINEAR),
+        DeformParams(lam=0.01), update_normals=True,
+    )
+    got = res.mesh.attr("N")
+    # uniform scale: directions unchanged
+    assert np.abs(got - n_attr).max() < 2e-2
+    assert np.abs(np.linalg.norm(got, axis=1) - 1.0).max() < 1e-5
+
+
+def test_deformation_gradient_zero_weight_is_identity(rng):
+    jac = rng.standard_normal((7, 3, 3)).astype(np.float32)
+    f = np.asarray(deformation_gradient(
+        jnp.asarray(jac), jnp.zeros(7, jnp.float32)
+    ))
+    np.testing.assert_allclose(f, np.broadcast_to(np.eye(3), (7, 3, 3)))

@@ -53,6 +53,41 @@ def test_build_patches_invariants():
     assert (d < patches.radii[:, None] - 1e-7).any(axis=0).all()
 
 
+def test_build_patches_width_bucket(rng):
+    """Padded patch width is bucketed (default multiple of 64) so rigs
+    with nearby natural widths share one compiled fit/eval program; the
+    extra masked columns must not change the solution."""
+    rest, disp = _smooth_rig(900)
+    bucketed = pu.build_patches(rest, patch_size=64, overlap=1.6)
+    assert bucketed.idx.shape[1] % 64 == 0
+    exact = pu.build_patches(rest, patch_size=64, overlap=1.6, width_bucket=1)
+    assert exact.idx.shape[1] == int(exact.counts.max())
+    assert bucketed.idx.shape[1] >= exact.idx.shape[1]
+    np.testing.assert_array_equal(bucketed.counts, exact.counts)
+    # live columns identical; the extra tail is all -1 padding
+    p_live = exact.idx.shape[1]
+    np.testing.assert_array_equal(bucketed.idx[:, :p_live], exact.idx)
+    assert (bucketed.idx[:, p_live:] == -1).all()
+    # solution parity: pads are masked to identity rows in the patch
+    # systems, so the fitted field matches to solver-noise level
+    q = (fibonacci_points(300) * 1.01).astype(np.float32)
+    got = {}
+    for name, patches in (("bucketed", bucketed), ("exact", exact)):
+        model, _ = pu.fit_pu(
+            rest, rest + disp, RBFKernel.THIN_PLATE, PolyTerm.LINEAR,
+            patches=patches, lam=1e-5,
+        )
+        got[name] = np.asarray(pu.PUDeformer(
+            model, patches, RBFKernel.THIN_PLATE, PolyTerm.LINEAR
+        ).displacement(q))
+    np.testing.assert_allclose(got["bucketed"], got["exact"], atol=2e-6)
+    # single-patch small rigs bucket too (small rigs of different sizes
+    # then share the one-patch program shape)
+    small = pu.build_patches(rest[:50], patch_size=192)
+    assert small.idx.shape == (1, 64)
+    assert (small.idx[0, 50:] == -1).all()
+
+
 def test_pu_exact_interpolation_and_global_parity(rng):
     """Interpolation error at controls within the repo's 5e-5 budget, and
     agreement with the global dense-df fit on a smooth field."""
