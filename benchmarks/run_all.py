@@ -498,11 +498,73 @@ def config10_pu_sequence(rng, n=20000, n_frames=8, n_query=100000):
     }
 
 
+def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
+    """Round-3 extension: deformed-normal transport through the analytic
+    displacement Jacobian (ops/jacobian.py) — the reference leaves
+    rest-pose normals on the deformed surface (SOP_FaceDeform.cpp:438).
+    Correctness gate: a rigidly rotated rig must rotate the normals
+    (F = R exactly, via the LINEAR tail).  Perf: warm per-frame
+    deformed_normals wall at the 1M x 1k production shape."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import (
+        DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
+    )
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    if jax.default_backend() != "tpu":
+        n_verts, n_ctrl = 10000, 100  # CPU smoke sizing
+    ang = 0.35
+    c, s = np.cos(ang), np.sin(ang)
+    r_mat = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    rest = fibonacci_points(n_ctrl)
+    d = Deformer.fit(
+        rest, rest @ r_mat.T,
+        DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                     solver="direct", term=PolyTerm.LINEAR),
+        DeformParams(radius=1.0, lam=0.01),
+    )
+    res = max(int(np.sqrt(max(n_verts - 2, 4))), 2)
+    mesh = uv_sphere(res, res)
+    n_verts = mesh.num_points
+    pts = jnp.asarray(mesh.points)
+    normals = mesh.points / np.linalg.norm(
+        mesh.points, axis=1, keepdims=True
+    ).astype(np.float32)
+    w = jnp.ones(n_verts, jnp.float32)
+    n_dev = jnp.asarray(normals)
+
+    out = d.deformed_normals(pts, n_dev, w)   # compile + warm
+    _sync(out)
+    best = None
+    for _ in range(3):
+        t0 = _time.time()
+        out = d.deformed_normals(pts, n_dev, w)
+        _sync(out)
+        dt = _time.time() - t0
+        best = dt if best is None else min(best, dt)
+    got = np.asarray(out)
+    err = float(np.abs(got - normals @ r_mat.T).max())
+    unit_err = float(np.abs(np.linalg.norm(got, axis=1) - 1.0).max())
+    return {
+        "config": "11: deformed-normal transport (analytic Jacobian)",
+        "verts": n_verts, "ctrl": n_ctrl,
+        "rotation_normal_err": err,
+        "unit_norm_err": unit_err,
+        "warm_normals_ms": best * 1e3,
+        "pass": bool(err < 1e-2 and unit_err < 1e-5),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", type=int, default=None, metavar="N",
-                    choices=range(1, 11),
+                    choices=range(1, 12),
                     help="run a single config (1-10) for iteration")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
@@ -510,7 +572,8 @@ def main():
     configs = (config1_gaussian_sphere, config2_kernel_zoo, config3_capture,
                config4_dbse, config5_animated, config6_large_n,
                config7_growing_kernel_precision, config8_cpd_preconditioned,
-               config9_pu_any_n, config10_pu_sequence)
+               config9_pu_any_n, config10_pu_sequence,
+               config11_normal_transport)
     if args.only is not None:
         configs = (configs[args.only - 1],)
     for fn in configs:
