@@ -18,6 +18,8 @@ feature set plus the rebuild's extensions):
   13. any-N animated sequence: one patch factorization for a whole shot,
       one shared eval plan, sequence checkpoint
   14. deformed-normal transport through the analytic field Jacobian
+  15. general attribute transport: velocity vectors and orientation
+      quaternions through the same deformation gradient
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -217,6 +219,24 @@ def main():
     ), -1, 1)))
     print(f"normal transport: max normal tilt {tilt.max():.1f} deg over "
           f"{int((tilt > 0.5).sum())} vertices (rest normals would be stale)")
+
+    # 15. general attribute transport: any (V,3) attr pushes forward as a
+    # tangent vector v' = F v, any (V,4) attr as an orientation quaternion
+    # rotated by F's polar factor — one shared Jacobian pass for all of
+    # them (cook transform_attrs / CLI --transform-attrs v,orient)
+    face.set_attr("v", rng.standard_normal(
+        (face.num_points, 3)).astype(np.float32))
+    orient = np.tile(np.float32([0, 0, 0, 1]), (face.num_points, 1))
+    face.set_attr("orient", orient)
+    res_a = FaceDeformNode().cook(
+        [face, rig, posed], DeformConfig(), params,
+        transform_attrs=("v", "orient"),
+    )
+    dv = np.linalg.norm(res_a.mesh.attr("v") - face.attr("v"), axis=1)
+    qd = np.abs(res_a.mesh.attr("orient") - orient).max()
+    print(f"attribute transport: v changed on {int((dv > 1e-6).sum())} "
+          f"vertices (max |dv| {dv.max():.3f}); orient max delta {qd:.3f} "
+          "(pure rotation part only)")
 
 
 if __name__ == "__main__":

@@ -112,7 +112,19 @@ def _add_cook_flags(d) -> None:
                    help="transport the N point attribute through the "
                         "deformation's analytic Jacobian (the reference "
                         "leaves rest-pose normals on the deformed surface)")
+    d.add_argument("--transform-attrs", metavar="NAMES",
+                   help="comma-separated point attributes to transport "
+                        "through the deformation gradient: (V,3) attrs as "
+                        "vectors (v' = F v; N by the cofactor rule), (V,4) "
+                        "as orientation quaternions (rotation factor of F)")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
+
+
+def _split_attr_names(spec):
+    """'v,orient' -> ('v', 'orient'); None/empty -> None."""
+    if not spec:
+        return None
+    return tuple(s for s in (p.strip() for p in spec.split(",")) if s)
 
 
 def _cfg_params_from(args):
@@ -206,6 +218,7 @@ def _cmd_deform(args) -> int:
             [mesh, rest_rig, deform_rig] + blends, cfg, params,
             group=args.group, picked=args.picked, deformer=ext_deformer,
             update_normals=args.update_normals,
+            transform_attrs=_split_attr_names(args.transform_attrs),
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -308,6 +321,8 @@ def _cmd_deform_seq(args) -> int:
             # the one-dispatch frames kernel evaluates positions only;
             # normal transport needs the per-frame Jacobian pass
             blockers.append("--update-normals needs per-frame cooks")
+        if args.transform_attrs:
+            blockers.append("--transform-attrs needs per-frame cooks")
         if blockers:
             print(
                 "warning: --batch falls back to per-frame cooks "
@@ -424,6 +439,7 @@ def _cmd_deform_seq(args) -> int:
                     [mesh, rest_rig, rig] + blends, cfg, params,
                     group=args.group, picked=args.picked,
                     update_normals=args.update_normals,
+                    transform_attrs=_split_attr_names(args.transform_attrs),
                 )
             for w in res.warnings:
                 if w not in warned:  # each distinct warning once per sequence

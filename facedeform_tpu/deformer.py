@@ -177,6 +177,29 @@ class Deformer:
             self.jacobian(points), normals, weight, self.cfg, frame
         )
 
+    def transform_attrs(self, points, attrs, weight, frame=None, kinds=None):
+        """Transport point attributes through the applied map's deformation
+        gradient — one shared Jacobian for the whole batch.
+
+        Extension over the reference, which copies every non-P attribute
+        through untouched (src/SOP_FaceDeform.cpp:438 writes P only):
+        (V, 3) attrs push forward as vectors (v' = F v; `N` by the
+        cofactor rule), (V, 4) as orientation quaternions (rotation
+        factor of F).  See ops.jacobian.transport_attrs.
+
+        Args:
+          points: (V, 3) REST positions.
+          attrs: {name: (V, 3) or (V, 4) array}.
+          weight: (V,) falloff weights apply() returned.
+          frame: optional (u, v, n) tangent attrs when cfg.tangent.
+          kinds: optional {name: "vector"|"normal"|"quaternion"} overrides.
+        """
+        from facedeform_tpu.ops.jacobian import transport_attrs
+
+        return transport_attrs(
+            self.jacobian(points), attrs, weight, self.cfg, frame, kinds
+        )
+
     def apply(
         self,
         points,

@@ -87,6 +87,8 @@ PARM_SPECS: List[Tuple[str, str, str, object, object]] = [
     ("solver", "Solver", "menu", 0, ["Auto", "Direct", "Krylov",
                                      "Partition of unity"]),
     ("strict_parity", "Strict reference parity", "toggle", 0, None),
+    ("update_normals", "Update normals", "toggle", 0, None),
+    ("transform_attrs", "Transform attributes", "string", "", None),
 ]
 
 _SOLVER_NAMES = ("auto", "direct", "krylov", "pu")
@@ -337,9 +339,14 @@ def cook_sop(node) -> Optional[CookResult]:
     ]
     cfg, params, group = config_from_node(node)
 
+    tr_attrs = str(_eval_parm(node, "transform_attrs", "")).strip()
     try:
         result = state["node"].cook(
             meshes, cfg, params, group=group or None,
+            update_normals=bool(_eval_parm(node, "update_normals", 0)),
+            transform_attrs=tuple(
+                s for s in (p.strip() for p in tr_attrs.split(",")) if s
+            ) or None,
         )
     except errors.FaceDeformError as e:
         raise hou.NodeError(str(e)) from e

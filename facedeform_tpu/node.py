@@ -29,7 +29,7 @@ Cache improvements over the reference (documented deviations):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -163,6 +163,7 @@ class FaceDeformNode:
         picked: bool = False,
         deformer=None,
         update_normals: bool = False,
+        transform_attrs: Optional[Sequence[str]] = None,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -183,6 +184,13 @@ class FaceDeformNode:
         eval-side toggles (tangent/morphspace/dofalloff/doclampweight/
         strict_parity/dbse_lstsq), so a checkpoint can never be evaluated
         under the wrong kernel.
+
+        `update_normals` transports N by the cofactor rule;
+        `transform_attrs` names further point attributes to push through
+        the same deformation gradient ((V, 3) as vectors v' = F v, (V, 4)
+        as orientation quaternions rotated by the polar factor of F) —
+        both share ONE Jacobian pass.  The reference copies all non-P
+        attributes through untouched (src/SOP_FaceDeform.cpp:438).
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -424,37 +432,73 @@ class FaceDeformNode:
             new_pts = np.asarray(new_pts)
         out.set_attr("fd_falloff", np.asarray(falloff, np.float32))
 
-        # ------------------------------------------------- normal transport
+        # ---------------------------------------------- attribute transport
         # Extension over the reference: cookMySop writes positions only
-        # (src/SOP_FaceDeform.cpp:438), leaving rest-pose normals on the
-        # deformed surface.  The displacement field's closed-form Jacobian
-        # transports N through the applied map (ops/jacobian.py).
+        # (src/SOP_FaceDeform.cpp:438), leaving rest-pose N/v/orient frames
+        # on the deformed surface.  The displacement field's closed-form
+        # Jacobian transports them through the applied map (ops/jacobian.py)
+        # — ONE Jacobian pass shared by N and every requested attribute.
+        from facedeform_tpu.ops.jacobian import infer_attr_kind
+
+        to_transport: Dict[str, np.ndarray] = {}
+        transport_kinds: Dict[str, str] = {}
         if update_normals:
             if "N" not in out.point_attrs:
                 warnings.append(
                     "update_normals: mesh has no N point attribute; skipping"
                 )
-            elif not hasattr(deformer, "deformed_normals"):
+            elif not hasattr(deformer, "transform_attrs"):
                 warnings.append(
                     "update_normals: not available for this model family; "
                     "skipping"
                 )
             else:
-                with stage("normals", times):
-                    # Query at the REST positions (where the map acted);
-                    # `falloff` is the per-vertex multiplier apply used
-                    # (incl. group gating), treated locally constant.
-                    n_new = deformer.deformed_normals(
-                        out.points, out.attr("N"),
-                        np.asarray(falloff, np.float32), frame=frame,
-                    )
-                    out.set_attr("N", np.asarray(n_new, np.float32))
-                if dbse_model is not None:
-                    warnings.append(
-                        "update_normals reflects the RBF pass; the "
-                        "morphspace reconstruction does not transport "
-                        "normals"
-                    )
+                to_transport["N"] = out.attr("N")
+                transport_kinds["N"] = "normal"
+        for name in transform_attrs or ():
+            if name in to_transport:
+                continue
+            vals = out.attr(name)
+            if vals is None:
+                warnings.append(
+                    f"transform_attrs: mesh has no {name!r} point attribute;"
+                    " skipping"
+                )
+                continue
+            kind = infer_attr_kind(name, vals)
+            if kind is None:
+                warnings.append(
+                    f"transform_attrs: {name!r} has shape "
+                    f"{tuple(vals.shape)} — only (V, 3) vectors/normals and"
+                    " (V, 4) quaternions transport; skipping"
+                )
+                continue
+            if not hasattr(deformer, "transform_attrs"):
+                warnings.append(
+                    "transform_attrs: not available for this model family; "
+                    "skipping"
+                )
+                break
+            to_transport[name] = vals
+            transport_kinds[name] = kind
+        if to_transport:
+            with stage("normals", times):
+                # Query at the REST positions (where the map acted);
+                # `falloff` is the per-vertex multiplier apply used
+                # (incl. group gating), treated locally constant.
+                moved = deformer.transform_attrs(
+                    out.points, to_transport,
+                    np.asarray(falloff, np.float32), frame=frame,
+                    kinds=transport_kinds,
+                )
+                for name, arr in moved.items():
+                    out.set_attr(name, np.asarray(arr, np.float32))
+            if dbse_model is not None:
+                warnings.append(
+                    "update_normals reflects the RBF pass; the "
+                    "morphspace reconstruction does not transport "
+                    "normals"
+                )
         if picked:
             # Eval-pass falloff viz: the reference maps falloff onto an HSV
             # 200..250 hue when the node is selected ("picked",

@@ -115,15 +115,12 @@ def deformation_gradient(
     return eye[None, :, :] + weight[:, None, None] * jac
 
 
-def transport_normals(jac, normals, weight, cfg=None, frame=None) -> jnp.ndarray:
-    """Shared composition jac -> (tangent proj) -> F -> cofactor transport.
+def _applied_gradient(jac, weight, cfg=None, frame=None) -> jnp.ndarray:
+    """jac -> (tangent proj) -> F for the map the deformer actually applied.
 
-    The one definition both Deformer.deformed_normals and
-    PUNodeDeformer.deformed_normals delegate to, so the global and PU
-    routes can never transport differently.  `cfg` only contributes its
-    `tangent` flag; the projection applies when that is set AND a frame
-    is given (matching apply()'s displacement treatment).
-    """
+    `cfg` only contributes its `tangent` flag; the projection applies when
+    that is set AND a frame is given (matching apply()'s displacement
+    treatment)."""
     proj = None
     if cfg is not None and getattr(cfg, "tangent", False) and frame is not None:
         from facedeform_tpu.ops.tangent import tangent_projection_matrix
@@ -131,7 +128,17 @@ def transport_normals(jac, normals, weight, cfg=None, frame=None) -> jnp.ndarray
         proj = tangent_projection_matrix(
             *(jnp.asarray(f, jnp.float32) for f in frame)
         )
-    f = deformation_gradient(jac, jnp.asarray(weight, jnp.float32), proj)
+    return deformation_gradient(jac, jnp.asarray(weight, jnp.float32), proj)
+
+
+def transport_normals(jac, normals, weight, cfg=None, frame=None) -> jnp.ndarray:
+    """Shared composition jac -> (tangent proj) -> F -> cofactor transport.
+
+    The one definition both Deformer.deformed_normals and
+    PUNodeDeformer.deformed_normals delegate to, so the global and PU
+    routes can never transport differently.
+    """
+    f = _applied_gradient(jac, weight, cfg, frame)
     return transform_normals(jnp.asarray(normals, jnp.float32), f)
 
 
@@ -153,4 +160,178 @@ def transform_normals(normals: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
     nrm2 = jnp.sum(out * out, axis=-1, keepdims=True)
     ok = nrm2 > 1e-24
     out = jnp.where(ok, out * jax.lax.rsqrt(jnp.maximum(nrm2, 1e-24)), normals)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# General attribute transport.  The reference copies every non-P point
+# attribute through untouched (cookMySop writes P only,
+# src/SOP_FaceDeform.cpp:438) — velocities, ups and orients keep their
+# rest-pose frames on the deformed surface.  Owning F = I + w (T) J makes
+# the standard transport rules closed-form per Houdini attribute typeinfo:
+#   vector      v' = F v          (tangent/covariant vectors: v, up, dPdu)
+#   normal      n' ~ cof(F) n     (transform_normals above)
+#   quaternion  q' = quat(R) * q  with R the rotation factor of F = R S
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def transform_vectors(vectors: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """Push tangent vectors through F: v' = F v; (V, 3).
+
+    Length is NOT preserved on purpose — a stretching map stretches
+    velocities/tangents (Houdini's 'vector' typeinfo semantics)."""
+    return jnp.einsum("vab,vb->va", f, vectors.astype(jnp.float32), **_HP)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def polar_rotation(f: jnp.ndarray, iters: int = 14) -> jnp.ndarray:
+    """Rotation factor R of F = R S (polar decomposition); (V, 3, 3).
+
+    Newton iteration R <- (R + R^-T)/2 with the 3x3 inverse-transpose
+    formed from the cofactor matrix — no linalg calls, so it fuses on the
+    VPU.  The iterate is scaled by sqrt(trace(R^T R)/3) first so badly
+    scaled F (uniform stretch) still converges in the fixed iteration
+    budget (quadratic near orthogonality).  Rows with det(F) <= 1e-12
+    (collapsed or inverted elements, where no rotation is defined) return
+    identity."""
+    f = f.astype(jnp.float32)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), f.shape)
+
+    def _cof_det(m):
+        c1, c2, c3 = m[..., :, 0], m[..., :, 1], m[..., :, 2]
+        cof = jnp.stack(
+            [jnp.cross(c2, c3), jnp.cross(c3, c1), jnp.cross(c1, c2)], axis=-1
+        )
+        det = jnp.sum(c1 * cof[..., :, 0], axis=-1)
+        return cof, det
+
+    _, det0 = _cof_det(f)
+    valid = (det0 > 1e-12)[..., None, None]
+    f = jnp.where(valid, f, eye)
+    scale = jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(f * f, axis=(-2, -1), keepdims=True) / 3.0, 1e-24)
+    )
+    r = f * scale
+
+    def body(_, r):
+        cof, det = _cof_det(r)
+        inv_t = cof / det[..., None, None]
+        return 0.5 * (r + inv_t)
+
+    r = jax.lax.fori_loop(0, iters, body, r)
+    return jnp.where(valid, r, eye)
+
+
+@jax.jit
+def quaternion_from_rotation(r: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (x, y, z, w) — Houdini `orient` layout — from
+    rotation matrices (V, 3, 3).  Branch-free Shepperd: build all four
+    pivot candidates and select the best-conditioned per row."""
+    m = lambda a, b: r[..., a, b]
+    t0 = 1.0 + m(0, 0) + m(1, 1) + m(2, 2)
+    t1 = 1.0 + m(0, 0) - m(1, 1) - m(2, 2)
+    t2 = 1.0 - m(0, 0) + m(1, 1) - m(2, 2)
+    t3 = 1.0 - m(0, 0) - m(1, 1) + m(2, 2)
+    c0 = jnp.stack([m(2, 1) - m(1, 2), m(0, 2) - m(2, 0),
+                    m(1, 0) - m(0, 1), t0], axis=-1)
+    c1 = jnp.stack([t1, m(0, 1) + m(1, 0), m(0, 2) + m(2, 0),
+                    m(2, 1) - m(1, 2)], axis=-1)
+    c2 = jnp.stack([m(0, 1) + m(1, 0), t2, m(1, 2) + m(2, 1),
+                    m(0, 2) - m(2, 0)], axis=-1)
+    c3 = jnp.stack([m(0, 2) + m(2, 0), m(1, 2) + m(2, 1), t3,
+                    m(1, 0) - m(0, 1)], axis=-1)
+    cands = jnp.stack([c0, c1, c2, c3], axis=-2)            # (V, 4, 4)
+    pick = jnp.argmax(jnp.stack([t0, t1, t2, t3], axis=-1), axis=-1)
+    q = jnp.take_along_axis(cands, pick[..., None, None], axis=-2)[..., 0, :]
+    q = q * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-24)
+    )
+    # canonical sign: w >= 0 (both signs encode the same rotation)
+    return q * jnp.where(q[..., 3:4] < 0.0, -1.0, 1.0)
+
+
+@jax.jit
+def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product a*b of (x, y, z, w) quaternions, broadcasting."""
+    ax, ay, az, aw = (a[..., i] for i in range(4))
+    bx, by, bz, bw = (b[..., i] for i in range(4))
+    return jnp.stack([
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    ], axis=-1)
+
+
+@jax.jit
+def transform_quaternions(quats: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """Rotate orientation quaternions by F's rotation factor:
+    q' = quat(polar(F)) * q, renormalized; (V, 4), (x, y, z, w) layout.
+
+    Stretch is deliberately discarded — an orient frame stays orthonormal
+    (copy/instance semantics); vectors that should stretch belong in a
+    'vector' attribute instead."""
+    qr = quaternion_from_rotation(polar_rotation(f))
+    out = quaternion_multiply(qr, quats.astype(jnp.float32))
+    return out * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(out * out, axis=-1, keepdims=True), 1e-24)
+    )
+
+
+#: transport rules by Houdini typeinfo-style kind
+ATTR_KINDS = ("vector", "normal", "quaternion")
+
+
+def infer_attr_kind(name: str, values) -> str | None:
+    """Best-effort kind from Houdini naming conventions + width.
+
+    N/normal-ish (3-wide) -> normal; 4-wide -> quaternion (orient/rot);
+    other 3-wide -> vector; anything else -> None (not transportable)."""
+    width = values.shape[-1] if values.ndim == 2 else 1
+    if width == 4:
+        return "quaternion"
+    if width != 3:
+        return None
+    if name in ("N", "normal") or name.startswith("N_"):
+        return "normal"
+    return "vector"
+
+
+def transport_attrs(
+    jac,
+    attrs: dict,
+    weight,
+    cfg=None,
+    frame=None,
+    kinds: dict | None = None,
+) -> dict:
+    """Transport a batch of point attributes through ONE shared F.
+
+    Args:
+      jac: (V, 3, 3) displacement Jacobian at the rest positions.
+      attrs: {name: (V, 3) or (V, 4) array}.
+      weight: (V,) per-vertex multiplier apply() actually used.
+      cfg/frame: tangent-projection context, as transport_normals.
+      kinds: optional {name: kind} overrides; unspecified names infer via
+        infer_attr_kind.  A None kind (uninferable) raises ValueError —
+        callers (node.cook) filter/warn before reaching here.
+
+    Returns {name: transported array} in input order.
+    """
+    f = _applied_gradient(jac, weight, cfg, frame)
+    rules = {
+        "vector": transform_vectors,
+        "normal": transform_normals,
+        "quaternion": transform_quaternions,
+    }
+    out = {}
+    for name, values in attrs.items():
+        kind = (kinds or {}).get(name) or infer_attr_kind(name, values)
+        if kind not in rules:
+            raise ValueError(
+                f"attribute {name!r}: no transport rule for kind {kind!r} "
+                f"(shape {tuple(values.shape)}); expected one of {ATTR_KINDS}"
+            )
+        out[name] = rules[kind](jnp.asarray(values, jnp.float32), f)
     return out

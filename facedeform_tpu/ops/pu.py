@@ -1365,3 +1365,12 @@ class PUNodeDeformer:
         return transport_normals(
             self.pud.jacobian(points), normals, weight, self.cfg, frame
         )
+
+    def transform_attrs(self, points, attrs, weight, frame=None, kinds=None):
+        """Batch attribute transport through the PU Jacobian; same contract
+        as Deformer.transform_attrs (one Jacobian shared by all attrs)."""
+        from facedeform_tpu.ops.jacobian import transport_attrs
+
+        return transport_attrs(
+            self.pud.jacobian(points), attrs, weight, self.cfg, frame, kinds
+        )

@@ -1,0 +1,212 @@
+"""General attribute transport: vectors by F, quaternions by polar(F).
+
+The reference copies every non-P point attribute through untouched
+(src/SOP_FaceDeform.cpp:438 writes positions only); these cover the
+rebuild's closed-form transport extension (ops/jacobian.py)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from facedeform_tpu.config import (
+    DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
+)
+from facedeform_tpu.deformer import Deformer
+from facedeform_tpu.geometry.primitives import fibonacci_points
+from facedeform_tpu.ops.jacobian import (
+    polar_rotation, quaternion_from_rotation, quaternion_multiply,
+    transform_quaternions, transform_vectors, infer_attr_kind,
+)
+
+
+def _rot(axis, ang):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    x, y, z = axis
+    c, s = np.cos(ang), np.sin(ang)
+    k = np.asarray([[0, -z, y], [z, 0, -x], [-y, x, 0]])
+    return (np.eye(3) + s * k + (1 - c) * k @ k).astype(np.float32)
+
+
+def _quat_to_mat(q):
+    """(x, y, z, w) unit quaternion -> rotation matrix (numpy oracle)."""
+    x, y, z, w = q
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def test_polar_rotation_recovers_rotation(rng):
+    rots = np.stack([
+        _rot(rng.standard_normal(3), a)
+        for a in rng.uniform(-3.0, 3.0, size=16)
+    ])
+    # SPD stretch with eigenvalues in [0.4, 2.5]
+    f = np.empty_like(rots)
+    for i in range(len(rots)):
+        b = _rot(rng.standard_normal(3), rng.uniform(0, 3))
+        s = b @ np.diag(rng.uniform(0.4, 2.5, 3).astype(np.float32)) @ b.T
+        f[i] = rots[i] @ s
+    got = np.asarray(polar_rotation(jnp.asarray(f)))
+    assert np.abs(got - rots).max() < 1e-4
+    # orthogonality regardless
+    rtr = np.einsum("vba,vbc->vac", got, got)
+    assert np.abs(rtr - np.eye(3)).max() < 1e-5
+
+
+def test_polar_rotation_degenerate_is_identity():
+    f = np.zeros((3, 3, 3), np.float32)
+    f[1] = -np.eye(3)                      # reflection: det < 0
+    f[2, 0, 0] = 1.0                       # rank-1 collapse
+    got = np.asarray(polar_rotation(jnp.asarray(f)))
+    np.testing.assert_allclose(got, np.broadcast_to(np.eye(3), (3, 3, 3)))
+
+
+def test_quaternion_from_rotation_roundtrip(rng):
+    q = rng.standard_normal((64, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q *= np.where(q[:, 3:4] < 0, -1.0, 1.0)           # canonical w >= 0
+    mats = np.stack([_quat_to_mat(qi) for qi in q])
+    got = np.asarray(quaternion_from_rotation(jnp.asarray(mats)))
+    assert np.abs(got - q).max() < 1e-5
+
+
+def test_quaternion_multiply_matches_matrix_compose(rng):
+    qa = rng.standard_normal(4).astype(np.float32)
+    qb = rng.standard_normal(4).astype(np.float32)
+    qa, qb = qa / np.linalg.norm(qa), qb / np.linalg.norm(qb)
+    qc = np.asarray(quaternion_multiply(jnp.asarray(qa), jnp.asarray(qb)))
+    np.testing.assert_allclose(
+        _quat_to_mat(qc), _quat_to_mat(qa) @ _quat_to_mat(qb), atol=2e-6
+    )
+
+
+def _rigid_deformer(r_mat):
+    rest = fibonacci_points(40)
+    return Deformer.fit(
+        rest, rest @ r_mat.T,
+        DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                     solver="direct", term=PolyTerm.LINEAR),
+        DeformParams(radius=1.0, lam=0.01),
+    )
+
+
+def test_transform_attrs_rigid_rotation(rng):
+    """Rigidly rotated rig: vectors rotate by R, quats compose with R,
+    all through Deformer.transform_attrs' one shared Jacobian."""
+    r_mat = _rot([0.3, 1.0, 0.2], 0.5)
+    d = _rigid_deformer(r_mat)
+    pts = fibonacci_points(50)
+    v = rng.standard_normal((50, 3)).astype(np.float32)
+    q = rng.standard_normal((50, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w = np.ones(50, np.float32)
+    out = d.transform_attrs(pts, {"v": v, "orient": q, "N": pts}, w)
+    assert set(out) == {"v", "orient", "N"}
+    assert np.abs(np.asarray(out["v"]) - v @ r_mat.T).max() < 5e-3
+    qr = np.asarray(quaternion_from_rotation(jnp.asarray(r_mat[None])))[0]
+    want_q = np.asarray(
+        quaternion_multiply(jnp.asarray(qr)[None], jnp.asarray(q))
+    )
+    got_q = np.asarray(out["orient"])
+    # quats are sign-ambiguous: compare rotations
+    flip = np.where(np.sum(got_q * want_q, 1, keepdims=True) < 0, -1.0, 1.0)
+    assert np.abs(got_q * flip - want_q).max() < 5e-3
+    assert np.abs(np.asarray(out["N"]) - pts @ r_mat.T).max() < 5e-3
+
+
+def test_transform_attrs_stretch_semantics():
+    """x -> 1.5 x: vectors scale by 1.5, quaternions stay put (stretch
+    is discarded by the polar factor), normals keep direction."""
+    rest = fibonacci_points(40)
+    d = Deformer.fit(
+        rest, (1.5 * rest).astype(np.float32),
+        DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                     solver="direct", term=PolyTerm.LINEAR),
+        DeformParams(radius=1.0, lam=0.01),
+    )
+    pts = fibonacci_points(30)
+    v = pts.copy()
+    q = np.tile(np.float32([0, 0, 0, 1]), (30, 1))
+    out = d.transform_attrs(pts, {"v": v, "orient": q}, np.ones(30, np.float32))
+    assert np.abs(np.asarray(out["v"]) - 1.5 * v).max() < 2e-2
+    assert np.abs(np.asarray(out["orient"]) - q).max() < 5e-3
+
+
+def test_infer_attr_kind():
+    assert infer_attr_kind("N", np.zeros((5, 3))) == "normal"
+    assert infer_attr_kind("v", np.zeros((5, 3))) == "vector"
+    assert infer_attr_kind("orient", np.zeros((5, 4))) == "quaternion"
+    assert infer_attr_kind("pscale", np.zeros(5)) is None
+    assert infer_attr_kind("uv", np.zeros((5, 2))) is None
+
+
+def test_node_transform_attrs(rng):
+    """cook(transform_attrs=...) rewrites v/orient; unknown or
+    untransportable attrs warn and are left untouched."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    r_mat = _rot([0, 0, 1], 0.4)
+    mesh = uv_sphere(10, 10)
+    vcount = mesh.num_points
+    v = rng.standard_normal((vcount, 3)).astype(np.float32)
+    mesh.set_attr("v", v)
+    mesh.set_attr("pscale", np.ones(vcount, np.float32))
+    rig0 = Mesh(points=fibonacci_points(40))
+    rig1 = Mesh(points=(rig0.points @ r_mat.T).astype(np.float32))
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                       solver="direct", term=PolyTerm.LINEAR)
+    res = FaceDeformNode().cook(
+        [mesh, rig0, rig1], cfg, DeformParams(radius=1.0, lam=0.01),
+        transform_attrs=("v", "pscale", "ghost"),
+    )
+    assert np.abs(res.mesh.attr("v") - v @ r_mat.T).max() < 1e-2
+    np.testing.assert_allclose(res.mesh.attr("pscale"), 1.0)  # untouched
+    assert any("ghost" in w for w in res.warnings)
+    assert any("pscale" in w for w in res.warnings)
+
+
+def test_node_transform_attrs_shares_pass_with_update_normals(rng):
+    """update_normals + transform_attrs ride one transport pass; N uses
+    the cofactor rule even when also named in transform_attrs."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    r_mat = _rot([1, 0, 0], 0.3)
+    mesh = uv_sphere(8, 8)
+    n_attr = (mesh.points / np.linalg.norm(
+        mesh.points, axis=1, keepdims=True)).astype(np.float32)
+    mesh.set_attr("N", n_attr)
+    rig0 = Mesh(points=fibonacci_points(40))
+    rig1 = Mesh(points=(rig0.points @ r_mat.T).astype(np.float32))
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                       solver="direct", term=PolyTerm.LINEAR)
+    res = FaceDeformNode().cook(
+        [mesh, rig0, rig1], cfg, DeformParams(radius=1.0, lam=0.01),
+        update_normals=True, transform_attrs=("N",),
+    )
+    assert np.abs(res.mesh.attr("N") - n_attr @ r_mat.T).max() < 1e-2
+
+
+def test_pu_transform_attrs(rng):
+    """solver='pu' cooks transport attrs through the PU Jacobian."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    mesh = uv_sphere(10, 10)
+    vcount = mesh.num_points
+    v = rng.standard_normal((vcount, 3)).astype(np.float32)
+    mesh.set_attr("v", v)
+    rig0 = Mesh(points=fibonacci_points(48))
+    rig1 = Mesh(points=(1.25 * rig0.points).astype(np.float32))
+    res = FaceDeformNode().cook(
+        [mesh, rig0, rig1], DeformConfig(solver="pu", term=PolyTerm.LINEAR),
+        DeformParams(lam=0.01), transform_attrs=("v",),
+    )
+    assert np.abs(res.mesh.attr("v") - 1.25 * v).max() < 3e-2
