@@ -54,6 +54,12 @@ def _build_parser() -> argparse.ArgumentParser:
                         "fused); solver=pu shares one patch factorization "
                         "across frames (ops.pu.fit_pu_frames); falls back "
                         "per-frame for blends/picked/krylov")
+    s.add_argument("--out-velocity", type=float, default=None, metavar="FPS",
+                   help="write a per-frame `v` point attribute: backward "
+                        "difference v_f = (P_f - P_{f-1}) * FPS (frame 0 "
+                        "forward) — Houdini Trail SOP 'compute velocity' "
+                        "semantics for motion blur; overwrites any "
+                        "existing v attribute")
     _add_cook_flags(s)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
@@ -340,7 +346,6 @@ def _cmd_deform_seq(args) -> int:
         # P + disp_f * gate: one dispatch for all remaining solves+evals
         # (parallel.batched.deform_frames, MXU frames kernel on TPU).
         import jax.numpy as jnp
-        import numpy as np
 
         from facedeform_tpu.parallel import batched
 
@@ -353,9 +358,12 @@ def _cmd_deform_seq(args) -> int:
             if w not in warned:
                 warned.add(w)
                 print(f"warning: {w}", file=sys.stderr)
-        with stage("save", times):
-            save_mesh(os.path.join(args.outdir, args.out_pattern % 0),
-                      res0.mesh)
+        vel_fps = args.out_velocity
+        path0 = os.path.join(args.outdir, args.out_pattern % 0)
+        if vel_fps is None:
+            # velocity needs frame 1's positions first; defer the write
+            with stage("save", times):
+                save_mesh(path0, res0.mesh)
         if len(rigs) > 1:
             gate = np.asarray(
                 res0.mesh.point_attrs["fd_falloff"], np.float32
@@ -423,16 +431,38 @@ def _cmd_deform_seq(args) -> int:
                     # frames_arr covered frame 0 for the checkpoint; the
                     # written frame 0 stays the full node cook's output
                     out_frames = out_frames[1:]
+            if vel_fps is not None:
+                # Trail-SOP semantics: backward difference of the DEFORMED
+                # positions; frame 0 forward so every frame has motion
+                res0.mesh.set_attr("v", ((
+                    out_frames[0] - res0.mesh.points) * vel_fps
+                ).astype(np.float32))
+                with stage("save", times):
+                    save_mesh(path0, res0.mesh)
             for f in range(1, len(rigs)):
                 fm = res0.mesh.copy()
                 fm.points = np.ascontiguousarray(
                     out_frames[f - 1], np.float32
                 )
+                if vel_fps is not None:
+                    prev = (res0.mesh.points if f == 1
+                            else out_frames[f - 2])
+                    fm.set_attr("v", ((
+                        out_frames[f - 1] - prev) * vel_fps
+                    ).astype(np.float32))
                 with stage("save", times):
                     save_mesh(
                         os.path.join(args.outdir, args.out_pattern % f), fm
                     )
+        elif vel_fps is not None:
+            # single-frame "sequence": zero velocity, still write the attr
+            res0.mesh.set_attr("v", np.zeros_like(res0.mesh.points))
+            with stage("save", times):
+                save_mesh(path0, res0.mesh)
     else:
+        vel_fps = args.out_velocity
+        prev_pts = None      # previous frame's DEFORMED positions
+        held0 = None         # (mesh, path): frame 0 deferred until v_0 known
         for f, rig in enumerate(rigs):
             with stage(f"cook[{f}]", times):
                 res = node.cook(
@@ -446,8 +476,34 @@ def _cmd_deform_seq(args) -> int:
                     warned.add(w)
                     print(f"warning: {w}", file=sys.stderr)
             out_path = os.path.join(args.outdir, args.out_pattern % f)
-            with stage("save", times):
-                save_mesh(out_path, res.mesh)
+            if vel_fps is not None:
+                # backward difference of deformed positions; frame 0 uses
+                # the forward difference, so its write waits for frame 1
+                # (O(1) memory: only one frame is ever held)
+                if f == 0 and len(rigs) > 1:
+                    held0 = (res.mesh, out_path)
+                else:
+                    if f == 0:          # single-frame sequence
+                        res.mesh.set_attr(
+                            "v", np.zeros_like(res.mesh.points))
+                    else:
+                        if held0 is not None:
+                            m0, p0 = held0
+                            m0.set_attr("v", ((
+                                res.mesh.points - m0.points) * vel_fps
+                            ).astype(np.float32))
+                            with stage("save", times):
+                                save_mesh(p0, m0)
+                            held0 = None
+                        res.mesh.set_attr("v", ((
+                            res.mesh.points - prev_pts) * vel_fps
+                        ).astype(np.float32))
+                    with stage("save", times):
+                        save_mesh(out_path, res.mesh)
+                prev_pts = res.mesh.points
+            else:
+                with stage("save", times):
+                    save_mesh(out_path, res.mesh)
     n = len(rigs)
     dt = time.time() - t0
     if args.save_deformer:

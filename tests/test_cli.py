@@ -211,3 +211,58 @@ def test_cli_load_deformer_resume(tmp_path):
     rc = main(["deform", mesh_p, rig_p, drig_p, "-o", out2,
                "--load-deformer", seq_ck])
     assert rc == 1
+
+
+def test_cli_deform_seq_out_velocity(tmp_path):
+    """--out-velocity writes Trail-SOP-style backward-difference v attrs:
+    identical between the batch and per-frame paths, consistent with the
+    written positions, and forward-difference on frame 0."""
+    import numpy as np
+
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    mesh = uv_sphere(10, 10)
+    rig_pts = fibonacci_points(20)
+    save_geo(str(tmp_path / "mesh.geo"), mesh)
+    save_geo(str(tmp_path / "rig.geo"), Mesh(points=rig_pts))
+    rig_frames = []
+    for f in range(3):
+        p = str(tmp_path / f"posed{f}.geo")
+        save_geo(p, Mesh(points=rig_pts * (1.0 + 0.04 * (f + 1))))
+        rig_frames.append(p)
+
+    fps = 24.0
+    base = ["deform-seq", str(tmp_path / "mesh.geo"),
+            str(tmp_path / "rig.geo"), *rig_frames,
+            "--out-pattern", "f_%02d.geo", "--radius", "2.0",
+            "--out-velocity", str(fps)]
+    assert main(base + ["-o", str(tmp_path / "pf")]) == 0
+    assert main(base + ["-o", str(tmp_path / "bt"), "--batch"]) == 0
+
+    pf = [load_geo(str(tmp_path / "pf" / f"f_{f:02d}.geo")) for f in range(3)]
+    bt = [load_geo(str(tmp_path / "bt" / f"f_{f:02d}.geo")) for f in range(3)]
+    for f in range(3):
+        assert "v" in pf[f].point_attrs, f"frame {f} missing v"
+        np.testing.assert_allclose(
+            bt[f].point_attrs["v"], pf[f].point_attrs["v"], atol=2e-3,
+            err_msg=f"batch vs per-frame v, frame {f}",
+        )
+    # backward difference of the written positions (frame 0: forward)
+    np.testing.assert_allclose(
+        pf[2].point_attrs["v"], (pf[2].points - pf[1].points) * fps,
+        atol=1e-4)
+    np.testing.assert_allclose(
+        pf[0].point_attrs["v"], (pf[1].points - pf[0].points) * fps,
+        atol=1e-4)
+
+    # single-frame sequence: zero velocity, attr still present
+    assert main(["deform-seq", str(tmp_path / "mesh.geo"),
+                 str(tmp_path / "rig.geo"), rig_frames[0],
+                 "--out-pattern", "f_%02d.geo", "--radius", "2.0",
+                 "--out-velocity", str(fps),
+                 "-o", str(tmp_path / "one")]) == 0
+    one = load_geo(str(tmp_path / "one" / "f_00.geo"))
+    np.testing.assert_allclose(one.point_attrs["v"], 0.0)
