@@ -123,6 +123,10 @@ def _add_cook_flags(d) -> None:
                         "through the deformation gradient: (V,3) attrs as "
                         "vectors (v' = F v; N by the cofactor rule), (V,4) "
                         "as orientation quaternions (rotation factor of F)")
+    d.add_argument("--output-stretch", action="store_true",
+                   help="write fd_stretch/fd_compress point attrs (max/min "
+                        "singular value of the deformation gradient): "
+                        "rigging QC for stretched or pinched regions")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
 
 
@@ -225,6 +229,7 @@ def _cmd_deform(args) -> int:
             group=args.group, picked=args.picked, deformer=ext_deformer,
             update_normals=args.update_normals,
             transform_attrs=_split_attr_names(args.transform_attrs),
+            output_stretch=args.output_stretch,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -329,6 +334,8 @@ def _cmd_deform_seq(args) -> int:
             blockers.append("--update-normals needs per-frame cooks")
         if args.transform_attrs:
             blockers.append("--transform-attrs needs per-frame cooks")
+        if args.output_stretch:
+            blockers.append("--output-stretch needs per-frame cooks")
         if blockers:
             print(
                 "warning: --batch falls back to per-frame cooks "
@@ -470,6 +477,7 @@ def _cmd_deform_seq(args) -> int:
                     group=args.group, picked=args.picked,
                     update_normals=args.update_normals,
                     transform_attrs=_split_attr_names(args.transform_attrs),
+                    output_stretch=args.output_stretch,
                 )
             for w in res.warnings:
                 if w not in warned:  # each distinct warning once per sequence

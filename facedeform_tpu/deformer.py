@@ -200,6 +200,19 @@ class Deformer:
             self.jacobian(points), attrs, weight, self.cfg, frame, kinds
         )
 
+    def principal_stretches(self, points, weight, frame=None):
+        """Per-vertex singular values of the applied map's deformation
+        gradient, descending; (V, 3).  sigma_max > 1 = local stretch,
+        sigma_min < 1 = compression, rigid regions give (1, 1, 1) —
+        the rigging QC metric behind node cook(output_stretch=True)."""
+        from facedeform_tpu.ops.jacobian import (
+            _applied_gradient, principal_stretches,
+        )
+
+        return principal_stretches(_applied_gradient(
+            self.jacobian(points), weight, self.cfg, frame
+        ))
+
     def apply(
         self,
         points,

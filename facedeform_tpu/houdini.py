@@ -89,6 +89,7 @@ PARM_SPECS: List[Tuple[str, str, str, object, object]] = [
     ("strict_parity", "Strict reference parity", "toggle", 0, None),
     ("update_normals", "Update normals", "toggle", 0, None),
     ("transform_attrs", "Transform attributes", "string", "", None),
+    ("output_stretch", "Output stretch", "toggle", 0, None),
 ]
 
 _SOLVER_NAMES = ("auto", "direct", "krylov", "pu")
@@ -347,6 +348,7 @@ def cook_sop(node) -> Optional[CookResult]:
             transform_attrs=tuple(
                 s for s in (p.strip() for p in tr_attrs.split(",")) if s
             ) or None,
+            output_stretch=bool(_eval_parm(node, "output_stretch", 0)),
         )
     except errors.FaceDeformError as e:
         raise hou.NodeError(str(e)) from e

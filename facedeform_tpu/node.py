@@ -164,6 +164,7 @@ class FaceDeformNode:
         deformer=None,
         update_normals: bool = False,
         transform_attrs: Optional[Sequence[str]] = None,
+        output_stretch: bool = False,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -191,6 +192,9 @@ class FaceDeformNode:
         as orientation quaternions rotated by the polar factor of F) —
         both share ONE Jacobian pass.  The reference copies all non-P
         attributes through untouched (src/SOP_FaceDeform.cpp:438).
+        `output_stretch` writes fd_stretch / fd_compress (max / min
+        singular value of F per vertex) — rigging QC for where the map
+        stretches or pinches the surface.
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -499,6 +503,20 @@ class FaceDeformNode:
                     "morphspace reconstruction does not transport "
                     "normals"
                 )
+        if output_stretch:
+            if not hasattr(deformer, "principal_stretches"):
+                warnings.append(
+                    "output_stretch: not available for this model family; "
+                    "skipping"
+                )
+            else:
+                with stage("stretch", times):
+                    sig = np.asarray(deformer.principal_stretches(
+                        out.points, np.asarray(falloff, np.float32),
+                        frame=frame,
+                    ), np.float32)
+                out.set_attr("fd_stretch", sig[:, 0])
+                out.set_attr("fd_compress", sig[:, 2])
         if picked:
             # Eval-pass falloff viz: the reference maps falloff onto an HSV
             # 200..250 hue when the node is selected ("picked",

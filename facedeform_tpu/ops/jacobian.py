@@ -279,6 +279,41 @@ def transform_quaternions(quats: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@jax.jit
+def principal_stretches(f: jnp.ndarray) -> jnp.ndarray:
+    """Singular values of F, descending; (V, 3).
+
+    sigma_i = sqrt(eig_i(F^T F)) via the closed-form trigonometric
+    symmetric-3x3 eigenvalue formula (no linalg calls — fuses on the
+    VPU next to the Jacobian that produced F).  sigma_max > 1 means
+    local stretch, sigma_min < 1 compression; a rigid map gives
+    (1, 1, 1).  Rigging QC: node cook(output_stretch=True) writes these
+    as fd_stretch / fd_compress."""
+    f = f.astype(jnp.float32)
+    a = jnp.einsum("vba,vbc->vac", f, f, **_HP)              # F^T F, SPD
+    a11, a22, a33 = a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]
+    a12, a13, a23 = a[..., 0, 1], a[..., 0, 2], a[..., 1, 2]
+    q = (a11 + a22 + a33) / 3.0
+    p1 = a12 * a12 + a13 * a13 + a23 * a23
+    p2 = ((a11 - q) ** 2 + (a22 - q) ** 2 + (a33 - q) ** 2 + 2.0 * p1)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 0.0))
+    safe_p = jnp.maximum(p, 1e-12)
+    b11, b22, b33 = (a11 - q) / safe_p, (a22 - q) / safe_p, (a33 - q) / safe_p
+    b12, b13, b23 = a12 / safe_p, a13 / safe_p, a23 / safe_p
+    det_b = (b11 * (b22 * b33 - b23 * b23)
+             - b12 * (b12 * b33 - b23 * b13)
+             + b13 * (b12 * b23 - b22 * b13))
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    # p ~ 0: A = qI (isotropic); the formula's 0/0 is guarded by safe_p,
+    # and e_i -> q automatically since the cos terms carry the p factor
+    eigs = jnp.stack([e1, e2, e3], axis=-1)                   # descending
+    return jnp.sqrt(jnp.maximum(eigs, 0.0))
+
+
 #: transport rules by Houdini typeinfo-style kind
 ATTR_KINDS = ("vector", "normal", "quaternion")
 

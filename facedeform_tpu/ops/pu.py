@@ -1374,3 +1374,14 @@ class PUNodeDeformer:
         return transport_attrs(
             self.pud.jacobian(points), attrs, weight, self.cfg, frame, kinds
         )
+
+    def principal_stretches(self, points, weight, frame=None):
+        """Singular values of the applied PU map's deformation gradient;
+        same contract as Deformer.principal_stretches."""
+        from facedeform_tpu.ops.jacobian import (
+            _applied_gradient, principal_stretches,
+        )
+
+        return principal_stretches(_applied_gradient(
+            self.pud.jacobian(points), weight, self.cfg, frame
+        ))

@@ -210,3 +210,66 @@ def test_pu_transform_attrs(rng):
         DeformParams(lam=0.01), transform_attrs=("v",),
     )
     assert np.abs(res.mesh.attr("v") - 1.25 * v).max() < 3e-2
+
+
+def test_principal_stretches_matches_svd(rng):
+    """Closed-form trig eigenvalues of F^T F vs numpy SVD, descending."""
+    from facedeform_tpu.ops.jacobian import principal_stretches
+
+    f = rng.standard_normal((32, 3, 3)).astype(np.float32)
+    f += 2.0 * np.eye(3, dtype=np.float32)        # keep well-posed
+    got = np.asarray(principal_stretches(jnp.asarray(f)))
+    want = np.linalg.svd(f.astype(np.float64), compute_uv=False)
+    assert np.abs(got - want).max() < 1e-4
+    # isotropic row: p = 0 branch
+    iso = np.broadcast_to(1.7 * np.eye(3, dtype=np.float32), (1, 3, 3))
+    got_iso = np.asarray(principal_stretches(jnp.asarray(iso)))
+    np.testing.assert_allclose(got_iso, 1.7, atol=1e-5)
+
+
+def test_deformer_principal_stretches_rigid_and_scaled(rng):
+    """Rigid rotation -> (1,1,1); uniform 1.4 scale -> (1.4,)*3."""
+    r_mat = _rot([0.2, 1.0, -0.3], 0.6)
+    d = _rigid_deformer(r_mat)
+    pts = fibonacci_points(30)
+    sig = np.asarray(d.principal_stretches(pts, np.ones(30, np.float32)))
+    assert np.abs(sig - 1.0).max() < 5e-3
+
+    rest = fibonacci_points(40)
+    ds = Deformer.fit(
+        rest, (1.4 * rest).astype(np.float32),
+        DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                     solver="direct", term=PolyTerm.LINEAR),
+        DeformParams(radius=1.0, lam=0.01),
+    )
+    sig = np.asarray(ds.principal_stretches(pts, np.ones(30, np.float32)))
+    assert np.abs(sig - 1.4).max() < 2e-2
+
+
+def test_node_output_stretch(rng):
+    """cook(output_stretch=True) writes fd_stretch/fd_compress; a uniform
+    1.3x scale gives ~1.3 everywhere, and the PU route agrees."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    mesh = uv_sphere(10, 10)
+    rig0 = Mesh(points=fibonacci_points(48))
+    rig1 = Mesh(points=(1.3 * rig0.points).astype(np.float32))
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                       solver="direct", term=PolyTerm.LINEAR)
+    res = FaceDeformNode().cook(
+        [mesh, rig0, rig1], cfg, DeformParams(radius=1.0, lam=0.01),
+        output_stretch=True,
+    )
+    s = res.mesh.attr("fd_stretch")
+    c = res.mesh.attr("fd_compress")
+    assert np.abs(s - 1.3).max() < 3e-2
+    assert np.abs(c - 1.3).max() < 3e-2
+    assert (s >= c - 1e-5).all()
+
+    res_pu = FaceDeformNode().cook(
+        [mesh, rig0, rig1], DeformConfig(solver="pu", term=PolyTerm.LINEAR),
+        DeformParams(lam=0.01), output_stretch=True,
+    )
+    assert np.abs(res_pu.mesh.attr("fd_stretch") - 1.3).max() < 5e-2

@@ -65,9 +65,7 @@ def test_apply_kernel_jvp_finite_at_r0(kernel):
     assert np.isfinite(float(g))
 
 
-@pytest.mark.parametrize(
-    "kernel", [RBFKernel.GAUSSIAN, RBFKernel.THIN_PLATE, RBFKernel.WENDLAND_C2]
-)
+@pytest.mark.parametrize("kernel", ALL_KERNELS)
 def test_displacement_jacobian_matches_autodiff(rng, kernel):
     """Analytic two-matmul Jacobian == jacfwd of the tested evaluate path,
     including a query exactly at a control point."""
