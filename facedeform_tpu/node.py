@@ -485,16 +485,38 @@ class FaceDeformNode:
                 break
             to_transport[name] = vals
             transport_kinds[name] = kind
+        # Sharded cooks on the global families ride the vertex-sharded
+        # Jacobian pass (parallel/sharding.sharded_transport) — transport
+        # and stretch computed together, one pass, zero collectives.  PU
+        # keeps the single-device Jacobian (its plan gathers don't shard).
+        use_sharded_jac = (
+            mesh_devices is not None
+            and not isinstance(deformer, _PUND)
+            and hasattr(deformer, "model")
+        )
+        stretch_sig = None
         if to_transport:
             with stage("normals", times):
                 # Query at the REST positions (where the map acted);
                 # `falloff` is the per-vertex multiplier apply used
                 # (incl. group gating), treated locally constant.
-                moved = deformer.transform_attrs(
-                    out.points, to_transport,
-                    np.asarray(falloff, np.float32), frame=frame,
-                    kinds=transport_kinds,
-                )
+                w_arr = np.asarray(falloff, np.float32)
+                if use_sharded_jac:
+                    from facedeform_tpu.parallel.sharding import (
+                        sharded_transport,
+                    )
+
+                    moved, stretch_sig = sharded_transport(
+                        deformer.model, out.points, to_transport, w_arr,
+                        deformer.cfg, mesh_devices, frame=frame,
+                        kinds=transport_kinds,
+                        want_stretch=output_stretch,
+                    )
+                else:
+                    moved = deformer.transform_attrs(
+                        out.points, to_transport, w_arr, frame=frame,
+                        kinds=transport_kinds,
+                    )
                 for name, arr in moved.items():
                     out.set_attr(name, np.asarray(arr, np.float32))
             if dbse_model is not None:
@@ -504,17 +526,32 @@ class FaceDeformNode:
                     "normals"
                 )
         if output_stretch:
-            if not hasattr(deformer, "principal_stretches"):
+            if stretch_sig is None and not hasattr(
+                deformer, "principal_stretches"
+            ):
                 warnings.append(
                     "output_stretch: not available for this model family; "
                     "skipping"
                 )
             else:
                 with stage("stretch", times):
-                    sig = np.asarray(deformer.principal_stretches(
-                        out.points, np.asarray(falloff, np.float32),
-                        frame=frame,
-                    ), np.float32)
+                    if stretch_sig is None and use_sharded_jac:
+                        from facedeform_tpu.parallel.sharding import (
+                            sharded_transport,
+                        )
+
+                        _, stretch_sig = sharded_transport(
+                            deformer.model, out.points, {},
+                            np.asarray(falloff, np.float32),
+                            deformer.cfg, mesh_devices, frame=frame,
+                            want_stretch=True,
+                        )
+                    elif stretch_sig is None:
+                        stretch_sig = deformer.principal_stretches(
+                            out.points, np.asarray(falloff, np.float32),
+                            frame=frame,
+                        )
+                    sig = np.asarray(stretch_sig, np.float32)
                 out.set_attr("fd_stretch", sig[:, 0])
                 out.set_attr("fd_compress", sig[:, 2])
         if picked:

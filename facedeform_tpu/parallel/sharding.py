@@ -213,3 +213,108 @@ def deform_step(
         check_vma=False,
     )(p_new, p_old)
     return new_pts, w, gmax
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kinds", "cfg", "mesh", "want_stretch"
+))
+def _sharded_transport_jit(
+    model, points, values, weight, frame, kinds, cfg, mesh, want_stretch
+):
+    from facedeform_tpu.ops.jacobian import (
+        _applied_gradient, displacement_jacobian, principal_stretches,
+        transform_normals, transform_quaternions, transform_vectors,
+    )
+
+    rules = {
+        "vector": transform_vectors,
+        "normal": transform_normals,
+        "quaternion": transform_quaternions,
+    }
+    n_dev = mesh.shape[VERTEX_AXIS]
+    v = points.shape[0]
+    pad = (-v) % n_dev
+    pts = jnp.pad(points.astype(jnp.float32), ((0, pad), (0, 0)))
+    w = jnp.pad(weight.astype(jnp.float32), (0, pad))
+    vals = tuple(
+        jnp.pad(jnp.asarray(val, jnp.float32), ((0, pad), (0, 0)))
+        for val in values
+    )
+    if frame is not None:
+        frame = tuple(
+            jnp.pad(jnp.asarray(f, jnp.float32), ((0, pad), (0, 0)))
+            for f in frame
+        )
+    kernel = fit_mod.effective_kernel(cfg)
+
+    def body(m, p, wt, vs, fr):
+        jac = displacement_jacobian(m, p, kernel, cfg.term)
+        f = _applied_gradient(jac, wt, cfg, fr)
+        outs = [rules[k](val, f) for val, k in zip(vs, kinds)]
+        if want_stretch:
+            outs.append(principal_stretches(f))
+        return tuple(outs)
+
+    nv = len(vals)
+    frame_specs = () if frame is None else ((P(VERTEX_AXIS),) * 3,)
+    n_out = nv + (1 if want_stretch else 0)
+    mapped = jax.shard_map(
+        lambda m, p, wt, *rest: body(
+            m, p, wt, rest[:nv],
+            rest[nv] if frame is not None else None,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(VERTEX_AXIS), P(VERTEX_AXIS))
+        + (P(VERTEX_AXIS),) * nv + frame_specs,
+        out_specs=(P(VERTEX_AXIS),) * n_out,
+        check_vma=False,
+    )
+    args = (model, pts, w) + vals + (() if frame is None else (frame,))
+    outs = mapped(*args)
+    return tuple(o[:v] for o in outs)
+
+
+def sharded_transport(
+    model: RBFModel,
+    points,
+    attrs: dict,
+    weight,
+    cfg: DeformConfig,
+    mesh: Mesh,
+    frame=None,
+    kinds: dict | None = None,
+    want_stretch: bool = False,
+):
+    """Vertex-sharded attribute transport (+ optional principal stretches).
+
+    The multichip twin of ops.jacobian.transport_attrs: each chip builds
+    the displacement Jacobian for its own vertex shard against the
+    replicated model and applies the per-kind rules — zero collectives,
+    the same design as sharded_apply (the reference's thread-pool contract,
+    SOP_FaceDeform.hpp:116-188: promotion must not change results).
+    Global families only; PU transport stays single-device
+    (ops.pu.jacobian_pu's plan gathers don't shard).
+
+    Returns ({name: transported}, stretches (V, 3) or None).
+    """
+    from facedeform_tpu.ops.jacobian import ATTR_KINDS, infer_attr_kind
+
+    names = tuple(attrs.keys())
+    resolved = []
+    for name in names:
+        kind = (kinds or {}).get(name) or infer_attr_kind(name, attrs[name])
+        if kind not in ATTR_KINDS:
+            raise ValueError(
+                f"attribute {name!r}: no transport rule for kind {kind!r}"
+            )
+        resolved.append(kind)
+    outs = _sharded_transport_jit(
+        model, jnp.asarray(points, jnp.float32),
+        tuple(attrs[n] for n in names),
+        jnp.asarray(weight, jnp.float32),
+        None if frame is None else tuple(frame),
+        tuple(resolved), cfg.eval_view(), mesh, bool(want_stretch),
+    )
+    moved = dict(zip(names, outs[:len(names)]))
+    sig = outs[len(names)] if want_stretch else None
+    return moved, sig

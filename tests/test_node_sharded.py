@@ -140,3 +140,44 @@ def test_cook_sharded_growing_kernel_precise(rng, dev_mesh):
     np.testing.assert_allclose(
         res_sharded.mesh.points, res_single.mesh.points, atol=1e-5
     )
+
+
+def test_cook_sharded_transport_and_stretch_matches_single(rng, dev_mesh):
+    """mesh_devices cooks route update_normals / transform_attrs /
+    output_stretch through the vertex-sharded Jacobian pass
+    (parallel.sharding.sharded_transport) — results must match the
+    single-device transport exactly in structure and to fp tolerance."""
+    mesh, r0, r1 = _inputs(rng)
+    n_attr = (mesh.points / np.linalg.norm(
+        mesh.points, axis=1, keepdims=True)).astype(np.float32)
+    mesh.set_attr("N", n_attr)
+    mesh.set_attr("v", rng.standard_normal(
+        (mesh.num_points, 3)).astype(np.float32))
+    q = rng.standard_normal((mesh.num_points, 4)).astype(np.float32)
+    mesh.set_attr("orient", q / np.linalg.norm(q, axis=1, keepdims=True))
+    kw = dict(update_normals=True, transform_attrs=("v", "orient"),
+              output_stretch=True)
+    res_single = FaceDeformNode().cook([mesh, r0, r1], **kw)
+    res_sharded = FaceDeformNode().cook(
+        [mesh, r0, r1], mesh_devices=dev_mesh, **kw
+    )
+    for name in ("N", "v", "orient", "fd_stretch", "fd_compress"):
+        np.testing.assert_allclose(
+            res_sharded.mesh.attr(name), res_single.mesh.attr(name),
+            atol=2e-5, err_msg=name,
+        )
+    # the stretch field is real: a pure 1.05x scale reads ~1.05
+    assert np.abs(res_sharded.mesh.attr("fd_stretch") - 1.05).max() < 2e-2
+
+
+def test_cook_sharded_stretch_only(rng, dev_mesh):
+    """output_stretch without any transport still shards."""
+    mesh, r0, r1 = _inputs(rng)
+    res_single = FaceDeformNode().cook([mesh, r0, r1], output_stretch=True)
+    res_sharded = FaceDeformNode().cook(
+        [mesh, r0, r1], mesh_devices=dev_mesh, output_stretch=True
+    )
+    np.testing.assert_allclose(
+        res_sharded.mesh.attr("fd_stretch"),
+        res_single.mesh.attr("fd_stretch"), atol=2e-5,
+    )
