@@ -148,7 +148,9 @@ def _skip_reason(entry: List[Any], kind: str) -> str:
 
 
 def _decode_attribute(entry: List[Any], n_expected: int):
-    """One attribute entry: [definition-pairs, data-pairs] -> (name, array)."""
+    """One attribute entry: [definition-pairs, data-pairs] ->
+    (name, array, typeinfo) — typeinfo is Houdini's options.type qualifier
+    ("point"/"vector"/"normal"/"quaternion"/"color"/...) or None."""
     if not isinstance(entry, list) or len(entry) != 2:
         return None
     defn = _pairs(entry[0])
@@ -159,13 +161,21 @@ def _decode_attribute(entry: List[Any], n_expected: int):
     values = data.get("values")
     if name is None or values is None:
         return None
+    typeinfo = None
+    options = defn.get("options")
+    if isinstance(options, dict):
+        t = options.get("type")
+        if isinstance(t, dict):
+            typeinfo = t.get("value")
+        elif isinstance(t, str):
+            typeinfo = t
     arr = _decode_values(_pairs(values) if isinstance(values, list) else values,
                          n_expected)
     if arr is None:
         return None
     if arr.shape[-1] == 1:
         arr = arr[..., 0]
-    return name, arr
+    return name, arr, typeinfo
 
 
 def _decode_group(entry: List[Any], n_points: int):
@@ -302,6 +312,7 @@ def load_geo(path: str) -> Mesh:
     points = np.zeros((n_points, 3), np.float32)
     point_attrs: Dict[str, np.ndarray] = {}
     detail_attrs: Dict[str, np.ndarray] = {}
+    attr_typeinfo: Dict[str, str] = {}
     attrs = top.get("attributes")
     if attrs is not None:
         attrs = _pairs(attrs)
@@ -310,17 +321,19 @@ def load_geo(path: str) -> Mesh:
             if decoded is None:
                 load_warnings.append(_skip_reason(entry, "point attribute"))
                 continue
-            name, arr = decoded
+            name, arr, typeinfo = decoded
             if name == "P":
                 points = np.asarray(arr, np.float32)[:, :3]
             else:
                 point_attrs[name] = arr
+                if typeinfo:
+                    attr_typeinfo[name] = typeinfo
         for entry in attrs.get("globalattributes", []) or []:
             decoded = _decode_attribute(entry, 1)
             if decoded is None:
                 load_warnings.append(_skip_reason(entry, "detail attribute"))
                 continue
-            name, arr = decoded
+            name, arr, _ = decoded
             detail_attrs[name] = np.asarray(arr).reshape(-1)
 
     faces = None
@@ -331,6 +344,7 @@ def load_geo(path: str) -> Mesh:
     mesh = Mesh(points=points, faces=faces)
     for name, arr in point_attrs.items():
         mesh.set_attr(name, arr)
+    mesh.attr_typeinfo.update(attr_typeinfo)
     mesh.detail_attrs.update(detail_attrs)
     for entry in top.get("pointgroups", []) or []:
         decoded = _decode_group(entry, n_points)
@@ -343,7 +357,21 @@ def load_geo(path: str) -> Mesh:
 
 
 # --------------------------------------------------------------------- save
-def _encode_attribute(name: str, arr: np.ndarray) -> List[Any]:
+#: default Houdini typeinfo qualifiers by conventional attribute name —
+#: used when the Mesh carries no explicit attr_typeinfo entry, so N / v /
+#: orient land in Houdini with transform semantics instead of plain floats
+_DEFAULT_TYPEINFO = {
+    "P": "point", "rest": "point",
+    "N": "normal",
+    "v": "vector", "up": "vector", "tangentu": "vector", "tangentv": "vector",
+    "orient": "quaternion", "rot": "quaternion",
+    "Cd": "color",
+}
+
+
+def _encode_attribute(
+    name: str, arr: np.ndarray, typeinfo: str | None = None
+) -> List[Any]:
     arr = np.asarray(arr)
     if arr.ndim == 1:
         arr = arr[:, None]
@@ -356,12 +384,16 @@ def _encode_attribute(name: str, arr: np.ndarray) -> List[Any]:
         arr = arr.astype(np.float32)
         defaults_storage = "fpreal64"
     size = arr.shape[1]
+    typeinfo = typeinfo or _DEFAULT_TYPEINFO.get(name)
+    options = (
+        {"type": {"type": "string", "value": typeinfo}} if typeinfo else {}
+    )
     return [
         [
             "scope", "public",
             "type", "numeric",
             "name", name,
-            "options", {},
+            "options", options,
         ],
         [
             "size", size,
@@ -392,7 +424,9 @@ def save_geo(path: str, mesh: Mesh) -> None:
 
     point_attrs = [_encode_attribute("P", mesh.points)]
     for name, arr in mesh.point_attrs.items():
-        point_attrs.append(_encode_attribute(name, arr))
+        point_attrs.append(_encode_attribute(
+            name, arr, mesh.attr_typeinfo.get(name)
+        ))
     global_attrs = [
         _encode_attribute(name, np.asarray(arr).reshape(1, -1))
         for name, arr in mesh.detail_attrs.items()

@@ -51,6 +51,11 @@ class Mesh:
     point_attrs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     detail_attrs: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
     point_groups: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    #: Houdini-style attribute typeinfo qualifiers per point attr
+    #: ("point" | "vector" | "normal" | "quaternion" | "color") — read
+    #: from .geo files and written back by the bridge; node attribute
+    #: transport honors these over name/width inference.
+    attr_typeinfo: Dict[str, str] = dataclasses.field(default_factory=dict)
     _pos_id: int = dataclasses.field(default_factory=_next_id)
     _top_id: int = dataclasses.field(default_factory=_next_id)
     _attr_id: int = dataclasses.field(default_factory=_next_id)
@@ -172,6 +177,7 @@ class Mesh:
             point_attrs={k: v.copy() for k, v in self.point_attrs.items()},
             detail_attrs={k: np.copy(v) for k, v in self.detail_attrs.items()},
             point_groups={k: v.copy() for k, v in self.point_groups.items()},
+            attr_typeinfo=dict(self.attr_typeinfo),
         )
 
     def reorder_spatial(self) -> "Mesh":
@@ -201,6 +207,7 @@ class Mesh:
             point_attrs={k: v[perm] for k, v in self.point_attrs.items()},
             detail_attrs={k: np.copy(v) for k, v in self.detail_attrs.items()},
             point_groups={k: v[perm] for k, v in self.point_groups.items()},
+            attr_typeinfo=dict(self.attr_typeinfo),
         )
 
     def triangles(self) -> Optional[np.ndarray]:

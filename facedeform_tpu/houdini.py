@@ -123,10 +123,18 @@ def mesh_from_geometry(geo, warnings: Optional[List[str]] = None) -> Mesh:
     pts = np.asarray(geo.pointFloatAttribValues("P"), np.float32).reshape(v, 3)
 
     point_attrs: Dict[str, np.ndarray] = {}
+    attr_typeinfo: Dict[str, str] = {}
     for attrib in geo.pointAttribs():
         name = attrib.name()
         if name == "P":
             continue
+        # hou.Attrib.qualifier(): "Vector"/"Normal"/"Quaternion"/... —
+        # carried as Mesh.attr_typeinfo so transform_attrs kind inference
+        # matches Houdini's own transform semantics (guarded getattr: the
+        # test mock and very old hou builds may not expose it)
+        qual = str(getattr(attrib, "qualifier", lambda: "")() or "").lower()
+        if qual in ("point", "vector", "normal", "quaternion", "color"):
+            attr_typeinfo[name] = qual
         size = attrib.size()
         dt = attrib.dataType()
         if dt == hou.attribData.Float:
@@ -151,17 +159,21 @@ def mesh_from_geometry(geo, warnings: Optional[List[str]] = None) -> Mesh:
         for i, p in enumerate(polys):
             faces[i, : len(p)] = p
 
-    mesh = Mesh(points=pts, faces=faces, point_attrs=point_attrs)
+    mesh = Mesh(points=pts, faces=faces, point_attrs=point_attrs,
+                attr_typeinfo=attr_typeinfo)
     for g in geo.pointGroups():
         idx = np.asarray([p.number() for p in g.points()], np.int64)
         mesh.set_group(g.name(), idx)
     return mesh
 
 
-def write_mesh_to_geometry(geo, mesh: Mesh) -> None:
+def write_mesh_to_geometry(geo, mesh: Mesh, extra_attrs=()) -> None:
     """Write a cooked Mesh back onto a (writable) hou.Geometry in place:
     deformed P plus the produced attributes (`fd_falloff`, `Cd`, `rest`,
-    DBSE `weights` detail array — src/SOP_FaceDeform.cpp:401,425,438,474-480).
+    DBSE `weights` detail array — src/SOP_FaceDeform.cpp:401,425,438,474-480)
+    plus `extra_attrs` (CookResult.transported: the attrs update_normals /
+    transform_attrs / output_stretch rewrote this cook — only what changed
+    rides back, unchanged input attrs are not re-uploaded).
     """
     import hou
 
@@ -171,7 +183,7 @@ def write_mesh_to_geometry(geo, mesh: Mesh) -> None:
     geo.setPointFloatAttribValues(
         "P", np.ascontiguousarray(mesh.points, np.float32).ravel()
     )
-    for name in ("fd_falloff", "Cd", "rest"):
+    for name in ("fd_falloff", "Cd", "rest") + tuple(extra_attrs):
         val = mesh.point_attrs.get(name)
         if val is None:
             continue
@@ -362,7 +374,7 @@ def cook_sop(node) -> Optional[CookResult]:
             f"output geometry has {len(geo.points())} points, cook produced "
             f"{result.mesh.num_points}"
         )
-    write_mesh_to_geometry(geo, result.mesh)
+    write_mesh_to_geometry(geo, result.mesh, extra_attrs=result.transported)
 
     warnings += result.warnings
     if warnings:

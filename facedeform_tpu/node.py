@@ -53,6 +53,10 @@ class CookResult:
     messages: List[str]
     capture: Optional[CaptureResult]
     weights: Optional[np.ndarray]    # DBSE per-shape weights (detail attr)
+    #: point attrs this cook rewrote beyond P/fd_falloff/Cd/rest
+    #: (update_normals / transform_attrs / output_stretch outputs) —
+    #: host adapters use this to write back only what changed
+    transported: tuple = ()
 
 
 def _fit_params_key(params: DeformParams) -> tuple:
@@ -469,7 +473,9 @@ class FaceDeformNode:
                     " skipping"
                 )
                 continue
-            kind = infer_attr_kind(name, vals)
+            kind = infer_attr_kind(
+                name, vals, out.attr_typeinfo.get(name)
+            )
             if kind is None:
                 warnings.append(
                     f"transform_attrs: {name!r} has shape "
@@ -495,6 +501,7 @@ class FaceDeformNode:
             and hasattr(deformer, "model")
         )
         stretch_sig = None
+        transported_names: List[str] = []
         if to_transport:
             with stage("normals", times):
                 # Query at the REST positions (where the map acted);
@@ -519,6 +526,7 @@ class FaceDeformNode:
                     )
                 for name, arr in moved.items():
                     out.set_attr(name, np.asarray(arr, np.float32))
+                    transported_names.append(name)
             if dbse_model is not None:
                 warnings.append(
                     "update_normals reflects the RBF pass; the "
@@ -554,6 +562,7 @@ class FaceDeformNode:
                     sig = np.asarray(stretch_sig, np.float32)
                 out.set_attr("fd_stretch", sig[:, 0])
                 out.set_attr("fd_compress", sig[:, 2])
+                transported_names += ["fd_stretch", "fd_compress"]
         if picked:
             # Eval-pass falloff viz: the reference maps falloff onto an HSV
             # 200..250 hue when the node is selected ("picked",
@@ -620,4 +629,5 @@ class FaceDeformNode:
         return CookResult(
             mesh=out, warnings=warnings, messages=messages,
             capture=capture, weights=weights_out,
+            transported=tuple(transported_names),
         )

@@ -318,12 +318,18 @@ def principal_stretches(f: jnp.ndarray) -> jnp.ndarray:
 ATTR_KINDS = ("vector", "normal", "quaternion")
 
 
-def infer_attr_kind(name: str, values) -> str | None:
-    """Best-effort kind from Houdini naming conventions + width.
+def infer_attr_kind(name: str, values, typeinfo: str | None = None) -> str | None:
+    """Best-effort kind from Houdini typeinfo, naming conventions + width.
 
-    N/normal-ish (3-wide) -> normal; 4-wide -> quaternion (orient/rot);
-    other 3-wide -> vector; anything else -> None (not transportable)."""
+    An explicit typeinfo qualifier (mesh.attr_typeinfo, read from .geo
+    files) wins when its width matches; otherwise N/normal-ish (3-wide)
+    -> normal, 4-wide -> quaternion (orient/rot), other 3-wide -> vector,
+    anything else -> None (not transportable)."""
     width = values.shape[-1] if values.ndim == 2 else 1
+    if typeinfo in ("vector", "normal") and width == 3:
+        return typeinfo
+    if typeinfo == "quaternion" and width == 4:
+        return "quaternion"
     if width == 4:
         return "quaternion"
     if width != 3:

@@ -353,3 +353,60 @@ def test_cli_deform_seq_batch_save_sequence(tmp_path):
     objs = sorted(f for f in os.listdir(tmp_path / "out")
                   if f.endswith(".obj"))
     assert objs == ["frame_0000.obj", "frame_0001.obj", "frame_0002.obj"]
+
+
+def test_geo_attr_typeinfo_roundtrip(tmp_path, rng):
+    """The .geo bridge writes Houdini typeinfo qualifiers (options.type)
+    for conventional names and explicit Mesh.attr_typeinfo entries, and
+    reads them back — so N/v/orient land in Houdini with transform
+    semantics instead of plain float tuples."""
+    import json
+
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+
+    pts = rng.standard_normal((10, 3)).astype(np.float32)
+    m = Mesh(points=pts)
+    m.set_attr("N", pts)
+    m.set_attr("v", pts)
+    m.set_attr("orient", rng.standard_normal((10, 4)).astype(np.float32))
+    m.set_attr("custom_dir", pts)
+    m.attr_typeinfo["custom_dir"] = "normal"     # explicit beats default
+    p = str(tmp_path / "ti.geo")
+    save_geo(p, m)
+
+    # the raw JSON carries the qualifier
+    doc = json.load(open(p))
+    top = dict(zip(doc[::2], doc[1::2]))
+    attrs = dict(zip(top["attributes"][::2], top["attributes"][1::2]))
+    quals = {}
+    for defn, _ in attrs["pointattributes"]:
+        d = dict(zip(defn[::2], defn[1::2]))
+        t = d.get("options", {}).get("type")
+        if t:
+            quals[d["name"]] = t["value"]
+    assert quals["P"] == "point"
+    assert quals["N"] == "normal"
+    assert quals["v"] == "vector"
+    assert quals["orient"] == "quaternion"
+    assert quals["custom_dir"] == "normal"
+
+    back = load_geo(p)
+    assert back.attr_typeinfo["N"] == "normal"
+    assert back.attr_typeinfo["orient"] == "quaternion"
+    assert back.attr_typeinfo["custom_dir"] == "normal"
+    # copy()/reorder_spatial() carry the metadata
+    assert back.copy().attr_typeinfo["custom_dir"] == "normal"
+    assert back.reorder_spatial().attr_typeinfo["custom_dir"] == "normal"
+
+
+def test_infer_attr_kind_honors_typeinfo():
+    from facedeform_tpu.ops.jacobian import infer_attr_kind
+
+    a3 = np.zeros((5, 3))
+    # typeinfo overrides the name-based default
+    assert infer_attr_kind("custom_dir", a3, "normal") == "normal"
+    assert infer_attr_kind("N", a3, "vector") == "vector"
+    # width-mismatched typeinfo falls back to inference
+    assert infer_attr_kind("x", np.zeros((5, 4)), "normal") == "quaternion"
+    assert infer_attr_kind("x", np.zeros((5, 2)), "vector") is None
