@@ -328,14 +328,14 @@ def _cmd_deform_seq(args) -> int:
             blockers.append("krylov-size rig")
         if any(r.num_points != n for r in rigs):
             blockers.append("rig point counts differ across frames")
-        if args.update_normals:
-            # the one-dispatch frames kernel evaluates positions only;
-            # normal transport needs the per-frame Jacobian pass
-            blockers.append("--update-normals needs per-frame cooks")
-        if args.transform_attrs:
-            blockers.append("--transform-attrs needs per-frame cooks")
-        if args.output_stretch:
-            blockers.append("--output-stretch needs per-frame cooks")
+        transport_requested = bool(
+            args.update_normals or args.transform_attrs
+            or args.output_stretch
+        )
+        if transport_requested and cfg.solver == "pu":
+            # the global families ride batched.transport_frames; the PU
+            # Jacobian's eval-plan gathers stay per-frame
+            blockers.append("PU attribute transport needs per-frame cooks")
         if blockers:
             print(
                 "warning: --batch falls back to per-frame cooks "
@@ -360,6 +360,9 @@ def _cmd_deform_seq(args) -> int:
             res0 = node.cook(
                 [mesh, rest_rig, rigs[0]], cfg, params,
                 group=args.group, picked=args.picked,
+                update_normals=args.update_normals,
+                transform_attrs=_split_attr_names(args.transform_attrs),
+                output_stretch=args.output_stretch,
             )
         for w in res0.warnings:
             if w not in warned:
@@ -413,9 +416,10 @@ def _cmd_deform_seq(args) -> int:
                     )
                     if fit_all:
                         seq_ckpt = ("pu_seq", seq)
-                elif fit_all:
+                elif fit_all or transport_requested:
                     # fit_frames + apply_frames instead of the fused
-                    # deform_frames: the checkpoint needs the model stack
+                    # deform_frames: the checkpoint and/or the batched
+                    # attribute transport need the model stack
                     model_all, resid = batched.fit_frames(
                         jnp.asarray(rest_rig.points),
                         jnp.asarray(frames_arr), cfg, params,
@@ -425,7 +429,8 @@ def _cmd_deform_seq(args) -> int:
                         jnp.zeros(mesh.num_points, jnp.float32),
                         jnp.asarray(gate), cfg, params, None, frame,
                     )
-                    seq_ckpt = ("seq", (model_all, np.asarray(resid)))
+                    if fit_all:
+                        seq_ckpt = ("seq", (model_all, np.asarray(resid)))
                 else:
                     out_frames, _ = batched.deform_frames(
                         jnp.asarray(rest_rig.points), jnp.asarray(frames_arr),
@@ -434,6 +439,46 @@ def _cmd_deform_seq(args) -> int:
                         jnp.asarray(gate), cfg, params, frame=frame,
                     )
                 out_frames = np.asarray(out_frames)
+                seq_transport = None
+                if transport_requested and cfg.solver != "pu":
+                    # per-frame attribute transport for frames 1+, one
+                    # dispatch (batched.transport_frames); frame 0 was
+                    # transported by the full node cook above.  Attr
+                    # selection mirrors node.cook (skips already warned
+                    # there on frame 0).
+                    from facedeform_tpu.ops.jacobian import infer_attr_kind
+
+                    t_names, t_kinds, t_vals = [], [], []
+                    if args.update_normals and mesh.attr("N") is not None:
+                        t_names.append("N")
+                        t_kinds.append("normal")
+                        t_vals.append(mesh.attr("N"))
+                    for nm in _split_attr_names(args.transform_attrs) or ():
+                        if nm in t_names:
+                            continue
+                        arr = mesh.attr(nm)
+                        kind = None if arr is None else infer_attr_kind(
+                            nm, arr, mesh.attr_typeinfo.get(nm)
+                        )
+                        if kind is None:
+                            continue  # node cook warned on frame 0
+                        t_names.append(nm)
+                        t_kinds.append(kind)
+                        t_vals.append(arr)
+                    if t_names or args.output_stretch:
+                        t_outs = batched.transport_frames(
+                            model_all, jnp.asarray(mesh.points),
+                            tuple(jnp.asarray(v0, jnp.float32)
+                                  for v0 in t_vals),
+                            jnp.asarray(gate), cfg, tuple(t_kinds),
+                            frame=frame,
+                            want_stretch=bool(args.output_stretch),
+                        )
+                        t_outs = [np.asarray(t, np.float32) for t in t_outs]
+                        if fit_all:
+                            # model stack covered frame 0; drop it here
+                            t_outs = [t[1:] for t in t_outs]
+                        seq_transport = (t_names, t_outs)
                 if fit_all:
                     # frames_arr covered frame 0 for the checkpoint; the
                     # written frame 0 stays the full node cook's output
@@ -451,6 +496,14 @@ def _cmd_deform_seq(args) -> int:
                 fm.points = np.ascontiguousarray(
                     out_frames[f - 1], np.float32
                 )
+                if seq_transport is not None:
+                    t_names, t_outs = seq_transport
+                    for i, nm in enumerate(t_names):
+                        fm.set_attr(nm, t_outs[i][f - 1])
+                    if args.output_stretch:
+                        sig = t_outs[len(t_names)][f - 1]
+                        fm.set_attr("fd_stretch", sig[:, 0])
+                        fm.set_attr("fd_compress", sig[:, 2])
                 if vel_fps is not None:
                     prev = (res0.mesh.points if f == 1
                             else out_frames[f - 2])

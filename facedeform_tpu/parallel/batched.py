@@ -220,3 +220,95 @@ def deform_frames(
     # nested jit calls inline into this trace: one compiled program
     model, _ = fit_frames(rest_ctrl, deformed_frames, cfg, params)
     return apply_frames(model, points, dist2, gate, cfg, params, mesh, frame)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kinds", "cfg", "mesh", "want_stretch"
+))
+def transport_frames(
+    batched_model: RBFModel,
+    points: jnp.ndarray,
+    values,
+    weight: jnp.ndarray,
+    cfg: DeformConfig,
+    kinds,
+    mesh: Mesh | None = None,
+    frame=None,
+    want_stretch: bool = False,
+):
+    """Per-frame attribute transport for a whole shot in ONE dispatch.
+
+    For each frame f the displacement Jacobian of _frame_model(f) is
+    built at the REST positions and the per-kind rules applied (vector /
+    normal / quaternion, ops/jacobian.py), plus optional principal
+    stretches — the batched twin of Deformer.transform_attrs, so
+    `deform-seq --batch --update-normals` no longer falls back to
+    per-frame node cooks.  Frames run under lax.map (the Jacobian's
+    (L, chunk, N) scratch stays single-frame); with a device mesh the
+    vertex axis shards and frames loop inside each shard.
+
+    Args:
+      values: tuple of (V, 3)/(V, 4) rest attrs, one per kind in `kinds`.
+      weight: (V,) frame-invariant multiplier (composed falloff x group
+        gate from the frame-0 cook).
+    Returns: tuple of (F, V, k) arrays (+ (F, V, 3) stretches last when
+      want_stretch).
+    """
+    from facedeform_tpu.ops.jacobian import (
+        _applied_gradient, displacement_jacobian, principal_stretches,
+        transform_normals, transform_quaternions, transform_vectors,
+    )
+
+    rules = {
+        "vector": transform_vectors,
+        "normal": transform_normals,
+        "quaternion": transform_quaternions,
+    }
+    kernel = fit_mod.effective_kernel(cfg)
+    values = tuple(jnp.asarray(v, jnp.float32) for v in values)
+    weight = jnp.asarray(weight, jnp.float32)
+    points = jnp.asarray(points, jnp.float32)
+    if frame is not None:
+        frame = tuple(jnp.asarray(f, jnp.float32) for f in frame)
+
+    def local(model, pts, w, vs, fr):
+        def one_frame(mw):
+            f_w_rbf, f_w_poly = mw
+            m = RBFModel(ctrl=model.ctrl, w_rbf=f_w_rbf,
+                         w_poly=f_w_poly, eps=model.eps)
+            jac = displacement_jacobian(m, pts, kernel, cfg.term)
+            fgrad = _applied_gradient(jac, w, cfg, fr)
+            outs = [rules[k](val, fgrad) for val, k in zip(vs, kinds)]
+            if want_stretch:
+                outs.append(principal_stretches(fgrad))
+            return tuple(outs)
+
+        return jax.lax.map(one_frame, (model.w_rbf, model.w_poly))
+
+    if mesh is None:
+        return local(batched_model, points, weight, values, frame)
+
+    n_dev = mesh.shape[VERTEX_AXIS]
+    v = points.shape[0]
+    pad = (-v) % n_dev
+    pts_p = jnp.pad(points, ((0, pad), (0, 0)))
+    w_p = jnp.pad(weight, (0, pad))
+    vals_p = tuple(jnp.pad(val, ((0, pad), (0, 0))) for val in values)
+    frame_p = (
+        None if frame is None
+        else tuple(jnp.pad(f, ((0, pad), (0, 0))) for f in frame)
+    )
+    n_out = len(values) + (1 if want_stretch else 0)
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(), P(VERTEX_AXIS), P(VERTEX_AXIS),
+            (P(VERTEX_AXIS),) * len(values),
+            P() if frame_p is None else (P(VERTEX_AXIS),) * 3,
+        ),
+        out_specs=(P(None, VERTEX_AXIS),) * n_out,
+        check_vma=False,
+    )
+    outs = mapped(batched_model, pts_p, w_p, vals_p, frame_p)
+    return tuple(o[:, :v] for o in outs)

@@ -266,3 +266,63 @@ def test_cli_deform_seq_out_velocity(tmp_path):
                  "-o", str(tmp_path / "one")]) == 0
     one = load_geo(str(tmp_path / "one" / "f_00.geo"))
     np.testing.assert_allclose(one.point_attrs["v"], 0.0)
+
+
+def test_cli_deform_seq_batch_transport_matches_per_frame(tmp_path):
+    """--batch with --update-normals/--transform-attrs/--output-stretch
+    rides batched.transport_frames (one dispatch) and must write the
+    same attrs as the per-frame node loop."""
+    import numpy as np
+
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    rng = np.random.default_rng(11)
+    mesh = uv_sphere(10, 10)
+    mesh.set_attr("N", (mesh.points / np.linalg.norm(
+        mesh.points, axis=1, keepdims=True)).astype(np.float32))
+    mesh.set_attr("vel", rng.standard_normal(
+        (mesh.num_points, 3)).astype(np.float32))
+    rig_pts = fibonacci_points(20)
+    save_geo(str(tmp_path / "mesh.geo"), mesh)
+    save_geo(str(tmp_path / "rig.geo"), Mesh(points=rig_pts))
+    rig_frames = []
+    for f in range(3):
+        p = str(tmp_path / f"posed{f}.geo")
+        save_geo(p, Mesh(points=rig_pts * (1.0 + 0.05 * (f + 1))))
+        rig_frames.append(p)
+
+    base = ["deform-seq", str(tmp_path / "mesh.geo"),
+            str(tmp_path / "rig.geo"), *rig_frames,
+            "--out-pattern", "f_%02d.geo", "--radius", "2.0",
+            "--update-normals", "--transform-attrs", "vel",
+            "--output-stretch"]
+    assert main(base + ["-o", str(tmp_path / "pf")]) == 0
+    assert main(base + ["-o", str(tmp_path / "bt"), "--batch"]) == 0
+    for f in range(3):
+        ref = load_geo(str(tmp_path / "pf" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "bt" / f"f_{f:02d}.geo"))
+        for name in ("N", "vel", "fd_stretch", "fd_compress"):
+            np.testing.assert_allclose(
+                got.point_attrs[name], ref.point_attrs[name], atol=2e-4,
+                err_msg=f"frame {f} attr {name}",
+            )
+        np.testing.assert_allclose(got.points, ref.points, atol=2e-5)
+    # the transport is real: later frames stretch more
+    s1 = load_geo(str(tmp_path / "bt" / "f_01.geo")).point_attrs["fd_stretch"]
+    s2 = load_geo(str(tmp_path / "bt" / "f_02.geo")).point_attrs["fd_stretch"]
+    assert s2.mean() > s1.mean() > 1.0
+
+    # --batch + --save-deformer + transport compose (fit_all covers
+    # frame 0; transported attrs still align per frame)
+    assert main(base + ["-o", str(tmp_path / "ck"), "--batch",
+                        "--save-deformer", str(tmp_path / "shot.npz")]) == 0
+    for f in range(3):
+        ref = load_geo(str(tmp_path / "pf" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "ck" / f"f_{f:02d}.geo"))
+        np.testing.assert_allclose(
+            got.point_attrs["N"], ref.point_attrs["N"], atol=2e-4,
+            err_msg=f"ckpt frame {f}",
+        )

@@ -156,3 +156,58 @@ def test_fit_sharded_matches_single_device(rng, mesh):
         d_sh = np.asarray(evaluate(m_sh, jnp.asarray(pts), effective_kernel(cfg), cfg.term))
         scale = max(np.abs(d_ref).max(), 1e-6)
         assert np.abs(d_ref - d_sh).max() < 5e-5 + 1e-3 * scale
+
+
+def test_transport_frames_matches_per_frame(rng, mesh):
+    """batched.transport_frames == Deformer.transform_attrs frame by
+    frame (normals + vectors + quats + stretches), unsharded and on the
+    8-device mesh."""
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.ops.jacobian import principal_stretches  # noqa: F401
+
+    rest = fibonacci_points(25)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((25, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    cfg, params = DeformConfig(), DeformParams()
+    model, _ = batched.fit_frames(
+        jnp.asarray(rest), jnp.asarray(frames), cfg, params
+    )
+    v = 80
+    pts = rng.standard_normal((v, 3)).astype(np.float32)
+    n = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    vel = rng.standard_normal((v, 3)).astype(np.float32)
+    q = rng.standard_normal((v, 4)).astype(np.float32)
+    w = np.abs(rng.standard_normal(v)).astype(np.float32)
+    kinds = ("normal", "vector", "quaternion")
+    got = batched.transport_frames(
+        model, jnp.asarray(pts), (n, vel, q), jnp.asarray(w), cfg, kinds,
+        want_stretch=True,
+    )
+    got_sh = batched.transport_frames(
+        model, jnp.asarray(pts), (n, vel, q), jnp.asarray(w), cfg, kinds,
+        mesh=mesh, want_stretch=True,
+    )
+    assert len(got) == 4 and got[0].shape == (3, v, 3)
+    assert got[2].shape == (3, v, 4) and got[3].shape == (3, v, 3)
+    for f in range(3):
+        d = Deformer.fit(rest, frames[f], cfg, params)
+        want = d.transform_attrs(
+            pts, {"n": n, "vel": vel, "q": q}, w,
+            kinds={"n": "normal", "vel": "vector", "q": "quaternion"},
+        )
+        sig = d.principal_stretches(pts, w)
+        for i, key in enumerate(("n", "vel", "q")):
+            np.testing.assert_allclose(
+                np.asarray(got[i][f]), np.asarray(want[key]), atol=2e-5,
+                err_msg=f"frame {f} {key}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_sh[i][f]), np.asarray(want[key]), atol=2e-5,
+                err_msg=f"sharded frame {f} {key}",
+            )
+        np.testing.assert_allclose(
+            np.asarray(got[3][f]), np.asarray(sig), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_sh[3][f]), np.asarray(sig), atol=2e-5)
