@@ -230,13 +230,15 @@ def main():
     face.set_attr("orient", orient)
     res_a = FaceDeformNode().cook(
         [face, rig, posed], DeformConfig(), params,
-        transform_attrs=("v", "orient"),
+        transform_attrs=("v", "orient"), output_stretch=True,
     )
     dv = np.linalg.norm(res_a.mesh.attr("v") - face.attr("v"), axis=1)
     qd = np.abs(res_a.mesh.attr("orient") - orient).max()
+    smax = float(res_a.mesh.attr("fd_stretch").max())
     print(f"attribute transport: v changed on {int((dv > 1e-6).sum())} "
           f"vertices (max |dv| {dv.max():.3f}); orient max delta {qd:.3f} "
-          "(pure rotation part only)")
+          f"(pure rotation part only); peak surface stretch {smax:.2f}x "
+          "(fd_stretch QC attr)")
 
 
 if __name__ == "__main__":

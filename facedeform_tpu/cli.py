@@ -137,6 +137,32 @@ def _split_attr_names(spec):
     return tuple(s for s in (p.strip() for p in spec.split(",")) if s)
 
 
+def _select_transport_attrs(args, mesh):
+    """The batch path's (names, kinds, values) for attribute transport —
+    mirrors node.cook's selection (missing/untransportable attrs were
+    already warned about by the frame-0 full cook)."""
+    from facedeform_tpu.ops.jacobian import infer_attr_kind
+
+    names, kinds, vals = [], [], []
+    if args.update_normals and mesh.attr("N") is not None:
+        names.append("N")
+        kinds.append("normal")
+        vals.append(mesh.attr("N"))
+    for nm in _split_attr_names(args.transform_attrs) or ():
+        if nm in names:
+            continue
+        arr = mesh.attr(nm)
+        kind = None if arr is None else infer_attr_kind(
+            nm, arr, mesh.attr_typeinfo.get(nm)
+        )
+        if kind is None:
+            continue
+        names.append(nm)
+        kinds.append(kind)
+        vals.append(arr)
+    return names, kinds, vals
+
+
 def _cfg_params_from(args):
     from facedeform_tpu.config import (
         DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
@@ -332,10 +358,6 @@ def _cmd_deform_seq(args) -> int:
             args.update_normals or args.transform_attrs
             or args.output_stretch
         )
-        if transport_requested and cfg.solver == "pu":
-            # the global families ride batched.transport_frames; the PU
-            # Jacobian's eval-plan gathers stay per-frame
-            blockers.append("PU attribute transport needs per-frame cooks")
         if blockers:
             print(
                 "warning: --batch falls back to per-frame cooks "
@@ -440,41 +462,59 @@ def _cmd_deform_seq(args) -> int:
                     )
                 out_frames = np.asarray(out_frames)
                 seq_transport = None
-                if transport_requested and cfg.solver != "pu":
-                    # per-frame attribute transport for frames 1+, one
-                    # dispatch (batched.transport_frames); frame 0 was
-                    # transported by the full node cook above.  Attr
-                    # selection mirrors node.cook (skips already warned
-                    # there on frame 0).
-                    from facedeform_tpu.ops.jacobian import infer_attr_kind
-
-                    t_names, t_kinds, t_vals = [], [], []
-                    if args.update_normals and mesh.attr("N") is not None:
-                        t_names.append("N")
-                        t_kinds.append("normal")
-                        t_vals.append(mesh.attr("N"))
-                    for nm in _split_attr_names(args.transform_attrs) or ():
-                        if nm in t_names:
-                            continue
-                        arr = mesh.attr(nm)
-                        kind = None if arr is None else infer_attr_kind(
-                            nm, arr, mesh.attr_typeinfo.get(nm)
-                        )
-                        if kind is None:
-                            continue  # node cook warned on frame 0
-                        t_names.append(nm)
-                        t_kinds.append(kind)
-                        t_vals.append(arr)
-                    if t_names or args.output_stretch:
+                if transport_requested:
+                    # Per-frame attribute transport for frames 1+; frame 0
+                    # was transported by the full node cook above.
+                    t_names, t_kinds, t_vals = _select_transport_attrs(
+                        args, mesh
+                    )
+                    want_sig = bool(args.output_stretch)
+                    if (t_names or want_sig) and cfg.solver != "pu":
+                        # global families: ONE dispatch for the shot
                         t_outs = batched.transport_frames(
                             model_all, jnp.asarray(mesh.points),
                             tuple(jnp.asarray(v0, jnp.float32)
                                   for v0 in t_vals),
                             jnp.asarray(gate), cfg, tuple(t_kinds),
-                            frame=frame,
-                            want_stretch=bool(args.output_stretch),
+                            frame=frame, want_stretch=want_sig,
                         )
                         t_outs = [np.asarray(t, np.float32) for t in t_outs]
+                    elif t_names or want_sig:
+                        # PU: per-frame Jacobian off the SHARED patch
+                        # factorization and eval plan — no refits
+                        from facedeform_tpu.ops import jacobian as jac_ops
+
+                        rules = {
+                            "vector": jac_ops.transform_vectors,
+                            "normal": jac_ops.transform_normals,
+                            "quaternion": jac_ops.transform_quaternions,
+                        }
+                        per_frame = []
+                        for pud_f in seq.puds:
+                            jac = pud_f.jacobian(mesh.points)
+                            fgrad = jac_ops._applied_gradient(
+                                jac, jnp.asarray(gate, jnp.float32),
+                                cfg, frame,
+                            )
+                            outs = [
+                                np.asarray(rules[k](
+                                    jnp.asarray(v0, jnp.float32), fgrad
+                                ), np.float32)
+                                for v0, k in zip(t_vals, t_kinds)
+                            ]
+                            if want_sig:
+                                outs.append(np.asarray(
+                                    jac_ops.principal_stretches(fgrad),
+                                    np.float32,
+                                ))
+                            per_frame.append(outs)
+                        t_outs = [
+                            np.stack([fr[i] for fr in per_frame])
+                            for i in range(len(per_frame[0]))
+                        ]
+                    else:
+                        t_outs = None
+                    if t_outs is not None:
                         if fit_all:
                             # model stack covered frame 0; drop it here
                             t_outs = [t[1:] for t in t_outs]

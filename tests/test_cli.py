@@ -326,3 +326,17 @@ def test_cli_deform_seq_batch_transport_matches_per_frame(tmp_path):
             got.point_attrs["N"], ref.point_attrs["N"], atol=2e-4,
             err_msg=f"ckpt frame {f}",
         )
+
+    # solver=pu: batch transport rides per-frame Jacobians off the shared
+    # patch factorization (no refits) and must match per-frame cooks
+    pu = base + ["--solver", "pu", "--lambda", "0.01"]
+    assert main(pu + ["-o", str(tmp_path / "pupf")]) == 0
+    assert main(pu + ["-o", str(tmp_path / "pubt"), "--batch"]) == 0
+    for f in range(3):
+        ref = load_geo(str(tmp_path / "pupf" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "pubt" / f"f_{f:02d}.geo"))
+        for name in ("N", "vel", "fd_stretch"):
+            np.testing.assert_allclose(
+                got.point_attrs[name], ref.point_attrs[name], atol=5e-4,
+                err_msg=f"pu frame {f} attr {name}",
+            )
