@@ -518,6 +518,24 @@ def _cmd_deform_seq(args) -> int:
                         if fit_all:
                             # model stack covered frame 0; drop it here
                             t_outs = [t[1:] for t in t_outs]
+                        # Quaternion sign continuity: each frame's polar
+                        # quaternion canonicalizes w>=0 independently, so
+                        # a vertex whose rotation crosses 180deg would
+                        # flip hemisphere between frames and pop
+                        # downstream slerp/motion blur.  Chain signs from
+                        # frame 0's transported attr through the shot.
+                        for i, k in enumerate(t_kinds):
+                            if k != "quaternion":
+                                continue
+                            prev = res0.mesh.attr(t_names[i])
+                            fixed = []
+                            for fi in range(t_outs[i].shape[0]):
+                                q = t_outs[i][fi]
+                                dots = np.sum(q * prev, 1, keepdims=True)
+                                q = np.where(dots < 0, -q, q)
+                                fixed.append(q)
+                                prev = q
+                            t_outs[i] = np.stack(fixed).astype(np.float32)
                         seq_transport = (t_names, t_outs)
                 if fit_all:
                     # frames_arr covered frame 0 for the checkpoint; the
@@ -562,6 +580,14 @@ def _cmd_deform_seq(args) -> int:
     else:
         vel_fps = args.out_velocity
         prev_pts = None      # previous frame's DEFORMED positions
+        # quaternion attrs need sign continuity across frames (see the
+        # batch path): chain each frame's transported quats to the last
+        tq_names = []
+        if args.update_normals or args.transform_attrs:
+            sel_n, sel_k, _ = _select_transport_attrs(args, mesh)
+            tq_names = [nm for nm, k in zip(sel_n, sel_k)
+                        if k == "quaternion"]
+        prev_q: dict = {}
         held0 = None         # (mesh, path): frame 0 deferred until v_0 known
         for f, rig in enumerate(rigs):
             with stage(f"cook[{f}]", times):
@@ -576,6 +602,15 @@ def _cmd_deform_seq(args) -> int:
                 if w not in warned:  # each distinct warning once per sequence
                     warned.add(w)
                     print(f"warning: {w}", file=sys.stderr)
+            for nm in tq_names:
+                cur = res.mesh.attr(nm)
+                if cur is None:
+                    continue
+                if nm in prev_q:
+                    dots = np.sum(cur * prev_q[nm], axis=1, keepdims=True)
+                    cur = np.where(dots < 0, -cur, cur).astype(np.float32)
+                    res.mesh.set_attr(nm, cur)
+                prev_q[nm] = cur
             out_path = os.path.join(args.outdir, args.out_pattern % f)
             if vel_fps is not None:
                 # backward difference of deformed positions; frame 0 uses

@@ -177,7 +177,8 @@ class Deformer:
             self.jacobian(points), normals, weight, self.cfg, frame
         )
 
-    def transform_attrs(self, points, attrs, weight, frame=None, kinds=None):
+    def transform_attrs(self, points, attrs, weight, frame=None, kinds=None,
+                        want_stretch=False):
         """Transport point attributes through the applied map's deformation
         gradient — one shared Jacobian for the whole batch.
 
@@ -193,11 +194,14 @@ class Deformer:
           weight: (V,) falloff weights apply() returned.
           frame: optional (u, v, n) tangent attrs when cfg.tangent.
           kinds: optional {name: "vector"|"normal"|"quaternion"} overrides.
+          want_stretch: also return principal stretches off the SAME
+            Jacobian/F pass — returns (dict, (V, 3) singular values).
         """
         from facedeform_tpu.ops.jacobian import transport_attrs
 
         return transport_attrs(
-            self.jacobian(points), attrs, weight, self.cfg, frame, kinds
+            self.jacobian(points), attrs, weight, self.cfg, frame, kinds,
+            want_stretch=want_stretch,
         )
 
     def principal_stretches(self, points, weight, frame=None):

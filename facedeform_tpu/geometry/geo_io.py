@@ -370,7 +370,8 @@ _DEFAULT_TYPEINFO = {
 
 
 def _encode_attribute(
-    name: str, arr: np.ndarray, typeinfo: str | None = None
+    name: str, arr: np.ndarray, typeinfo: str | None = None,
+    name_defaults: bool = True,
 ) -> List[Any]:
     arr = np.asarray(arr)
     if arr.ndim == 1:
@@ -384,7 +385,10 @@ def _encode_attribute(
         arr = arr.astype(np.float32)
         defaults_storage = "fpreal64"
     size = arr.shape[1]
-    typeinfo = typeinfo or _DEFAULT_TYPEINFO.get(name)
+    if typeinfo is None and name_defaults:
+        # point-attr naming conventions only — a DETAIL attr that happens
+        # to be called "v"/"rest" must not become transform-aware
+        typeinfo = _DEFAULT_TYPEINFO.get(name)
     options = (
         {"type": {"type": "string", "value": typeinfo}} if typeinfo else {}
     )
@@ -428,7 +432,8 @@ def save_geo(path: str, mesh: Mesh) -> None:
             name, arr, mesh.attr_typeinfo.get(name)
         ))
     global_attrs = [
-        _encode_attribute(name, np.asarray(arr).reshape(1, -1))
+        _encode_attribute(name, np.asarray(arr).reshape(1, -1),
+                          name_defaults=False)
         for name, arr in mesh.detail_attrs.items()
     ]
 

@@ -519,6 +519,13 @@ class FaceDeformNode:
                         kinds=transport_kinds,
                         want_stretch=output_stretch,
                     )
+                elif output_stretch:
+                    # one Jacobian/F pass covers the attrs AND the
+                    # stretch QC (the Jacobian is the dominant cost)
+                    moved, stretch_sig = deformer.transform_attrs(
+                        out.points, to_transport, w_arr, frame=frame,
+                        kinds=transport_kinds, want_stretch=True,
+                    )
                 else:
                     moved = deformer.transform_attrs(
                         out.points, to_transport, w_arr, frame=frame,
@@ -527,12 +534,6 @@ class FaceDeformNode:
                 for name, arr in moved.items():
                     out.set_attr(name, np.asarray(arr, np.float32))
                     transported_names.append(name)
-            if dbse_model is not None:
-                warnings.append(
-                    "update_normals reflects the RBF pass; the "
-                    "morphspace reconstruction does not transport "
-                    "normals"
-                )
         if output_stretch:
             if stretch_sig is None and not hasattr(
                 deformer, "principal_stretches"
@@ -563,6 +564,12 @@ class FaceDeformNode:
                 out.set_attr("fd_stretch", sig[:, 0])
                 out.set_attr("fd_compress", sig[:, 2])
                 transported_names += ["fd_stretch", "fd_compress"]
+        if transported_names and dbse_model is not None:
+            warnings.append(
+                "attribute transport / output_stretch reflect the RBF "
+                "pass; the morphspace reconstruction does not transport "
+                "attributes"
+            )
         if picked:
             # Eval-pass falloff viz: the reference maps falloff onto an HSV
             # 200..250 hue when the node is selected ("picked",

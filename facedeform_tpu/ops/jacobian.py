@@ -188,13 +188,16 @@ def transform_vectors(vectors: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
 def polar_rotation(f: jnp.ndarray, iters: int = 14) -> jnp.ndarray:
     """Rotation factor R of F = R S (polar decomposition); (V, 3, 3).
 
-    Newton iteration R <- (R + R^-T)/2 with the 3x3 inverse-transpose
-    formed from the cofactor matrix — no linalg calls, so it fuses on the
-    VPU.  The iterate is scaled by sqrt(trace(R^T R)/3) first so badly
-    scaled F (uniform stretch) still converges in the fixed iteration
-    budget (quadratic near orthogonality).  Rows with det(F) <= 1e-12
-    (collapsed or inverted elements, where no rotation is defined) return
-    identity."""
+    Higham determinant-scaled Newton: R <- (g R + (g R)^-T)/2 with
+    g = |det R|^(-1/3), the inverse-transpose formed from the cofactor
+    matrix — no linalg calls, so it fuses on the VPU.  Det scaling makes
+    the iteration count ~independent of anisotropy (plain Newton needs
+    ~log2(sigma_max/sigma_min) extra steps and stalls around a 1e-4
+    singular-value ratio in f32 — measured 0.16 orthogonality error).
+    Rows with det(F) <= 1e-12 (collapsed or inverted elements, where no
+    rotation is defined), or whose iterate still isn't orthogonal after
+    the budget (f32 rounding through the cofactor inverse at extreme
+    pinch), return identity rather than garbage."""
     f = f.astype(jnp.float32)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), f.shape)
 
@@ -207,20 +210,22 @@ def polar_rotation(f: jnp.ndarray, iters: int = 14) -> jnp.ndarray:
         return cof, det
 
     _, det0 = _cof_det(f)
-    valid = (det0 > 1e-12)[..., None, None]
-    f = jnp.where(valid, f, eye)
-    scale = jax.lax.rsqrt(
-        jnp.maximum(jnp.sum(f * f, axis=(-2, -1), keepdims=True) / 3.0, 1e-24)
-    )
-    r = f * scale
+    valid = det0 > 1e-12
+    f = jnp.where(valid[..., None, None], f, eye)
 
     def body(_, r):
         cof, det = _cof_det(r)
-        inv_t = cof / det[..., None, None]
-        return 0.5 * (r + inv_t)
+        g = jnp.abs(det) ** (-1.0 / 3.0)
+        # (gR)^-T = cof(gR) / det(gR) = g^2 cof(R) / (g^3 det R)
+        inv_t = cof / (g * det)[..., None, None]
+        return 0.5 * (g[..., None, None] * r + inv_t)
 
-    r = jax.lax.fori_loop(0, iters, body, r)
-    return jnp.where(valid, r, eye)
+    r = jax.lax.fori_loop(0, iters, body, f)
+    rtr = jnp.einsum("vba,vbc->vac", r, r, **_HP)
+    ortho = jnp.max(jnp.abs(rtr - jnp.eye(3, dtype=jnp.float32)),
+                    axis=(-2, -1)) < 1e-2
+    ok = (valid & ortho)[..., None, None]
+    return jnp.where(ok, r, eye)
 
 
 @jax.jit
@@ -322,14 +327,20 @@ def infer_attr_kind(name: str, values, typeinfo: str | None = None) -> str | Non
     """Best-effort kind from Houdini typeinfo, naming conventions + width.
 
     An explicit typeinfo qualifier (mesh.attr_typeinfo, read from .geo
-    files) wins when its width matches; otherwise N/normal-ish (3-wide)
-    -> normal, 4-wide -> quaternion (orient/rot), other 3-wide -> vector,
-    anything else -> None (not transportable)."""
+    files) is AUTHORITATIVE: vector/normal/quaternion transport when the
+    width matches; any other declared qualifier (color, point, a
+    width-mismatched transform kind, ...) returns None — the attr passes
+    through untouched rather than being silently rotated (an RGBA Cd is
+    4-wide but is not a quaternion).  Without typeinfo: N/normal-ish
+    (3-wide) -> normal, 4-wide -> quaternion (orient/rot), other 3-wide
+    -> vector, anything else -> None."""
     width = values.shape[-1] if values.ndim == 2 else 1
-    if typeinfo in ("vector", "normal") and width == 3:
-        return typeinfo
-    if typeinfo == "quaternion" and width == 4:
-        return "quaternion"
+    if typeinfo is not None:
+        if typeinfo in ("vector", "normal") and width == 3:
+            return typeinfo
+        if typeinfo == "quaternion" and width == 4:
+            return "quaternion"
+        return None
     if width == 4:
         return "quaternion"
     if width != 3:
@@ -346,7 +357,8 @@ def transport_attrs(
     cfg=None,
     frame=None,
     kinds: dict | None = None,
-) -> dict:
+    want_stretch: bool = False,
+):
     """Transport a batch of point attributes through ONE shared F.
 
     Args:
@@ -357,8 +369,12 @@ def transport_attrs(
       kinds: optional {name: kind} overrides; unspecified names infer via
         infer_attr_kind.  A None kind (uninferable) raises ValueError —
         callers (node.cook) filter/warn before reaching here.
+      want_stretch: also return principal_stretches(F) — the Jacobian and
+        F are the dominant cost, so a cook wanting both attrs and the
+        stretch QC pays for them once.
 
-    Returns {name: transported array} in input order.
+    Returns {name: transported array} in input order; with want_stretch,
+    the tuple ({name: ...}, (V, 3) singular values).
     """
     f = _applied_gradient(jac, weight, cfg, frame)
     rules = {
@@ -375,4 +391,6 @@ def transport_attrs(
                 f"(shape {tuple(values.shape)}); expected one of {ATTR_KINDS}"
             )
         out[name] = rules[kind](jnp.asarray(values, jnp.float32), f)
+    if want_stretch:
+        return out, principal_stretches(f)
     return out

@@ -1366,13 +1366,16 @@ class PUNodeDeformer:
             self.pud.jacobian(points), normals, weight, self.cfg, frame
         )
 
-    def transform_attrs(self, points, attrs, weight, frame=None, kinds=None):
+    def transform_attrs(self, points, attrs, weight, frame=None, kinds=None,
+                        want_stretch=False):
         """Batch attribute transport through the PU Jacobian; same contract
-        as Deformer.transform_attrs (one Jacobian shared by all attrs)."""
+        as Deformer.transform_attrs (one Jacobian shared by all attrs,
+        and by the stretches when want_stretch)."""
         from facedeform_tpu.ops.jacobian import transport_attrs
 
         return transport_attrs(
-            self.pud.jacobian(points), attrs, weight, self.cfg, frame, kinds
+            self.pud.jacobian(points), attrs, weight, self.cfg, frame, kinds,
+            want_stretch=want_stretch,
         )
 
     def principal_stretches(self, points, weight, frame=None):

@@ -222,9 +222,6 @@ def deform_frames(
     return apply_frames(model, points, dist2, gate, cfg, params, mesh, frame)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "kinds", "cfg", "mesh", "want_stretch"
-))
 def transport_frames(
     batched_model: RBFModel,
     points: jnp.ndarray,
@@ -254,6 +251,29 @@ def transport_frames(
     Returns: tuple of (F, V, k) arrays (+ (F, V, 3) stretches last when
       want_stretch).
     """
+    # eval_view BEFORE the jit boundary: cfg is a static jit key, so
+    # solve-only toggles must not recompile the whole-shot program
+    # (CLAUDE.md jit-hygiene rule; same pattern as sharded_transport)
+    return _transport_frames_jit(
+        batched_model, points, tuple(values), weight, cfg.eval_view(),
+        tuple(kinds), mesh, frame, bool(want_stretch),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kinds", "cfg", "mesh", "want_stretch"
+))
+def _transport_frames_jit(
+    batched_model: RBFModel,
+    points: jnp.ndarray,
+    values,
+    weight: jnp.ndarray,
+    cfg: DeformConfig,
+    kinds,
+    mesh: Mesh | None,
+    frame,
+    want_stretch: bool,
+):
     from facedeform_tpu.ops.jacobian import (
         _applied_gradient, displacement_jacobian, principal_stretches,
         transform_normals, transform_quaternions, transform_vectors,

@@ -273,3 +273,38 @@ def test_node_output_stretch(rng):
         DeformParams(lam=0.01), output_stretch=True,
     )
     assert np.abs(res_pu.mesh.attr("fd_stretch") - 1.3).max() < 5e-2
+
+
+def test_polar_rotation_pinched_converges(rng):
+    """Regression (round-3 review): det-scaled Newton must stay orthogonal
+    for strongly anisotropic F — plain Newton stalled at a 1e-4
+    singular-value ratio (0.16 orthogonality error) and diverged at 1e-5
+    while passing the det>1e-12 guard."""
+    for smin in (1e-3, 1e-4, 1e-5, 1e-6):
+        rots, fs = [], []
+        for _ in range(8):
+            r = _rot(rng.standard_normal(3), rng.uniform(-3, 3))
+            b = _rot(rng.standard_normal(3), rng.uniform(0, 3))
+            s = b @ np.diag([1.5, 1.0, smin]).astype(np.float32) @ b.T
+            rots.append(r)
+            fs.append((r @ s).astype(np.float32))
+        got = np.asarray(polar_rotation(jnp.asarray(np.stack(fs))))
+        rtr = np.einsum("vba,vbc->vac", got, got)
+        assert np.abs(rtr - np.eye(3)).max() < 1e-4, f"smin={smin}"
+        assert np.abs(got - np.stack(rots)).max() < 1e-4, f"smin={smin}"
+
+
+def test_transport_attrs_want_stretch_single_pass(rng):
+    """transform_attrs(want_stretch=True) returns (attrs, stretches) off
+    one Jacobian — matching the separate principal_stretches call."""
+    r_mat = _rot([0.1, 0.9, 0.4], 0.7)
+    d = _rigid_deformer(r_mat)
+    pts = fibonacci_points(30)
+    w = np.ones(30, np.float32)
+    v = rng.standard_normal((30, 3)).astype(np.float32)
+    moved, sig = d.transform_attrs(pts, {"v": v}, w, want_stretch=True)
+    np.testing.assert_allclose(
+        np.asarray(sig), np.asarray(d.principal_stretches(pts, w)), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(moved["v"]),
+        np.asarray(d.transform_attrs(pts, {"v": v}, w)["v"]), atol=0)

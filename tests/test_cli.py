@@ -340,3 +340,51 @@ def test_cli_deform_seq_batch_transport_matches_per_frame(tmp_path):
                 got.point_attrs[name], ref.point_attrs[name], atol=5e-4,
                 err_msg=f"pu frame {f} attr {name}",
             )
+
+
+def test_cli_deform_seq_orient_sign_continuity(tmp_path):
+    """A rig rotating through >180 deg across the shot must write orient
+    quats without hemisphere pops (consecutive frames' quats never flip
+    sign) on BOTH the per-frame and batch paths — each frame's polar
+    quaternion is canonicalized independently, so the CLI chains signs."""
+    import numpy as np
+
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+
+    mesh = uv_sphere(8, 8)
+    q0 = np.tile(np.float32([0, 0, 0, 1]), (mesh.num_points, 1))
+    mesh.set_attr("orient", q0)
+    rig = fibonacci_points(30)
+    save_geo(str(tmp_path / "mesh.geo"), mesh)
+    save_geo(str(tmp_path / "rig.geo"), Mesh(points=rig))
+    frames = []
+    n_frames = 6
+    for f in range(n_frames):
+        ang = 0.55 * (f + 1)               # up to ~3.3 rad > pi
+        c, s = np.cos(ang), np.sin(ang)
+        r = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        p = str(tmp_path / f"posed{f}.geo")
+        save_geo(p, Mesh(points=(rig @ r.T).astype(np.float32)))
+        frames.append(p)
+
+    base = ["deform-seq", str(tmp_path / "mesh.geo"),
+            str(tmp_path / "rig.geo"), *frames,
+            "--out-pattern", "f_%02d.geo", "--radius", "2.0",
+            "--term", "linear", "--transform-attrs", "orient"]
+    for outdir, extra in (("pf", []), ("bt", ["--batch"])):
+        assert main(base + ["-o", str(tmp_path / outdir)] + extra) == 0
+        prev = None
+        for f in range(n_frames):
+            q = load_geo(
+                str(tmp_path / outdir / f"f_{f:02d}.geo")
+            ).point_attrs["orient"]
+            if prev is not None:
+                dots = np.sum(q * prev, axis=1)
+                assert (dots > 0).all(), (
+                    f"{outdir}: hemisphere pop at frame {f} "
+                    f"(min dot {dots.min():.3f})"
+                )
+            prev = q

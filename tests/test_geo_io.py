@@ -407,6 +407,9 @@ def test_infer_attr_kind_honors_typeinfo():
     # typeinfo overrides the name-based default
     assert infer_attr_kind("custom_dir", a3, "normal") == "normal"
     assert infer_attr_kind("N", a3, "vector") == "vector"
-    # width-mismatched typeinfo falls back to inference
-    assert infer_attr_kind("x", np.zeros((5, 4)), "normal") == "quaternion"
+    # an explicit qualifier is authoritative: width mismatches and
+    # non-transform kinds pass through rather than guessing (an RGBA Cd
+    # must not be rotated as a quaternion)
+    assert infer_attr_kind("x", np.zeros((5, 4)), "normal") is None
+    assert infer_attr_kind("Cd", np.zeros((5, 4)), "color") is None
     assert infer_attr_kind("x", np.zeros((5, 2)), "vector") is None
