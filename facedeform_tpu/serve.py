@@ -176,6 +176,26 @@ class Client:
         _, out = self.request({"cmd": "apply", "deformer": deformer}, arrays)
         return out["points"], out["falloff"]
 
+    def transport(self, deformer: str, points, weight, attrs: dict,
+                  kinds: Optional[dict] = None, want_stretch: bool = False):
+        """Transport point attrs through the deformer's deformation
+        gradient server-side: (V, 3) attrs as vectors (N by the cofactor
+        rule), (V, 4) as orientation quaternions.  Returns {name: array};
+        with want_stretch, ({name: array}, (V, 3) singular values)."""
+        arrays = {"points": np.asarray(points, np.float32),
+                  "weight": np.asarray(weight, np.float32)}
+        for n, a in attrs.items():
+            arrays["attr:" + n] = np.asarray(a, np.float32)
+        _, out = self.request(
+            {"cmd": "transport", "deformer": deformer,
+             "kinds": kinds or {}, "want_stretch": bool(want_stretch)},
+            arrays,
+        )
+        moved = {n[5:]: a for n, a in out.items() if n.startswith("attr:")}
+        if want_stretch:
+            return moved, out["stretch"]
+        return moved
+
     def fit_seq(self, rest_ctrl, deformed_frames, cfg: Optional[dict] = None,
                 params: Optional[dict] = None) -> str:
         """One batched solve for an (F, N, 3) animated rig sequence."""
@@ -352,6 +372,57 @@ class DeformServer:
                     "points": enc(new_pts),
                     "falloff": enc(falloff),
                 }
+            if cmd == "transport":
+                # Attribute transport over the wire: the render-farm side
+                # of update_normals/transform_attrs/output_stretch — one
+                # Jacobian pass serves a batch of attrs (+ stretches).
+                d = self._deformers[req["deformer"]]
+                if isinstance(d, tuple):
+                    return {
+                        "ok": False,
+                        "error": "transport does not take a fit_seq "
+                                 "deformer (per-frame: load each frame or "
+                                 "use the CLI batch path)",
+                    }
+                if not hasattr(d, "transform_attrs"):
+                    return {
+                        "ok": False,
+                        "error": "transport unavailable for this deformer",
+                    }
+                from facedeform_tpu.ops.jacobian import infer_attr_kind
+
+                pts = decode_array(req["points"])
+                w = decode_array(req["weight"])
+                attrs = {
+                    k[5:]: decode_array(v) for k, v in req.items()
+                    if isinstance(k, str) and k.startswith("attr:")
+                }
+                kinds = req.get("kinds") or None
+                want_sig = bool(req.get("want_stretch", False))
+                for n, a in attrs.items():
+                    kind = (kinds or {}).get(n) or infer_attr_kind(n, a)
+                    if kind is None:
+                        return {
+                            "ok": False,
+                            "error": f"attribute {n!r}: shape "
+                                     f"{tuple(a.shape)} is not "
+                                     "transportable (need (V,3) or (V,4))",
+                        }
+                if want_sig:
+                    moved, sig = d.transform_attrs(
+                        pts, attrs, w, kinds=kinds, want_stretch=True
+                    )
+                else:
+                    moved, sig = d.transform_attrs(
+                        pts, attrs, w, kinds=kinds
+                    ), None
+                out = {
+                    "attr:" + n: enc(np.asarray(a, np.float32))
+                    for n, a in moved.items()
+                }
+                if sig is not None:
+                    out["stretch"] = enc(np.asarray(sig, np.float32))
+                return {"ok": True, **out}
             if cmd == "fit_seq":
                 # animated shot: ONE batched solve for all F posed rigs
                 # (parallel/batched.fit_frames); apply_seq evaluates every

@@ -324,3 +324,72 @@ def test_serve_sequence_pu_route(server, rng):
     with pytest.raises(RuntimeError, match="apply_seq"):
         c.request({"cmd": "apply", "deformer": sid}, {"points": pts})
     c.close()
+
+
+def test_serve_transport(server, rng):
+    """The transport op: N/v/orient through the served deformer's
+    deformation gradient (+ stretches), binary framing via Client."""
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer
+
+    ang = 0.5
+    c, s = np.cos(ang), np.sin(ang)
+    r_mat = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    rest = fibonacci_points(30)
+    client = serve_mod.Client(*server)
+    try:
+        did = client.fit(rest, (rest @ r_mat.T).astype(np.float32),
+                         cfg={"term": 0})
+        pts = fibonacci_points(64)
+        v = rng.standard_normal((64, 3)).astype(np.float32)
+        w = np.ones(64, np.float32)
+        moved, sig = client.transport(
+            did, pts, w, {"N": pts, "v": v}, want_stretch=True
+        )
+        assert set(moved) == {"N", "v"}
+        assert np.abs(moved["v"] - v @ r_mat.T).max() < 5e-3
+        assert np.abs(moved["N"] - pts @ r_mat.T).max() < 5e-3
+        assert np.abs(sig - 1.0).max() < 5e-3          # rigid: no stretch
+
+        # parity vs in-process
+        d = Deformer.fit(rest, rest @ r_mat.T,
+                         DeformConfig(term=0), DeformParams())
+        want = d.transform_attrs(pts, {"v": v}, w)
+        np.testing.assert_allclose(moved["v"], np.asarray(want["v"]),
+                                   atol=1e-6)
+
+        # untransportable shape -> clean error, connection survives
+        try:
+            client.transport(did, pts, w, {"bad": np.zeros((64, 2))})
+            raise AssertionError("expected error")
+        except RuntimeError as e:
+            assert "not transportable" in str(e)
+        moved2 = client.transport(did, pts, w, {"v": v})
+        assert np.abs(moved2["v"] - v @ r_mat.T).max() < 5e-3
+    finally:
+        client.close()
+
+
+def test_serve_transport_json_protocol(server, rng):
+    """Same op over the JSON line protocol (base64 arrays)."""
+    rest = fibonacci_points(20)
+    r = _rpc(server, {
+        "cmd": "fit",
+        "rest_ctrl": serve_mod.encode_array(rest),
+        "deformed_ctrl": serve_mod.encode_array(
+            (1.2 * rest).astype(np.float32)),
+        "cfg": {"term": 0}, "params": {"lam": 0.01},
+    })
+    assert r["ok"], r
+    pts = fibonacci_points(32)
+    r2 = _rpc(server, {
+        "cmd": "transport", "deformer": r["deformer"],
+        "points": serve_mod.encode_array(pts),
+        "weight": serve_mod.encode_array(np.ones(32, np.float32)),
+        "attr:N": serve_mod.encode_array(pts),
+        "want_stretch": True,
+    })
+    assert r2["ok"], r2
+    n2 = serve_mod.decode_array(r2["attr:N"])
+    sig = serve_mod.decode_array(r2["stretch"])
+    assert np.abs(n2 - pts).max() < 2e-2        # uniform scale: unchanged
+    assert np.abs(sig - 1.2).max() < 2e-2
