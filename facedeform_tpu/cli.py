@@ -127,6 +127,10 @@ def _add_cook_flags(d) -> None:
                    help="write fd_stretch/fd_compress point attrs (max/min "
                         "singular value of the deformation gradient): "
                         "rigging QC for stretched or pinched regions")
+    d.add_argument("--recompute-normals", action="store_true",
+                   help="rebuild N geometrically from the deformed faces "
+                        "(area-weighted; reflects the morph pass too, "
+                        "unlike --update-normals' analytic transport)")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
 
 
@@ -256,6 +260,7 @@ def _cmd_deform(args) -> int:
             update_normals=args.update_normals,
             transform_attrs=_split_attr_names(args.transform_attrs),
             output_stretch=args.output_stretch,
+            recompute_normals=args.recompute_normals,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -385,6 +390,7 @@ def _cmd_deform_seq(args) -> int:
                 update_normals=args.update_normals,
                 transform_attrs=_split_attr_names(args.transform_attrs),
                 output_stretch=args.output_stretch,
+                recompute_normals=args.recompute_normals,
             )
         for w in res0.warnings:
             if w not in warned:
@@ -562,6 +568,15 @@ def _cmd_deform_seq(args) -> int:
                         sig = t_outs[len(t_names)][f - 1]
                         fm.set_attr("fd_stretch", sig[:, 0])
                         fm.set_attr("fd_compress", sig[:, 2])
+                if (args.recompute_normals and fm.faces is not None
+                        and len(fm.faces)):
+                    # geometric N of THIS frame's surface (wins over the
+                    # analytic transport, matching node precedence)
+                    from facedeform_tpu.geometry.topology import (
+                        vertex_normals,
+                    )
+
+                    fm.set_attr("N", vertex_normals(fm))
                 if vel_fps is not None:
                     prev = (res0.mesh.points if f == 1
                             else out_frames[f - 2])
@@ -597,6 +612,7 @@ def _cmd_deform_seq(args) -> int:
                     update_normals=args.update_normals,
                     transform_attrs=_split_attr_names(args.transform_attrs),
                     output_stretch=args.output_stretch,
+                    recompute_normals=args.recompute_normals,
                 )
             for w in res.warnings:
                 if w not in warned:  # each distinct warning once per sequence

@@ -61,8 +61,13 @@ def vertex_normals(mesh: Mesh) -> np.ndarray:
         return n.astype(np.float32)
     p = mesh.points.astype(np.float64)
     fn = np.cross(p[tris[:, 1]] - p[tris[:, 0]], p[tris[:, 2]] - p[tris[:, 0]])
+    # bincount per (corner, axis) instead of np.add.at: same scatter-add,
+    # ~20x faster at film-res meshes (add.at is an unbuffered ufunc loop)
     for c in range(3):
-        np.add.at(n, tris[:, c], fn)
+        idx = tris[:, c]
+        for d in range(3):
+            n[:, d] += np.bincount(idx, weights=fn[:, d],
+                                   minlength=mesh.num_points)
     norm = np.linalg.norm(n, axis=1, keepdims=True)
     n = np.where(norm > 1e-20, n / np.maximum(norm, 1e-20), [0.0, 0.0, 1.0])
     return n.astype(np.float32)

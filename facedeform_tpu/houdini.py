@@ -90,6 +90,7 @@ PARM_SPECS: List[Tuple[str, str, str, object, object]] = [
     ("update_normals", "Update normals", "toggle", 0, None),
     ("transform_attrs", "Transform attributes", "string", "", None),
     ("output_stretch", "Output stretch", "toggle", 0, None),
+    ("recompute_normals", "Recompute normals", "toggle", 0, None),
 ]
 
 _SOLVER_NAMES = ("auto", "direct", "krylov", "pu")
@@ -361,6 +362,9 @@ def cook_sop(node) -> Optional[CookResult]:
                 s for s in (p.strip() for p in tr_attrs.split(",")) if s
             ) or None,
             output_stretch=bool(_eval_parm(node, "output_stretch", 0)),
+            recompute_normals=bool(
+                _eval_parm(node, "recompute_normals", 0)
+            ),
         )
     except errors.FaceDeformError as e:
         raise hou.NodeError(str(e)) from e

@@ -169,6 +169,7 @@ class FaceDeformNode:
         update_normals: bool = False,
         transform_attrs: Optional[Sequence[str]] = None,
         output_stretch: bool = False,
+        recompute_normals: bool = False,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -199,6 +200,12 @@ class FaceDeformNode:
         `output_stretch` writes fd_stretch / fd_compress (max / min
         singular value of F per vertex) — rigging QC for where the map
         stretches or pinches the surface.
+        `recompute_normals` rebuilds N geometrically from the FINAL
+        output topology (area-weighted face normals) — unlike the
+        analytic transport it also reflects the morphspace pass, but it
+        needs faces and reads the surface, not the field (point clouds
+        and tangent-projected fields fall back to transport).  When both
+        are set, the recompute wins (it runs on the written positions).
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -633,6 +640,22 @@ class FaceDeformNode:
                 out.detail_attrs["weights"] = weights_out
 
         out.set_points(new_pts)
+        # ------------------------------------------- geometric normals
+        # Runs on the FINAL positions (after the morph pass), so unlike
+        # the analytic transport above it reflects everything written.
+        if recompute_normals:
+            if out.faces is None or len(out.faces) == 0:
+                warnings.append(
+                    "recompute_normals: mesh has no faces; skipping "
+                    "(use update_normals for point clouds)"
+                )
+            else:
+                from facedeform_tpu.geometry.topology import vertex_normals
+
+                with stage("normals_topo", times):
+                    out.set_attr("N", vertex_normals(out))
+                if "N" not in transported_names:
+                    transported_names.append("N")
         return CookResult(
             mesh=out, warnings=warnings, messages=messages,
             capture=capture, weights=weights_out,

@@ -308,3 +308,60 @@ def test_transport_attrs_want_stretch_single_pass(rng):
     np.testing.assert_allclose(
         np.asarray(moved["v"]),
         np.asarray(d.transform_attrs(pts, {"v": v}, w)["v"]), atol=0)
+
+
+def test_node_recompute_normals(rng):
+    """recompute_normals rebuilds N geometrically from the deformed faces
+    — on a scaled sphere the geometric and transported normals agree; it
+    also covers the morph pass (which transport warns about) and wins
+    over update_normals when both are set."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.geometry.topology import vertex_normals
+    from facedeform_tpu.node import FaceDeformNode
+
+    mesh = uv_sphere(12, 12)
+    mesh.set_attr("N", np.zeros((mesh.num_points, 3), np.float32))
+    rig0 = Mesh(points=fibonacci_points(40))
+    rig1 = Mesh(points=(1.2 * rig0.points).astype(np.float32))
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                       solver="direct", term=PolyTerm.LINEAR)
+    res = FaceDeformNode().cook(
+        [mesh, rig0, rig1], cfg, DeformParams(radius=1.0, lam=0.01),
+        recompute_normals=True, update_normals=True,
+    )
+    got = res.mesh.attr("N")
+    want = vertex_normals(res.mesh)          # geometric truth of output
+    np.testing.assert_allclose(got, want, atol=0)   # recompute won
+    # a uniformly scaled sphere keeps radial normals
+    radial = res.mesh.points / np.linalg.norm(
+        res.mesh.points, axis=1, keepdims=True)
+    assert np.abs(got - radial).max() < 0.15   # coarse sphere faceting
+    assert "N" in res.transported
+
+    # point cloud: warns and skips
+    cloud = Mesh(points=mesh.points.copy())
+    res2 = FaceDeformNode().cook(
+        [cloud, rig0, rig1], cfg, DeformParams(radius=1.0, lam=0.01),
+        recompute_normals=True,
+    )
+    assert any("no faces" in w for w in res2.warnings)
+
+
+def test_vertex_normals_bincount_matches_add_at(rng):
+    """The bincount scatter-add rewrite must equal the naive np.add.at."""
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.geometry.topology import vertex_normals
+
+    mesh = uv_sphere(9, 9)
+    got = vertex_normals(mesh)
+    tris = mesh.triangles()
+    p = mesh.points.astype(np.float64)
+    fn = np.cross(p[tris[:, 1]] - p[tris[:, 0]], p[tris[:, 2]] - p[tris[:, 0]])
+    n = np.zeros((mesh.num_points, 3), np.float64)
+    for c in range(3):
+        np.add.at(n, tris[:, c], fn)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    want = np.where(norm > 1e-20, n / np.maximum(norm, 1e-20),
+                    [0.0, 0.0, 1.0]).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-6)

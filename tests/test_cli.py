@@ -388,3 +388,42 @@ def test_cli_deform_seq_orient_sign_continuity(tmp_path):
                     f"(min dot {dots.min():.3f})"
                 )
             prev = q
+
+
+def test_cli_deform_seq_recompute_normals(tmp_path):
+    """--recompute-normals writes per-frame geometric N on both seq
+    paths, overriding the analytic transport."""
+    import numpy as np
+
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+    from facedeform_tpu.geometry.topology import vertex_normals
+
+    mesh = uv_sphere(10, 10)
+    mesh.set_attr("N", np.zeros((mesh.num_points, 3), np.float32))
+    rig_pts = fibonacci_points(20)
+    save_geo(str(tmp_path / "mesh.geo"), mesh)
+    save_geo(str(tmp_path / "rig.geo"), Mesh(points=rig_pts))
+    frames = []
+    for f in range(3):
+        p = str(tmp_path / f"posed{f}.geo")
+        save_geo(p, Mesh(points=rig_pts * (1.0 + 0.05 * (f + 1))))
+        frames.append(p)
+    base = ["deform-seq", str(tmp_path / "mesh.geo"),
+            str(tmp_path / "rig.geo"), *frames,
+            "--out-pattern", "f_%02d.geo", "--radius", "2.0",
+            "--recompute-normals"]
+    assert main(base + ["-o", str(tmp_path / "pf")]) == 0
+    assert main(base + ["-o", str(tmp_path / "bt"), "--batch"]) == 0
+    for f in range(3):
+        ref = load_geo(str(tmp_path / "pf" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "bt" / f"f_{f:02d}.geo"))
+        np.testing.assert_allclose(
+            got.point_attrs["N"], ref.point_attrs["N"], atol=2e-4,
+            err_msg=f"frame {f}")
+        # matches the geometric normals of the written surface
+        np.testing.assert_allclose(
+            got.point_attrs["N"], vertex_normals(got), atol=1e-4)
+        assert np.abs(got.point_attrs["N"]).max() > 0.5  # not the zeros
