@@ -141,19 +141,37 @@ def _split_attr_names(spec):
     return tuple(s for s in (p.strip() for p in spec.split(",")) if s)
 
 
+def _chain_quat_sign(prev, q):
+    """Quaternion sign-continuity chain: flip rows of q into prev's
+    hemisphere (dot >= 0).  Each frame's polar quaternion canonicalizes
+    w>=0 independently, so a vertex whose rotation crosses 180 degrees
+    would flip hemisphere between frames and pop downstream
+    slerp/motion blur; chaining against the previous frame removes the
+    pop.  Shared by the batch and per-frame deform-seq paths."""
+    dots = np.sum(q * prev, axis=1, keepdims=True)
+    return np.where(dots < 0, -q, q).astype(np.float32)
+
+
 def _select_transport_attrs(args, mesh):
     """The batch path's (names, kinds, values) for attribute transport —
     mirrors node.cook's selection (missing/untransportable attrs were
-    already warned about by the frame-0 full cook)."""
+    already warned about by the frame-0 full cook).  N is dropped when
+    --recompute-normals will win (faces present): the geometric rebuild
+    overwrites it, so the Jacobian N transport would be wasted."""
     from facedeform_tpu.ops.jacobian import infer_attr_kind
 
+    recompute_wins = bool(
+        getattr(args, "recompute_normals", False)
+        and mesh.faces is not None and len(mesh.faces)
+    )
     names, kinds, vals = [], [], []
-    if args.update_normals and mesh.attr("N") is not None:
+    if (args.update_normals and not recompute_wins
+            and mesh.attr("N") is not None):
         names.append("N")
         kinds.append("normal")
         vals.append(mesh.attr("N"))
     for nm in _split_attr_names(args.transform_attrs) or ():
-        if nm in names:
+        if nm in names or (nm == "N" and recompute_wins):
             continue
         arr = mesh.attr(nm)
         kind = None if arr is None else infer_attr_kind(
@@ -359,10 +377,11 @@ def _cmd_deform_seq(args) -> int:
             blockers.append("krylov-size rig")
         if any(r.num_points != n for r in rigs):
             blockers.append("rig point counts differ across frames")
-        transport_requested = bool(
-            args.update_normals or args.transform_attrs
-            or args.output_stretch
-        )
+        # Selection-based, not flag-based: --update-normals superseded by
+        # --recompute-normals (or naming only missing attrs) must not
+        # force the unfused fit+apply path nor a wasted Jacobian pass.
+        sel_names, sel_kinds, sel_vals = _select_transport_attrs(args, mesh)
+        transport_requested = bool(sel_names or args.output_stretch)
         if blockers:
             print(
                 "warning: --batch falls back to per-frame cooks "
@@ -471,9 +490,7 @@ def _cmd_deform_seq(args) -> int:
                 if transport_requested:
                     # Per-frame attribute transport for frames 1+; frame 0
                     # was transported by the full node cook above.
-                    t_names, t_kinds, t_vals = _select_transport_attrs(
-                        args, mesh
-                    )
+                    t_names, t_kinds, t_vals = sel_names, sel_kinds, sel_vals
                     want_sig = bool(args.output_stretch)
                     if (t_names or want_sig) and cfg.solver != "pu":
                         # global families: ONE dispatch for the shot
@@ -524,24 +541,19 @@ def _cmd_deform_seq(args) -> int:
                         if fit_all:
                             # model stack covered frame 0; drop it here
                             t_outs = [t[1:] for t in t_outs]
-                        # Quaternion sign continuity: each frame's polar
-                        # quaternion canonicalizes w>=0 independently, so
-                        # a vertex whose rotation crosses 180deg would
-                        # flip hemisphere between frames and pop
-                        # downstream slerp/motion blur.  Chain signs from
-                        # frame 0's transported attr through the shot.
+                        # Chain quaternion signs from frame 0's
+                        # transported attr through the shot (same rule
+                        # as the per-frame path: _chain_quat_sign).
                         for i, k in enumerate(t_kinds):
                             if k != "quaternion":
                                 continue
                             prev = res0.mesh.attr(t_names[i])
                             fixed = []
                             for fi in range(t_outs[i].shape[0]):
-                                q = t_outs[i][fi]
-                                dots = np.sum(q * prev, 1, keepdims=True)
-                                q = np.where(dots < 0, -q, q)
+                                q = _chain_quat_sign(prev, t_outs[i][fi])
                                 fixed.append(q)
                                 prev = q
-                            t_outs[i] = np.stack(fixed).astype(np.float32)
+                            t_outs[i] = np.stack(fixed)
                         seq_transport = (t_names, t_outs)
                 if fit_all:
                     # frames_arr covered frame 0 for the checkpoint; the
@@ -623,8 +635,7 @@ def _cmd_deform_seq(args) -> int:
                 if cur is None:
                     continue
                 if nm in prev_q:
-                    dots = np.sum(cur * prev_q[nm], axis=1, keepdims=True)
-                    cur = np.where(dots < 0, -cur, cur).astype(np.float32)
+                    cur = _chain_quat_sign(prev_q[nm], cur)
                     res.mesh.set_attr(nm, cur)
                 prev_q[nm] = cur
             out_path = os.path.join(args.outdir, args.out_pattern % f)

@@ -204,8 +204,9 @@ class FaceDeformNode:
         output topology (area-weighted face normals) — unlike the
         analytic transport it also reflects the morphspace pass, but it
         needs faces and reads the surface, not the field (point clouds
-        and tangent-projected fields fall back to transport).  When both
-        are set, the recompute wins (it runs on the written positions).
+        fall back to transport).  When both are set, the recompute wins
+        (it runs on the written positions), and the analytic N
+        transport is skipped outright — its output would be discarded.
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -457,7 +458,15 @@ class FaceDeformNode:
 
         to_transport: Dict[str, np.ndarray] = {}
         transport_kinds: Dict[str, str] = {}
-        if update_normals:
+        # When the geometric recompute will run (faces present), it
+        # overwrites any analytically transported N — skip the Jacobian
+        # N transport rather than paying for output that is discarded.
+        recompute_wins = bool(
+            recompute_normals and out.faces is not None and len(out.faces)
+        )
+        if update_normals and recompute_wins:
+            pass  # N comes from the geometric recompute below
+        elif update_normals:
             if "N" not in out.point_attrs:
                 warnings.append(
                     "update_normals: mesh has no N point attribute; skipping"
@@ -473,6 +482,8 @@ class FaceDeformNode:
         for name in transform_attrs or ():
             if name in to_transport:
                 continue
+            if name == "N" and recompute_wins:
+                continue  # superseded by the geometric recompute
             vals = out.attr(name)
             if vals is None:
                 warnings.append(

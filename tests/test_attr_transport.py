@@ -4,6 +4,8 @@ The reference copies every non-P point attribute through untouched
 (src/SOP_FaceDeform.cpp:438 writes positions only); these cover the
 rebuild's closed-form transport extension (ops/jacobian.py)."""
 
+import dataclasses
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -346,6 +348,43 @@ def test_node_recompute_normals(rng):
         recompute_normals=True,
     )
     assert any("no faces" in w for w in res2.warnings)
+
+
+def test_recompute_skips_analytic_n_transport(rng):
+    """When recompute_normals will win (faces present), the analytic N
+    transport is skipped outright: no Jacobian pass runs for N, and the
+    morphspace 'transport does not reflect the morph' warning must not
+    fire — the recomputed N DOES reflect the morph pass."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    mesh = uv_sphere(10, 10)
+    mesh.set_attr("N", np.zeros((mesh.num_points, 3), np.float32))
+    rig0 = Mesh(points=fibonacci_points(30))
+    rig1 = Mesh(points=(1.1 * rig0.points).astype(np.float32))
+    blend = Mesh(points=(mesh.points * 1.05).astype(np.float32))
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+                       solver="direct", term=PolyTerm.LINEAR, morphspace=True)
+    node = FaceDeformNode()
+    res = node.cook(
+        [mesh, rig0, rig1, blend], cfg, DeformParams(radius=1.0, lam=0.01),
+        recompute_normals=True, update_normals=True,
+    )
+    # N was rebuilt geometrically (reflecting the morph), so the
+    # transport-vs-morph warning would be wrong — and with the analytic
+    # N transport skipped, nothing rode the Jacobian pass at all.
+    assert not any("morphspace reconstruction" in w for w in res.warnings)
+    assert res.transported == ("N",)
+    # transform_attrs naming N explicitly is likewise superseded
+    res2 = node.cook(
+        [mesh, rig0, rig1],
+        dataclasses.replace(cfg, morphspace=False),
+        DeformParams(radius=1.0, lam=0.01),
+        recompute_normals=True, transform_attrs=["N"],
+    )
+    assert res2.transported == ("N",)
+    assert not res2.warnings
 
 
 def test_vertex_normals_bincount_matches_add_at(rng):
