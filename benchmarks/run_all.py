@@ -550,13 +550,46 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
     got = np.asarray(out)
     err = float(np.abs(got - normals @ r_mat.T).max())
     unit_err = float(np.abs(np.linalg.norm(got, axis=1) - 1.0).max())
+
+    # Whole-shot transport: frames packed into one MXU dot per (block,
+    # tile) — d2/phi' amortize over the shot (ops/pallas_jacobian.py).
+    from facedeform_tpu.ops.fit import RBFModel
+    from facedeform_tpu.parallel import batched
+
+    n_frames = 8
+    mf = RBFModel(
+        ctrl=d.model.ctrl,
+        w_rbf=jnp.stack(
+            [d.model.w_rbf * (1.0 + 0.1 * f) for f in range(n_frames)]
+        ),
+        w_poly=jnp.stack(
+            [d.model.w_poly * (1.0 + 0.1 * f) for f in range(n_frames)]
+        ),
+        eps=d.model.eps,
+    )
+    run_seq = lambda: batched.transport_frames(  # noqa: E731
+        mf, pts, (n_dev,), w, d.cfg, ("normal",)
+    )[0]
+    _sync(run_seq())  # compile + warm
+    best_seq = None
+    for _ in range(3):
+        t0 = _time.time()
+        outs = run_seq()
+        _sync(outs)
+        dt = _time.time() - t0
+        best_seq = dt if best_seq is None else min(best_seq, dt)
+    seq0_err = float(np.abs(np.asarray(outs[0]) - got).max())
+
     return {
         "config": "11: deformed-normal transport (analytic Jacobian)",
         "verts": n_verts, "ctrl": n_ctrl,
         "rotation_normal_err": err,
         "unit_norm_err": unit_err,
         "warm_normals_ms": best * 1e3,
-        "pass": bool(err < 1e-2 and unit_err < 1e-5),
+        "seq_frames": n_frames,
+        "seq_transport_ms_per_frame": best_seq * 1e3 / n_frames,
+        "seq_frame0_vs_single_err": seq0_err,
+        "pass": bool(err < 1e-2 and unit_err < 1e-5 and seq0_err < 1e-5),
     }
 
 

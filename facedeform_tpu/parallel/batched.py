@@ -291,17 +291,33 @@ def _transport_frames_jit(
     if frame is not None:
         frame = tuple(jnp.asarray(f, jnp.float32) for f in frame)
 
+    use_pallas = jax.default_backend() == "tpu"
+
     def local(model, pts, w, vs, fr):
-        def one_frame(mw):
-            f_w_rbf, f_w_poly = mw
-            m = RBFModel(ctrl=model.ctrl, w_rbf=f_w_rbf,
-                         w_poly=f_w_poly, eps=model.eps)
-            jac = displacement_jacobian(m, pts, kernel, cfg.term)
+        def apply_rules(jac):
             fgrad = _applied_gradient(jac, w, cfg, fr)
             outs = [rules[k](val, fgrad) for val, k in zip(vs, kinds)]
             if want_stretch:
                 outs.append(principal_stretches(fgrad))
             return tuple(outs)
+
+        if use_pallas:
+            # frames-packed fused kernel: distances + phi' computed once
+            # per (block, tile), all frames contracted in one MXU dot
+            from facedeform_tpu.ops.pallas_jacobian import (
+                jacobian_pallas_frames,
+            )
+
+            jacs = jacobian_pallas_frames(model, pts, kernel, cfg.term)
+            return jax.lax.map(apply_rules, jacs)
+
+        def one_frame(mw):
+            f_w_rbf, f_w_poly = mw
+            m = RBFModel(ctrl=model.ctrl, w_rbf=f_w_rbf,
+                         w_poly=f_w_poly, eps=model.eps)
+            return apply_rules(
+                displacement_jacobian(m, pts, kernel, cfg.term)
+            )
 
         return jax.lax.map(one_frame, (model.w_rbf, model.w_poly))
 

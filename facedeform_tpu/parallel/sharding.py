@@ -247,8 +247,15 @@ def _sharded_transport_jit(
         )
     kernel = fit_mod.effective_kernel(cfg)
 
+    use_pallas = _mesh_on_tpu(mesh)
+
     def body(m, p, wt, vs, fr):
-        jac = displacement_jacobian(m, p, kernel, cfg.term)
+        if use_pallas:
+            from facedeform_tpu.ops.pallas_jacobian import jacobian_pallas
+
+            jac = jacobian_pallas(m, p, kernel, cfg.term)
+        else:
+            jac = displacement_jacobian(m, p, kernel, cfg.term)
         f = _applied_gradient(jac, wt, cfg, fr)
         outs = [rules[k](val, f) for val, k in zip(vs, kinds)]
         if want_stretch:
