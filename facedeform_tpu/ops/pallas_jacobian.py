@@ -36,37 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from facedeform_tpu.config import PolyTerm, RBFKernel
 from facedeform_tpu.ops.fit import RBFModel
+# phi_prime_s is a plain traceable function (no custom_jvp wrapper, unlike
+# apply_kernel) so it lowers through Mosaic unchanged — the kernel uses
+# the SAME derivative definitions as the XLA/oracle path by construction.
+from facedeform_tpu.ops.kernels import phi_prime_s
 from facedeform_tpu.ops.pallas_eval import _CTRL_BLOCK, _TILE_V
-
-_TINY = 1e-30
-
-
-def _phi_prime(kernel: RBFKernel, s: jnp.ndarray) -> jnp.ndarray:
-    """d phi / d s on the VPU, finite at s = 0 — mirrors
-    ops.kernels.phi_prime_s (see its docstring for the r -> 0 limits)."""
-    if kernel == RBFKernel.GAUSSIAN:
-        return -jnp.exp(-s)
-    if kernel == RBFKernel.THIN_PLATE:
-        from facedeform_tpu.ops.precise_math import precise_log
-
-        return jnp.where(
-            s > _TINY, 0.5 * (precise_log(jnp.maximum(s, _TINY)) + 1.0), 0.0
-        )
-    if kernel == RBFKernel.MULTIQUADRIC:
-        return 0.5 * jax.lax.rsqrt(1.0 + s)
-    if kernel == RBFKernel.INVERSE_MULTIQUADRIC:
-        q = jax.lax.rsqrt(1.0 + s)
-        return -0.5 * q / (1.0 + s)
-    if kernel == RBFKernel.LINEAR:
-        return jnp.where(
-            s > _TINY, 0.5 * jax.lax.rsqrt(jnp.maximum(s, _TINY)), 0.0
-        )
-    if kernel == RBFKernel.CUBIC:
-        return 1.5 * jnp.sqrt(s)
-    if kernel == RBFKernel.WENDLAND_C2:
-        base = jnp.maximum(1.0 - jnp.sqrt(s), 0.0)
-        return -10.0 * base * base * base
-    raise ValueError(kernel)
 
 
 def _jac_kernel(
@@ -94,7 +68,7 @@ def _jac_kernel(
         d2 = dx * dx + dy * dy + dz * dz
         for layer in range(n_layers):
             inv_e2 = inv_eps2_ref[layer, pl.ds(lo, block)][:, None]  # (B, 1)
-            g = 2.0 * _phi_prime(kernel, d2 * inv_e2) * inv_e2       # (B, TV)
+            g = 2.0 * phi_prime_s(kernel, d2 * inv_e2) * inv_e2      # (B, TV)
             u_l = u_ref[layer, pl.ds(lo, block)]                     # (B, 12F)
             if n_frames == 1:
                 # 12 sublane reductions: the 12-row MXU dot is a

@@ -222,6 +222,50 @@ def deform_frames(
     return apply_frames(model, points, dist2, gate, cfg, params, mesh, frame)
 
 
+def _transport_frames_pallas_chunked(
+    model: RBFModel,
+    pts: jnp.ndarray,
+    apply_rules,
+    kernel,
+    term,
+    f_max: int | None = None,
+    interpret: bool = False,
+):
+    """Frames-packed Jacobians with rules applied PER CHUNK: distances +
+    phi' compute once per (block, tile) (ops/pallas_jacobian.py) but only
+    the (F, V, 3/4) transported outputs ever live whole-shot in HBM — a
+    200-frame 1M-vertex shot's (F, V, 3, 3) Jacobian stack alone would be
+    7.2 GB.  Chunks are static slices inside the caller's jit trace, so
+    the sequence still compiles to one dispatch.
+
+    apply_rules: (V, 3, 3) Jacobian -> tuple of per-frame outputs.
+    """
+    from facedeform_tpu.ops.pallas_jacobian import (
+        jac_frames_per_dispatch, jacobian_pallas_frames,
+    )
+
+    n_frames = model.w_rbf.shape[0]
+    fpd = f_max or jac_frames_per_dispatch(
+        model.ctrl.shape[0], model.w_rbf.shape[1]
+    )
+    chunks = []
+    for lo in range(0, n_frames, fpd):
+        sub = RBFModel(
+            ctrl=model.ctrl, w_rbf=model.w_rbf[lo : lo + fpd],
+            w_poly=model.w_poly[lo : lo + fpd], eps=model.eps,
+        )
+        jacs = jacobian_pallas_frames(
+            sub, pts, kernel, term, interpret=interpret
+        )
+        chunks.append(jax.lax.map(apply_rules, jacs))
+    if len(chunks) == 1:
+        return chunks[0]
+    return tuple(
+        jnp.concatenate([c[i] for c in chunks])
+        for i in range(len(chunks[0]))
+    )
+
+
 def transport_frames(
     batched_model: RBFModel,
     points: jnp.ndarray,
@@ -291,7 +335,11 @@ def _transport_frames_jit(
     if frame is not None:
         frame = tuple(jnp.asarray(f, jnp.float32) for f in frame)
 
-    use_pallas = jax.default_backend() == "tpu"
+    from facedeform_tpu.parallel.sharding import _mesh_on_tpu
+
+    use_pallas = (
+        _mesh_on_tpu(mesh) if mesh is not None else jax.default_backend() == "tpu"
+    )
 
     def local(model, pts, w, vs, fr):
         def apply_rules(jac):
@@ -302,14 +350,9 @@ def _transport_frames_jit(
             return tuple(outs)
 
         if use_pallas:
-            # frames-packed fused kernel: distances + phi' computed once
-            # per (block, tile), all frames contracted in one MXU dot
-            from facedeform_tpu.ops.pallas_jacobian import (
-                jacobian_pallas_frames,
+            return _transport_frames_pallas_chunked(
+                model, pts, apply_rules, kernel, cfg.term
             )
-
-            jacs = jacobian_pallas_frames(model, pts, kernel, cfg.term)
-            return jax.lax.map(apply_rules, jacs)
 
         def one_frame(mw):
             f_w_rbf, f_w_poly = mw

@@ -137,6 +137,43 @@ def test_jac_frames_per_dispatch_bounds():
     assert fpd * (n_pad * 48 + 1024 * 84) <= (6 << 20)
 
 
+def test_transport_frames_chunked_rules_match_unchunked(rng):
+    """The per-chunk rule application (which keeps the (F, V, 3, 3)
+    Jacobian stack out of HBM on long shots) must be shape-invisible:
+    f_max=2 over 5 frames == one unchunked pass, per output."""
+    from facedeform_tpu.ops.jacobian import (
+        _applied_gradient, transform_normals,
+    )
+    from facedeform_tpu.parallel.batched import (
+        _transport_frames_pallas_chunked,
+    )
+
+    n, f = 24, 5
+    ctrl = rng.standard_normal((n, 3)).astype(np.float32)
+    wf = (rng.standard_normal((f, 1, n, 3)) * 0.1).astype(np.float32)
+    eps = (0.5 + rng.random((1, n))).astype(np.float32)
+    wpf = (rng.standard_normal((f, 4, 3)) * 0.05).astype(np.float32)
+    mf = RBFModel(ctrl=jnp.asarray(ctrl), w_rbf=jnp.asarray(wf),
+                  w_poly=jnp.asarray(wpf), eps=jnp.asarray(eps))
+    pts = rng.standard_normal((40, 3)).astype(np.float32)
+    nrm = rng.standard_normal((40, 3)).astype(np.float32)
+    w = rng.random(40).astype(np.float32)
+
+    def apply_rules(jac):
+        return (transform_normals(
+            jnp.asarray(nrm), _applied_gradient(jac, jnp.asarray(w))),)
+
+    kw = dict(kernel=RBFKernel.GAUSSIAN, term=PolyTerm.LINEAR,
+              interpret=True)
+    want = _transport_frames_pallas_chunked(
+        mf, jnp.asarray(pts), apply_rules, f_max=5, **kw)
+    got = _transport_frames_pallas_chunked(
+        mf, jnp.asarray(pts), apply_rules, f_max=2, **kw)
+    assert got[0].shape == (f, 40, 3)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_deformer_jacobian_routes_by_backend(rng):
     """Deformer.jacobian must agree with the XLA path on this (CPU)
     backend — and the pallas route is the same function the TPU backend
