@@ -124,6 +124,27 @@ def evaluate(ctrl, w_rbf, w_poly, eps, points, kernel: RBFKernel, term: PolyTerm
     return disp
 
 
+def jacobian_fd(ctrl, w_rbf, w_poly, eps, points, kernel: RBFKernel,
+                term: PolyTerm, h: float = 1e-5):
+    """f64 central-difference Jacobian of the displacement field,
+    (V, 3, 3) with J[v, a, b] = d disp_a / d x_b.
+
+    Deliberately DERIVATIVE-FREE: an analytic oracle would share the
+    phi'(s) derivation with the code under test; central differences on
+    the f64 value oracle catch a wrong formula, not just a transcription
+    slip.  Truncation is O(h^2) ~ 1e-10 at unit scale — far below the f32
+    budgets it referees."""
+    points = np.asarray(points, np.float64)
+    jac = np.zeros((points.shape[0], 3, 3))
+    for b in range(3):
+        step = np.zeros(3)
+        step[b] = h
+        hi = evaluate(ctrl, w_rbf, w_poly, eps, points + step, kernel, term)
+        lo = evaluate(ctrl, w_rbf, w_poly, eps, points - step, kernel, term)
+        jac[:, :, b] = (hi - lo) / (2.0 * h)
+    return jac
+
+
 def project_to_tangents(u, v, n, disp):
     def norm(x):
         return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-20)

@@ -137,6 +137,36 @@ def test_jac_frames_per_dispatch_bounds():
     assert fpd * (n_pad * 48 + 1024 * 84) <= (6 << 20)
 
 
+@pytest.mark.parametrize(
+    "kernel",
+    [RBFKernel.GAUSSIAN, RBFKernel.THIN_PLATE, RBFKernel.MULTIQUADRIC,
+     RBFKernel.WENDLAND_C2],
+)
+def test_jacobian_against_f64_fd_oracle(rng, kernel):
+    """ABSOLUTE accuracy: both the XLA and the fused Pallas Jacobians
+    against the f64 central-difference oracle (tests/oracle.py) — a
+    derivative-free referee that shares no phi'(s) derivation with the
+    code under test.  Guards a wrong analytic formula, which the
+    pallas-vs-XLA and autodiff-consistency tests cannot see."""
+    from tests import oracle
+
+    m = _model(rng, 29, layers=2)
+    # keep query points off the r=0 FD kink of the non-smooth kernels
+    pts = (rng.standard_normal((57, 3)) * 2.0 + 4.0).astype(np.float32)
+    want = oracle.jacobian_fd(
+        np.asarray(m.ctrl, np.float64), np.asarray(m.w_rbf, np.float64),
+        np.asarray(m.w_poly, np.float64), np.asarray(m.eps, np.float64),
+        pts, kernel, PolyTerm.LINEAR,
+    )
+    scale = max(1.0, float(np.abs(want).max()))
+    for got in (
+        displacement_jacobian(m, jnp.asarray(pts), kernel, PolyTerm.LINEAR),
+        jacobian_pallas(m, jnp.asarray(pts), kernel, PolyTerm.LINEAR,
+                        tile_v=64, interpret=True),
+    ):
+        assert np.abs(np.asarray(got) - want).max() / scale < 5e-5
+
+
 def test_transport_frames_chunked_rules_match_unchunked(rng):
     """The per-chunk rule application (which keeps the (F, V, 3, 3)
     Jacobian stack out of HBM on long shots) must be shape-invisible:
