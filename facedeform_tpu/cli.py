@@ -52,8 +52,10 @@ def _build_parser() -> argparse.ArgumentParser:
                         "through the full node (capture/falloff/group), "
                         "the rest ride the MXU frames kernel (tangent "
                         "fused); solver=pu shares one patch factorization "
-                        "across frames (ops.pu.fit_pu_frames); falls back "
-                        "per-frame for blends/picked/krylov")
+                        "across frames (ops.pu.fit_pu_frames); morphspace "
+                        "blends ride too (one vmapped DBSE weight solve "
+                        "for the shot); falls back per-frame for "
+                        "picked/krylov")
     s.add_argument("--out-velocity", type=float, default=None, metavar="FPS",
                    help="write a per-frame `v` point attribute: backward "
                         "difference v_f = (P_f - P_{f-1}) * FPS (frame 0 "
@@ -366,8 +368,6 @@ def _cmd_deform_seq(args) -> int:
 
         n = rest_rig.num_points
         blockers = []
-        if blends:
-            blockers.append("blendshapes")
         if args.picked:
             blockers.append("picked")
         if cfg.solver == "pu":
@@ -404,7 +404,7 @@ def _cmd_deform_seq(args) -> int:
 
         with stage("cook[0]", times):
             res0 = node.cook(
-                [mesh, rest_rig, rigs[0]], cfg, params,
+                [mesh, rest_rig, rigs[0]] + blends, cfg, params,
                 group=args.group, picked=args.picked,
                 update_normals=args.update_normals,
                 transform_attrs=_split_attr_names(args.transform_attrs),
@@ -485,6 +485,63 @@ def _cmd_deform_seq(args) -> int:
                         jnp.zeros(mesh.num_points, jnp.float32),
                         jnp.asarray(gate), cfg, params, frame=frame,
                     )
+                # ---- batched morph pass (DBSE): all remaining frames in
+                # ONE vmapped weight solve + reconstruction einsum, off
+                # the blend basis cached by frame 0's cook (the basis is
+                # frame-invariant: it depends on rest + blends only)
+                seq_weights = None     # per-frame (S,) weights, aligned
+                seq_w_ok = None        # with out_frames rows
+                if cfg.morphspace:
+                    dbse_model, rest_attr = node.dbse_state()
+                    if dbse_model is not None:
+                        from facedeform_tpu.ops import dbse as dbse_ops
+                        from facedeform_tpu.utils import errors as err_mod
+
+                        rest_j = jnp.asarray(rest_attr)
+                        cur = jnp.asarray(out_frames)
+                        if cfg.dbse_lstsq:
+                            w_f, w_rep = dbse_ops.weights_lstsq_batched(
+                                dbse_model, cur, rest_j
+                            )
+                            ok = err_mod.frames_solve_ok(w_rep)
+                        else:
+                            w_f = dbse_ops.weights_parity_batched(
+                                dbse_model, cur, rest_j
+                            )
+                            ok = np.isfinite(np.asarray(w_f)).all(axis=1)
+                        clamp = None
+                        if cfg.doclampweight:
+                            clamp = (jnp.asarray(params.weight_lo),
+                                     jnp.asarray(params.weight_hi))
+                        disp = dbse_ops.reconstruct_frames(
+                            dbse_model, w_f, clamp, not cfg.dbse_lstsq
+                        )
+                        morphed = dbse_ops.morph_pass(
+                            cur, rest_j, disp,
+                            jnp.asarray(bool(cfg.dofalloff)),
+                            jnp.asarray(float(params.falloffradius),
+                                        jnp.float32),
+                        )
+                        if not ok.all():
+                            # per-frame skip, matching the node's
+                            # warn-and-ignore on a failed weight solve
+                            morphed = jnp.where(
+                                jnp.asarray(ok)[:, None, None],
+                                morphed, cur,
+                            )
+                            f_base = 0 if fit_all else 1
+                            bad = ", ".join(
+                                str(i + f_base)
+                                for i in np.flatnonzero(~ok)
+                            )
+                            print(
+                                "warning: Can't compute weights for "
+                                "morphspace deformation. Ignoring it. "
+                                f"(frames {bad})", file=sys.stderr,
+                            )
+                        out_frames = morphed
+                        seq_weights = np.asarray(w_f)
+                        seq_w_ok = ok
                 out_frames = np.asarray(out_frames)
                 seq_transport = None
                 if transport_requested:
@@ -559,6 +616,9 @@ def _cmd_deform_seq(args) -> int:
                     # frames_arr covered frame 0 for the checkpoint; the
                     # written frame 0 stays the full node cook's output
                     out_frames = out_frames[1:]
+                    if seq_weights is not None:
+                        seq_weights = seq_weights[1:]
+                        seq_w_ok = seq_w_ok[1:]
             if vel_fps is not None:
                 # Trail-SOP semantics: backward difference of the DEFORMED
                 # positions; frame 0 forward so every frame has motion
@@ -572,6 +632,14 @@ def _cmd_deform_seq(args) -> int:
                 fm.points = np.ascontiguousarray(
                     out_frames[f - 1], np.float32
                 )
+                if seq_weights is not None:
+                    # this frame's DBSE weights (frame 0's, inherited via
+                    # the mesh copy, would be stale); a failed per-frame
+                    # solve drops the attr, matching the node's ignore
+                    if seq_w_ok[f - 1]:
+                        fm.detail_attrs["weights"] = seq_weights[f - 1]
+                    else:
+                        fm.detail_attrs.pop("weights", None)
                 if seq_transport is not None:
                     t_names, t_outs = seq_transport
                     for i, nm in enumerate(t_names):

@@ -154,6 +154,17 @@ class FaceDeformNode:
             self._backend_key = key
         return self._backend_choice
 
+    def dbse_state(self):
+        """(dbse_model, rest_attr) cached by the last cook, or (None, None).
+
+        The animated-sequence batch path (cli deform-seq --batch) morphs
+        frames 1+ in one vmapped dispatch; reusing the cook-cached blend
+        basis guarantees the batched pass sees exactly the same filtered
+        shapes / rest attr / packed factor as frame 0's full node cook
+        (the setupBlends cache, src/SOP_FaceDeform.cpp:178-213).
+        """
+        return self._dbse_model, self._rest_attr
+
     # ------------------------------------------------------------------ cook
     def cook(
         self,

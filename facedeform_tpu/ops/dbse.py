@@ -153,8 +153,19 @@ def weights_parity(
 def weights_lstsq_batched(
     model: DBSEModel, poses: jnp.ndarray, rest: jnp.ndarray, ridge: float = 1e-6
 ) -> tuple[jnp.ndarray, SolveReport]:
-    """(F, V, 3) scanned poses -> (F, S) weights (BASELINE config 4)."""
+    """(F, V, 3) scanned poses -> (F, S) weights (BASELINE config 4).
+
+    The returned SolveReport's leaves carry a leading frame axis; check it
+    with errors.frames_solve_ok (per-frame mask), not check_solve.
+    """
     return jax.vmap(lambda p: weights_lstsq(model, p, rest, ridge))(poses)
+
+
+def weights_parity_batched(
+    model: DBSEModel, poses: jnp.ndarray, rest: jnp.ndarray
+) -> jnp.ndarray:
+    """(F, V, 3) poses -> (F, S) reference-recipe weights (dbse.cpp:53-55)."""
+    return jax.vmap(lambda p: weights_parity(model, p, rest))(poses)
 
 
 @functools.partial(jax.jit, static_argnames=("parity_scale",))
@@ -181,6 +192,29 @@ def reconstruct(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("parity_scale",))
+def reconstruct_frames(
+    model: DBSEModel,
+    weights: jnp.ndarray,
+    clamp: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
+    parity_scale: bool,
+) -> jnp.ndarray:
+    """Batched reconstruct for an animated shot: (F, S) weights ->
+    (F, V, 3) displacement fields in ONE HIGHEST-precision einsum.
+
+    Same semantics per frame as reconstruct (dbse.cpp:60-75): the x3
+    parity scale and the weight clamp apply before the contraction.
+    """
+    w = weights * 3.0 if parity_scale else weights
+    if clamp is not None:
+        lo, hi = clamp
+        w = jnp.clip(w, lo, hi)
+    return jnp.einsum(
+        "fs,svc->fvc", w.astype(jnp.float32), model.deltas,
+        precision=jax.lax.Precision.HIGHEST, **_HP,
+    )
+
+
 @jax.jit
 def morph_pass(
     positions: jnp.ndarray,
@@ -196,6 +230,9 @@ def morph_pass(
     The bracketed residual term only fires when dofalloff is on and
     falloffradius != 0 (:467-470) — the reference's falloffradius is
     morph-space-only despite its name (SURVEY.md quirk 5).
+
+    Broadcasts over a leading frame axis: (F, V, 3) positions/disp with
+    (V, 3) rest morph a whole shot in one call.
     """
     residual = (positions - rest) * falloffradius
     use = jnp.logical_and(dofalloff, falloffradius != 0.0)

@@ -107,3 +107,49 @@ def check_solve(report, rtol: float = SOLVE_BACKWARD_RTOL) -> None:
             f"{res:.3e}, rhs {rhs:.3e}{cond_txt}) — singular or degenerate "
             "system (duplicate/coincident markers?)"
         )
+
+
+def frames_solve_ok(report, rtol: float = SOLVE_BACKWARD_RTOL):
+    """Per-frame health mask for a vmapped SolveReport stack.
+
+    The animated-sequence batch path solves all frames' DBSE weights in one
+    vmapped dispatch (ops.dbse.weights_lstsq_batched), so the report leaves
+    carry a leading frame axis.  Unlike check_solve this does not raise: a
+    shot skips the morph pass only on the frames whose weight solve failed,
+    matching the per-frame node behavior ("Can't compute weights ..."
+    warning + ignore, the reference's terminationtype contract at
+    src/SOP_FaceDeform.cpp:363-368 applied per cook).
+
+    Returns a boolean (F,) numpy mask.  One device->host pull for the
+    whole stack (each separate float() costs a full round-trip on tunneled
+    TPU runtimes).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    f = int(report.residual_norm.shape[0])
+    if getattr(report, "scale_norm", None) is None:
+        vals = np.asarray(jnp.concatenate([
+            jnp.ravel(report.residual_norm), jnp.ravel(report.rhs_norm),
+        ]).astype(jnp.float32))
+        res, rhs = vals[:f], vals[f:]
+        return np.isfinite(res) & (
+            res <= SOLVE_RESIDUAL_RTOL * np.maximum(rhs, 1e-30)
+        )
+
+    col = report.col_backward
+    k = 0 if col is None else int(col.shape[-1])
+    parts = [jnp.ravel(report.residual_norm), jnp.ravel(report.scale_norm)]
+    if k:
+        parts.append(jnp.ravel(col))
+    vals = np.asarray(jnp.concatenate(
+        [jnp.asarray(p, jnp.float32) for p in parts]
+    ))
+    res, scale = vals[:f], vals[f:2 * f]
+    backward = res / np.maximum(scale, 1e-30)
+    ok = np.isfinite(res) & (backward <= rtol)
+    if k:
+        colv = vals[2 * f:].reshape(f, k)
+        with np.errstate(invalid="ignore"):
+            ok &= np.isfinite(colv).all(axis=1) & (colv.max(axis=1) <= rtol)
+    return ok

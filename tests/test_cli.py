@@ -102,14 +102,42 @@ def test_cli_deform_seq_batch_matches_per_frame(tmp_path):
         np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
                                    err_msg=f"tangent frame {f}")
 
-    # blendshapes force the per-frame fallback (still correct output)
+    # morphspace blends ride the batch path too: ONE vmapped DBSE weight
+    # solve + reconstruction for frames 1+ must match per-frame node cooks
+    # (positions AND the per-frame weights detail attr), including the
+    # weight clamp and the dofalloff-gated falloffradius residual term
     blend_p = str(tmp_path / "blend.geo")
+    blend2_p = str(tmp_path / "blend2.geo")
     save_geo(blend_p, Mesh(points=(mesh.points * 1.01).astype(np.float32),
                            faces=mesh.faces))
-    rc = main(base_args + ["-o", str(tmp_path / "bl"), "--batch",
-                           "--morphspace", "--blend", blend_p])
-    assert rc == 0
-    assert (tmp_path / "bl" / "f_03.geo").exists()
+    save_geo(blend2_p, Mesh(
+        points=(mesh.points + np.float32([0, 0.02, 0])).astype(np.float32),
+        faces=mesh.faces))
+    morph_args = base_args + [
+        "--morphspace", "--blend", blend_p, "--blend", blend2_p,
+        "--clamp-weights", "--weight-range", "-0.5", "0.5",
+        "--falloff", "--falloff-radius", "0.3",
+    ]
+    assert main(morph_args + ["-o", str(tmp_path / "mref")]) == 0
+    assert main(morph_args + ["-o", str(tmp_path / "mbat"),
+                              "--batch"]) == 0
+    # --save-deformer makes the batch fit cover frame 0 too (fit_all) and
+    # then trims it from the written frames — the weights/ok masks must
+    # stay aligned with the written frames through that trim
+    assert main(morph_args + ["-o", str(tmp_path / "msav"), "--batch",
+                              "--save-deformer",
+                              str(tmp_path / "mshot.npz")]) == 0
+    for f in range(4):
+        ref = load_geo(str(tmp_path / "mref" / f"f_{f:02d}.geo"))
+        for variant in ("mbat", "msav"):
+            got = load_geo(str(tmp_path / variant / f"f_{f:02d}.geo"))
+            np.testing.assert_allclose(
+                got.points, ref.points, atol=2e-5,
+                err_msg=f"morph frame {f} ({variant})")
+            np.testing.assert_allclose(
+                got.detail_attrs["weights"], ref.detail_attrs["weights"],
+                atol=2e-5, err_msg=f"morph weights frame {f} ({variant})",
+            )
 
 
 def test_cli_deform_seq_batch_pu_matches_per_frame(tmp_path):
@@ -160,6 +188,25 @@ def test_cli_deform_seq_batch_pu_matches_per_frame(tmp_path):
         got = load_geo(str(tmp_path / "tan" / f"f_{f:02d}.geo"))
         np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
                                    err_msg=f"pu tangent frame {f}")
+
+    # morphspace composes on the PU batch path too (batched DBSE weight
+    # solve off the shared-factorization eval's positions)
+    blend_p = str(tmp_path / "blend.geo")
+    save_geo(blend_p, Mesh(points=(mesh.points * 1.02).astype(np.float32),
+                           faces=mesh.faces))
+    morph_args = base_args + ["--morphspace", "--blend", blend_p]
+    assert main(morph_args + ["-o", str(tmp_path / "pmref")]) == 0
+    assert main(morph_args + ["-o", str(tmp_path / "pmbat"),
+                              "--batch"]) == 0
+    for f in range(3):
+        ref = load_geo(str(tmp_path / "pmref" / f"f_{f:02d}.geo"))
+        got = load_geo(str(tmp_path / "pmbat" / f"f_{f:02d}.geo"))
+        np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
+                                   err_msg=f"pu morph frame {f}")
+        np.testing.assert_allclose(
+            got.detail_attrs["weights"], ref.detail_attrs["weights"],
+            atol=2e-5, err_msg=f"pu morph weights frame {f}",
+        )
 
 
 def test_cli_load_deformer_resume(tmp_path):

@@ -108,3 +108,71 @@ def test_morph_pass_residual_term():
     np.testing.assert_allclose(np.asarray(off), 0.1, atol=1e-6)
     zero_r = dbse.morph_pass(pos, rest, disp, jnp.asarray(True), jnp.asarray(0.0))
     np.testing.assert_allclose(np.asarray(zero_r), 0.1, atol=1e-6)
+
+
+def test_frames_batched_matches_per_frame(rng):
+    """The animated-shot morph primitives (weights_lstsq_batched /
+    weights_parity_batched / reconstruct_frames / broadcast morph_pass)
+    must reproduce the per-frame ops exactly — the cli --batch morph pass
+    rides them."""
+    from facedeform_tpu.utils import errors
+
+    rest, shapes = _synthetic(rng, v=60, s=3)
+    model = dbse.build_model(rest, shapes, parity=True)
+    poses = rest + 0.1 * rng.standard_normal((4, 60, 3)).astype(np.float32)
+    rest_j = jnp.asarray(rest)
+    poses_j = jnp.asarray(poses)
+
+    wf, rep = dbse.weights_lstsq_batched(model, poses_j, rest_j)
+    ok = errors.frames_solve_ok(rep)
+    assert ok.shape == (4,) and ok.all()
+    wp = dbse.weights_parity_batched(model, poses_j, rest_j)
+    clamp = (jnp.asarray(-0.5), jnp.asarray(0.5))
+    disp_f = dbse.reconstruct_frames(model, wf, clamp, parity_scale=False)
+    disp_p = dbse.reconstruct_frames(model, wp, None, parity_scale=True)
+    morph_f = dbse.morph_pass(poses_j, rest_j, disp_f,
+                              jnp.asarray(True), jnp.asarray(0.25))
+    for f in range(4):
+        w1, _ = dbse.weights_lstsq(model, poses_j[f], rest_j)
+        np.testing.assert_allclose(np.asarray(wf[f]), np.asarray(w1),
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(wp[f]),
+            np.asarray(dbse.weights_parity(model, poses_j[f], rest_j)),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(disp_f[f]),
+            np.asarray(dbse.reconstruct(model, w1, clamp, False)),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(disp_p[f]),
+            np.asarray(dbse.reconstruct(model, wp[f], None, True)),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(morph_f[f]),
+            np.asarray(dbse.morph_pass(poses_j[f], rest_j, disp_f[f],
+                                       jnp.asarray(True),
+                                       jnp.asarray(0.25))),
+            atol=1e-6,
+        )
+
+
+def test_frames_solve_ok_flags_only_bad_frames(rng):
+    """frames_solve_ok masks EXACTLY the frames whose weight solve failed
+    (a corrupt pose must not sink the whole shot) — the per-frame analogue
+    of errors.check_solve (terminationtype, src/SOP_FaceDeform.cpp:363-368,
+    applied per cook)."""
+    from facedeform_tpu.utils import errors
+
+    rest, shapes = _synthetic(rng, v=40, s=2)
+    model = dbse.build_model(rest, shapes)
+    poses = rest + 0.1 * rng.standard_normal((4, 40, 3)).astype(np.float32)
+    poses[2, 7, 1] = np.nan  # one corrupt vertex on one frame
+    _, rep = dbse.weights_lstsq_batched(
+        model, jnp.asarray(poses), jnp.asarray(rest)
+    )
+    ok = errors.frames_solve_ok(rep)
+    np.testing.assert_array_equal(ok, [True, True, False, True])
