@@ -504,23 +504,15 @@ def _cmd_deform_seq(args) -> int:
                                 dbse_model, cur, rest_j
                             )
                             ok = err_mod.frames_solve_ok(w_rep)
+                            seq_weights = np.asarray(w_f)
                         else:
                             w_f = dbse_ops.weights_parity_batched(
                                 dbse_model, cur, rest_j
                             )
-                            ok = np.isfinite(np.asarray(w_f)).all(axis=1)
-                        clamp = None
-                        if cfg.doclampweight:
-                            clamp = (jnp.asarray(params.weight_lo),
-                                     jnp.asarray(params.weight_hi))
-                        disp = dbse_ops.reconstruct_frames(
-                            dbse_model, w_f, clamp, not cfg.dbse_lstsq
-                        )
-                        morphed = dbse_ops.morph_pass(
-                            cur, rest_j, disp,
-                            jnp.asarray(bool(cfg.dofalloff)),
-                            jnp.asarray(float(params.falloffradius),
-                                        jnp.float32),
+                            seq_weights = np.asarray(w_f)
+                            ok = np.isfinite(seq_weights).all(axis=1)
+                        morphed = dbse_ops.morph_apply(
+                            dbse_model, cur, rest_j, w_f, cfg, params
                         )
                         if not ok.all():
                             # per-frame skip, matching the node's
@@ -529,18 +521,22 @@ def _cmd_deform_seq(args) -> int:
                                 jnp.asarray(ok)[:, None, None],
                                 morphed, cur,
                             )
-                            f_base = 0 if fit_all else 1
-                            bad = ", ".join(
-                                str(i + f_base)
+                            # with fit_all, row 0 is discarded (the
+                            # written frame 0 is the node cook's output,
+                            # which ran its own check) — don't warn on it
+                            bad = [
+                                str(i if fit_all else i + 1)
                                 for i in np.flatnonzero(~ok)
-                            )
-                            print(
-                                "warning: Can't compute weights for "
-                                "morphspace deformation. Ignoring it. "
-                                f"(frames {bad})", file=sys.stderr,
-                            )
+                                if not (fit_all and i == 0)
+                            ]
+                            if bad:
+                                print(
+                                    "warning: Can't compute weights for "
+                                    "morphspace deformation. Ignoring it. "
+                                    f"(frames {', '.join(bad)})",
+                                    file=sys.stderr,
+                                )
                         out_frames = morphed
-                        seq_weights = np.asarray(w_f)
                         seq_w_ok = ok
                 out_frames = np.asarray(out_frames)
                 seq_transport = None

@@ -646,16 +646,8 @@ class FaceDeformNode:
                     "Can't compute weights for morphspace deformation. Ignoring it."
                 )
             else:
-                clamp = None
-                if cfg.doclampweight:
-                    clamp = (jnp.asarray(params.weight_lo), jnp.asarray(params.weight_hi))
-                disp = dbse_ops.reconstruct(
-                    dbse_model, w, clamp, parity_scale=not cfg.dbse_lstsq
-                )
-                morphed = dbse_ops.morph_pass(
-                    cur, rest_attr, disp,
-                    jnp.asarray(bool(cfg.dofalloff)),
-                    jnp.asarray(float(params.falloffradius), jnp.float32),
+                morphed = dbse_ops.morph_apply(
+                    dbse_model, cur, rest_attr, w, cfg, params
                 )
                 new_pts = np.asarray(morphed)
                 weights_out = np.asarray(w)

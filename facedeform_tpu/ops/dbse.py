@@ -181,37 +181,45 @@ def reconstruct(
     (doclampweight/weightrange, src/SOP_FaceDeform.cpp:454-458) applies to
     the scaled weight, matching SYSclamp(w, lo, hi) at dbse.cpp:71.
     A None clamp changes the pytree structure, so jit re-specializes on it.
+
+    Accepts leading batch axes on weights: (S,) -> (V, 3), and an animated
+    shot's (F, S) -> (F, V, 3) in one HIGHEST-precision einsum.
     """
     w = weights * 3.0 if parity_scale else weights
     if clamp is not None:
         lo, hi = clamp
         w = jnp.clip(w, lo, hi)
     return jnp.einsum(
-        "s,svc->vc", w.astype(jnp.float32), model.deltas,
+        "...s,svc->...vc", w.astype(jnp.float32), model.deltas,
         precision=jax.lax.Precision.HIGHEST, **_HP,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("parity_scale",))
-def reconstruct_frames(
+def morph_apply(
     model: DBSEModel,
+    positions: jnp.ndarray,
+    rest: jnp.ndarray,
     weights: jnp.ndarray,
-    clamp: Optional[Tuple[jnp.ndarray, jnp.ndarray]],
-    parity_scale: bool,
+    cfg,
+    params,
 ) -> jnp.ndarray:
-    """Batched reconstruct for an animated shot: (F, S) weights ->
-    (F, V, 3) displacement fields in ONE HIGHEST-precision einsum.
+    """Shared morph-stage tail: clamp setup -> reconstruct -> morph_pass.
 
-    Same semantics per frame as reconstruct (dbse.cpp:60-75): the x3
-    parity scale and the weight clamp apply before the contraction.
+    The single-frame node stage (node.py cook) and the animated-shot batch
+    path (cli deform-seq --batch) both route through here, so the clamp
+    tuple construction, the parity x3 scale, and the dofalloff-gated
+    falloffradius residual (src/SOP_FaceDeform.cpp:454-472) stay locked
+    together.  positions/weights may carry a leading frame axis:
+    (F, V, 3) with (F, S) morphs a whole shot.
     """
-    w = weights * 3.0 if parity_scale else weights
-    if clamp is not None:
-        lo, hi = clamp
-        w = jnp.clip(w, lo, hi)
-    return jnp.einsum(
-        "fs,svc->fvc", w.astype(jnp.float32), model.deltas,
-        precision=jax.lax.Precision.HIGHEST, **_HP,
+    clamp = None
+    if cfg.doclampweight:
+        clamp = (jnp.asarray(params.weight_lo), jnp.asarray(params.weight_hi))
+    disp = reconstruct(model, weights, clamp, parity_scale=not cfg.dbse_lstsq)
+    return morph_pass(
+        positions, rest, disp,
+        jnp.asarray(bool(cfg.dofalloff)),
+        jnp.asarray(float(params.falloffradius), jnp.float32),
     )
 
 

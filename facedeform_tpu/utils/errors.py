@@ -129,12 +129,14 @@ def frames_solve_ok(report, rtol: float = SOLVE_BACKWARD_RTOL):
 
     f = int(report.residual_norm.shape[0])
     if getattr(report, "scale_norm", None) is None:
+        # same criterion as check_solve's legacy branch: a zero-RHS frame
+        # passes on any finite residual (rhs > 0 gates the ratio test)
         vals = np.asarray(jnp.concatenate([
             jnp.ravel(report.residual_norm), jnp.ravel(report.rhs_norm),
         ]).astype(jnp.float32))
         res, rhs = vals[:f], vals[f:]
-        return np.isfinite(res) & (
-            res <= SOLVE_RESIDUAL_RTOL * np.maximum(rhs, 1e-30)
+        return np.isfinite(res) & ~(
+            (rhs > 0) & (res > SOLVE_RESIDUAL_RTOL * np.maximum(rhs, 1e-30))
         )
 
     col = report.col_backward

@@ -112,7 +112,7 @@ def test_morph_pass_residual_term():
 
 def test_frames_batched_matches_per_frame(rng):
     """The animated-shot morph primitives (weights_lstsq_batched /
-    weights_parity_batched / reconstruct_frames / broadcast morph_pass)
+    weights_parity_batched / batched reconstruct / broadcast morph_pass)
     must reproduce the per-frame ops exactly — the cli --batch morph pass
     rides them."""
     from facedeform_tpu.utils import errors
@@ -128,8 +128,8 @@ def test_frames_batched_matches_per_frame(rng):
     assert ok.shape == (4,) and ok.all()
     wp = dbse.weights_parity_batched(model, poses_j, rest_j)
     clamp = (jnp.asarray(-0.5), jnp.asarray(0.5))
-    disp_f = dbse.reconstruct_frames(model, wf, clamp, parity_scale=False)
-    disp_p = dbse.reconstruct_frames(model, wp, None, parity_scale=True)
+    disp_f = dbse.reconstruct(model, wf, clamp, parity_scale=False)
+    disp_p = dbse.reconstruct(model, wp, None, parity_scale=True)
     morph_f = dbse.morph_pass(poses_j, rest_j, disp_f,
                               jnp.asarray(True), jnp.asarray(0.25))
     for f in range(4):

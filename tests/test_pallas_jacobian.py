@@ -151,8 +151,21 @@ def test_jacobian_against_f64_fd_oracle(rng, kernel):
     from tests import oracle
 
     m = _model(rng, 29, layers=2)
-    # keep query points off the r=0 FD kink of the non-smooth kernels
-    pts = (rng.standard_normal((57, 3)) * 2.0 + 4.0).astype(np.float32)
+    if kernel == RBFKernel.WENDLAND_C2:
+        # the compact kernel needs pairs INSIDE its support to exercise
+        # phi' at all: keep queries near the rig and widen the support
+        # radii (Wendland has no r=0 kink — phi'(0) = 0 — so near-origin
+        # queries are FD-safe, unlike the growing kernels below)
+        pts = (rng.standard_normal((57, 3)) * 0.8).astype(np.float32)
+        m = m._replace(eps=m.eps * 4.0)
+        r = np.linalg.norm(
+            pts[:, None, :] - np.asarray(m.ctrl)[None, :, :], axis=-1,
+        )
+        t = r[None, :, :] / np.asarray(m.eps)[:, None, :]
+        assert (t < 1.0).mean() > 0.3, "support coverage regressed"
+    else:
+        # keep query points off the r=0 FD kink of the non-smooth kernels
+        pts = (rng.standard_normal((57, 3)) * 2.0 + 4.0).astype(np.float32)
     want = oracle.jacobian_fd(
         np.asarray(m.ctrl, np.float64), np.asarray(m.w_rbf, np.float64),
         np.asarray(m.w_poly, np.float64), np.asarray(m.eps, np.float64),
