@@ -196,6 +196,32 @@ class Client:
             return moved, out["stretch"]
         return moved
 
+    def fit_dbse(self, rest_points, shapes, cfg: Optional[dict] = None,
+                 params: Optional[dict] = None) -> str:
+        """Hold a blendshape basis resident server-side: (V, 3) rest +
+        (S, V, 3) shapes.  cfg={'dbse_lstsq': False} bakes the
+        reference-parity weight path (packed QR) into the basis."""
+        resp, _ = self.request(
+            {"cmd": "fit_dbse", "cfg": cfg or {}, "params": params or {}},
+            {"rest": np.asarray(rest_points, np.float32),
+             "shapes": np.asarray(shapes, np.float32)},
+        )
+        return resp["deformer"]
+
+    def morph(self, deformer: str, points, cfg: Optional[dict] = None,
+              params: Optional[dict] = None):
+        """Project pose(s) into a fit_dbse blend subspace: (V, 3) or
+        (F, V, 3) points -> (morphed points, weights, per-pose ok mask).
+        Failed poses pass through unmorphed (mask False).  cfg/params
+        override eval knobs per request (doclampweight, weight range,
+        dofalloff + falloffradius residual)."""
+        _, out = self.request(
+            {"cmd": "morph", "deformer": deformer, "cfg": cfg or {},
+             "params": params or {}},
+            {"points": np.asarray(points, np.float32)},
+        )
+        return out["points"], out["weights"], out["morph_ok"].astype(bool)
+
     def fit_seq(self, rest_ctrl, deformed_frames, cfg: Optional[dict] = None,
                 params: Optional[dict] = None) -> str:
         """One batched solve for an (F, N, 3) animated rig sequence."""
@@ -336,15 +362,24 @@ class DeformServer:
             if cmd == "apply" and isinstance(
                 self._deformers.get(req.get("deformer")), tuple
             ):
+                kind = self._deformers[req["deformer"]][0]
+                hint = "morph" if kind == "dbse" else "apply_seq"
                 return {
                     "ok": False,
-                    "error": "apply does not take a fit_seq deformer "
-                             "(sequence models serve via apply_seq)",
+                    "error": f"apply does not take a {kind} deformer "
+                             f"(use {hint})",
                 }
             if cmd == "save":
                 d = self._deformers[req["deformer"]]
                 from facedeform_tpu.ops.pu import PUNodeDeformer
 
+                if isinstance(d, tuple) and d[0] == "dbse":
+                    return {
+                        "ok": False,
+                        "error": "dbse bases are not checkpointable; "
+                                 "refit from the shapes (fit_dbse is "
+                                 "cheap: one Gram/QR over the blends)",
+                    }
                 if isinstance(d, tuple) and d[0] == "seq":
                     _, model, cfg, params = d[:4]
                     checkpoint.save_seq(
@@ -423,6 +458,92 @@ class DeformServer:
                 if sig is not None:
                     out["stretch"] = enc(np.asarray(sig, np.float32))
                 return {"ok": True, **out}
+            if cmd == "fit_dbse":
+                # component F over the wire: hold a blendshape basis
+                # resident (dbse.cpp:9-35), then morph many poses against
+                # it — the solve-once / serve-many split applied to DBSE
+                from facedeform_tpu.ops import dbse as dbse_ops
+
+                cfg = DeformConfig(**req.get("cfg", {}))
+                params = DeformParams(**req.get("params", {}))
+                rest = decode_array(req["rest"]).astype(np.float32)
+                shapes = decode_array(req["shapes"])
+                if shapes.ndim != 3 or shapes.shape[1:] != rest.shape:
+                    raise errors.ShapeMismatchError(
+                        f"shapes {shapes.shape} must be (S,) + rest "
+                        f"{rest.shape}"
+                    )
+                model = dbse_ops.build_model(
+                    rest, list(shapes), parity=not cfg.dbse_lstsq
+                )
+                did = self._new_id()
+                self._deformers[did] = ("dbse", model, rest, cfg, params)
+                return {"ok": True, "deformer": did,
+                        "shapes": int(shapes.shape[0])}
+            if cmd == "morph":
+                import dataclasses
+
+                import jax.numpy as jnp
+
+                from facedeform_tpu.ops import dbse as dbse_ops
+
+                entry = self._deformers[req["deformer"]]
+                if not (isinstance(entry, tuple) and entry[0] == "dbse"):
+                    return {"ok": False,
+                            "error": "morph needs a fit_dbse deformer"}
+                _, model, rest, cfg, params = entry
+                # eval-side knobs may be overridden per request; the
+                # weight path is baked into the basis (the parity route
+                # needs the packed QR built at fit time)
+                if req.get("cfg"):
+                    cfg = dataclasses.replace(cfg, **req["cfg"])
+                if req.get("params"):
+                    params = params._replace(**req["params"])
+                if not cfg.dbse_lstsq and int(model.packed_qr.shape[0]) == 1:
+                    return {
+                        "ok": False,
+                        "error": "basis was built with dbse_lstsq=True; "
+                                 "refit with dbse_lstsq=False for the "
+                                 "reference-parity weight path",
+                    }
+                pts = decode_array(req["points"])
+                single = pts.ndim == 2
+                stack = (pts[None] if single else pts).astype(np.float32)
+                if stack.ndim != 3 or stack.shape[1:] != rest.shape:
+                    raise errors.ShapeMismatchError(
+                        f"points {pts.shape} must be {rest.shape} or "
+                        f"(F,) + {rest.shape}"
+                    )
+                rest_j = jnp.asarray(rest)
+                cur = jnp.asarray(stack)
+                if cfg.dbse_lstsq:
+                    w, rep = dbse_ops.weights_lstsq_batched(
+                        model, cur, rest_j
+                    )
+                    ok = errors.frames_solve_ok(rep)
+                    w_np = np.asarray(w, np.float32)
+                else:
+                    w = dbse_ops.weights_parity_batched(model, cur, rest_j)
+                    w_np = np.asarray(w, np.float32)
+                    ok = np.isfinite(w_np).all(axis=1)
+                morphed = dbse_ops.morph_apply(
+                    model, cur, rest_j, w, cfg, params
+                )
+                if not ok.all():
+                    # failed poses pass through unmorphed (the node's
+                    # warn-and-ignore contract, per pose)
+                    morphed = jnp.where(
+                        jnp.asarray(ok)[:, None, None], morphed, cur
+                    )
+                morphed_np = np.asarray(morphed, np.float32)
+                if single:
+                    morphed_np, w_np = morphed_np[0], w_np[0]
+                return {
+                    "ok": True,
+                    "points": enc(morphed_np),
+                    "weights": enc(w_np),
+                    "morph_ok": enc(ok.astype(np.uint8)),
+                }
             if cmd == "fit_seq":
                 # animated shot: ONE batched solve for all F posed rigs
                 # (parallel/batched.fit_frames); apply_seq evaluates every

@@ -393,3 +393,76 @@ def test_serve_transport_json_protocol(server, rng):
     sig = serve_mod.decode_array(r2["stretch"])
     assert np.abs(n2 - pts).max() < 2e-2        # uniform scale: unchanged
     assert np.abs(sig - 1.2).max() < 2e-2
+
+
+def test_serve_dbse_fit_morph(server, rng):
+    """Component F over the wire: fit_dbse holds the blend basis resident,
+    morph projects single poses and whole shots, matching the in-process
+    ops; eval knobs (clamp, falloffradius residual) override per request."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import DeformConfig, DeformParams
+    from facedeform_tpu.ops import dbse as dbse_ops
+
+    c = serve_mod.Client(*server)
+    try:
+        rest = rng.standard_normal((60, 3)).astype(np.float32)
+        shapes = np.stack([
+            rest + 0.1 * rng.standard_normal((60, 3)).astype(np.float32)
+            for _ in range(3)
+        ])
+        did = c.fit_dbse(rest, shapes)
+
+        # single pose
+        pose = rest + 0.05 * rng.standard_normal((60, 3)).astype(np.float32)
+        morphed, w, ok = c.morph(did, pose)
+        assert morphed.shape == (60, 3) and w.shape == (3,)
+        assert ok.shape == (1,) and ok.all()
+        model = dbse_ops.build_model(rest, list(shapes))
+        w_want, _ = dbse_ops.weights_lstsq(
+            model, jnp.asarray(pose), jnp.asarray(rest)
+        )
+        np.testing.assert_allclose(w, np.asarray(w_want), atol=1e-5)
+        want = dbse_ops.morph_apply(
+            model, jnp.asarray(pose), jnp.asarray(rest), w_want,
+            DeformConfig(), DeformParams(),
+        )
+        np.testing.assert_allclose(morphed, np.asarray(want), atol=1e-5)
+
+        # a shot, with one corrupt frame: only that frame passes through
+        poses = rest + 0.05 * rng.standard_normal((4, 60, 3)).astype(
+            np.float32)
+        poses[2, 5, 0] = np.nan
+        morphed_f, w_f, ok_f = c.morph(did, poses)
+        assert morphed_f.shape == (4, 60, 3) and w_f.shape == (4, 3)
+        np.testing.assert_array_equal(ok_f, [True, True, False, True])
+        np.testing.assert_allclose(morphed_f[2], poses[2], atol=0,
+                                   err_msg="failed frame must pass through")
+
+        # per-request knob override: clamped weights change the output
+        m_clamped, w_clamped, _ = c.morph(
+            did, pose, cfg={"doclampweight": True},
+            params={"weight_lo": 0.0, "weight_hi": 0.01},
+        )
+        np.testing.assert_allclose(w_clamped, w, atol=1e-6)  # raw weights
+        assert np.abs(m_clamped - morphed).max() > 1e-5     # clamped recon
+
+        # parity-path basis must be requested at fit time
+        with pytest.raises(RuntimeError, match="dbse_lstsq"):
+            c.morph(did, pose, cfg={"dbse_lstsq": False})
+        did_p = c.fit_dbse(rest, shapes, cfg={"dbse_lstsq": False})
+        _, w_p, ok_p = c.morph(did_p, pose)
+        w_p_want = dbse_ops.weights_parity(
+            dbse_ops.build_model(rest, list(shapes), parity=True),
+            jnp.asarray(pose), jnp.asarray(rest),
+        )
+        np.testing.assert_allclose(w_p, np.asarray(w_p_want), atol=1e-5)
+
+        # dbse ids are rejected by apply and save
+        r = _rpc(server, {"cmd": "apply", "deformer": did,
+                          "points": serve_mod.encode_array(pose)})
+        assert not r["ok"] and "morph" in r["error"]
+        r = _rpc(server, {"cmd": "save", "deformer": did, "path": "/tmp/x"})
+        assert not r["ok"]
+    finally:
+        c.close()
