@@ -161,6 +161,13 @@ def main():
     served_pts, _ = client.apply(did, face.points)
     print(f"served deform ({face.num_points} verts, binary framing): "
           f"{(time.time() - t0) * 1e3:.0f} ms round trip")
+    # blendshapes as a service: the basis lives server-side, whole shots
+    # morph per request (one vmapped DBSE solve; per-pose health mask)
+    bid = client.fit_dbse(face.points, np.stack([b.points for b in blends]))
+    shot_poses = np.stack([served_pts, np.asarray(result.mesh.points)])
+    morphed, bw, ok = client.morph(bid, shot_poses)
+    print(f"served morph: {morphed.shape[0]} poses -> weights "
+          f"{np.round(bw[0], 3)} (all ok: {bool(ok.all())})")
     client.shutdown()
 
     # 12. partition-of-unity: dense scan-scale rigs (beyond the global
