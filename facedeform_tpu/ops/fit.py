@@ -268,3 +268,114 @@ def fit(
         w_poly_lo=None if use_krylov else w_poly_lo,
     )
     return model, _worst_report(layer_reports)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_frames_dense(
+    rest_ctrl: jnp.ndarray,
+    deformed_frames: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams = DeformParams(),
+) -> tuple[RBFModel, jnp.ndarray, SolveReport]:
+    """F-frame fit sharing ONE factorization per layer (dense path).
+
+    The saddle system (ops/assemble.py) depends only on the rest rig and
+    the layer radius, never on the pose — every frame of an animated shot
+    is just 3 more RHS columns (delta_f = deformed_f - rest).  The
+    reference rebuilds its ALGLIB model per cook
+    (src/SOP_FaceDeform.cpp:330-368); the vmapped fit re-factors the SAME
+    matrix F times; this packs the shot into a (N+m, 3F) RHS and pays one
+    assembly + one LU per layer (the df refinement's per-column work still
+    scales with F) — the fit_pu_frames trick (ops/pu.py) applied to the
+    global families.
+
+    Dense route only; parallel/batched.fit_frames routes here when the
+    vmapped per-frame fit's refinement temps would exceed HBM (big rig x
+    long shot — see batched.vmap_fit_hbm_budget), and keeps the vmapped
+    fit otherwise (faster when it fits) and for Krylov-size rigs
+    (multi-RHS Krylov convergence is per-column business the packed
+    solve does not model).
+
+    Returns (model with a leading F axis on w_rbf/w_poly — the
+    fit_frames contract, lo bits dropped like the vmapped path —
+    per-frame residual norms (F,), aggregate SolveReport).
+    """
+    params = params.clamped()
+    rest_ctrl = rest_ctrl.astype(jnp.float32)
+    frames = deformed_frames.astype(jnp.float32)
+    f = frames.shape[0]
+    n = rest_ctrl.shape[0]
+    kernel = effective_kernel(cfg)
+    n_layers = cfg.n_layers
+
+    if cfg.model == RBFModelType.QNN:
+        eps0 = _qnn_radii(rest_ctrl, params.qcoef, params.zcoef)
+        lam0 = jnp.asarray(0.0, jnp.float32)
+    else:  # MULTILAYER / KERNEL: global radius + ridge
+        eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
+        lam0 = jnp.asarray(params.lam, jnp.float32)
+
+    def pack(t):      # (F, rows, 3) -> (rows, 3F)
+        return t.transpose(1, 0, 2).reshape(t.shape[1], -1)
+
+    def unpack(x):    # (rows, 3F) -> (F, rows, 3)
+        return x.reshape(x.shape[0], f, 3).transpose(1, 0, 2)
+
+    target = frames - rest_ctrl[None]  # (F, N, 3)
+    w_layers, eps_layers, layer_reports, frame_resids = [], [], [], []
+    w_poly = jnp.zeros((f, cfg.n_poly, 3), dtype=jnp.float32)
+
+    for layer in range(n_layers):
+        eps_l = eps0 * (0.5 ** layer)
+        term = cfg.term if layer == 0 else type(cfg.term)(2)  # PolyTerm.ZERO
+        b = pack(jax.vmap(lambda t: assemble_rhs(t, term))(target))
+        from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+        if kernel in GROWING_KERNELS:
+            from facedeform_tpu.ops.assemble import assemble_system_df
+            from facedeform_tpu.ops.solve import lu_solve_refined_against_df
+
+            a, a_lo = assemble_system_df(rest_ctrl, kernel, term, eps_l, lam0)
+            (x, _), report = lu_solve_refined_against_df(
+                a, a_lo, b, n_refine=max(cfg.n_refine, 3)
+            )
+        else:
+            from facedeform_tpu.ops.solve import lu_solve_refined_df
+
+            a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
+            (x, _), report = lu_solve_refined_df(a, b, n_refine=cfg.n_refine)
+
+        # Per-frame residual norms, reconstructed from the per-column
+        # backward errors (||r_c|| = col_backward_c * col_scale_c) — no
+        # extra compensated matmul.
+        a_norm = jnp.linalg.norm(a)
+        col_r = report.col_backward * (
+            a_norm * jnp.linalg.norm(x, axis=0) + jnp.linalg.norm(b, axis=0)
+        )
+        frame_resids.append(
+            jnp.sqrt(jnp.sum(col_r.reshape(f, 3) ** 2, axis=1))
+        )
+
+        x_f = unpack(x)                       # (F, N+m, 3)
+        w_l = x_f[:, :n]
+        w_layers.append(w_l)
+        eps_layers.append(eps_l)
+        layer_reports.append(report)
+        if layer == 0 and cfg.n_poly > 0:
+            w_poly = x_f[:, n:]
+        if layer + 1 < n_layers:
+            ax = jnp.dot(
+                a, x,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            target = target - (unpack(ax)[:, :n] - lam0 * w_l)
+
+    model = RBFModel(
+        ctrl=rest_ctrl,
+        w_rbf=jnp.stack(w_layers, axis=1),   # (F, L, N, 3)
+        w_poly=w_poly,                       # (F, m, 3)
+        eps=jnp.stack(eps_layers),           # (L, N)
+    )
+    resid = jnp.max(jnp.stack(frame_resids), axis=0)  # worst layer per frame
+    return model, resid, _worst_report(layer_reports)

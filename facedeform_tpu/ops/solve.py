@@ -146,6 +146,35 @@ def residual_compensated(a: jnp.ndarray, x: jnp.ndarray, b: jnp.ndarray) -> jnp.
     return t - cross
 
 
+def _map_col_blocks(refine_fn, b: jnp.ndarray, kb: int = 3):
+    """Run `refine_fn((n, kb) block) -> (x_hi, x_lo, r)` over B's columns in
+    consecutive kb-column groups under a sequential lax.map.
+
+    Columns are independent given a shared factorization, and
+    residual_compensated materializes pairwise-tree temps of size
+    (n/2, n, K) PER LEVEL — at K = 3F frame columns (fit_pu_frames /
+    fit_frames_dense) that tensor alone reached 17.6 GB of HBM at F=8,
+    chunk=128, n=751.  Blocking the RHS into kb-column groups caps peak
+    memory at the single-pose case no matter how many frames ride the
+    solve.  kb=3 keeps one pose's xyz together (the packed frame layout is
+    frame-major 3-column groups).
+    """
+    k = b.shape[1]
+    if k <= kb:
+        return refine_fn(b)
+    pad = (-k) % kb
+    b_pad = jnp.pad(b, ((0, 0), (0, pad)))
+    nb = b_pad.shape[1] // kb
+    # (n, nb*kb) -> (nb, n, kb) consecutive-column blocks
+    blocks = b_pad.T.reshape(nb, kb, -1).transpose(0, 2, 1)
+    xh, xl, rr = jax.lax.map(refine_fn, blocks)
+
+    def unblk(a):
+        return a.transpose(0, 2, 1).reshape(nb * kb, -1).T[:, :k]
+
+    return unblk(xh), unblk(xl), unblk(rr)
+
+
 @functools.partial(jax.jit, static_argnames=("n_refine",))
 def lu_solve_refined(
     a: jnp.ndarray, b: jnp.ndarray, n_refine: int = 2
@@ -269,22 +298,7 @@ def lu_solve_refined_against_df(
                 x_hi, x_lo = s, x_lo + e
             return x_hi, x_lo, residual(x_hi, x_lo)
 
-        kb = 3
-        k = b.shape[1]
-        if k <= kb:
-            x_hi, x_lo, r = _refine(b)
-        else:
-            pad = (-k) % kb
-            b_pad = jnp.pad(b, ((0, 0), (0, pad)))
-            nb = b_pad.shape[1] // kb
-            # (n, nb*kb) -> (nb, n, kb) consecutive-column blocks
-            blocks = b_pad.T.reshape(nb, kb, -1).transpose(0, 2, 1)
-            xh, xl, rr = jax.lax.map(_refine, blocks)
-
-            def unblk(a):
-                return a.transpose(0, 2, 1).reshape(nb * kb, -1).T[:, :k]
-
-            x_hi, x_lo, r = unblk(xh), unblk(xl), unblk(rr)
+        x_hi, x_lo, r = _map_col_blocks(_refine, b)
     report = _report_from(
         jnp.linalg.norm(a_hi), jnp.diagonal(lu), x_hi, b, r
     )
@@ -310,19 +324,25 @@ def _lu_refined_impl(a, b, n_refine, want_lo):
     )
     with jax.default_matmul_precision("highest"):
         lu, piv = jax.scipy.linalg.lu_factor(a)
-        x_hi = jax.scipy.linalg.lu_solve((lu, piv), b)
-        x_lo = jnp.zeros_like(x_hi)
-        for _ in range(n_refine):
-            # df-accurate residual of (x_hi + x_lo): compensated for the
-            # dominant x_hi part, plain f32 for the u-sized x_lo part.
-            r = residual_compensated(a, x_hi, b) - jnp.dot(a, x_lo, **hp)
-            dx = jax.scipy.linalg.lu_solve((lu, piv), r)
-            from facedeform_tpu.ops.dfloat import _two_sum as _guarded_two_sum
+        from facedeform_tpu.ops.dfloat import _two_sum as _guarded_two_sum
 
-            # guarded TwoSum: bits of dx lost rounding into s go to x_lo
-            s, e = _guarded_two_sum(x_hi, dx)
-            x_hi, x_lo = s, x_lo + e
-        r = residual_compensated(a, x_hi, b) - jnp.dot(a, x_lo, **hp)
+        def _refine(b_blk):
+            x_hi = jax.scipy.linalg.lu_solve((lu, piv), b_blk)
+            x_lo = jnp.zeros_like(x_hi)
+            for _ in range(n_refine):
+                # df-accurate residual of (x_hi + x_lo): compensated for
+                # the dominant x_hi part, plain f32 for the u-sized x_lo.
+                r = residual_compensated(a, x_hi, b_blk) - jnp.dot(a, x_lo, **hp)
+                dx = jax.scipy.linalg.lu_solve((lu, piv), r)
+                # guarded TwoSum: bits of dx lost rounding into s go to x_lo
+                s, e = _guarded_two_sum(x_hi, dx)
+                x_hi, x_lo = s, x_lo + e
+            r = residual_compensated(a, x_hi, b_blk) - jnp.dot(a, x_lo, **hp)
+            return x_hi, x_lo, r
+
+        # Wide RHS (3F frame columns) refines in 3-column blocks so the
+        # compensated-residual temps stay single-pose-sized (_map_col_blocks).
+        x_hi, x_lo, r = _map_col_blocks(_refine, b)
     report = _report_from(jnp.linalg.norm(a), jnp.diagonal(lu), x_hi, b, r)
     if not want_lo:
         x_lo = jnp.zeros_like(x_hi)

@@ -29,6 +29,22 @@ from facedeform_tpu.ops.fit import RBFModel
 from facedeform_tpu.parallel.sharding import VERTEX_AXIS
 
 
+# HBM budget for the vmapped per-frame fit's refinement temps.  The
+# compensated residual materializes ~3.5 * F * rows^2 * 3 f32 temps under
+# vmap (measured: 22.6 GB demanded at 4096 ctrl x 32 frames on a 15.75 GB
+# v5e -> compile-time OOM); past this budget fit_frames routes to the
+# shared-factorization path whose lax.map'd 3-column refinement blocks
+# keep peak memory single-pose-sized at any F.  Below it the vmapped fit
+# stays the faster choice (F parallel solves beat F sequential refinement
+# blocks: 38 vs 67 ms at 1k ctrl x 8 frames, warm best-of-5 on v5e).
+vmap_fit_hbm_budget = 6e9
+
+
+def _vmap_fit_bytes(n_rows: int, f: int) -> float:
+    """Estimated peak HBM of the vmapped fit's df-refinement temps."""
+    return 3.5 * f * n_rows * n_rows * 3 * 4
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def fit_frames(
     rest_ctrl: jnp.ndarray,
@@ -40,8 +56,26 @@ def fit_frames(
 
     Returns a model pytree with a leading F axis on w_rbf/w_poly (ctrl and
     eps are frame-invariant) and per-frame residual norms.
+
+    Routing: the vmapped per-frame fit wins wall-clock while its
+    compensated-refinement temps fit HBM; past vmap_fit_hbm_budget the
+    shared-factorization path (fit_mod.fit_frames_dense: the system
+    depends only on the rest rig, frames are RHS columns — one assembly +
+    one LU per layer, memory-bounded blocked refinement) takes over, so
+    big-rig long shots FIT instead of OOMing (4096 ctrl x 32 frames:
+    vmapped demands 22.6 GB and fails to compile; shared runs in 1.48 s).
+    Krylov-size rigs always keep the vmapped fit (multi-RHS Krylov
+    convergence is per-column business).
     """
     solve_cfg = cfg.solve_view()  # eval-only toggles must not recompile
+    n, f = rest_ctrl.shape[0], deformed_frames.shape[0]
+    if not fit_mod.uses_krylov(solve_cfg, n) and (
+        _vmap_fit_bytes(n + solve_cfg.n_poly, f) > vmap_fit_hbm_budget
+    ):
+        model, resid, _ = fit_mod.fit_frames_dense(
+            rest_ctrl, deformed_frames, solve_cfg, params
+        )
+        return model, resid
     fitted = jax.vmap(
         lambda dc: fit_mod.fit(rest_ctrl, dc, solve_cfg, params)
     )(deformed_frames)

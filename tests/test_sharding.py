@@ -211,3 +211,62 @@ def test_transport_frames_matches_per_frame(rng, mesh):
             np.asarray(got[3][f]), np.asarray(sig), atol=2e-5)
         np.testing.assert_allclose(
             np.asarray(got_sh[3][f]), np.asarray(sig), atol=2e-5)
+
+
+def test_fit_frames_hbm_routing():
+    """fit_frames routes on the vmapped fit's estimated refinement-temp
+    HBM: small shots stay vmapped (faster), big-rig long shots take the
+    shared-factorization path instead of OOMing at compile (4096 ctrl x
+    32 frames demanded 22.6 GB on a 15.75 GB v5e)."""
+    assert batched._vmap_fit_bytes(1004, 8) < batched.vmap_fit_hbm_budget
+    assert batched._vmap_fit_bytes(2052, 16) < batched.vmap_fit_hbm_budget
+    assert batched._vmap_fit_bytes(4100, 32) > batched.vmap_fit_hbm_budget
+    assert batched._vmap_fit_bytes(4100, 16) > batched.vmap_fit_hbm_budget
+
+
+def test_fit_frames_shared_factorization_all_families(rng):
+    """The shared-factorization route (fit_frames_dense: one assembly + LU
+    per layer, frames as RHS columns) must match per-frame fit() across
+    families: QNN (adaptive radii, exact interpolation), MULTILAYER (layer
+    residual chaining through the shared factor), and a growing kernel (df
+    assembly + refinement, 3F-column blocked)."""
+    from facedeform_tpu.config import RBFKernel, RBFModelType
+
+    rest = fibonacci_points(30)
+    frames = np.stack([
+        rest + 0.04 * rng.standard_normal((30, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    configs = [
+        DeformConfig(),
+        DeformConfig(model=RBFModelType.MULTILAYER, layers=3),
+        DeformConfig(model=RBFModelType.KERNEL,
+                     kernel=RBFKernel.THIN_PLATE),
+    ]
+    params = DeformParams(radius=1.2, lam=0.05)
+    for cfg in configs:
+        model, resid, _ = fit_mod.fit_frames_dense(
+            jnp.asarray(rest), jnp.asarray(frames), cfg.solve_view(), params
+        )
+        assert resid.shape == (3,)
+        assert np.isfinite(np.asarray(resid)).all()
+        single = None
+        for f in range(3):
+            single, _ = fit_mod.fit(
+                jnp.asarray(rest), jnp.asarray(frames[f]),
+                cfg.solve_view(), params,
+            )
+            w_ref = np.asarray(single.w_rbf)
+            tol = 2e-5 * max(1.0, np.abs(w_ref).max())
+            np.testing.assert_allclose(
+                np.asarray(model.w_rbf[f]), w_ref, atol=tol,
+                err_msg=f"{cfg.model.name} frame {f} weights",
+            )
+            if cfg.n_poly:
+                np.testing.assert_allclose(
+                    np.asarray(model.w_poly[f]), np.asarray(single.w_poly),
+                    atol=tol, err_msg=f"{cfg.model.name} frame {f} poly",
+                )
+        np.testing.assert_allclose(
+            np.asarray(model.eps), np.asarray(single.eps), atol=1e-7,
+        )
