@@ -270,3 +270,38 @@ def test_fit_frames_shared_factorization_all_families(rng):
         np.testing.assert_allclose(
             np.asarray(model.eps), np.asarray(single.eps), atol=1e-7,
         )
+
+
+def test_fit_frames_routed_shared_end_to_end(rng, monkeypatch):
+    """With the HBM budget forced low, batched.fit_frames takes the
+    shared-factorization branch and the downstream frames eval composes
+    unchanged (unique rig size so the jit cache can't serve the program
+    traced with the vmapped route)."""
+    monkeypatch.setattr(batched, "vmap_fit_hbm_budget", 1.0)
+    rest = fibonacci_points(33)
+    frames = np.stack([
+        rest + 0.03 * rng.standard_normal((33, 3)).astype(np.float32)
+        for _ in range(4)
+    ])
+    cfg, params = DeformConfig(), DeformParams()
+    model, resid = batched.fit_frames(
+        jnp.asarray(rest), jnp.asarray(frames), cfg, params
+    )
+    assert resid.shape == (4,)
+    pts = rng.standard_normal((500, 3)).astype(np.float32)
+    mesh = sharding.make_mesh()
+    out, _ = batched.apply_frames(
+        model, jnp.asarray(pts), jnp.zeros(500), jnp.ones(500),
+        cfg, params, mesh
+    )
+    for f in range(4):
+        single, rep = fit_mod.fit(
+            jnp.asarray(rest), jnp.asarray(frames[f]),
+            cfg.solve_view(), params,
+        )
+        d = Deformer(model=single, cfg=cfg, params=params, report=rep)
+        ref, _ = d.apply(pts)
+        np.testing.assert_allclose(
+            np.asarray(out[f]), np.asarray(ref), atol=2e-5,
+            err_msg=f"frame {f}",
+        )
