@@ -98,6 +98,11 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--lambda", dest="lam", type=float, default=0.1)
     d.add_argument("--tangent", action="store_true")
     d.add_argument("--morphspace", action="store_true")
+    d.add_argument(
+        "--dbse-robust", action="store_true",
+        help="Huber-IRLS morphspace weights: scan outliers (occlusion "
+        "holes, glints) stop dragging the blendshape projection",
+    )
     d.add_argument("--clamp-weights", action="store_true")
     d.add_argument("--weight-range", type=float, nargs=2, default=[0.0, 1.0])
     d.add_argument("--falloff", action="store_true", dest="dofalloff")
@@ -199,6 +204,7 @@ def _cfg_params_from(args):
         layers=args.layers,
         tangent=args.tangent,
         morphspace=args.morphspace,
+        dbse_robust=args.dbse_robust,
         doclampweight=args.clamp_weights,
         dofalloff=args.dofalloff,
         strict_parity=args.strict_parity,
@@ -500,7 +506,12 @@ def _cmd_deform_seq(args) -> int:
                         rest_j = jnp.asarray(rest_attr)
                         cur = jnp.asarray(out_frames)
                         if cfg.dbse_lstsq:
-                            w_f, w_rep = dbse_ops.weights_lstsq_batched(
+                            _w_batched = (
+                                dbse_ops.weights_robust_batched
+                                if cfg.dbse_robust
+                                else dbse_ops.weights_lstsq_batched
+                            )
+                            w_f, w_rep = _w_batched(
                                 dbse_model, cur, rest_j
                             )
                             ok = err_mod.frames_solve_ok(w_rep)

@@ -97,6 +97,11 @@ class DeformConfig:
     # DBSE: True = genuine least-squares fit (BASELINE config 4);
     # False = reference-parity column-sum-of-packed-QR (dbse.cpp:53-55).
     dbse_lstsq: bool = True
+    # DBSE robust mode: Huber-IRLS weight fit (ops/dbse.weights_robust) so
+    # scan outliers (occlusion holes, marker glints) can't drag the shape
+    # weights.  Requires dbse_lstsq (the parity recipe has no robust
+    # analogue — the node warns and ignores it there).
+    dbse_robust: bool = False
     # RBF solver: "auto" picks the dense factorization up to ~8k controls
     # and matrix-free Krylov (ops/krylov.py) beyond — block-Jacobi
     # preconditioned MINRES for the symmetric families (MULTILAYER/KERNEL),
@@ -134,6 +139,7 @@ class DeformConfig:
         return dataclasses.replace(
             self, tangent=False, morphspace=False, dofalloff=False,
             doclampweight=False, strict_parity=False, dbse_lstsq=True,
+            dbse_robust=False,
         )
 
     def eval_view(self) -> "DeformConfig":
@@ -141,7 +147,7 @@ class DeformConfig:
         layers/tangent/strict_parity); same recompile rationale."""
         return dataclasses.replace(
             self, morphspace=False, dofalloff=False, doclampweight=False,
-            dbse_lstsq=True, solver="auto", n_refine=2,
+            dbse_lstsq=True, dbse_robust=False, solver="auto", n_refine=2,
         )
 
     @property

@@ -617,10 +617,22 @@ class FaceDeformNode:
           with stage("morph", times):
             rest_attr = jnp.asarray(self._rest_attr)
             cur = jnp.asarray(new_pts)
+            if cfg.dbse_robust and not cfg.dbse_lstsq:
+                warnings.append(
+                    "dbse_robust requires the least-squares weight path "
+                    "(dbse_lstsq=True); ignoring it for the parity recipe."
+                )
             if cfg.dbse_lstsq and mesh_devices is not None:
-                from facedeform_tpu.parallel.dbse_sharded import weights_lstsq_sharded
+                if cfg.dbse_robust:
+                    from facedeform_tpu.parallel.dbse_sharded import (
+                        weights_robust_sharded as _w_sharded,
+                    )
+                else:
+                    from facedeform_tpu.parallel.dbse_sharded import (
+                        weights_lstsq_sharded as _w_sharded,
+                    )
 
-                w, w_report = weights_lstsq_sharded(
+                w, w_report = _w_sharded(
                     dbse_model.deltas, cur, rest_attr, mesh_devices
                 )
                 # Same Gram-solve health check as the single-device path:
@@ -632,7 +644,14 @@ class FaceDeformNode:
                 except errors.SolveFailedError:
                     ok = False
             elif cfg.dbse_lstsq:
-                w, w_report = dbse_ops.weights_lstsq(dbse_model, cur, rest_attr)
+                if cfg.dbse_robust:
+                    w, w_report = dbse_ops.weights_robust(
+                        dbse_model, cur, rest_attr
+                    )
+                else:
+                    w, w_report = dbse_ops.weights_lstsq(
+                        dbse_model, cur, rest_attr
+                    )
                 try:
                     errors.check_solve(w_report)
                     ok = True

@@ -24,6 +24,11 @@ Two weight paths (SURVEY.md quirk 3):
 
 Batched poses: weights_lstsq vmaps over a leading pose axis — the
 "least-squares fit over multiple scanned poses" of BASELINE config 4.
+
+Rebuild extension (cfg.dbse_robust): weights_robust runs Huber-IRLS on the
+same Gram solve so scan outliers (occlusion holes, marker glints) can't
+drag the shape weights — the robustness the reference's raw QR projection
+lacks entirely.
 """
 
 from __future__ import annotations
@@ -148,6 +153,89 @@ def weights_parity(
     return jnp.dot(
         d, model.packed_qr, precision=jax.lax.Precision.HIGHEST, **_HP
     )
+
+
+def huber_scale(r: jnp.ndarray) -> jnp.ndarray:
+    """Huber threshold delta from nonnegative residual norms r (V,).
+
+    delta = 1.345 * sigma_hat with sigma_hat the MAD scale estimate
+    (1.4826 * median |r - median r|) — the textbook 95%-Gaussian-efficiency
+    tuning.  When the MAD collapses (over half the vertices fit exactly,
+    e.g. a pose that only moves the jaw) the floor 1e-3 * mean(r) keeps
+    delta > 0; a uniform u rescale cancels between Gram and RHS, so the
+    floor can only ever push the iteration TOWARD plain least squares,
+    never corrupt it.
+    """
+    med = jnp.median(r)
+    sigma = 1.4826 * jnp.median(jnp.abs(r - med))
+    return jnp.maximum(1.345 * sigma, 1e-3 * jnp.mean(r))
+
+
+def huber_vertex_weights(r: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """IRLS per-vertex weights u_v = psi(r)/r for the Huber loss:
+    1 inside the threshold, delta/r beyond it (r = 0 safely maps to 1)."""
+    return jnp.where(r <= delta, 1.0, delta / jnp.maximum(r, 1e-20))
+
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "n_refine"))
+def weights_robust(
+    model: DBSEModel,
+    current: jnp.ndarray,
+    rest: jnp.ndarray,
+    ridge: float = 1e-6,
+    n_iter: int = 4,
+    n_refine: int = 2,
+) -> tuple[jnp.ndarray, SolveReport]:
+    """Huber-IRLS blendshape weights — robust to scan outliers.
+
+    The DBSE workflow's input is a scanned pose (BASELINE config 4), and
+    scans carry gross outliers: occlusion holes, marker glints, stray
+    reconstruction spikes.  The reference's plain least squares
+    (dbse.cpp:31-55) lets a handful of bad vertices drag every shape
+    weight; this minimizes sum_v huber(||B_v w - d_v||) instead, by
+    iteratively reweighted least squares on the same S x S Gram solve:
+
+        u_v = min(1, delta / r_v)   (Huber psi/r, delta re-estimated
+                                     each sweep from the residual MAD)
+        w   = solve(B^T U B + reg,  B^T U d)
+
+    n_iter reweight sweeps after the plain-lstsq init (unrolled in the
+    trace — each sweep is one O(V S^2) fused einsum pair plus the tiny
+    refined Cholesky).  Written in pure collective-free jnp so GSPMD
+    shards it transparently when the inputs arrive device-sharded; the
+    explicit-mesh variant lives in parallel/dbse_sharded.weights_robust_sharded.
+    """
+    d = (current - rest).astype(jnp.float32)  # (V, 3)
+    deltas = model.deltas
+    s = deltas.shape[0]
+    eye = jnp.eye(s, dtype=jnp.float32)
+    hp = dict(precision=jax.lax.Precision.HIGHEST, **_HP)
+
+    def solve(u):
+        g = jnp.einsum("svc,v,tvc->st", deltas, u, deltas, **hp)
+        c = jnp.einsum("svc,v,vc->s", deltas, u, d, **hp)
+        reg = ridge * jnp.trace(g) / s + 1e-30
+        return cholesky_solve_refined(
+            g + reg * eye, c[:, None], n_refine=n_refine
+        )
+
+    u = jnp.ones(d.shape[0], jnp.float32)
+    w, report = solve(u)
+    for _ in range(n_iter):
+        r = jnp.linalg.norm(
+            jnp.einsum("s,svc->vc", w[:, 0], deltas, **hp) - d, axis=1
+        )
+        u = huber_vertex_weights(r, huber_scale(r))
+        w, report = solve(u)
+    return w[:, 0], report
+
+
+def weights_robust_batched(
+    model: DBSEModel, poses: jnp.ndarray, rest: jnp.ndarray, ridge: float = 1e-6
+) -> tuple[jnp.ndarray, SolveReport]:
+    """(F, V, 3) scanned poses -> (F, S) Huber-IRLS weights; report leaves
+    carry a leading frame axis (check with errors.frames_solve_ok)."""
+    return jax.vmap(lambda p: weights_robust(model, p, rest, ridge))(poses)
 
 
 def weights_lstsq_batched(

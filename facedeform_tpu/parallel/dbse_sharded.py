@@ -82,6 +82,66 @@ def weights_lstsq_sharded(
     )(deltas_p, d_p)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "n_iter"))
+def weights_robust_sharded(
+    deltas: jnp.ndarray,     # (S, V, 3) blendshape deltas
+    current: jnp.ndarray,    # (V, 3)
+    rest: jnp.ndarray,       # (V, 3)
+    mesh: Mesh,
+    ridge: float = 1e-6,
+    n_iter: int = 4,
+):
+    """Huber-IRLS blendshape weights with all O(V) work vertex-sharded.
+
+    Same iteration as ops.dbse.weights_robust: per-sweep residual norms are
+    local to each shard; the MAD scale needs the GLOBAL median, so the (V,)
+    residual-norm vector is all-gathered (4 MB at 1M vertices — the only
+    non-psum collective, and tiny next to the (S, V, 3) basis).  The
+    zero-padded tail rows sit at the end of the gathered vector, so slicing
+    to the static V drops them before the median (zeros would bias the MAD
+    low).  Gram/RHS reductions are the same psums as weights_lstsq_sharded;
+    padded rows have b = d = 0 so their u never matters.
+    """
+    n_dev = mesh.shape[VERTEX_AXIS]
+    s = deltas.shape[0]
+    v = current.shape[0]
+    deltas_p = _pad_v(deltas.astype(jnp.float32), n_dev, axis=1)
+    d_p = _pad_v((current - rest).astype(jnp.float32), n_dev, axis=0)
+
+    from facedeform_tpu.ops.dbse import huber_scale, huber_vertex_weights
+
+    def local(b_shard, d_shard):
+        eye = jnp.eye(s, dtype=jnp.float32)
+
+        def solve(u):
+            g = jnp.einsum("svc,v,tvc->st", b_shard, u, b_shard, **_HP)
+            c = jnp.einsum("svc,v,vc->s", b_shard, u, d_shard, **_HP)
+            g = jax.lax.psum(g, VERTEX_AXIS)
+            c = jax.lax.psum(c, VERTEX_AXIS)
+            reg = ridge * jnp.trace(g) / s + 1e-30
+            return cholesky_solve_refined(g + reg * eye, c[:, None])
+
+        u = jnp.ones(d_shard.shape[0], jnp.float32)
+        w, report = solve(u)
+        for _ in range(n_iter):
+            r_loc = jnp.linalg.norm(
+                jnp.einsum("s,svc->vc", w[:, 0], b_shard, **_HP) - d_shard,
+                axis=1,
+            )
+            r_all = jax.lax.all_gather(r_loc, VERTEX_AXIS, tiled=True)[:v]
+            u = huber_vertex_weights(r_loc, huber_scale(r_all))
+            w, report = solve(u)
+        return w[:, 0], report
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, VERTEX_AXIS, None), P(VERTEX_AXIS, None)),
+        out_specs=P(),
+        check_vma=False,
+    )(deltas_p, d_p)
+
+
 @functools.partial(jax.jit, static_argnames=("mesh",))
 def reconstruct_sharded(
     deltas: jnp.ndarray,     # (S, V, 3)

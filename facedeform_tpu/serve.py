@@ -517,9 +517,12 @@ class DeformServer:
                 rest_j = jnp.asarray(rest)
                 cur = jnp.asarray(stack)
                 if cfg.dbse_lstsq:
-                    w, rep = dbse_ops.weights_lstsq_batched(
-                        model, cur, rest_j
+                    _w_batched = (
+                        dbse_ops.weights_robust_batched
+                        if cfg.dbse_robust
+                        else dbse_ops.weights_lstsq_batched
                     )
+                    w, rep = _w_batched(model, cur, rest_j)
                     ok = errors.frames_solve_ok(rep)
                     w_np = np.asarray(w, np.float32)
                 else:
