@@ -108,6 +108,14 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--falloff", action="store_true", dest="dofalloff")
     d.add_argument("--falloff-radius", type=float, default=1.0)
     d.add_argument("--falloff-rate", type=float, default=1.0)
+    d.add_argument("--autotune", action="store_true",
+                   help="pick the RBF radius (QNN: the q/z scale) by "
+                        "leave-one-out cross-validation before fitting "
+                        "(Rippa closed form — one factorization per "
+                        "candidate, no refits)")
+    d.add_argument("--autotune-ridge", action="store_true",
+                   help="with --autotune: also select lambda by LOOCV "
+                        "(MULTILAYER/KERNEL families)")
     d.add_argument("--strict-parity", action="store_true",
                    help="preserve reference quirks verbatim (SURVEY.md)")
     d.add_argument("--picked", action="store_true",
@@ -227,6 +235,33 @@ def _print_load_warnings(paths, meshes) -> None:
             print(f"warning: {path}: {w}", file=sys.stderr)
 
 
+def _maybe_autotune(args, cfg, params, rest_rig, deform_rig):
+    """--autotune: LOOCV-select radius (and optionally ridge) from the rig
+    pair before fitting.  Returns (params, error_message_or_None)."""
+    if not getattr(args, "autotune", False):
+        return params, None
+    from facedeform_tpu.ops import loocv
+
+    ridge = (
+        loocv.DEFAULT_RIDGE_VALUES
+        if getattr(args, "autotune_ridge", False) else None
+    )
+    try:
+        params, diag = loocv.autotune(
+            rest_rig.points, deform_rig.points, cfg, params,
+            ridge_values=ridge,
+        )
+    except ValueError as e:
+        return params, str(e)
+    msg = (
+        f"LOOCV autotune: radius factor {diag['best_factor']:g}"
+        + (f", lambda {diag['best_ridge']:g}" if ridge is not None else "")
+        + f" (LOO rms {diag['best_score']:.3e})"
+    )
+    print(f"info: {msg}", file=sys.stderr)
+    return params, None
+
+
 def _cmd_deform(args) -> int:
     from facedeform_tpu.geometry import load_mesh, save_mesh
     from facedeform_tpu.geometry.topology import compute_tangent_frame
@@ -246,6 +281,20 @@ def _cmd_deform(args) -> int:
     )
 
     cfg, params = _cfg_params_from(args)
+    if getattr(args, "load_deformer", None):
+        if args.autotune:
+            print(
+                "warning: --autotune is ignored with --load-deformer "
+                "(the checkpoint's solve is reused, no fit happens)",
+                file=sys.stderr,
+            )
+    else:
+        params, tune_err = _maybe_autotune(
+            args, cfg, params, rest_rig, deform_rig
+        )
+        if tune_err:
+            print(f"error: {tune_err}", file=sys.stderr)
+            return 1
     if cfg.tangent and not mesh.has_tangent_frame():
         with stage("tangent_frame", times):
             compute_tangent_frame(mesh)
@@ -349,6 +398,13 @@ def _cmd_deform_seq(args) -> int:
     )
 
     cfg, params = _cfg_params_from(args)
+    if rigs:
+        # tune on the first posed frame; the chosen radius field depends
+        # only on the rest rig, so it serves the whole shot
+        params, tune_err = _maybe_autotune(args, cfg, params, rest_rig, rigs[0])
+        if tune_err:
+            print(f"error: {tune_err}", file=sys.stderr)
+            return 1
     if cfg.tangent and not mesh.has_tangent_frame():
         with stage("tangent_frame", times):
             compute_tangent_frame(mesh)
