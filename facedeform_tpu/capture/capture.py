@@ -130,8 +130,15 @@ class ProximityCapture:
         dofalloff: bool,
         falloffrate: float,
         strict_parity: bool = False,
+        metric: str = "euclidean",
     ) -> CaptureResult:
         """Flood-fill islands and compute capture distances.
+
+        metric="euclidean" measures straight-line distance to the nearest
+        rig primitive (the reference semantics, capture.cpp:81-86);
+        "geodesic" measures along the mesh edge graph from the marker
+        seeds instead, so falloff cannot bleed across surface gaps (upper
+        lip to lower lip) — see capture/geodesic.py.
 
         Raises CaptureError if not initialized or no island found (the
         reference returns false -> node error "Can't capture geometry with
@@ -172,18 +179,36 @@ class ProximityCapture:
         if dofalloff:
             cap_idx = np.nonzero(captured)[0]
             cap_pts = mesh.points[cap_idx]
-            tris = rig.triangles()
-            if tris is not None:
-                d2 = np.asarray(
-                    min_sqdist_to_triangles(
-                        jnp.asarray(cap_pts), jnp.asarray(rig.points[tris])
+            if metric == "geodesic":
+                if len(indices) == 0:
+                    raise CaptureError(
+                        "geodesic falloff needs mesh edges (the input has "
+                        "no faces) — use falloff_metric='euclidean'"
                     )
+                from facedeform_tpu.capture.geodesic import geodesic_distance
+
+                offsets = np.linalg.norm(
+                    rig.points - mesh.points[seed_vertices], axis=1
+                ).astype(np.float32)
+                geo = geodesic_distance(
+                    indptr, indices, mesh.points, seed_vertices, offsets
                 )
+                d2 = (geo[cap_idx] ** 2).astype(np.float32)
+            elif metric != "euclidean":
+                raise CaptureError(f"unknown falloff metric {metric!r}")
             else:
-                # host/bucketed dispatch: the captured-vertex count changes
-                # with every radius/maxedges tweak and exact-shape jit
-                # would recompile each time
-                d2 = min_sqdist_to_points_auto(cap_pts, rig.points)
+                tris = rig.triangles()
+                if tris is not None:
+                    d2 = np.asarray(
+                        min_sqdist_to_triangles(
+                            jnp.asarray(cap_pts), jnp.asarray(rig.points[tris])
+                        )
+                    )
+                else:
+                    # host/bucketed dispatch: the captured-vertex count
+                    # changes with every radius/maxedges tweak and
+                    # exact-shape jit would recompile each time
+                    d2 = min_sqdist_to_points_auto(cap_pts, rig.points)
             r2 = radius * radius
             if strict_parity:
                 # -1 sentinel where the radius-bounded search would fail

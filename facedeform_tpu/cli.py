@@ -108,6 +108,12 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--falloff", action="store_true", dest="dofalloff")
     d.add_argument("--falloff-radius", type=float, default=1.0)
     d.add_argument("--falloff-rate", type=float, default=1.0)
+    d.add_argument("--falloff-metric", choices=["euclidean", "geodesic"],
+                   default="euclidean",
+                   help="falloff distance measure: straight-line to the "
+                        "rig (reference semantics) or along the mesh edge "
+                        "graph (no bleed across surface gaps, e.g. upper "
+                        "to lower lip)")
     d.add_argument("--autotune", action="store_true",
                    help="pick the RBF radius (QNN: the q/z scale) by "
                         "leave-one-out cross-validation before fitting "
@@ -215,6 +221,7 @@ def _cfg_params_from(args):
         dbse_robust=args.dbse_robust,
         doclampweight=args.clamp_weights,
         dofalloff=args.dofalloff,
+        falloff_metric=args.falloff_metric,
         strict_parity=args.strict_parity,
         solver=args.solver,
     )

@@ -85,6 +85,13 @@ class DeformConfig:
     dofalloff: bool = False                  # real capture distances (capture.cpp:71-75)
 
     # --- rebuild extensions -------------------------------------------------
+    # Falloff distance metric: "euclidean" = straight-line to the nearest
+    # rig primitive (reference semantics, capture.cpp:81-86); "geodesic" =
+    # multi-source Dijkstra along the mesh edge graph from the marker
+    # seeds, so falloff cannot bleed across surface gaps (upper lip to
+    # lower lip).  Host-side capture data only — never a jit key
+    # (solve_view/eval_view reset it).
+    falloff_metric: str = "euclidean"
     # strict_parity preserves the reference's quirks verbatim:
     #   quirk 1: uncaptured vertices deform fully (d2 attr defaults to 0)
     #   quirk 2: d2 = -1 sentinel passes the radius test and *amplifies*
@@ -123,6 +130,11 @@ class DeformConfig:
                 "solver must be 'auto', 'direct', 'krylov' or 'pu', "
                 f"got {self.solver!r}"
             )
+        if self.falloff_metric not in ("euclidean", "geodesic"):
+            raise ValueError(
+                "falloff_metric must be 'euclidean' or 'geodesic', "
+                f"got {self.falloff_metric!r}"
+            )
 
     @property
     def n_poly(self) -> int:
@@ -139,7 +151,7 @@ class DeformConfig:
         return dataclasses.replace(
             self, tangent=False, morphspace=False, dofalloff=False,
             doclampweight=False, strict_parity=False, dbse_lstsq=True,
-            dbse_robust=False,
+            dbse_robust=False, falloff_metric="euclidean",
         )
 
     def eval_view(self) -> "DeformConfig":
@@ -148,6 +160,7 @@ class DeformConfig:
         return dataclasses.replace(
             self, morphspace=False, dofalloff=False, doclampweight=False,
             dbse_lstsq=True, dbse_robust=False, solver="auto", n_refine=2,
+            falloff_metric="euclidean",
         )
 
     @property

@@ -67,6 +67,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.fd_nearest.restype = None
+        lib.fd_dijkstra.argtypes = [
+            i64p, i32p, ctypes.c_int64, f32p, i64p, ctypes.c_void_p,
+            ctypes.c_int64, f32p,
+        ]
+        lib.fd_dijkstra.restype = None
         lib.fd_build_adjacency.argtypes = [
             i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -116,6 +121,38 @@ def bfs_rings(
         out,
     )
     return out.astype(bool)
+
+
+def dijkstra(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    points: np.ndarray,
+    sources: np.ndarray,
+    source_dist: Optional[np.ndarray] = None,
+) -> Optional[np.ndarray]:
+    """Native multi-source Dijkstra (edge weights = euclidean edge length);
+    (V,) f32 distances, 3.4e38 unreachable; None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(indptr) - 1
+    out = np.zeros(n, np.float32)
+    if source_dist is not None:
+        source_dist = np.ascontiguousarray(source_dist, np.float32)
+        sd_ptr = source_dist.ctypes.data_as(ctypes.c_void_p)
+    else:
+        sd_ptr = None
+    lib.fd_dijkstra(
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int32),
+        n,
+        np.ascontiguousarray(points, np.float32),
+        np.ascontiguousarray(sources, np.int64),
+        sd_ptr,
+        len(sources),
+        out,
+    )
+    return out
 
 
 def nearest(points: np.ndarray, queries: np.ndarray) -> Optional[np.ndarray]:

@@ -12,9 +12,11 @@
 // Build: g++ -O3 -march=native -shared -fPIC fastgeo.cpp -o libfastgeo.so
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <queue>
 #include <vector>
 
 extern "C" {
@@ -124,6 +126,46 @@ void fd_nearest(const float* pts, int64_t n, const float* queries, int64_t m,
     tree.nearest(queries + 3 * j, 0, n, 0, best_d2, best_i);
     out_idx[j] = best_i;
     if (out_d2) out_d2[j] = best_d2;
+  }
+}
+
+// Multi-source Dijkstra over CSR adjacency, edge weights = euclidean
+// length between the endpoint positions (geodesic surface distance along
+// the edge graph).  sources: (n_src) int64 seed vertices; source_dist:
+// (n_src) f32 initial distance per seed (marker-to-seed offset), nullable
+// for zeros.  out_dist: (n) f32, 3.4e38 where unreachable.
+void fd_dijkstra(const int64_t* indptr, const int32_t* indices, int64_t n,
+                 const float* pts, const int64_t* sources,
+                 const float* source_dist, int64_t n_src, float* out_dist) {
+  const float kInf = 3.4e38f;
+  std::fill(out_dist, out_dist + n, kInf);
+  using Item = std::pair<float, int64_t>;  // (distance, vertex)
+  std::priority_queue<Item, std::vector<Item>, std::greater<Item>> pq;
+  for (int64_t i = 0; i < n_src; ++i) {
+    const int64_t s = sources[i];
+    if (s < 0 || s >= n) continue;
+    const float d0 = source_dist ? source_dist[i] : 0.f;
+    if (d0 < out_dist[s]) {
+      out_dist[s] = d0;
+      pq.emplace(d0, s);
+    }
+  }
+  while (!pq.empty()) {
+    const auto [d, v] = pq.top();
+    pq.pop();
+    if (d > out_dist[v]) continue;  // stale queue entry
+    const float vx = pts[3 * v], vy = pts[3 * v + 1], vz = pts[3 * v + 2];
+    for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+      const int32_t u = indices[e];
+      const float dx = pts[3 * u] - vx;
+      const float dy = pts[3 * u + 1] - vy;
+      const float dz = pts[3 * u + 2] - vz;
+      const float nd = d + std::sqrt(dx * dx + dy * dy + dz * dz);
+      if (nd < out_dist[u]) {
+        out_dist[u] = nd;
+        pq.emplace(nd, u);
+      }
+    }
   }
 }
 

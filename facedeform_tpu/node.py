@@ -252,7 +252,7 @@ class FaceDeformNode:
             mesh_in.pos_id, mesh_in.top_id, rest_rig.pos_id, rest_rig.top_id,
             rest_rig.attr_id,  # capture groups islands by the rig `class` attr
             maxedges, radius, bool(cfg.dofalloff), float(params.falloffrate),
-            bool(cfg.strict_parity),
+            bool(cfg.strict_parity), cfg.falloff_metric,
         )
         if cap_key != self._capture_key:
             with stage("capture", times):
@@ -260,6 +260,7 @@ class FaceDeformNode:
                 self._capture_result = self._capture.capture(
                     maxedges, radius, cfg.dofalloff, float(params.falloffrate),
                     strict_parity=cfg.strict_parity,
+                    metric=cfg.falloff_metric,
                 )
             self._capture_key = cap_key
         capture = self._capture_result
