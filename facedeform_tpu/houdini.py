@@ -87,6 +87,9 @@ PARM_SPECS: List[Tuple[str, str, str, object, object]] = [
     ("solver", "Solver", "menu", 0, ["Auto", "Direct", "Krylov",
                                      "Partition of unity"]),
     ("strict_parity", "Strict reference parity", "toggle", 0, None),
+    ("dbse_robust", "Robust morph weights", "toggle", 0, None),
+    ("falloff_metric", "Falloff metric", "menu", 0,
+     ["Euclidean", "Geodesic"]),
     ("update_normals", "Update normals", "toggle", 0, None),
     ("transform_attrs", "Transform attributes", "string", "", None),
     ("output_stretch", "Output stretch", "toggle", 0, None),
@@ -233,7 +236,12 @@ def config_from_node(node) -> Tuple[DeformConfig, DeformParams, str]:
         morphspace=bool(_eval_parm(node, "morphspace", 0)),
         doclampweight=bool(_eval_parm(node, "doclampweight", 0)),
         dofalloff=bool(_eval_parm(node, "dofalloff", 0)),
+        falloff_metric=(
+            "geodesic" if int(_eval_parm(node, "falloff_metric", 0))
+            else "euclidean"
+        ),
         strict_parity=bool(_eval_parm(node, "strict_parity", 0)),
+        dbse_robust=bool(_eval_parm(node, "dbse_robust", 0)),
         solver=_SOLVER_NAMES[solver_idx],
     )
     params = DeformParams(
