@@ -82,14 +82,25 @@ def make_sharded_saddle_matvec(
 
     def matvec(x: jnp.ndarray) -> jnp.ndarray:  # replicated (N + m, k)
         xw, xc = x[:n], x[n:]
-        y_sharded = jax.shard_map(
-            lambda c: local_rows(c, xw),
+        # The gather back to replicated form is EXPLICIT (one tiled
+        # all_gather per matvec, O(N k) bytes — the communication the
+        # module docstring budgets).  Returning the output sharded
+        # (out_specs P('v')) and letting the replicated Krylov
+        # recurrences consume it looks equivalent, but GSPMD then has to
+        # invent the resharding itself: measured 460 collective-permutes
+        # + 80 all-to-alls + 70 all-gathers in the compiled module versus
+        # all-gathers only for this formulation
+        # (tests/test_collectives_audit.py enforces it).
+        y_full = jax.shard_map(
+            lambda c: jax.lax.all_gather(
+                local_rows(c, xw), VERTEX_AXIS, tiled=True
+            ),
             mesh=mesh,
             in_specs=(P(VERTEX_AXIS),),
-            out_specs=P(VERTEX_AXIS),
+            out_specs=P(),
             check_vma=False,
         )(ctrl_rows)
-        y_top = y_sharded[:n] + lam * xw
+        y_top = y_full[:n] + lam * xw
         if m:
             y_top = y_top + jnp.dot(
                 p, xc, precision=jax.lax.Precision.HIGHEST,

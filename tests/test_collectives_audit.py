@@ -1,0 +1,140 @@
+"""Compiled-HLO collective audit for the sharded paths.
+
+The scaling design (SURVEY.md section 5, PARITY.md aux table) promises:
+steady-state vertex-sharded eval runs with ZERO collectives (model
+replicated, every chip owns its vertex slab — the reference's thread pool
+promoted to chips); collectives appear only where the math demands a
+global reduction (sharded-fit Gram/matvec psums, DBSE weight solves, the
+robust-DBSE residual median, diagnostics).  These tests enforce that
+contract on the actual optimized HLO, so a future edit that accidentally
+introduces a per-frame all-gather (e.g. an unsharded intermediate) fails
+CI instead of silently eating ICI bandwidth.
+"""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from facedeform_tpu.config import DeformConfig, DeformParams
+from facedeform_tpu.geometry.primitives import fibonacci_points
+from facedeform_tpu.ops import fit as fit_mod
+from facedeform_tpu.parallel import sharding
+
+COLLECTIVE_RE = re.compile(
+    r"\b(all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter)\b"
+)
+
+
+def _collective_counts(compiled_text: str) -> dict:
+    counts: dict = {}
+    for m in COLLECTIVE_RE.finditer(compiled_text):
+        counts[m.group(1)] = counts.get(m.group(1), 0) + 1
+    return counts
+
+
+def _rig(rng, n=16):
+    rest = fibonacci_points(n)
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    return jnp.asarray(rest), jnp.asarray(deformed)
+
+
+def test_sharded_eval_has_zero_collectives(rng):
+    """sharded_apply's contract: replicated model, vertex slabs, no
+    cross-chip traffic at all in the compiled module."""
+    mesh = sharding.make_mesh()
+    rest, deformed = _rig(rng)
+    cfg, params = DeformConfig(), DeformParams()
+    model, _ = fit_mod.fit(rest, deformed, cfg, params)
+    v = 64
+    pts = jnp.asarray(rng.standard_normal((v, 3)).astype(np.float32))
+    d2 = jnp.zeros(v, jnp.float32)
+    gate = jnp.ones(v, jnp.float32)
+    txt = (
+        sharding.sharded_apply
+        .lower(model, pts, d2, gate, cfg, params, mesh)
+        .compile()
+        .as_text()
+    )
+    counts = _collective_counts(txt)
+    assert counts == {}, f"steady-state eval emits collectives: {counts}"
+
+
+def test_deform_step_collectives_are_the_diagnostic_only(rng):
+    """deform_step adds exactly the documented pmax health metric — the
+    only collective class in the whole per-frame step is all-reduce (the
+    replicated fit compiles collective-free because its inputs are
+    replicated)."""
+    mesh = sharding.make_mesh()
+    rest, deformed = _rig(rng)
+    cfg, params = DeformConfig(), DeformParams()
+    v = 64
+    pts = jnp.asarray(rng.standard_normal((v, 3)).astype(np.float32))
+    d2 = jnp.zeros(v, jnp.float32)
+    gate = jnp.ones(v, jnp.float32)
+    txt = (
+        sharding.deform_step
+        .lower(rest, deformed, pts, d2, gate, cfg, params, mesh)
+        .compile()
+        .as_text()
+    )
+    counts = _collective_counts(txt)
+    assert set(counts) <= {"all-reduce"}, counts
+
+
+def test_sharded_fit_gathers_only_the_matvec_output(rng):
+    """Control-row-sharded Krylov fit: the ONLY collective is the
+    explicit O(N k) all-gather of each matvec's output — never a
+    partitioner-invented reshard (collective-permute / all-to-all) of
+    Krylov intermediates.  (The original out_specs=P('v') formulation
+    compiled to 460 collective-permutes + 80 all-to-alls on this exact
+    program.)"""
+    from facedeform_tpu.parallel.krylov_sharded import fit_sharded
+
+    mesh = sharding.make_mesh()
+    rest, deformed = _rig(rng, n=24)
+    cfg = DeformConfig(solver="krylov")
+    txt = (
+        fit_sharded.lower(rest, deformed, cfg, DeformParams(), mesh)
+        .compile()
+        .as_text()
+    )
+    counts = _collective_counts(txt)
+    assert counts.get("all-gather", 0) >= 1, counts
+    assert set(counts) <= {"all-gather"}, counts
+
+
+def test_dbse_sharded_collective_budget(rng):
+    """Plain sharded DBSE: Gram/RHS psums only.  Robust DBSE adds the
+    all-gathered residual norms for the global MAD median — exactly
+    n_iter all-gathers, nothing else new."""
+    from facedeform_tpu.parallel.dbse_sharded import (
+        weights_lstsq_sharded,
+        weights_robust_sharded,
+    )
+
+    mesh = sharding.make_mesh()
+    v, s = 40, 3
+    deltas = jnp.asarray(rng.standard_normal((s, v, 3)).astype(np.float32))
+    cur = jnp.asarray(rng.standard_normal((v, 3)).astype(np.float32))
+    restp = jnp.asarray(rng.standard_normal((v, 3)).astype(np.float32))
+
+    txt_l = (
+        weights_lstsq_sharded.lower(deltas, cur, restp, mesh)
+        .compile().as_text()
+    )
+    counts_l = _collective_counts(txt_l)
+    assert counts_l.get("all-reduce", 0) >= 1, counts_l
+    assert counts_l.get("all-gather", 0) == 0, counts_l
+
+    n_iter = 4
+    txt_r = (
+        weights_robust_sharded
+        .lower(deltas, cur, restp, mesh, n_iter=n_iter)
+        .compile().as_text()
+    )
+    counts_r = _collective_counts(txt_r)
+    assert counts_r.get("all-gather", 0) == n_iter, counts_r
+    assert set(counts_r) <= {"all-reduce", "all-gather"}, counts_r
