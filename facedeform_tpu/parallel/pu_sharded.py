@@ -134,7 +134,10 @@ def _sharded_pu_frames_jit(
     """(F, V, 3) whole-shot PU displacement, vertex tiles sharded over the
     device mesh: the frames trick (3F weight columns per kernel item,
     pallas_pu._pack_frames_operands) composed with the replicated-model /
-    sharded-vertices design above — still zero steady-state collectives."""
+    sharded-vertices design above.  All kernel work is collective-free;
+    the single communication step is one explicit tiled all_gather of the
+    (Vp, 3F) result so the global inverse tile-order permutation runs on
+    a replicated array (see the comment in body)."""
     from facedeform_tpu.ops.pallas_pu import (
         _blocked_vertex_operands, _pack_frames_operands, _tiles_pallas_call,
     )
@@ -157,11 +160,19 @@ def _sharded_pu_frames_jit(
         n_loc = pts_b.shape[0]
         d_flat = acc_d.transpose(0, 2, 1).reshape(n_loc * tile_v, 3 * f_n)
         w_flat = acc_w.reshape(n_loc * tile_v)
-        return jnp.where(
+        out_local = jnp.where(
             (w_flat > 1e-30)[:, None],
             d_flat / jnp.maximum(w_flat, 1e-30)[:, None],
             0.0,
         )
+        # Gather to replicated HERE, explicitly: the consumer needs the
+        # full (V, 3F) result in original vertex order (falloff multiply,
+        # host pull), and the inverse tile-order permutation below is a
+        # GLOBAL shuffle — applying it to a sharded array makes GSPMD
+        # invent a collective-permute chain (measured 21 permutes + 2
+        # all-reduces at 8 devices); one tiled all_gather is the whole
+        # O(V * 3F) transfer (tests/test_collectives_audit.py).
+        return jax.lax.all_gather(out_local, VERTEX_AXIS, tiled=True)
 
     out_z = jax.shard_map(
         body,
@@ -170,7 +181,7 @@ def _sharded_pu_frames_jit(
             P(VERTEX_AXIS), P(VERTEX_AXIS),
             P(VERTEX_AXIS), P(VERTEX_AXIS),
         ) + (P(),) * len(packed),
-        out_specs=P(VERTEX_AXIS),
+        out_specs=P(),
         check_vma=False,
     )(item_patch, item_vt, pts_blocks, lane, *packed)
     out = out_z[:v][inv_perm]                      # (V, 3F)

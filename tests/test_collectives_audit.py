@@ -106,6 +106,68 @@ def test_sharded_fit_gathers_only_the_matvec_output(rng):
     assert set(counts) <= {"all-gather"}, counts
 
 
+def test_whole_shot_and_transport_and_pu_are_collective_free(rng):
+    """The other steady-state sharded programs — batched frames eval,
+    attribute transport, and the PU tile eval — carry the same replicated-
+    model/vertex-slab layout as sharded_apply and must also compile with
+    zero collectives."""
+    from facedeform_tpu.config import PolyTerm, RBFKernel
+    from facedeform_tpu.ops import pu as pu_ops
+    from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
+    from facedeform_tpu.parallel import batched, pu_sharded
+
+    mesh = sharding.make_mesh()
+    rest, deformed = _rig(rng)
+    cfg, params = DeformConfig(), DeformParams()
+    v = 64
+    pts = jnp.asarray(rng.standard_normal((v, 3)).astype(np.float32))
+    d2 = jnp.zeros(v, jnp.float32)
+    gate = jnp.ones(v, jnp.float32)
+
+    frames = jnp.stack([deformed, rest + 0.01])
+    txt = (
+        batched.deform_frames
+        .lower(rest, frames, pts, d2, gate, cfg, params, mesh, None)
+        .compile().as_text()
+    )
+    assert _collective_counts(txt) == {}, "deform_frames"
+
+    model, _ = fit_mod.fit(rest, deformed, cfg, params)
+    attrs = {"N": pts / jnp.linalg.norm(pts, axis=1, keepdims=True)}
+    f = jax.jit(lambda m, p, a, w: sharding.sharded_transport(
+        m, p, a, w, cfg, mesh, want_stretch=True))
+    txt = f.lower(model, pts, attrs, jnp.ones(v)).compile().as_text()
+    assert _collective_counts(txt) == {}, "sharded_transport"
+
+    pu_rest = np.asarray(fibonacci_points(48))
+    patches = pu_ops.build_patches(pu_rest, patch_size=24)
+    m_pu, _ = pu_ops.fit_pu(
+        pu_rest, pu_rest * 1.05, RBFKernel.THIN_PLATE, PolyTerm.LINEAR,
+        patches=patches, lam=0.0,
+    )
+    q = rng.standard_normal((v, 3)).astype(np.float32)
+    splan = pu_sharded.shard_tile_plan(
+        plan_eval_tiles(patches, q), mesh.shape[sharding.VERTEX_AXIS]
+    )
+    g = jax.jit(lambda m, qq, ip, ivt, fp, perm, inv:
+                pu_sharded.sharded_pu_displacement(
+                    m, qq, ip, ivt, fp, perm, inv,
+                    RBFKernel.THIN_PLATE, PolyTerm.LINEAR,
+                    splan.num_points, splan.tile_v, splan.vp, mesh))
+    txt = g.lower(
+        m_pu, jnp.asarray(q), jnp.asarray(splan.item_patch),
+        jnp.asarray(splan.item_vt), jnp.asarray(splan.forced_patch),
+        jnp.asarray(splan.perm), jnp.asarray(splan.inv_perm),
+    ).compile().as_text()
+    # PU: kernel work collective-free; the only communication is the
+    # explicit result all_gather (XLA may split it into a few pieces) so
+    # the global inverse tile-order permutation runs replicated (a
+    # sharded permute compiled to 21 collective-permutes + 2 all-reduces
+    # before the gather was made explicit).
+    counts = _collective_counts(txt)
+    assert set(counts) == {"all-gather"}, counts
+
+
 def test_dbse_sharded_collective_budget(rng):
     """Plain sharded DBSE: Gram/RHS psums only.  Robust DBSE adds the
     all-gathered residual norms for the global MAD median — exactly
