@@ -20,6 +20,8 @@ feature set plus the rebuild's extensions):
   14. deformed-normal transport through the analytic field Jacobian
   15. general attribute transport: velocity vectors and orientation
       quaternions through the same deformation gradient
+  16. LOOCV autotune: radius selection by Rippa's closed form
+  17. geodesic falloff: surface-path distances, no bleed across gaps
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -246,6 +248,35 @@ def main():
           f"vertices (max |dv| {dv.max():.3f}); orient max delta {qd:.3f} "
           f"(pure rotation part only); peak surface stretch {smax:.2f}x "
           "(fd_stretch QC attr)")
+
+    # 16. LOOCV autotune: pick the kernel radius by Rippa's closed-form
+    # leave-one-out error — one factorization per candidate, no refits
+    # (ops/loocv.py; CLI --autotune)
+    from facedeform_tpu.config import RBFKernel, RBFModelType
+    from facedeform_tpu.ops import loocv
+
+    kcfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN)
+    d_auto, diag = loocv.fit_auto(
+        rig.points, posed.points, kcfg, DeformParams(radius=1.0, lam=0.01))
+    print(f"LOOCV autotune: radius x{diag['best_factor']:g} "
+          f"(LOO rms {diag['best_score']:.2e} vs "
+          f"{diag['scores'][len(diag['factors']) // 2, 0]:.2e} at x1)")
+
+    # 17. geodesic falloff: distances measured along the surface, so a
+    # marker cannot drag geometry that is near in space but far along the
+    # mesh (the upper-lip/lower-lip bleed; cfg.falloff_metric="geodesic")
+    res_geo = FaceDeformNode().cook(
+        [face, rig, posed],
+        DeformConfig(dofalloff=True, falloff_metric="geodesic"), params,
+    )
+    res_euc = FaceDeformNode().cook(
+        [face, rig, posed], DeformConfig(dofalloff=True), params,
+    )
+    fg = res_geo.mesh.attr("fd_falloff")
+    fe = res_euc.mesh.attr("fd_falloff")
+    print(f"geodesic falloff: {int((fg < fe - 1e-3).sum())} vertices "
+          "attenuate harder than euclidean (surface path longer than the "
+          "straight line)")
 
 
 if __name__ == "__main__":
