@@ -49,10 +49,35 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             if not _build():
                 return None
-        try:
-            lib = ctypes.CDLL(_LIB)
-        except OSError:
-            return None
+        lib = _load_and_bind(_LIB)
+        if lib is None:
+            # A cached .so whose mtime ties the source (cp/tar without -p)
+            # dodges the staleness check but can miss newly added symbols;
+            # rebuild once and retry before giving up on the native path.
+            if not _build():
+                return None
+            # dlopen caches by PATHNAME: re-loading _LIB would hand back
+            # the stale handle just opened above, so bind the rebuilt
+            # library through a unique temp copy (the canonical .so is
+            # already refreshed for future processes).
+            import shutil
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                prefix="libfastgeo-", suffix=".so", delete=False
+            )
+            tmp.close()
+            shutil.copy(_LIB, tmp.name)
+            lib = _load_and_bind(tmp.name)
+        _lib = lib
+        return _lib
+
+
+def _load_and_bind(path: str) -> Optional[ctypes.CDLL]:
+    """CDLL + argtype bindings; None on load failure OR missing symbol
+    (AttributeError from a stale library) so callers fall back cleanly."""
+    try:
+        lib = ctypes.CDLL(path)
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -93,8 +118,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int64,
         ]
         lib.fd_obj_write.restype = ctypes.c_int32
-        _lib = lib
-        return _lib
+        return lib
+    except (OSError, AttributeError):
+        return None
 
 
 def available() -> bool:

@@ -109,6 +109,63 @@ def _qnn_radii(ctrl: jnp.ndarray, q: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray
     return jnp.minimum(eps, cap)
 
 
+def _family_radii(
+    cfg: DeformConfig, params: DeformParams, rest_ctrl: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-family first-layer radius field (N,) and ridge scalar.
+
+    QNN: adaptive per-point radii, lam structurally 0 (exact interpolation,
+    like ALGLIB QNN).  MULTILAYER / KERNEL: global radius + user ridge.
+    Shared by fit() and fit_frames_dense() so the family rules can never
+    drift between the single-pose and packed-frames routes.
+    """
+    n = rest_ctrl.shape[0]
+    if cfg.model == RBFModelType.QNN:
+        eps0 = _qnn_radii(rest_ctrl, params.qcoef, params.zcoef)
+        lam0 = jnp.asarray(0.0, jnp.float32)
+    else:  # MULTILAYER / KERNEL: global radius + ridge
+        eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
+        lam0 = jnp.asarray(params.lam, jnp.float32)
+    return eps0, lam0
+
+
+def _dense_layer_solve(
+    rest_ctrl: jnp.ndarray,
+    kernel: RBFKernel,
+    term,
+    eps_l: jnp.ndarray,
+    lam0: jnp.ndarray,
+    b: jnp.ndarray,
+    n_refine: int,
+):
+    """One dense-layer solve: assemble + refined LU, df-aware per kernel.
+
+    Growing kernels assemble and refine against the double-float system
+    (the f32 assembly rounding of phi is itself budget-breaking once
+    amplified by conditioning); decaying kernels take the plain f32
+    system with compensated refinement.  Returns (a, (x, x_lo), report);
+    a is the f32(-hi) system for residual chaining.  Single source of
+    truth for fit()'s dense branch AND fit_frames_dense (which only packs
+    more RHS columns into b).
+    """
+    from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+    if kernel in GROWING_KERNELS:
+        from facedeform_tpu.ops.assemble import assemble_system_df
+        from facedeform_tpu.ops.solve import lu_solve_refined_against_df
+
+        a, a_lo = assemble_system_df(rest_ctrl, kernel, term, eps_l, lam0)
+        (x, x_lo), report = lu_solve_refined_against_df(
+            a, a_lo, b, n_refine=max(n_refine, 3)
+        )
+    else:
+        from facedeform_tpu.ops.solve import lu_solve_refined_df
+
+        a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
+        (x, x_lo), report = lu_solve_refined_df(a, b, n_refine=n_refine)
+    return a, (x, x_lo), report
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def fit(
     rest_ctrl: jnp.ndarray,
@@ -138,15 +195,7 @@ def fit(
     kernel = effective_kernel(cfg)
     n_layers = cfg.n_layers
 
-    if cfg.model == RBFModelType.QNN:
-        eps0 = _qnn_radii(rest_ctrl, params.qcoef, params.zcoef)
-        lam0 = jnp.asarray(0.0, jnp.float32)  # exact interpolation, like ALGLIB QNN
-    elif cfg.model == RBFModelType.MULTILAYER:
-        eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
-        lam0 = params.lam.astype(jnp.float32) if hasattr(params.lam, "astype") else jnp.asarray(params.lam, jnp.float32)
-    else:  # KERNEL zoo
-        eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
-        lam0 = jnp.asarray(params.lam, jnp.float32)
+    eps0, lam0 = _family_radii(cfg, params, rest_ctrl)
 
     w_layers = []
     w_lo_layers = []
@@ -208,29 +257,12 @@ def fit(
                     # Warm-restarted sweeps recover f32 Lanczos drift.
                     x, report = pminres(apply_sys, b, msolve, x0=x)
         else:
-            from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
-
             # The solver reports carry the double-float-compensated
             # residual plus the backward-error scale and LU cond estimate;
             # x_lo holds the sub-f32 solution bits for the precise eval.
-            if kernel in GROWING_KERNELS:
-                # Growing kernels: the f32 ASSEMBLY rounding of phi is
-                # itself budget-breaking once amplified by conditioning —
-                # assemble and refine against the double-float system.
-                from facedeform_tpu.ops.assemble import assemble_system_df
-                from facedeform_tpu.ops.solve import lu_solve_refined_against_df
-
-                a, a_lo = assemble_system_df(rest_ctrl, kernel, term, eps_l, lam0)
-                (x, x_lo), report = lu_solve_refined_against_df(
-                    a, a_lo, b, n_refine=max(cfg.n_refine, 3)
-                )
-            else:
-                from facedeform_tpu.ops.solve import lu_solve_refined_df
-
-                a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
-                (x, x_lo), report = lu_solve_refined_df(
-                    a, b, n_refine=cfg.n_refine
-                )
+            a, (x, x_lo), report = _dense_layer_solve(
+                rest_ctrl, kernel, term, eps_l, lam0, b, cfg.n_refine
+            )
 
             def apply_sys(v, a=a):
                 return jnp.dot(
@@ -308,12 +340,7 @@ def fit_frames_dense(
     kernel = effective_kernel(cfg)
     n_layers = cfg.n_layers
 
-    if cfg.model == RBFModelType.QNN:
-        eps0 = _qnn_radii(rest_ctrl, params.qcoef, params.zcoef)
-        lam0 = jnp.asarray(0.0, jnp.float32)
-    else:  # MULTILAYER / KERNEL: global radius + ridge
-        eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
-        lam0 = jnp.asarray(params.lam, jnp.float32)
+    eps0, lam0 = _family_radii(cfg, params, rest_ctrl)
 
     def pack(t):      # (F, rows, 3) -> (rows, 3F)
         return t.transpose(1, 0, 2).reshape(t.shape[1], -1)
@@ -329,21 +356,9 @@ def fit_frames_dense(
         eps_l = eps0 * (0.5 ** layer)
         term = cfg.term if layer == 0 else type(cfg.term)(2)  # PolyTerm.ZERO
         b = pack(jax.vmap(lambda t: assemble_rhs(t, term))(target))
-        from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
-
-        if kernel in GROWING_KERNELS:
-            from facedeform_tpu.ops.assemble import assemble_system_df
-            from facedeform_tpu.ops.solve import lu_solve_refined_against_df
-
-            a, a_lo = assemble_system_df(rest_ctrl, kernel, term, eps_l, lam0)
-            (x, _), report = lu_solve_refined_against_df(
-                a, a_lo, b, n_refine=max(cfg.n_refine, 3)
-            )
-        else:
-            from facedeform_tpu.ops.solve import lu_solve_refined_df
-
-            a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
-            (x, _), report = lu_solve_refined_df(a, b, n_refine=cfg.n_refine)
+        a, (x, _), report = _dense_layer_solve(
+            rest_ctrl, kernel, term, eps_l, lam0, b, cfg.n_refine
+        )
 
         # Per-frame residual norms, reconstructed from the per-column
         # backward errors (||r_c|| = col_backward_c * col_scale_c) — no

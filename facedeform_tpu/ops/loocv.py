@@ -54,7 +54,7 @@ from facedeform_tpu.config import (
     RBFModelType,
 )
 from facedeform_tpu.ops.assemble import assemble_rhs, assemble_system
-from facedeform_tpu.ops.solve import SolveReport, lu_solve_refined
+from facedeform_tpu.ops.solve import SolveReport, lu_solve_refined_factored
 
 # Default radius candidate grid: half-octave steps over +-3 octaves around
 # the user's value — wide enough to recover from an off-by-8x radius, fine
@@ -87,9 +87,13 @@ def loocv_errors(
     n = ctrl.shape[0]
     a = assemble_system(ctrl, kernel, term, eps, lam)
     b = assemble_rhs(delta, term)
-    x, report = lu_solve_refined(a, b, n_refine=n_refine)
+    x, report, lu_piv = lu_solve_refined_factored(a, b, n_refine=n_refine)
+    # Inverse diagonal from the SAME factorization (two triangular solves
+    # against the identity) — a second jnp.linalg.inv would re-factor and
+    # double the O((N+m)^3) cost of every candidate in the sweep.
     with jax.default_matmul_precision("highest"):
-        binv_diag = jnp.diagonal(jnp.linalg.inv(a))[:n]
+        binv = jax.scipy.linalg.lu_solve(lu_piv, jnp.eye(a.shape[0], dtype=a.dtype))
+        binv_diag = jnp.diagonal(binv)[:n]
     w = x[:n]
     # A vanishing diagonal means the leave-i-out subsystem is singular
     # (duplicate points); the sign-preserving floor turns that into a huge
@@ -161,7 +165,9 @@ def autotune(
       (params', diag) where params' reproduces the winning candidate when
       passed to fit()/Deformer.fit, and diag carries the full score grid:
       {"factors", "ridges", "scores" (F, R), "best_factor", "best_ridge",
-       "best_score", "radius_candidates"}.
+       "best_score", "radius_candidates"}.  diag's factors/ridges are the
+      APPLIED grids — clamped to the fit-time floors and deduped — so they
+      can differ from the raw candidates passed in.
     """
     from facedeform_tpu.ops import fit as fit_mod
 
@@ -206,13 +212,23 @@ def autotune(
         if ridge_values is None
         else np.asarray(ridge_values, np.float32)
     )
+    # Keep candidates reproducible through the fit-time clamps (the
+    # reference's read clamps: radius >= 0.01, lam >= 0.01, qcoef/zcoef
+    # >= 0.1 — src/SOP_FaceDeform.cpp:249-253): score what fit() would
+    # actually run after params.clamped().
     if cfg.model != RBFModelType.QNN:
-        # Keep candidates reproducible through the fit-time clamps
-        # (radius >= 0.01, lam >= 0.01 — the reference's read clamps,
-        # src/SOP_FaceDeform.cpp:251-253): score what fit() would run.
         base_r = float(cp.radius)
         factors = np.maximum(factors, 0.01 / base_r).astype(np.float32)
         ridges = np.maximum(ridges, 0.01).astype(np.float32)
+    else:
+        floor = max(0.1 / float(cp.qcoef), 0.1 / float(cp.zcoef))
+        factors = np.maximum(factors, floor).astype(np.float32)
+    # Clamping can collapse several grid cells onto the floor; dedupe so
+    # each distinct candidate pays its (N+m)^3 factorization exactly once.
+    # diag reports THESE applied grids, which may differ from the caller's
+    # raw radius_factors/ridge_values.
+    factors = np.unique(factors)
+    ridges = np.unique(ridges)
 
     grid_f, grid_l = np.meshgrid(factors, ridges, indexing="ij")
     scales = jnp.asarray(grid_f.ravel())

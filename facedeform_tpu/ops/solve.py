@@ -184,7 +184,7 @@ def lu_solve_refined(
     Returns the solution and a SolveReport; callers should check
     report.residual_norm against report.rhs_norm (see errors.check_solve).
     """
-    (x, _), report = _lu_refined_impl(a, b, n_refine, want_lo=False)
+    (x, _), report, _ = _lu_refined_impl(a, b, n_refine, want_lo=False)
     return x, report
 
 
@@ -201,7 +201,23 @@ def lu_solve_refined_df(
     (ops/precise_eval.py) contracts against (x_hi + x_lo) to keep it.
     Costs one extra pair of triangular solves.
     """
-    return _lu_refined_impl(a, b, n_refine, want_lo=True)
+    x_df, report, _ = _lu_refined_impl(a, b, n_refine, want_lo=True)
+    return x_df, report
+
+
+@functools.partial(jax.jit, static_argnames=("n_refine",))
+def lu_solve_refined_factored(
+    a: jnp.ndarray, b: jnp.ndarray, n_refine: int = 2
+) -> tuple[jnp.ndarray, SolveReport, tuple[jnp.ndarray, jnp.ndarray]]:
+    """lu_solve_refined that also returns the (lu, piv) factors for reuse.
+
+    LOOCV scoring (ops/loocv.py) needs both the refined solve AND the
+    inverse diagonal of the SAME matrix; returning the factors lets it
+    derive the inverse with two triangular solves instead of paying a
+    second full factorization per candidate.
+    """
+    (x, _), report, lu_piv = _lu_refined_impl(a, b, n_refine, want_lo=False)
+    return x, report, lu_piv
 
 
 @functools.partial(jax.jit, static_argnames=("n_refine", "gmres_ir"))
@@ -346,7 +362,7 @@ def _lu_refined_impl(a, b, n_refine, want_lo):
     report = _report_from(jnp.linalg.norm(a), jnp.diagonal(lu), x_hi, b, r)
     if not want_lo:
         x_lo = jnp.zeros_like(x_hi)
-    return (x_hi, x_lo), report
+    return (x_hi, x_lo), report, (lu, piv)
 
 
 @functools.partial(jax.jit, static_argnames=("n_refine",))

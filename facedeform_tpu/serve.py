@@ -88,8 +88,9 @@ def write_frame(wfile, header: dict, arrays: Dict[str, np.ndarray]) -> None:
     metas = []
     views = []
     for name, a in arrays.items():
-        a = np.ascontiguousarray(a)
-        metas.append({"name": name, "shape": list(a.shape), "dtype": str(a.dtype)})
+        shape = list(np.shape(a))  # BEFORE ascontiguousarray: it promotes
+        a = np.ascontiguousarray(a)  # 0-d scalars (morph_ok) to (1,)
+        metas.append({"name": name, "shape": shape, "dtype": str(a.dtype)})
         views.append(memoryview(a).cast("B"))
     hb = json.dumps(dict(header, arrays=metas)).encode()
     wfile.write(MAGIC + struct.pack("<I", len(hb)) + hb)
@@ -413,11 +414,17 @@ class DeformServer:
                 # Jacobian pass serves a batch of attrs (+ stretches).
                 d = self._deformers[req["deformer"]]
                 if isinstance(d, tuple):
+                    kind = d[0]
+                    hint = (
+                        "morph projects onto the basis; transport needs a "
+                        "fit/fit_pu deformer" if kind == "dbse" else
+                        "per-frame: load each frame or use the CLI batch "
+                        "path"
+                    )
                     return {
                         "ok": False,
-                        "error": "transport does not take a fit_seq "
-                                 "deformer (per-frame: load each frame or "
-                                 "use the CLI batch path)",
+                        "error": f"transport does not take a {kind} "
+                                 f"deformer ({hint})",
                     }
                 if not hasattr(d, "transform_attrs"):
                     return {
@@ -506,6 +513,15 @@ class DeformServer:
                                  "refit with dbse_lstsq=False for the "
                                  "reference-parity weight path",
                     }
+                warnings_out = []
+                if cfg.dbse_robust and not cfg.dbse_lstsq:
+                    # mirror node.py's warn-and-ignore contract instead of
+                    # silently serving non-robust weights as if robust
+                    warnings_out.append(
+                        "dbse_robust requires the least-squares weight "
+                        "path (dbse_lstsq=True); ignoring it for the "
+                        "parity recipe."
+                    )
                 pts = decode_array(req["points"])
                 single = pts.ndim == 2
                 stack = (pts[None] if single else pts).astype(np.float32)
@@ -539,14 +555,20 @@ class DeformServer:
                         jnp.asarray(ok)[:, None, None], morphed, cur
                     )
                 morphed_np = np.asarray(morphed, np.float32)
+                ok_np = np.asarray(ok, np.uint8)
                 if single:
-                    morphed_np, w_np = morphed_np[0], w_np[0]
-                return {
+                    # unbatch EVERY per-pose output so the single-pose
+                    # contract is rank-consistent (points/weights/ok)
+                    morphed_np, w_np, ok_np = morphed_np[0], w_np[0], ok_np[0]
+                resp = {
                     "ok": True,
                     "points": enc(morphed_np),
                     "weights": enc(w_np),
-                    "morph_ok": enc(ok.astype(np.uint8)),
+                    "morph_ok": enc(ok_np),
                 }
+                if warnings_out:
+                    resp["warnings"] = warnings_out
+                return resp
             if cmd == "fit_seq":
                 # animated shot: ONE batched solve for all F posed rigs
                 # (parallel/batched.fit_frames); apply_seq evaluates every

@@ -417,7 +417,8 @@ def test_serve_dbse_fit_morph(server, rng):
         pose = rest + 0.05 * rng.standard_normal((60, 3)).astype(np.float32)
         morphed, w, ok = c.morph(did, pose)
         assert morphed.shape == (60, 3) and w.shape == (3,)
-        assert ok.shape == (1,) and ok.all()
+        # single pose unbatches EVERY per-pose output, ok included
+        assert ok.shape == () and ok.all()
         model = dbse_ops.build_model(rest, list(shapes))
         w_want, _ = dbse_ops.weights_lstsq(
             model, jnp.asarray(pose), jnp.asarray(rest)
