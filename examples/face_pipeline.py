@@ -22,6 +22,8 @@ feature set plus the rebuild's extensions):
       quaternions through the same deformation gradient
   16. LOOCV autotune: radius selection by Rippa's closed form
   17. geodesic falloff: surface-path distances, no bleed across gaps
+  18. symmetrize: close the rig under a mirror plane — provably
+      symmetric deformation, tracker asymmetry averaged out
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -277,6 +279,24 @@ def main():
     print(f"geodesic falloff: {int((fg < fe - 1e-3).sum())} vertices "
           "attenuate harder than euclidean (surface path longer than the "
           "straight line)")
+
+    # 18. symmetrize: close the rig under the x-mirror so the deformation
+    # provably commutes with it — tracker asymmetry is averaged out,
+    # one-sided markers are mirrored in (ops/symmetry.py; CLI --symmetrize x)
+    from facedeform_tpu.ops import symmetry as sym
+
+    sym_node = FaceDeformNode()
+    res_plain = sym_node.cook([face, rig, posed], DeformConfig(), params)
+    res_sym = sym_node.cook(
+        [face, rig, posed], DeformConfig(), params, symmetrize="x",
+    )
+    mi, ok = sym.mirror_map(face.points, "x")
+    d_plain = np.asarray(res_plain.mesh.points) - face.points
+    d_symm = np.asarray(res_sym.mesh.points) - face.points
+    print(f"symmetrize: displacement asymmetry "
+          f"{sym.symmetry_error(d_plain, mi, ok):.3f} -> "
+          f"{sym.symmetry_error(d_symm, mi, ok):.2e} "
+          f"({res_sym.messages[0]})")
 
 
 if __name__ == "__main__":

@@ -122,6 +122,14 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--autotune-ridge", action="store_true",
                    help="with --autotune: also select lambda by LOOCV "
                         "(MULTILAYER/KERNEL families)")
+    d.add_argument("--symmetrize", choices=["x", "y", "z"], default=None,
+                   help="close the rig under a mirror reflection before "
+                        "the fit (paired markers get averaged symmetric "
+                        "displacements, unpaired markers are mirrored in) "
+                        "so the deformation is exactly symmetric")
+    d.add_argument("--symmetry-tol", type=float, default=None,
+                   help="marker mirror-pairing tolerance (default: 5%% of "
+                        "the median marker spacing)")
     d.add_argument("--strict-parity", action="store_true",
                    help="preserve reference quirks verbatim (SURVEY.md)")
     d.add_argument("--picked", action="store_true",
@@ -343,6 +351,7 @@ def _cmd_deform(args) -> int:
             transform_attrs=_split_attr_names(args.transform_attrs),
             output_stretch=args.output_stretch,
             recompute_normals=args.recompute_normals,
+            symmetrize=args.symmetrize, symmetry_tol=args.symmetry_tol,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -403,6 +412,47 @@ def _cmd_deform_seq(args) -> int:
         [args.mesh, args.rest_rig] + list(args.deform_rigs) + list(args.blend),
         [mesh, rest_rig] + rigs + blends,
     )
+
+    if getattr(args, "symmetrize", None) and rigs:
+        # Pre-symmetrize the whole shot at load time (ops/symmetry.py):
+        # the pairing depends only on the rest rig, so every frame shares
+        # one symmetrized rest rig and both the batch fit and the
+        # per-frame cooks see consistent marker counts.
+        from facedeform_tpu.geometry.mesh import Mesh as _Mesh
+        from facedeform_tpu.ops import symmetry as sym_ops
+
+        n0 = rest_rig.num_points
+        bad = [p for p, r in zip(args.deform_rigs, rigs)
+               if r.num_points != n0]
+        if bad:
+            print(
+                "error: rig point counts differ from the rest rig: "
+                f"{', '.join(bad)}", file=sys.stderr,
+            )
+            return 1
+        classes = rest_rig.attr("class")
+        rest_sym = None
+        new_rigs = []
+        worst = 0.0
+        for r in rigs:
+            r2, d2, cls2, rep = sym_ops.symmetrize_rig(
+                rest_rig.points, r.points, args.symmetrize,
+                tol=args.symmetry_tol, classes=classes,
+            )
+            if rest_sym is None:
+                rest_sym = _Mesh(points=r2)
+                if cls2 is not None:
+                    rest_sym.set_attr("class", cls2)
+                first = rep
+            new_rigs.append(_Mesh(points=d2))
+            worst = max(worst, rep.max_asymmetry)
+        rest_rig, rigs = rest_sym, new_rigs
+        print(
+            f"info: symmetrize: {first.n_paired} paired, "
+            f"{first.n_on_plane} on-plane, {first.n_appended} mirrored in; "
+            f"worst frame asymmetry {worst:.3g} (pair tol {first.tol:.3g})",
+            file=sys.stderr,
+        )
 
     cfg, params = _cfg_params_from(args)
     if rigs:

@@ -94,7 +94,11 @@ PARM_SPECS: List[Tuple[str, str, str, object, object]] = [
     ("transform_attrs", "Transform attributes", "string", "", None),
     ("output_stretch", "Output stretch", "toggle", 0, None),
     ("recompute_normals", "Recompute normals", "toggle", 0, None),
+    ("symmetrize", "Symmetrize rig", "menu", 0, ["Off", "X", "Y", "Z"]),
+    ("symmetry_tol", "Symmetry pair tolerance", "float", 0.0, (0.0, 1.0)),
 ]
+
+_SYMMETRIZE_NAMES = (None, "x", "y", "z")
 
 _SOLVER_NAMES = ("auto", "direct", "krylov", "pu")
 
@@ -362,6 +366,7 @@ def cook_sop(node) -> Optional[CookResult]:
     cfg, params, group = config_from_node(node)
 
     tr_attrs = str(_eval_parm(node, "transform_attrs", "")).strip()
+    sym_tol = float(_eval_parm(node, "symmetry_tol", 0.0))
     try:
         result = state["node"].cook(
             meshes, cfg, params, group=group or None,
@@ -373,6 +378,11 @@ def cook_sop(node) -> Optional[CookResult]:
             recompute_normals=bool(
                 _eval_parm(node, "recompute_normals", 0)
             ),
+            symmetrize=_SYMMETRIZE_NAMES[
+                int(_eval_parm(node, "symmetrize", 0))
+            ],
+            # 0 = auto (5% of median marker spacing, ops/symmetry.py)
+            symmetry_tol=sym_tol if sym_tol > 0 else None,
         )
     except errors.FaceDeformError as e:
         raise hou.NodeError(str(e)) from e

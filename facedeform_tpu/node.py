@@ -95,6 +95,41 @@ class FaceDeformNode:
         # heuristic captures — measure both once, reuse across cooks/frames.
         self._backend_key: Optional[tuple] = None
         self._backend_choice: str = "auto"
+        self._sym_key: Optional[tuple] = None
+        self._sym_rigs: Optional[tuple] = None
+
+    # ---------------------------------------------------------- symmetrize
+    def _symmetrized_rigs(self, rest_rig, deform_rig, plane, tol):
+        """Symmetrized (rest, deform) rig Meshes + report, cached on the
+        input data ids so unchanged inputs keep stable Mesh objects (and
+        therefore warm capture/solve caches downstream)."""
+        from facedeform_tpu.ops import symmetry as sym_ops
+
+        def _plane_key(p):
+            if isinstance(p, str):
+                return p.lower()
+            p = tuple(p)
+            if len(p) == 2 and np.shape(p[0]) == (3,):
+                return (tuple(float(x) for x in p[0]),
+                        tuple(float(x) for x in p[1]))
+            return tuple(float(x) for x in p)
+
+        key = (
+            rest_rig.pos_id, deform_rig.pos_id, rest_rig.attr_id,
+            _plane_key(plane), None if tol is None else float(tol),
+        )
+        if key != self._sym_key:
+            classes = rest_rig.attr("class")
+            r2, d2, cls2, report = sym_ops.symmetrize_rig(
+                rest_rig.points, deform_rig.points, plane,
+                tol=tol, classes=classes,
+            )
+            rest_m, dfm_m = Mesh(points=r2), Mesh(points=d2)
+            if cls2 is not None:
+                rest_m.set_attr("class", cls2)
+            self._sym_rigs = (rest_m, dfm_m, report)
+            self._sym_key = key
+        return self._sym_rigs
 
     # -------------------------------------------------------------- backend
     def _choose_backend(
@@ -181,6 +216,8 @@ class FaceDeformNode:
         transform_attrs: Optional[Sequence[str]] = None,
         output_stretch: bool = False,
         recompute_normals: bool = False,
+        symmetrize=None,
+        symmetry_tol: Optional[float] = None,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -218,6 +255,11 @@ class FaceDeformNode:
         fall back to transport).  When both are set, the recompute wins
         (it runs on the written positions), and the analytic N
         transport is skipped outright — its output would be discarded.
+        `symmetrize` ('x'/'y'/'z', a (3,) normal, or a (normal, origin)
+        pair) closes the rig under the mirror reflection before
+        capture/fit (ops/symmetry.py) so the deformation provably
+        commutes with it; `symmetry_tol` overrides the marker-pairing
+        tolerance.  The removed asymmetry is reported in messages.
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -240,6 +282,28 @@ class FaceDeformNode:
         if rest_rig.num_points != deform_rig.num_points:
             raise errors.ShapeMismatchError(
                 "Rest and deform geometry should match."
+            )
+
+        # ------------------------------------------------------- symmetrize
+        if symmetrize is not None:
+            # Close the rig under the mirror reflection BEFORE capture/fit
+            # (ops/symmetry.py): paired markers get averaged symmetric
+            # displacements, unpaired markers are mirrored in (carrying
+            # their capture `class`), so the fitted field provably
+            # commutes with the reflection.  Cached on the input rig data
+            # ids so repeated cooks reuse the same symmetrized Mesh
+            # objects and every downstream cache (capture/solve) stays
+            # warm.  Beyond the reference (which packs the rig verbatim,
+            # src/SOP_FaceDeform.cpp:268-287).
+            rest_rig, deform_rig, sym_report = self._symmetrized_rigs(
+                rest_rig, deform_rig, symmetrize, symmetry_tol
+            )
+            messages.append(
+                f"symmetrize: {sym_report.n_paired} paired, "
+                f"{sym_report.n_on_plane} on-plane, "
+                f"{sym_report.n_appended} mirrored in; removed asymmetry "
+                f"{sym_report.max_asymmetry:.3g} (pair tol "
+                f"{sym_report.tol:.3g})"
             )
 
         # duplicatePointSource(0) (:226).
