@@ -24,6 +24,8 @@ feature set plus the rebuild's extensions):
   17. geodesic falloff: surface-path distances, no bleed across gaps
   18. symmetrize: close the rig under a mirror plane — provably
       symmetric deformation, tracker asymmetry averaged out
+  19. per-marker confidence: weighted ridge smooths over a glitched
+      tracker marker instead of interpolating it
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -297,6 +299,24 @@ def main():
           f"{sym.symmetry_error(d_plain, mi, ok):.3f} -> "
           f"{sym.symmetry_error(d_symm, mi, ok):.2e} "
           f"({res_sym.messages[0]})")
+
+    # 19. per-marker confidence: a glitched tracker marker is smoothed
+    # over (weighted ridge lam/c_i) instead of dragging the face
+    # (Deformer.fit(confidence=) / rest-rig `confidence` attr)
+    glitched = Mesh(points=posed.points.copy())
+    glitched.points[5] += np.float32([0.4, -0.3, 0.2])
+    conf = np.ones(rig.num_points, np.float32)
+    conf[5] = 0.001
+    kp = DeformParams(radius=1.0, lam=0.01)
+    d_noconf = Deformer.fit(rig.points, glitched.points, kcfg, kp)
+    d_conf = Deformer.fit(rig.points, glitched.points, kcfg, kp,
+                          confidence=conf)
+    d_clean = Deformer.fit(rig.points, posed.points, kcfg, kp)
+    f_clean = np.asarray(d_clean.apply(face.points)[0])
+    e_no = np.abs(np.asarray(d_noconf.apply(face.points)[0]) - f_clean).max()
+    e_cf = np.abs(np.asarray(d_conf.apply(face.points)[0]) - f_clean).max()
+    print(f"confidence: glitched-marker field error {e_no:.3f} -> "
+          f"{e_cf:.4f} vs the clean fit ({e_no / max(e_cf, 1e-9):.0f}x)")
 
 
 if __name__ == "__main__":

@@ -547,6 +547,16 @@ def _cmd_deform_seq(args) -> int:
             frames_arr = np.stack(
                 [r.points for r in rigs[1:]]
             ).astype(np.float32)
+            # frames 1+ solve with the same per-marker confidence the
+            # frame-0 node cook consumed (rest-rig `confidence` attr);
+            # the cook already warned where the attr is inapplicable
+            from facedeform_tpu.config import RBFModelType
+
+            rig_confidence = rest_rig.attr("confidence")
+            if rig_confidence is not None and (
+                cfg.model == RBFModelType.QNN or cfg.solver == "pu"
+            ):
+                rig_confidence = None
             frame = None
             if cfg.tangent and mesh.has_tangent_frame():
                 frame = tuple(
@@ -589,6 +599,7 @@ def _cmd_deform_seq(args) -> int:
                     model_all, resid = batched.fit_frames(
                         jnp.asarray(rest_rig.points),
                         jnp.asarray(frames_arr), cfg, params,
+                        confidence=rig_confidence,
                     )
                     out_frames, _ = batched.apply_frames(
                         model_all, jnp.asarray(mesh.points),
@@ -603,6 +614,7 @@ def _cmd_deform_seq(args) -> int:
                         jnp.asarray(mesh.points),
                         jnp.zeros(mesh.num_points, jnp.float32),
                         jnp.asarray(gate), cfg, params, frame=frame,
+                        confidence=rig_confidence,
                     )
                 # ---- batched morph pass (DBSE): all remaining frames in
                 # ONE vmapped weight solve + reconstruction einsum, off

@@ -89,8 +89,14 @@ class Deformer:
         cfg: DeformConfig = DeformConfig(),
         params: DeformParams = DeformParams(),
         check: bool = True,
+        confidence=None,
     ) -> "Deformer":
         """Solve the RBF system mapping rest_ctrl -> deformed_ctrl.
+
+        `confidence` ((N,) per-marker quality in (0, 1]) weights the ridge
+        per marker — lam_i = lam / c_i — so low-confidence markers are
+        smoothed over instead of interpolated (ridge families only;
+        ops/fit._family_radii).
 
         Raises ShapeMismatchError on rig count mismatch (the reference's
         input contract, src/SOP_FaceDeform.cpp:231-234) and SolveFailedError
@@ -112,9 +118,17 @@ class Deformer:
                 f"rest and deform rigs must match: {rest_ctrl.shape} vs "
                 f"{deformed_ctrl.shape}"
             )
+        if confidence is not None:
+            confidence = jnp.asarray(confidence, jnp.float32).reshape(-1)
+            if confidence.shape[0] != rest_ctrl.shape[0]:
+                raise errors.ShapeMismatchError(
+                    f"confidence has {confidence.shape[0]} entries for "
+                    f"{rest_ctrl.shape[0]} markers"
+                )
         # solve_view: don't let eval-only config toggles force recompiles
         model, report = fit_mod.fit(
-            rest_ctrl, deformed_ctrl, cfg.solve_view(), params
+            rest_ctrl, deformed_ctrl, cfg.solve_view(), params,
+            confidence=confidence,
         )
         if check:
             # The CPD-kernel Krylov path converges to the f32 Krylov noise

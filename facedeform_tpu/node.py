@@ -402,12 +402,36 @@ class FaceDeformNode:
             )
             fit_key = self._fit_key
         else:
+            # Per-marker confidence (rest-rig `confidence` point attr,
+            # ops/fit._family_radii): consumed by the ridge families'
+            # fits; warn-and-ignore elsewhere, matching the node's
+            # contract for inapplicable knobs.
+            confidence = rest_rig.attr("confidence")
+            if confidence is not None:
+                from facedeform_tpu.config import RBFModelType
+
+                if cfg.model == RBFModelType.QNN:
+                    warnings.append(
+                        "confidence attr needs a ridge family (MULTILAYER "
+                        "or KERNEL); QNN interpolates exactly — ignoring "
+                        "it."
+                    )
+                    confidence = None
+                elif cfg.solver == "pu":
+                    warnings.append(
+                        "confidence attr is not supported on the PU route "
+                        "yet; ignoring it."
+                    )
+                    confidence = None
             fit_key = (
                 rest_rig.pos_id, deform_rig.pos_id, cfg.solve_view(),
                 # PU consumes only lam (auto per-patch radii): qcoef/zcoef/
                 # radius slider changes must not re-run a scan-scale PU fit
                 (float(params.lam),) if cfg.solver == "pu"
                 else _fit_params_key(params),
+                # confidence edits bump the rig's attr id -> refit; rigs
+                # without the attr keep a constant key term
+                rest_rig.attr_id if confidence is not None else None,
             )
         if fit_key != self._fit_key:
             with stage("solve", times):
@@ -423,7 +447,8 @@ class FaceDeformNode:
                     )
                 else:
                     self._deformer = Deformer.fit(
-                        rest_rig.points, deform_rig.points, cfg, params
+                        rest_rig.points, deform_rig.points, cfg, params,
+                        confidence=confidence,
                     )
             self._fit_key = fit_key
         elif (

@@ -110,23 +110,50 @@ def _qnn_radii(ctrl: jnp.ndarray, q: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray
 
 
 def _family_radii(
-    cfg: DeformConfig, params: DeformParams, rest_ctrl: jnp.ndarray
+    cfg: DeformConfig,
+    params: DeformParams,
+    rest_ctrl: jnp.ndarray,
+    confidence: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-family first-layer radius field (N,) and ridge scalar.
+    """Per-family first-layer radius field (N,) and ridge (scalar or (N,)).
 
     QNN: adaptive per-point radii, lam structurally 0 (exact interpolation,
     like ALGLIB QNN).  MULTILAYER / KERNEL: global radius + user ridge.
     Shared by fit() and fit_frames_dense() so the family rules can never
     drift between the single-pose and packed-frames routes.
+
+    `confidence` ((N,) in (0, 1], e.g. a tracker's per-marker quality)
+    turns the scalar ridge into lam_i = lam / c_i: a c=1 marker keeps the
+    user ridge, a low-c marker is smoothed over instead of interpolated
+    (the weighted-ridge formulation of scattered-data fitting).  Requires
+    a ridge family — QNN's lam is structurally 0, so confidence would be
+    a silent no-op there; raise instead.
     """
     n = rest_ctrl.shape[0]
     if cfg.model == RBFModelType.QNN:
+        if confidence is not None:
+            raise ValueError(
+                "confidence weighting needs a ridge family "
+                "(MULTILAYER or KERNEL): QNN interpolates exactly "
+                "(lam = 0 structurally), so per-marker confidence would "
+                "have no effect"
+            )
         eps0 = _qnn_radii(rest_ctrl, params.qcoef, params.zcoef)
         lam0 = jnp.asarray(0.0, jnp.float32)
     else:  # MULTILAYER / KERNEL: global radius + ridge
         eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
         lam0 = jnp.asarray(params.lam, jnp.float32)
+        if confidence is not None:
+            c = jnp.clip(jnp.asarray(confidence, jnp.float32), 1e-3, 1.0)
+            lam0 = jnp.broadcast_to(lam0 / c, (n,))
     return eps0, lam0
+
+
+def _lam_col(lam: jnp.ndarray) -> jnp.ndarray:
+    """Ridge shaped to broadcast against (N, k) weight columns: scalars
+    pass through, per-marker (N,) vectors gain the column axis."""
+    lam = jnp.asarray(lam)
+    return lam[:, None] if lam.ndim == 1 else lam
 
 
 def _dense_layer_solve(
@@ -172,6 +199,7 @@ def fit(
     deformed_ctrl: jnp.ndarray,
     cfg: DeformConfig,
     params: DeformParams = DeformParams(),
+    confidence: jnp.ndarray | None = None,
 ) -> tuple[RBFModel, SolveReport]:
     """Fit an RBFModel mapping rest control points to their displacements.
 
@@ -184,6 +212,9 @@ def fit(
       deformed_ctrl: (N, 3) deformed rig; delta = deformed - rest.
       cfg: static config (model family, term, layers, refinement sweeps).
       params: dynamic knobs (q, z, radius, lambda).
+      confidence: optional (N,) per-marker quality in (0, 1] — turns the
+        ridge into lam / c_i so low-confidence markers are smoothed over
+        (ridge families only; see _family_radii).
 
     Returns:
       (model, report); report aggregates residuals across layers.
@@ -195,7 +226,7 @@ def fit(
     kernel = effective_kernel(cfg)
     n_layers = cfg.n_layers
 
-    eps0, lam0 = _family_radii(cfg, params, rest_ctrl)
+    eps0, lam0 = _family_radii(cfg, params, rest_ctrl, confidence)
 
     w_layers = []
     w_lo_layers = []
@@ -289,7 +320,7 @@ def fit(
             # top block is Phi w + lam w + P c, so the prediction
             # Phi w + P c is ax[:n] - lam w on both solver paths.
             ax = apply_sys(x)
-            target = target - (ax[:n] - lam0 * w_l)
+            target = target - (ax[:n] - _lam_col(lam0) * w_l)
 
     model = RBFModel(
         ctrl=rest_ctrl,
@@ -308,6 +339,7 @@ def fit_frames_dense(
     deformed_frames: jnp.ndarray,
     cfg: DeformConfig,
     params: DeformParams = DeformParams(),
+    confidence: jnp.ndarray | None = None,
 ) -> tuple[RBFModel, jnp.ndarray, SolveReport]:
     """F-frame fit sharing ONE factorization per layer (dense path).
 
@@ -340,7 +372,7 @@ def fit_frames_dense(
     kernel = effective_kernel(cfg)
     n_layers = cfg.n_layers
 
-    eps0, lam0 = _family_radii(cfg, params, rest_ctrl)
+    eps0, lam0 = _family_radii(cfg, params, rest_ctrl, confidence)
 
     def pack(t):      # (F, rows, 3) -> (rows, 3F)
         return t.transpose(1, 0, 2).reshape(t.shape[1], -1)
@@ -384,7 +416,7 @@ def fit_frames_dense(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            target = target - (unpack(ax)[:, :n] - lam0 * w_l)
+            target = target - (unpack(ax)[:, :n] - _lam_col(lam0)[None] * w_l)
 
     model = RBFModel(
         ctrl=rest_ctrl,

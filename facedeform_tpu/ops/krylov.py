@@ -57,6 +57,10 @@ def make_saddle_matvec(
     ctrl_pad = jnp.pad(ctrl, ((0, pad), (0, 0)))
     n_chunks = ctrl_pad.shape[0] // chunk
     ctrl_chunks = ctrl_pad.reshape(n_chunks, chunk, 3)
+    # Per-marker ridge (confidence weighting, ops/fit._family_radii) is a
+    # (N,) vector: shape it to broadcast over the RHS columns.
+    lam = jnp.asarray(lam, jnp.float32)
+    lam = lam[:, None] if lam.ndim == 1 else lam
 
     def matvec(x: jnp.ndarray) -> jnp.ndarray:  # (N + m, k)
         xw, xc = x[:n], x[n:]
@@ -113,20 +117,25 @@ def make_block_jacobi(
     n = ctrl.shape[0]
     m = poly_basis(ctrl, term).shape[1]
     eps = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (n,))
+    # per-marker ridge (confidence weighting): (N,) vector forms diag(lam)
+    lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (n,))
     pad = (-n) % block
     ctrl_p = jnp.pad(ctrl, ((0, pad), (0, 0)))
     # Padded radii of 1 with identity diagonal keep padded blocks invertible.
     eps_p = jnp.pad(eps, (0, pad), constant_values=1.0)
+    lam_p = jnp.pad(lam, (0, pad))
     nb = ctrl_p.shape[0] // block
     cb = ctrl_p.reshape(nb, block, 3)
     eb = eps_p.reshape(nb, block)
+    lb = lam_p.reshape(nb, block)
 
-    def one_block(c, e):
+    def one_block(c, e, l):
         d2 = pairwise_sqdist(c, c)
         phi = apply_kernel(kernel, d2, e)  # eps broadcasts over columns
-        return phi + (lam + jitter) * jnp.eye(block, dtype=jnp.float32)
+        # (block,) * eye broadcasts down the columns -> diag(l + jitter)
+        return phi + (l + jitter) * jnp.eye(block, dtype=jnp.float32)
 
-    blocks = jax.vmap(one_block)(cb, eb)              # (nb, B, B)
+    blocks = jax.vmap(one_block)(cb, eb, lb)          # (nb, B, B)
     inv_blocks = jnp.linalg.inv(blocks)               # batched
 
     def msolve(r: jnp.ndarray) -> jnp.ndarray:        # (N + m, k)
@@ -181,31 +190,35 @@ def make_abs_block_jacobi(
     n = ctrl.shape[0]
     m = poly_basis(ctrl, term).shape[1]
     eps = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (n,))
+    lam = jnp.broadcast_to(jnp.asarray(lam, jnp.float32), (n,))
     if spatial:
         from facedeform_tpu.ops.morton import spatial_order
 
         perm, inv_perm = spatial_order(ctrl)
         ctrl = ctrl[perm]
         eps = eps[perm]
+        lam = lam[perm]  # per-marker ridge rides the Z-order too
     pad = (-n) % block
     ctrl_p = jnp.pad(ctrl, ((0, pad), (0, 0)))
     eps_p = jnp.pad(eps, (0, pad), constant_values=1.0)
+    lam_p = jnp.pad(lam, (0, pad))
     valid = (jnp.arange(n + pad) < n)
     nb = ctrl_p.shape[0] // block
     cb = ctrl_p.reshape(nb, block, 3)
     eb = eps_p.reshape(nb, block)
+    lb = lam_p.reshape(nb, block)
     vb = valid.reshape(nb, block)
 
-    def one_block(c, e, v):
+    def one_block(c, e, l, v):
         d2 = pairwise_sqdist(c, c)
         phi = apply_kernel(kernel, d2, e)
-        phi = phi + lam * jnp.eye(block, dtype=jnp.float32)
+        phi = phi + l * jnp.eye(block, dtype=jnp.float32)
         # Decouple padded rows/cols to the identity so the (single) mixed
         # block's spectrum is the real sub-block's plus unit eigenvalues.
         mask = v[:, None] & v[None, :]
         return jnp.where(mask, phi, jnp.eye(block, dtype=jnp.float32))
 
-    blocks = jax.vmap(one_block)(cb, eb, vb)          # (nb, B, B)
+    blocks = jax.vmap(one_block)(cb, eb, lb, vb)      # (nb, B, B)
     w_eig, q = jnp.linalg.eigh(blocks)                # batched, once
     amax = jnp.max(jnp.abs(w_eig), axis=-1, keepdims=True)
     inv_abs = 1.0 / jnp.maximum(

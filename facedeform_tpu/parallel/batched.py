@@ -51,11 +51,14 @@ def fit_frames(
     deformed_frames: jnp.ndarray,
     cfg: DeformConfig,
     params: DeformParams = DeformParams(),
+    confidence: jnp.ndarray | None = None,
 ) -> tuple[RBFModel, jnp.ndarray]:
     """Solve F frames at once: (N, 3), (F, N, 3) -> stacked RBFModel.
 
     Returns a model pytree with a leading F axis on w_rbf/w_poly (ctrl and
-    eps are frame-invariant) and per-frame residual norms.
+    eps are frame-invariant) and per-frame residual norms.  `confidence`
+    ((N,) per-marker quality) applies the same weighted ridge to every
+    frame's solve (ops/fit._family_radii).
 
     Routing: the vmapped per-frame fit wins wall-clock while its
     compensated-refinement temps fit HBM; past vmap_fit_hbm_budget the
@@ -73,11 +76,13 @@ def fit_frames(
         _vmap_fit_bytes(n + solve_cfg.n_poly, f) > vmap_fit_hbm_budget
     ):
         model, resid, _ = fit_mod.fit_frames_dense(
-            rest_ctrl, deformed_frames, solve_cfg, params
+            rest_ctrl, deformed_frames, solve_cfg, params,
+            confidence=confidence,
         )
         return model, resid
     fitted = jax.vmap(
-        lambda dc: fit_mod.fit(rest_ctrl, dc, solve_cfg, params)
+        lambda dc: fit_mod.fit(rest_ctrl, dc, solve_cfg, params,
+                               confidence=confidence)
     )(deformed_frames)
     models, reports = fitted
     # ctrl/eps are identical across frames; keep one copy.
@@ -239,6 +244,7 @@ def deform_frames(
     params: DeformParams = DeformParams(),
     mesh: Mesh | None = None,
     frame=None,
+    confidence: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-sequence step in ONE dispatch: batched solve + all-frame eval.
 
@@ -252,7 +258,8 @@ def deform_frames(
     Returns ((F, V, 3) positions, (V,) falloff) like apply_frames.
     """
     # nested jit calls inline into this trace: one compiled program
-    model, _ = fit_frames(rest_ctrl, deformed_frames, cfg, params)
+    model, _ = fit_frames(rest_ctrl, deformed_frames, cfg, params,
+                          confidence=confidence)
     return apply_frames(model, points, dist2, gate, cfg, params, mesh, frame)
 
 

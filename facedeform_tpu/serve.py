@@ -160,11 +160,17 @@ class Client:
         return resp, out
 
     def fit(self, rest_ctrl, deformed_ctrl, cfg: Optional[dict] = None,
-            params: Optional[dict] = None) -> str:
+            params: Optional[dict] = None, confidence=None) -> str:
         resp, _ = self.request(
             {"cmd": "fit", "cfg": cfg or {}, "params": params or {}},
-            {"rest_ctrl": np.asarray(rest_ctrl, np.float32),
-             "deformed_ctrl": np.asarray(deformed_ctrl, np.float32)},
+            {
+                "rest_ctrl": np.asarray(rest_ctrl, np.float32),
+                "deformed_ctrl": np.asarray(deformed_ctrl, np.float32),
+                **(
+                    {"confidence": np.asarray(confidence, np.float32)}
+                    if confidence is not None else {}
+                ),
+            },
         )
         return resp["deformer"]
 
@@ -305,14 +311,25 @@ class DeformServer:
                 params = DeformParams(**req.get("params", {}))
                 rest = decode_array(req["rest_ctrl"])
                 deformed = decode_array(req["deformed_ctrl"])
+                conf = (
+                    decode_array(req["confidence"])
+                    if "confidence" in req else None
+                )
                 if cfg.solver == "pu":
                     # partition-of-unity route: the adapter exposes the
                     # same apply() contract, so downstream cmds just work
                     from facedeform_tpu.ops.pu import PUNodeDeformer
 
+                    if conf is not None:
+                        return {
+                            "ok": False,
+                            "error": "confidence is not supported on the "
+                                     "PU route yet",
+                        }
                     d = PUNodeDeformer.fit(rest, deformed, cfg, params)
                 else:
-                    d = Deformer.fit(rest, deformed, cfg, params)
+                    d = Deformer.fit(rest, deformed, cfg, params,
+                                     confidence=conf)
                 did = self._new_id()
                 self._deformers[did] = d
                 return {
