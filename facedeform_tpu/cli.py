@@ -550,12 +550,11 @@ def _cmd_deform_seq(args) -> int:
             # frames 1+ solve with the same per-marker confidence the
             # frame-0 node cook consumed (rest-rig `confidence` attr);
             # the cook already warned where the attr is inapplicable
+            # (QNN keeps lam=0 on every route, so confidence is a no-op)
             from facedeform_tpu.config import RBFModelType
 
             rig_confidence = rest_rig.attr("confidence")
-            if rig_confidence is not None and (
-                cfg.model == RBFModelType.QNN or cfg.solver == "pu"
-            ):
+            if rig_confidence is not None and cfg.model == RBFModelType.QNN:
                 rig_confidence = None
             frame = None
             if cfg.tangent and mesh.has_tangent_frame():
@@ -582,6 +581,7 @@ def _cmd_deform_seq(args) -> int:
                     seq = PUSeqDeformer.fit(
                         rest_rig.points, frames_arr,
                         **node_fit_kwargs(cfg, params),
+                        confidence=rig_confidence,
                     )
                     errors.check_solve(seq.report)
                     # dist2=None -> falloff 1; the composed falloff x

@@ -411,16 +411,12 @@ class FaceDeformNode:
                 from facedeform_tpu.config import RBFModelType
 
                 if cfg.model == RBFModelType.QNN:
+                    # applies to the PU route too: QNN keeps lam=0 there
+                    # (node_fit_kwargs), so lam/c would still be 0
                     warnings.append(
                         "confidence attr needs a ridge family (MULTILAYER "
                         "or KERNEL); QNN interpolates exactly — ignoring "
                         "it."
-                    )
-                    confidence = None
-                elif cfg.solver == "pu":
-                    warnings.append(
-                        "confidence attr is not supported on the PU route "
-                        "yet; ignoring it."
                     )
                     confidence = None
             fit_key = (
@@ -443,7 +439,7 @@ class FaceDeformNode:
 
                     self._deformer = PUNodeDeformer.fit(
                         rest_rig.points, deform_rig.points, cfg, params,
-                        mesh_devices=mesh_devices,
+                        mesh_devices=mesh_devices, confidence=confidence,
                     )
                 else:
                     self._deformer = Deformer.fit(

@@ -220,6 +220,8 @@ def _assemble_patch_df(
     Identical math to assemble_system_df but (a) coordinates are centered
     on the patch (conditioning + consistent poly basis), (b) padded
     rows/cols become identity rows with zero rhs so their solution is 0.
+    lam may be a scalar or a (P,) per-marker ridge (confidence weighting
+    — `lam * eye` broadcasts either way into diag(lam)).
     """
     from facedeform_tpu.ops.dfloat import (
         _phi_df, _sqdist_df, _two_prod, df_mul, df_recip,
@@ -264,13 +266,19 @@ def _fit_chunk_core(
     lam: jnp.ndarray,
     gmres_ir: bool = True,
 ):
-    """Batched df assembly + LU-IR solve for a chunk of patches."""
+    """Batched df assembly + LU-IR solve for a chunk of patches.
+
+    lam: scalar shared ridge, or (C, P) per-patch per-marker ridges
+    (confidence weighting, gathered patch-wise by _fit_pu_rhs).
+    """
     from facedeform_tpu.ops.solve import lu_solve_refined_against_df
 
     m = _n_poly(term)
 
-    def one(ctrl_k, valid, center, rhs, eps):
-        out = _assemble_patch_df(ctrl_k, valid, center, kernel, term, eps, lam)
+    def one(ctrl_k, valid, center, rhs, eps, lam_k):
+        out = _assemble_patch_df(
+            ctrl_k, valid, center, kernel, term, eps, lam_k
+        )
         a_hi, a_lo = out[0], out[1]
         # rhs may carry 3 columns (one pose) or 3F (an animated sequence,
         # fit_pu_frames): the patch system depends only on the rest rig,
@@ -284,8 +292,11 @@ def _fit_chunk_core(
         )
         return x_hi, x_lo, report
 
+    lam_b = jnp.asarray(lam, jnp.float32)
+    if lam_b.ndim < 2:
+        lam_b = jnp.broadcast_to(lam_b, ctrl_chunk.shape[:2])
     return jax.vmap(one)(
-        ctrl_chunk, valid_chunk, centers_chunk, rhs_chunk, eps_chunk
+        ctrl_chunk, valid_chunk, centers_chunk, rhs_chunk, eps_chunk, lam_b
     )
 
 
@@ -314,9 +325,9 @@ def _sharded_fitter(mesh, kernel: RBFKernel, term: PolyTerm, chunk: int,
         s = ctrl_l.shape[0] // chunk
         part = lambda a: a.reshape((s, chunk) + a.shape[1:])
         x_hi, x_lo, rep = jax.lax.map(
-            lambda t: _fit_chunk_core(*t, kernel, term, lam_l, gmres_ir),
+            lambda t: _fit_chunk_core(*t[:5], kernel, term, t[5], gmres_ir),
             (part(ctrl_l), part(valid_l), part(centers_l),
-             part(rhs_l), part(eps_l)),
+             part(rhs_l), part(eps_l), part(lam_l)),
         )
         flat = lambda a: a.reshape((-1,) + a.shape[2:])
         return flat(x_hi), flat(x_lo), jax.tree.map(flat, rep)
@@ -324,7 +335,9 @@ def _sharded_fitter(mesh, kernel: RBFKernel, term: PolyTerm, chunk: int,
     spec = P(VERTEX_AXIS)
     fn = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(spec, spec, spec, spec, spec, P()),
+        # lam rides the patch axis too: (K, P) per-patch per-marker
+        # ridges (confidence weighting) shard exactly like the controls
+        in_specs=(spec, spec, spec, spec, spec, spec),
         out_specs=(spec, spec, spec),
         # purely local per-shard compute (no collectives); the solver's
         # fori_loop carries trip the varying-manual-axes typecheck the
@@ -350,8 +363,14 @@ def fit_pu(
     chunk: Optional[int] = None,
     patches: Optional[PUPatches] = None,
     mesh=None,
+    confidence=None,
 ) -> tuple[PUModel, SolveReport]:
     """Fit a PU-RBF displacement model at any N (dense df per patch).
+
+    `confidence` ((N,) per-marker quality in (0, 1]) applies the weighted
+    ridge lam_i = lam / c_i within every patch — glitched markers are
+    smoothed over locally instead of interpolated (needs lam > 0 to have
+    an effect, like the global families).
 
     eps="auto" (default) sets each patch's kernel radius to 2x its median
     nearest-neighbor spacing — the classical PU shape-parameter choice.
@@ -379,7 +398,8 @@ def fit_pu(
     safe_idx = np.maximum(patches.idx, 0)
     rhs_pad = delta[safe_idx]                         # (K, P, 3)
     model, agg, _ = _fit_pu_rhs(
-        rest_np, patches, rhs_pad, kernel, term, eps, lam, chunk, mesh
+        rest_np, patches, rhs_pad, kernel, term, eps, lam, chunk, mesh,
+        confidence=confidence,
     )
     return model, agg
 
@@ -396,6 +416,7 @@ def fit_pu_frames(
     chunk: Optional[int] = None,
     patches: Optional[PUPatches] = None,
     mesh=None,
+    confidence=None,
 ) -> tuple[list[PUModel], SolveReport]:
     """Fit F posed frames of one rest rig: (N, 3), (F, N, 3) -> F models.
 
@@ -430,7 +451,8 @@ def fit_pu_frames(
         delta[:, safe_idx].transpose(1, 2, 0, 3).reshape(k_, p_, 3 * f_n)
     )
     model_all, agg, (x_hi, x_lo) = _fit_pu_rhs(
-        rest_np, patches, rhs_pad, kernel, term, eps, lam, chunk, mesh
+        rest_np, patches, rhs_pad, kernel, term, eps, lam, chunk, mesh,
+        confidence=confidence,
     )
     m = _n_poly(term)
     # split the 3F solution columns back into per-frame (K, P+m, 3) views
@@ -461,8 +483,14 @@ def _fit_pu_rhs(
     lam: float,
     chunk: Optional[int],
     mesh,
+    confidence=None,
 ):
     """Shared fit machinery: chunked/sharded batched df LU-IR solves.
+
+    `confidence` ((N,) per-marker quality in (0, 1]) applies the weighted
+    ridge lam_i = lam / c_i inside every patch it appears in — the same
+    contract as the global families (ops/fit._family_radii), gathered
+    patch-wise.
 
     Returns (PUModel built from the first 3 solution columns, aggregate
     SolveReport over every patch and column, raw (x_hi, x_lo) of shape
@@ -472,6 +500,19 @@ def _fit_pu_rhs(
     safe_idx = np.maximum(patches.idx, 0)
     ctrl_pad = rest_np[safe_idx]                      # (K, P, 3)
     valid = (patches.idx >= 0).astype(np.float32)
+    if confidence is not None:
+        from facedeform_tpu.utils import errors
+
+        c = np.clip(np.asarray(confidence, np.float32).reshape(-1),
+                    1e-3, 1.0)
+        if c.shape[0] != rest_np.shape[0]:
+            raise errors.ShapeMismatchError(
+                f"confidence has {c.shape[0]} entries for "
+                f"{rest_np.shape[0]} markers"
+            )
+        lam_pat = (float(lam) / c)[safe_idx].astype(np.float32)  # (K, P)
+    else:
+        lam_pat = np.full((k_, p_), float(lam), np.float32)
 
     if isinstance(eps, str):
         if eps != "auto":
@@ -484,7 +525,6 @@ def _fit_pu_rhs(
     # than GMRES-IR per sweep (see lu_solve_refined_against_df); forced
     # global eps can reach cond ~5e10 and must keep the Krylov correction
     gmres_ir = not isinstance(eps, str)
-    lam_j = jnp.asarray(lam, jnp.float32)
     if chunk is None:
         # The solver's 3-column RHS blocking (lu_solve_refined_against_df)
         # makes peak memory independent of the RHS width, so the budget
@@ -511,9 +551,9 @@ def _fit_pu_rhs(
         (lambda a: np.concatenate([a, np.repeat(a[-1:], reps, 0)]))
         if reps else (lambda a: a)
     )
-    ctrl_b, valid_b, cen_b, rhs_b, eps_b = (
+    ctrl_b, valid_b, cen_b, rhs_b, eps_b, lam_b = (
         pad1(ctrl_pad), pad1(valid), pad1(patches.centers),
-        pad1(rhs_pad), pad1(eps_arr),
+        pad1(rhs_pad), pad1(eps_arr), pad1(lam_pat),
     )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -525,18 +565,18 @@ def _fit_pu_rhs(
         fitter = _sharded_fitter(mesh, kernel, term, chunk_eff, gmres_ir)
         x_hi, x_lo, rep_all = fitter(
             put(ctrl_b), put(valid_b), put(cen_b), put(rhs_b), put(eps_b),
-            lam_j,
+            put(lam_b),
         )
     else:
-        ctrl_d, valid_d, cen_d, rhs_d, eps_d = map(
-            jnp.asarray, (ctrl_b, valid_b, cen_b, rhs_b, eps_b)
+        ctrl_d, valid_d, cen_d, rhs_d, eps_d, lam_d = map(
+            jnp.asarray, (ctrl_b, valid_b, cen_b, rhs_b, eps_b, lam_b)
         )
         outs = []
         for start in range(0, k_pad, chunk_eff):
             sl = slice(start, start + chunk_eff)
             outs.append(_fit_chunk(
                 ctrl_d[sl], valid_d[sl], cen_d[sl], rhs_d[sl], eps_d[sl],
-                kernel, term, lam_j, gmres_ir,
+                kernel, term, lam_d[sl], gmres_ir,
             ))
         x_hi = jnp.concatenate([o[0] for o in outs])
         x_lo = jnp.concatenate([o[1] for o in outs])
@@ -935,12 +975,13 @@ class PUDeformer:
     @classmethod
     def fit(cls, rest_ctrl, deformed_ctrl, kernel=RBFKernel.THIN_PLATE,
             term=PolyTerm.LINEAR, eps="auto", lam=0.01,
-            patch_size=192, overlap=1.3, mesh=None) -> "PUDeformer":
+            patch_size=192, overlap=1.3, mesh=None,
+            confidence=None) -> "PUDeformer":
         patches = build_patches(np.asarray(rest_ctrl, np.float32),
                                 patch_size, overlap)
         model, report = fit_pu(
             rest_ctrl, deformed_ctrl, kernel, term, eps, lam,
-            patches=patches, mesh=mesh,
+            patches=patches, mesh=mesh, confidence=confidence,
         )
         self = cls(model, patches, kernel, term,
                    auto_eps=isinstance(eps, str))
@@ -1115,12 +1156,13 @@ class PUSeqDeformer:
     @classmethod
     def fit(cls, rest_ctrl, deformed_frames, kernel=RBFKernel.THIN_PLATE,
             term=PolyTerm.LINEAR, eps="auto", lam=0.01,
-            patch_size=192, overlap=1.3, mesh=None) -> "PUSeqDeformer":
+            patch_size=192, overlap=1.3, mesh=None,
+            confidence=None) -> "PUSeqDeformer":
         patches = build_patches(np.asarray(rest_ctrl, np.float32),
                                 patch_size, overlap)
         models, report = fit_pu_frames(
             rest_ctrl, deformed_frames, kernel, term, eps, lam,
-            patches=patches, mesh=mesh,
+            patches=patches, mesh=mesh, confidence=confidence,
         )
         self = cls(models, patches, kernel, term,
                    auto_eps=isinstance(eps, str))
@@ -1285,12 +1327,13 @@ class PUNodeDeformer:
 
     @classmethod
     def fit(cls, rest_ctrl, deformed_ctrl, cfg, params,
-            mesh_devices=None) -> "PUNodeDeformer":
+            mesh_devices=None, confidence=None) -> "PUNodeDeformer":
         pud = PUDeformer.fit(
             rest_ctrl, deformed_ctrl,
             **node_fit_kwargs(cfg, params),  # QNN lam=0 quirk lives there
             eps="auto",                      # per-patch shape parameter
             mesh=mesh_devices,               # patch solves over the mesh
+            confidence=confidence,
         )
         from facedeform_tpu.utils import errors
 

@@ -230,12 +230,18 @@ class Client:
         return out["points"], out["weights"], out["morph_ok"].astype(bool)
 
     def fit_seq(self, rest_ctrl, deformed_frames, cfg: Optional[dict] = None,
-                params: Optional[dict] = None) -> str:
+                params: Optional[dict] = None, confidence=None) -> str:
         """One batched solve for an (F, N, 3) animated rig sequence."""
         resp, out = self.request(
             {"cmd": "fit_seq", "cfg": cfg or {}, "params": params or {}},
-            {"rest_ctrl": np.asarray(rest_ctrl, np.float32),
-             "deformed_frames": np.asarray(deformed_frames, np.float32)},
+            {
+                "rest_ctrl": np.asarray(rest_ctrl, np.float32),
+                "deformed_frames": np.asarray(deformed_frames, np.float32),
+                **(
+                    {"confidence": np.asarray(confidence, np.float32)}
+                    if confidence is not None else {}
+                ),
+            },
         )
         return resp["deformer"]
 
@@ -320,13 +326,8 @@ class DeformServer:
                     # same apply() contract, so downstream cmds just work
                     from facedeform_tpu.ops.pu import PUNodeDeformer
 
-                    if conf is not None:
-                        return {
-                            "ok": False,
-                            "error": "confidence is not supported on the "
-                                     "PU route yet",
-                        }
-                    d = PUNodeDeformer.fit(rest, deformed, cfg, params)
+                    d = PUNodeDeformer.fit(rest, deformed, cfg, params,
+                                           confidence=conf)
                 else:
                     d = Deformer.fit(rest, deformed, cfg, params,
                                      confidence=conf)
@@ -603,6 +604,10 @@ class DeformServer:
                         f"deformed_frames {frames.shape} must be "
                         f"(F,) + rest_ctrl {rest.shape}"
                     )
+                conf = (
+                    decode_array(req["confidence"])
+                    if "confidence" in req else None
+                )
                 if cfg.solver == "pu":
                     # any-N sequence: all frames share one patch
                     # factorization (ops/pu.fit_pu_frames) and one eval
@@ -612,7 +617,8 @@ class DeformServer:
                     )
 
                     seq = PUSeqDeformer.fit(
-                        rest, frames, **node_fit_kwargs(cfg, params)
+                        rest, frames, **node_fit_kwargs(cfg, params),
+                        confidence=conf,
                     )
                     errors.check_solve(seq.report)
                     did = self._new_id()
@@ -632,7 +638,11 @@ class DeformServer:
                         ),
                     }
                 model, resid = batched.fit_frames(
-                    jnp.asarray(rest), jnp.asarray(frames), cfg, params
+                    jnp.asarray(rest), jnp.asarray(frames), cfg, params,
+                    confidence=(
+                        jnp.asarray(conf, jnp.float32)
+                        if conf is not None else None
+                    ),
                 )
                 did = self._new_id()
                 self._deformers[did] = (

@@ -155,7 +155,7 @@ def test_node_consumes_confidence_attr(rng, outlier_rig):
     assert node._fit_key != k1
 
 
-def test_node_warns_qnn_and_pu(rng, outlier_rig):
+def test_node_warns_qnn(rng, outlier_rig):
     from facedeform_tpu.geometry.mesh import Mesh
     from facedeform_tpu.geometry.primitives import uv_sphere
     from facedeform_tpu.node import FaceDeformNode
@@ -169,12 +169,61 @@ def test_node_warns_qnn_and_pu(rng, outlier_rig):
     )
     assert any("confidence" in w and "ridge family" in w
                for w in res.warnings)
-    res_pu = FaceDeformNode().cook(
-        [face, rest_rig, Mesh(points=bad)],
-        DeformConfig(model=RBFModelType.KERNEL, solver="pu"),
-        DeformParams(radius=1.0),
+
+
+def test_pu_confidence_smooths_outlier(rng):
+    """The PU route applies the weighted ridge inside every patch the
+    glitched marker appears in."""
+    from facedeform_tpu.config import PolyTerm
+    from facedeform_tpu.ops.pu import PUDeformer
+
+    rest = rng.normal(size=(400, 3)).astype(np.float32)
+    clean = rest + 0.1 * np.sin(rest * 3).astype(np.float32)
+    bad = clean.copy()
+    bad[11] += np.float32([0.5, -0.4, 0.3])
+    conf = np.ones(400, np.float32)
+    conf[11] = 0.001
+    kw = dict(kernel=RBFKernel.THIN_PLATE, term=PolyTerm.LINEAR,
+              lam=0.01, patch_size=96)
+    d_plain = PUDeformer.fit(rest, bad, **kw)
+    d_conf = PUDeformer.fit(rest, bad, confidence=conf, **kw)
+    d_clean = PUDeformer.fit(rest, clean, **kw)
+    q = rng.normal(size=(300, 3)).astype(np.float32)
+    f_plain = np.asarray(d_plain.displacement(q))
+    f_conf = np.asarray(d_conf.displacement(q))
+    f_clean = np.asarray(d_clean.displacement(q))
+    assert (np.abs(f_conf - f_clean).max()
+            < 0.3 * np.abs(f_plain - f_clean).max())
+    # unit confidence == unweighted (same lam in every patch)
+    d_ones = PUDeformer.fit(rest, bad, confidence=np.ones(400, np.float32),
+                            **kw)
+    np.testing.assert_allclose(
+        np.asarray(d_ones.model.w_hi), np.asarray(d_plain.model.w_hi),
+        atol=1e-7,
     )
-    assert any("confidence" in w and "PU" in w for w in res_pu.warnings)
+
+
+def test_node_pu_confidence(rng, outlier_rig):
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.ops.pu import PUDeformer, node_fit_kwargs
+
+    rest, _, bad, conf = outlier_rig
+    face = uv_sphere(16, 16)
+    rest_rig = Mesh(points=rest)
+    rest_rig.set_attr("confidence", conf)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, solver="pu")
+    p = DeformParams(radius=2.0, lam=0.01, maxedges=50)
+    res = FaceDeformNode().cook([face, rest_rig, Mesh(points=bad)], cfg, p)
+    assert not any("confidence" in w for w in res.warnings)
+    want = PUDeformer.fit(rest, bad, **node_fit_kwargs(cfg, p),
+                          confidence=conf)
+    gate = np.asarray(res.mesh.attr("fd_falloff"))
+    inside = gate > 0.999
+    got = (np.asarray(res.mesh.points) - face.points)[inside]
+    ref = np.asarray(want.displacement(face.points))[inside]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
 def test_serve_fit_confidence(rng, outlier_rig):
@@ -196,9 +245,11 @@ def test_serve_fit_confidence(rng, outlier_rig):
     np.testing.assert_allclose(
         out["points"], np.asarray(want.apply(q)[0]), atol=1e-5
     )
-    # PU + confidence is an explicit error, not a silent drop
+    # PU + confidence serves too (weighted ridge per patch)
     r_pu = srv.handle({
         "cmd": "fit", "rest_ctrl": rest, "deformed_ctrl": bad,
-        "confidence": conf, "cfg": {"solver": "pu"},
+        "confidence": conf,
+        "cfg": {"solver": "pu", "model": int(RBFModelType.KERNEL)},
+        "params": {"radius": 1.0, "lam": 0.01},
     }, raw=True)
-    assert not r_pu["ok"] and "confidence" in r_pu["error"]
+    assert r_pu["ok"]
