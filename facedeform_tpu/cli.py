@@ -430,29 +430,36 @@ def _cmd_deform_seq(args) -> int:
                 f"{', '.join(bad)}", file=sys.stderr,
             )
             return 1
-        classes = rest_rig.attr("class")
-        rest_sym = None
-        new_rigs = []
-        worst = 0.0
-        for r in rigs:
-            r2, d2, cls2, rep = sym_ops.symmetrize_rig(
-                rest_rig.points, r.points, args.symmetrize,
-                tol=args.symmetry_tol, classes=classes,
-            )
-            if rest_sym is None:
-                rest_sym = _Mesh(points=r2)
-                if cls2 is not None:
-                    rest_sym.set_attr("class", cls2)
-                first = rep
-            new_rigs.append(_Mesh(points=d2))
-            worst = max(worst, rep.max_asymmetry)
-        rest_rig, rigs = rest_sym, new_rigs
+        # one pairing pass for the whole shot (the pairing and rest snap
+        # depend only on the rest rig); `class` and `confidence` attrs
+        # ride through so capture islands and the weighted ridge survive
+        r2, frames2, cls2, conf2, rep = sym_ops.symmetrize_frames(
+            rest_rig.points, np.stack([r.points for r in rigs]),
+            args.symmetrize, tol=args.symmetry_tol,
+            classes=rest_rig.attr("class"),
+            confidence=rest_rig.attr("confidence"),
+        )
+        rest_sym = _Mesh(points=r2)
+        if cls2 is not None:
+            rest_sym.set_attr("class", cls2)
+        if conf2 is not None:
+            rest_sym.set_attr("confidence", conf2)
+        rest_rig = rest_sym
+        rigs = [_Mesh(points=f) for f in frames2]
         print(
-            f"info: symmetrize: {first.n_paired} paired, "
-            f"{first.n_on_plane} on-plane, {first.n_appended} mirrored in; "
-            f"worst frame asymmetry {worst:.3g} (pair tol {first.tol:.3g})",
+            f"info: symmetrize: {rep.n_paired} paired, "
+            f"{rep.n_on_plane} on-plane, {rep.n_appended} mirrored in; "
+            f"worst frame asymmetry {rep.max_asymmetry:.3g} "
+            f"(pair tol {rep.tol:.3g})",
             file=sys.stderr,
         )
+        if rep.n_skipped:
+            print(
+                f"warning: symmetrize: {rep.n_skipped} marker(s) not "
+                "mirrored in (near-duplicate control point); the "
+                "deformation is not exactly symmetric around them.",
+                file=sys.stderr,
+            )
 
     cfg, params = _cfg_params_from(args)
     if rigs:

@@ -119,12 +119,10 @@ class Deformer:
                 f"{deformed_ctrl.shape}"
             )
         if confidence is not None:
-            confidence = jnp.asarray(confidence, jnp.float32).reshape(-1)
-            if confidence.shape[0] != rest_ctrl.shape[0]:
-                raise errors.ShapeMismatchError(
-                    f"confidence has {confidence.shape[0]} entries for "
-                    f"{rest_ctrl.shape[0]} markers"
-                )
+            # shared contract (shape check + clip): ops/fit.confidence_clipped
+            confidence = fit_mod.confidence_clipped(
+                confidence, int(rest_ctrl.shape[0])
+            )
         # solve_view: don't let eval-only config toggles force recompiles
         model, report = fit_mod.fit(
             rest_ctrl, deformed_ctrl, cfg.solve_view(), params,

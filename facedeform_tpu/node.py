@@ -120,13 +120,19 @@ class FaceDeformNode:
         )
         if key != self._sym_key:
             classes = rest_rig.attr("class")
-            r2, d2, cls2, report = sym_ops.symmetrize_rig(
+            confidence = rest_rig.attr("confidence")
+            r2, d2, cls2, conf2, report = sym_ops.symmetrize_rig_full(
                 rest_rig.points, deform_rig.points, plane,
-                tol=tol, classes=classes,
+                tol=tol, classes=classes, confidence=confidence,
             )
             rest_m, dfm_m = Mesh(points=r2), Mesh(points=d2)
             if cls2 is not None:
                 rest_m.set_attr("class", cls2)
+            if conf2 is not None:
+                # the later solve stage reads `confidence` off THIS mesh:
+                # dropping it here would silently disable the weighted
+                # ridge whenever symmetrize is on
+                rest_m.set_attr("confidence", conf2)
             self._sym_rigs = (rest_m, dfm_m, report)
             self._sym_key = key
         return self._sym_rigs
@@ -305,6 +311,13 @@ class FaceDeformNode:
                 f"{sym_report.max_asymmetry:.3g} (pair tol "
                 f"{sym_report.tol:.3g})"
             )
+            if sym_report.n_skipped:
+                warnings.append(
+                    f"symmetrize: {sym_report.n_skipped} marker(s) not "
+                    "mirrored in (the mirror would land within tol of an "
+                    "existing marker — near-duplicate control point); the "
+                    "deformation is not exactly symmetric around them."
+                )
 
         # duplicatePointSource(0) (:226).
         out = mesh_in.copy()

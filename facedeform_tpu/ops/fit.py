@@ -144,9 +144,33 @@ def _family_radii(
         eps0 = jnp.broadcast_to(params.radius, (n,)).astype(jnp.float32)
         lam0 = jnp.asarray(params.lam, jnp.float32)
         if confidence is not None:
-            c = jnp.clip(jnp.asarray(confidence, jnp.float32), 1e-3, 1.0)
+            c = confidence_clipped(confidence, n)
             lam0 = jnp.broadcast_to(lam0 / c, (n,))
     return eps0, lam0
+
+
+# Confidence below this floor is treated as "barely trusted", not zero:
+# lam / c must stay finite.  THE single definition of the confidence
+# contract — the dense, Krylov and PU routes all clip through here.
+CONFIDENCE_FLOOR = 1e-3
+
+
+def confidence_clipped(confidence, n: int) -> jnp.ndarray:
+    """(N,) confidence clipped to [CONFIDENCE_FLOOR, 1], shape-checked.
+
+    Shared by every route that weights the ridge (lam_i = lam / c_i):
+    _family_radii (dense + Krylov) and ops/pu._fit_pu_rhs (per-patch).
+    Raises ShapeMismatchError on a wrong-length vector (works at trace
+    time too — shapes are static under jit).
+    """
+    from facedeform_tpu.utils import errors
+
+    c = jnp.asarray(confidence, jnp.float32).reshape(-1)
+    if c.shape[0] != n:
+        raise errors.ShapeMismatchError(
+            f"confidence has {c.shape[0]} entries for {n} markers"
+        )
+    return jnp.clip(c, CONFIDENCE_FLOOR, 1.0)
 
 
 def _lam_col(lam: jnp.ndarray) -> jnp.ndarray:

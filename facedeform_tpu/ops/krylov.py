@@ -123,7 +123,11 @@ def make_block_jacobi(
     ctrl_p = jnp.pad(ctrl, ((0, pad), (0, 0)))
     # Padded radii of 1 with identity diagonal keep padded blocks invertible.
     eps_p = jnp.pad(eps, (0, pad), constant_values=1.0)
-    lam_p = jnp.pad(lam, (0, pad))
+    # edge-pad the ridge: the padded all-at-origin rows share the last
+    # block with real markers, and zero-padding would leave that mixed
+    # block's padded sub-matrix (all-ones gaussian) with only the 1e-5
+    # jitter on its diagonal — cond ~lam/jitter worse than the real system
+    lam_p = jnp.pad(lam, (0, pad), mode="edge") if pad else lam
     nb = ctrl_p.shape[0] // block
     cb = ctrl_p.reshape(nb, block, 3)
     eb = eps_p.reshape(nb, block)
@@ -201,7 +205,9 @@ def make_abs_block_jacobi(
     pad = (-n) % block
     ctrl_p = jnp.pad(ctrl, ((0, pad), (0, 0)))
     eps_p = jnp.pad(eps, (0, pad), constant_values=1.0)
-    lam_p = jnp.pad(lam, (0, pad))
+    # pad value is irrelevant here (the valid mask decouples padded
+    # rows/cols to the identity) but edge mode keeps it finite
+    lam_p = jnp.pad(lam, (0, pad), mode="edge") if pad else lam
     valid = (jnp.arange(n + pad) < n)
     nb = ctrl_p.shape[0] // block
     cb = ctrl_p.reshape(nb, block, 3)

@@ -501,15 +501,19 @@ def _fit_pu_rhs(
     ctrl_pad = rest_np[safe_idx]                      # (K, P, 3)
     valid = (patches.idx >= 0).astype(np.float32)
     if confidence is not None:
-        from facedeform_tpu.utils import errors
-
-        c = np.clip(np.asarray(confidence, np.float32).reshape(-1),
-                    1e-3, 1.0)
-        if c.shape[0] != rest_np.shape[0]:
-            raise errors.ShapeMismatchError(
-                f"confidence has {c.shape[0]} entries for "
-                f"{rest_np.shape[0]} markers"
+        if float(lam) == 0.0:
+            # QNN-style exact interpolation: lam/c stays 0, so confidence
+            # would be a silent no-op — fail loudly instead (the node
+            # warns-and-ignores before it gets here; direct API and serve
+            # callers get this error)
+            raise ValueError(
+                "confidence weighting needs lam > 0 (weighted ridge "
+                "lam / c); exact interpolation (lam = 0, the QNN recipe) "
+                "makes it a no-op"
             )
+        from facedeform_tpu.ops.fit import confidence_clipped
+
+        c = np.asarray(confidence_clipped(confidence, rest_np.shape[0]))
         lam_pat = (float(lam) / c)[safe_idx].astype(np.float32)  # (K, P)
     else:
         lam_pat = np.full((k_, p_), float(lam), np.float32)

@@ -111,29 +111,27 @@ def pair_markers(
     tol_used).  partner[i] = j means R x_i lands within tol of x_j AND the
     match is mutual (both nearest to each other) — one-sided matches stay
     unpaired so a dense cluster can't swallow a lone marker.  on_plane[i]
-    marks self-pairs (markers within tol of the plane).  tol defaults to
-    5% of the median nearest-neighbor spacing: tight enough that genuine
-    pairs snap, loose enough to absorb tracker jitter.
+    marks markers within tol OF THE PLANE itself (signed distance, not
+    the self-pair reflection distance: a marker at plane distance d in
+    (tol/2, tol] would otherwise be neither on-plane nor pairable, and
+    its appended mirror would sit 2d <= 2 tol away — a near-duplicate
+    control point).  tol defaults to 5% of the median nearest-neighbor
+    spacing: tight enough that genuine pairs snap, loose enough to
+    absorb tracker jitter.
     """
     rest = np.asarray(rest, np.float32)
     n_pts = len(rest)
     if n_pts == 0:
         return np.empty(0, np.int64), np.empty(0, bool), 0.0
+    n_unit, origin = _resolve_plane(plane)
     refl = reflect_points(rest, plane)
     if tol is None:
         if n_pts >= 2:
-            # median NN spacing via one KD query for the 2nd neighbor
-            try:
-                from scipy.spatial import cKDTree
-
-                d = cKDTree(rest).query(rest, k=2)[0][:, 1]
-            except ImportError:
-                d2 = ((rest[:, None] - rest[None]) ** 2).sum(-1)
-                np.fill_diagonal(d2, np.inf)
-                d = np.sqrt(d2.min(1))
-            tol = 0.05 * float(np.median(d))
+            tol = 0.05 * _median_nn_spacing(rest)
         else:
             tol = 1e-6
+    # explicit signed plane distance decides on-plane membership
+    on_plane = np.abs((rest.astype(np.float64) - origin) @ n_unit) <= tol
     idx = _nearest(rest, refl)
     dist = np.linalg.norm(rest[idx] - refl, axis=1)
     cand = np.where(dist <= tol, idx, -1)
@@ -143,8 +141,27 @@ def pair_markers(
     back = np.full(n_pts, -1, np.int64)
     back[valid] = cand[cand[valid]]
     mutual = np.where(valid & (back == np.arange(n_pts)), cand, -1)
-    on_plane = mutual == np.arange(n_pts)
+    # on-plane markers are self-pairs regardless of what the KD matched
+    mutual = np.where(on_plane, np.arange(n_pts), mutual)
     return mutual, on_plane, float(tol)
+
+
+def _median_nn_spacing(pts: np.ndarray) -> float:
+    """Median nearest-neighbor spacing (scipy KD; exact O(N^2) fallback
+    for small sets; bbox estimate beyond that — never the mirror-match
+    distances, which are biased by the asymmetry being measured)."""
+    try:
+        from scipy.spatial import cKDTree
+
+        return float(np.median(cKDTree(pts).query(pts, k=2)[0][:, 1]))
+    except ImportError:
+        if len(pts) <= 4096:
+            d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            return float(np.median(np.sqrt(d2.min(1))))
+        # surface-sampled points: spacing ~ sqrt(area / V) ~ diag / sqrt(V)
+        diag = float(np.linalg.norm(pts.max(0) - pts.min(0)))
+        return diag / max(np.sqrt(len(pts)), 1.0)
 
 
 class SymmetryReport(NamedTuple):
@@ -160,55 +177,56 @@ class SymmetryReport(NamedTuple):
     n_appended: int     # unpaired markers mirrored and appended
     max_asymmetry: float
     tol: float
+    n_skipped: int = 0  # unpaired markers whose mirror would land within
+    #                     tol of an existing marker (near-duplicate control
+    #                     point -> near-singular system); NOT appended, so
+    #                     exact closure is broken around them — the report
+    #                     surfaces it for the caller to warn
 
 
-def symmetrize_rig(
-    rest_ctrl,
-    deformed_ctrl,
-    plane: PlaneSpec = "x",
-    tol: Optional[float] = None,
-    classes: Optional[np.ndarray] = None,
-) -> tuple[np.ndarray, np.ndarray, Optional[np.ndarray], SymmetryReport]:
-    """Close the rig under the mirror reflection -> provably symmetric field.
+def _symmetrize_core(
+    rest: np.ndarray,       # (N, 3)
+    disp: np.ndarray,       # (..., N, 3) f64 — one pose or an (F,) stack
+    plane: PlaneSpec,
+    tol: Optional[float],
+    classes: Optional[np.ndarray],
+    confidence: Optional[np.ndarray],
+):
+    """Shared closure machinery: pair once, enforce on every pose stack.
 
-    For paired markers the displacements are replaced by their symmetric
-    average d_i' = (d_i + R d_j) / 2 (and d_j' = R d_i'); on-plane markers
-    get the normal component of their displacement stripped (R d = d needs
-    d.n = 0); unpaired markers are appended mirrored: (R x, R d), carrying
-    their `class` capture island id when classes is given.  The returned
-    rig satisfies the closure property exactly, so the fitted RBF field
-    commutes with the reflection for every kernel family and polynomial
-    tail in the package.
-
-    Returns (rest', deformed', classes'|None, SymmetryReport).
+    Returns (rest' (N', 3) f32, disp' (..., N', 3) f64, classes'|None,
+    confidence'|None, SymmetryReport).  Paired markers get the symmetric
+    displacement average and snapped rest positions; on-plane markers lose
+    their normal components; unpaired markers are mirrored in UNLESS the
+    mirror would land within tol of an existing marker (near-duplicate
+    control point — skipped and counted in report.n_skipped).  Attribute
+    carry: appended copies inherit their source `class`/`confidence`;
+    paired markers take the pair's MINIMUM confidence (the symmetric
+    average is only as trustworthy as its weaker side).
     """
-    rest = np.asarray(rest_ctrl, np.float32)
-    dfm = np.asarray(deformed_ctrl, np.float32)
-    if rest.shape != dfm.shape:
-        raise errors.ShapeMismatchError(
-            "Rest and deform geometry should match."
-        )
     n_unit, origin = _resolve_plane(plane)
     r_mat = reflection_matrix(plane).astype(np.float64)
     partner, on_plane, tol_used = pair_markers(rest, plane, tol)
+    n_pts = len(rest)
 
-    disp = (dfm - rest).astype(np.float64)
     new_disp = disp.copy()
     max_asym = 0.0
     paired = (partner >= 0) & ~on_plane
     # each pair handled once from its lower-index side (vectorized)
-    pi = np.nonzero(paired & (partner > np.arange(len(rest))))[0]
+    pi = np.nonzero(paired & (partner > np.arange(n_pts)))[0]
     pj = partner[pi]
     if len(pi):
-        want = disp[pj] @ r_mat.T
-        max_asym = float(np.linalg.norm(disp[pi] - want, axis=1).max())
-        avg = 0.5 * (disp[pi] + want)
-        new_disp[pi] = avg
-        new_disp[pj] = avg @ r_mat.T
+        want = disp[..., pj, :] @ r_mat.T
+        max_asym = float(
+            np.linalg.norm(disp[..., pi, :] - want, axis=-1).max()
+        )
+        avg = 0.5 * (disp[..., pi, :] + want)
+        new_disp[..., pi, :] = avg
+        new_disp[..., pj, :] = avg @ r_mat.T
     if on_plane.any():
-        normal_comp = new_disp[on_plane] @ n_unit
+        normal_comp = new_disp[..., on_plane, :] @ n_unit
         max_asym = max(max_asym, float(np.abs(normal_comp).max(initial=0.0)))
-        new_disp[on_plane] -= normal_comp[:, None] * n_unit
+        new_disp[..., on_plane, :] -= normal_comp[..., None] * n_unit
     # also snap paired REST positions to exact mirror images (tracker
     # jitter in the rest pose breaks closure just like displacement does)
     new_rest = rest.astype(np.float64)
@@ -221,29 +239,147 @@ def symmetrize_rig(
         off = (new_rest[on_plane] - origin) @ n_unit
         new_rest[on_plane] -= off[:, None] * n_unit
 
-    unpaired = partner < 0
-    app_rest = reflect_points(new_rest[unpaired].astype(np.float32), plane)
-    app_disp = (new_disp[unpaired] @ r_mat.T)
+    unpaired = np.nonzero(partner < 0)[0]
+    app_rest = reflect_points(
+        new_rest[unpaired].astype(np.float32), plane
+    )
+    # near-duplicate guard: a mirror landing within tol of ANY existing
+    # (snapped) marker would carry a different displacement at a nearly
+    # coincident center — near-singular for the exact-interpolation
+    # families.  Skip those appends; the report says how many.
+    if len(unpaired):
+        rest_f32 = new_rest.astype(np.float32)
+        near = _nearest(rest_f32, app_rest)
+        clash = (
+            np.linalg.norm(rest_f32[near] - app_rest, axis=1) <= tol_used
+        )
+    else:
+        clash = np.zeros(0, bool)
+    keep = unpaired[~clash]
+    app_rest = app_rest[~clash]
+    app_disp = new_disp[..., keep, :] @ r_mat.T
 
     rest_out = np.concatenate(
         [new_rest.astype(np.float32), app_rest], axis=0
     )
-    disp_out = np.concatenate([new_disp, app_disp], axis=0)
-    dfm_out = (rest_out.astype(np.float64) + disp_out).astype(np.float32)
+    disp_out = np.concatenate([new_disp, app_disp], axis=-2)
 
     classes_out = None
     if classes is not None:
         classes = np.asarray(classes)
-        classes_out = np.concatenate([classes, classes[unpaired]], axis=0)
+        classes_out = np.concatenate([classes, classes[keep]], axis=0)
+    conf_out = None
+    if confidence is not None:
+        conf_out = np.asarray(confidence, np.float32).copy()
+        if len(pi):
+            both = np.minimum(conf_out[pi], conf_out[pj])
+            conf_out[pi] = both
+            conf_out[pj] = both
+        conf_out = np.concatenate([conf_out, conf_out[keep]], axis=0)
 
     report = SymmetryReport(
         n_paired=int(paired.sum()),
         n_on_plane=int(on_plane.sum()),
-        n_appended=int(unpaired.sum()),
+        n_appended=int(len(keep)),
         max_asymmetry=max_asym,
         tol=tol_used,
+        n_skipped=int(clash.sum()),
+    )
+    return rest_out, disp_out, classes_out, conf_out, report
+
+
+def symmetrize_rig(
+    rest_ctrl,
+    deformed_ctrl,
+    plane: PlaneSpec = "x",
+    tol: Optional[float] = None,
+    classes: Optional[np.ndarray] = None,
+    confidence: Optional[np.ndarray] = None,
+) -> tuple[np.ndarray, np.ndarray, Optional[np.ndarray], SymmetryReport]:
+    """Close the rig under the mirror reflection -> provably symmetric field.
+
+    For paired markers the displacements are replaced by their symmetric
+    average d_i' = (d_i + R d_j) / 2 (and d_j' = R d_i'); on-plane markers
+    get the normal component of their displacement stripped (R d = d needs
+    d.n = 0); unpaired markers are appended mirrored: (R x, R d), carrying
+    their `class` capture island id when classes is given, UNLESS the
+    mirror would land within tol of an existing marker (a near-duplicate
+    control point — skipped and reported in report.n_skipped).  The
+    returned rig satisfies the closure property exactly (up to skipped
+    markers), so the fitted RBF field commutes with the reflection for
+    every kernel family and polynomial tail in the package.
+
+    Pass `confidence` to keep per-marker confidence (ops/fit) consistent
+    through the closure: appended copies inherit their source's value,
+    paired markers take the pair minimum — retrieve it via
+    symmetrize_rig_full when you need it back.
+
+    Returns (rest', deformed', classes'|None, SymmetryReport); use
+    symmetrize_rig_full for the confidence output as well.
+    """
+    rest_out, dfm_out, classes_out, _, report = symmetrize_rig_full(
+        rest_ctrl, deformed_ctrl, plane, tol=tol, classes=classes,
+        confidence=confidence,
     )
     return rest_out, dfm_out, classes_out, report
+
+
+def symmetrize_rig_full(
+    rest_ctrl,
+    deformed_ctrl,
+    plane: PlaneSpec = "x",
+    tol: Optional[float] = None,
+    classes: Optional[np.ndarray] = None,
+    confidence: Optional[np.ndarray] = None,
+):
+    """symmetrize_rig returning every carried attribute:
+    (rest', deformed', classes'|None, confidence'|None, report)."""
+    rest = np.asarray(rest_ctrl, np.float32)
+    dfm = np.asarray(deformed_ctrl, np.float32)
+    if rest.shape != dfm.shape:
+        raise errors.ShapeMismatchError(
+            "Rest and deform geometry should match."
+        )
+    rest_out, disp_out, classes_out, conf_out, report = _symmetrize_core(
+        rest, (dfm - rest).astype(np.float64), plane, tol, classes,
+        confidence,
+    )
+    dfm_out = (rest_out.astype(np.float64) + disp_out).astype(np.float32)
+    return rest_out, dfm_out, classes_out, conf_out, report
+
+
+def symmetrize_frames(
+    rest_ctrl,
+    deformed_frames,
+    plane: PlaneSpec = "x",
+    tol: Optional[float] = None,
+    classes: Optional[np.ndarray] = None,
+    confidence: Optional[np.ndarray] = None,
+):
+    """symmetrize_rig for a whole (F, N, 3) shot in one pairing pass.
+
+    The mirror pairing and the rest-pose snap depend only on the rest
+    rig; running symmetrize_rig per frame would redo the KD build and
+    mutual-pairing F times for identical results.  This pairs once and
+    enforces the displacement symmetry on all F frames vectorized.
+
+    Returns (rest' (N', 3), frames' (F, N', 3), classes'|None,
+    confidence'|None, SymmetryReport).
+    """
+    rest = np.asarray(rest_ctrl, np.float32)
+    frames = np.asarray(deformed_frames, np.float32)
+    if frames.ndim != 3 or frames.shape[1:] != rest.shape:
+        raise errors.ShapeMismatchError(
+            f"deformed_frames {frames.shape} must be (F,) + {rest.shape}"
+        )
+    rest_out, disp_out, classes_out, conf_out, report = _symmetrize_core(
+        rest, (frames - rest[None]).astype(np.float64), plane, tol,
+        classes, confidence,
+    )
+    frames_out = (rest_out[None].astype(np.float64) + disp_out).astype(
+        np.float32
+    )
+    return rest_out, frames_out, classes_out, conf_out, report
 
 
 def mirror_map(
@@ -261,13 +397,10 @@ def mirror_map(
     idx = _nearest(pts, refl)
     dist = np.linalg.norm(pts[idx] - refl, axis=1)
     if tol is None:
-        try:
-            from scipy.spatial import cKDTree
-
-            d = cKDTree(pts).query(pts, k=2)[0][:, 1]
-            tol = 0.1 * float(np.median(d))
-        except ImportError:
-            tol = 0.1 * float(np.median(dist) + 1e-12)
+        # NN spacing, never the mirror-match distances: on a slightly
+        # asymmetric mesh those have a positive median, and a tol derived
+        # from them marks ~half the vertices unmatched by construction
+        tol = 0.1 * _median_nn_spacing(pts)
     return idx, dist <= float(tol)
 
 

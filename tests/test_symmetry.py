@@ -193,6 +193,123 @@ def test_node_cook_symmetrize(rng):
     assert node._fit_key == k1
 
 
+def test_symmetrize_near_plane_marker_snaps_not_duplicates(rng):
+    """A marker at plane distance d in (tol/2, tol] must snap onto the
+    plane, NOT gain a mirror twin 2d away (a near-duplicate control point
+    that makes exact-interpolation systems near-singular)."""
+    half = rng.normal(size=(8, 3)).astype(np.float32)
+    half[:, 0] = np.abs(half[:, 0]) + 0.5
+    rest = np.concatenate(
+        [half, half * np.float32([-1, 1, 1]),
+         np.float32([[0.02, 0.3, 0.1]])]  # just off the plane
+    )
+    dfm = rest + 0.05 * rng.normal(size=rest.shape).astype(np.float32)
+    tol = 0.03  # > plane distance 0.02, < pair distance 0.04
+    r2, d2, _, rep = sym.symmetrize_rig(rest, dfm, "x", tol=tol)
+    assert rep.n_on_plane == 1 and rep.n_appended == 0
+    assert abs(r2[-1, 0]) < 1e-6  # snapped exactly onto the plane
+    # no two markers closer than tol (the near-duplicate hazard)
+    d2m = ((r2[:, None] - r2[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2m, np.inf)
+    assert np.sqrt(d2m.min()) > tol
+
+
+def test_symmetrize_skips_clashing_mirrors(rng):
+    """An unpaired marker whose mirror would land within tol of an
+    existing marker is skipped (and reported), not appended as a
+    near-duplicate."""
+    # A and B both reflect near C; C mutually pairs with A, so B stays
+    # unpaired — and B's mirror would land within tol of the snapped C
+    rest = np.float32([[1.0, 0.0, 0.0], [1.0, 0.005, 0.0],
+                       [-1.0, 0.002, 0.0],
+                       [0.5, 1.0, 0.0], [-0.5, 1.0, 0.0]])
+    dfm = rest + np.float32([[0, 0.1, 0], [0, 0.12, 0], [0, 0.1, 0],
+                             [0, 0.05, 0], [0, 0.05, 0]])
+    tol = 0.01
+    r2, _, _, rep = sym.symmetrize_rig(rest, dfm, "x", tol=tol)
+    assert rep.n_paired == 4 and rep.n_skipped == 1
+    # B's clashing mirror was NOT appended (input keeps its 5 markers)
+    assert len(r2) == 5
+
+
+def test_symmetrize_frames_matches_per_frame(rng, jittered_rig):
+    rest, dfm = jittered_rig
+    frames = np.stack([dfm, rest + 0.5 * (dfm - rest)])
+    r2, f2, _, _, rep = sym.symmetrize_frames(rest, frames, "x")
+    for i in range(2):
+        r1, d1, _, rep1 = sym.symmetrize_rig(rest, frames[i], "x")
+        np.testing.assert_allclose(r2, r1, atol=1e-6)
+        np.testing.assert_allclose(f2[i], d1, atol=1e-6)
+    assert rep.n_paired == rep1.n_paired
+
+
+def test_symmetrize_carries_confidence(rng, jittered_rig):
+    """Confidence rides the closure: pairs take the pair MINIMUM,
+    appended copies inherit their source — so symmetrize + confidence
+    compose instead of silently dropping the attr."""
+    rest, dfm = jittered_rig
+    conf = np.ones(len(rest), np.float32)
+    conf[0] = 0.01            # low-trust marker in a mirror pair
+    conf[-1] = 0.2            # low-trust unpaired marker
+    r2, d2, _, conf2, rep = sym.symmetrize_rig_full(
+        rest, dfm, "x", confidence=conf
+    )
+    assert conf2.shape == (len(r2),)
+    partner, _, _ = sym.pair_markers(rest, "x")
+    j = int(partner[0])
+    assert conf2[0] == conf2[j] == np.float32(0.01)  # pair minimum
+    assert conf2[-1] == np.float32(0.2)              # appended copy
+
+
+def test_node_symmetrize_preserves_confidence(rng):
+    """cook(symmetrize=...) must keep consuming the rest rig's
+    confidence attr (regression: the symmetrized Mesh dropped it)."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.config import RBFModelType
+
+    face = uv_sphere(20, 20)
+    half = rng.normal(size=(8, 3)).astype(np.float32)
+    half[:, 0] = np.abs(half[:, 0]) * 0.5 + 0.2
+    half /= np.linalg.norm(half, axis=1, keepdims=True)
+    rig_pts = np.concatenate([half, half * np.float32([-1, 1, 1])])
+    dfm = rig_pts + 0.05 * rng.normal(size=rig_pts.shape).astype(np.float32)
+    # glitch one marker, zero its confidence
+    dfm_bad = dfm.copy()
+    dfm_bad[3] += np.float32([0.3, -0.2, 0.2])
+    conf = np.ones(len(rig_pts), np.float32)
+    conf[3] = 0.001
+    rest_rig = Mesh(points=rig_pts)
+    rest_rig.set_attr("confidence", conf)
+    cfg = DeformConfig(model=RBFModelType.KERNEL)
+    p = DeformParams(radius=2.0, lam=0.01, maxedges=50)
+    node = FaceDeformNode()
+    res = node.cook([face, rest_rig, Mesh(points=dfm_bad)], cfg, p,
+                    symmetrize="x")
+    # apples to apples: each route compared to ITS clean-pose twin (the
+    # confidence route also smooths the low-c pair's true displacement,
+    # so the clean reference must carry the same attr)
+    rest_rig_clean = Mesh(points=rig_pts)
+    rest_rig_clean.set_attr("confidence", conf)
+    res_clean = FaceDeformNode().cook(
+        [face, rest_rig_clean, Mesh(points=dfm)], cfg, p, symmetrize="x",
+    )
+    err = np.abs(np.asarray(res.mesh.points)
+                 - np.asarray(res_clean.mesh.points)).max()
+    res_noconf = FaceDeformNode().cook(
+        [face, Mesh(points=rig_pts), Mesh(points=dfm_bad)], cfg, p,
+        symmetrize="x",
+    )
+    res_clean_noconf = FaceDeformNode().cook(
+        [face, Mesh(points=rig_pts), Mesh(points=dfm)], cfg, p,
+        symmetrize="x",
+    )
+    err_noconf = np.abs(np.asarray(res_noconf.mesh.points)
+                        - np.asarray(res_clean_noconf.mesh.points)).max()
+    assert err < 0.3 * err_noconf
+
+
 def test_cli_symmetrize(tmp_path, rng):
     from facedeform_tpu import cli
     from facedeform_tpu.geometry import save_mesh
