@@ -56,6 +56,17 @@ def _build_parser() -> argparse.ArgumentParser:
                         "blends ride too (one vmapped DBSE weight solve "
                         "for the shot); falls back per-frame for "
                         "picked/krylov")
+    s.add_argument("--temporal-smooth", type=int, default=None,
+                   metavar="WINDOW",
+                   help="Savitzky-Golay-smooth the posed-rig trajectories "
+                        "over frames before fitting (odd window size): "
+                        "tracker jitter stops shimmering the mesh, while "
+                        "locally-polynomial motion (up to "
+                        "--temporal-order) passes through exactly — no "
+                        "amplitude loss or phase lag at motion extremes")
+    s.add_argument("--temporal-order", type=int, default=2,
+                   help="polynomial degree the temporal filter preserves "
+                        "(default 2: quadratic motion arcs survive)")
     s.add_argument("--out-velocity", type=float, default=None, metavar="FPS",
                    help="write a per-frame `v` point attribute: backward "
                         "difference v_f = (P_f - P_{f-1}) * FPS (frame 0 "
@@ -63,6 +74,23 @@ def _build_parser() -> argparse.ArgumentParser:
                         "semantics for motion blur; overwrites any "
                         "existing v attribute")
     _add_cook_flags(s)
+
+    inv = sub.add_parser(
+        "invert",
+        help="recover the deformed control rig that reproduces a target "
+             "mesh pose (inverse.fit_rig: the reverse problem the "
+             "reference plugin cannot solve)",
+    )
+    inv.add_argument("mesh", help="rest-pose mesh (.obj/.geo/.hgeo, input 0)")
+    inv.add_argument("rest_rig",
+                     help="rest control rig (.obj/.geo/.hgeo, input 1)")
+    inv.add_argument("target",
+                     help="target mesh pose (sculpt/scan; same point count "
+                          "as the rest mesh)")
+    inv.add_argument("-o", "--output", required=True,
+                     help="recovered rig output path (.obj or .geo) — feed "
+                          "it back to `deform` as input 2")
+    _add_invert_flags(inv)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.add_argument("--verts", type=int, default=1_000_000)
@@ -161,6 +189,63 @@ def _add_cook_flags(d) -> None:
                         "(area-weighted; reflects the morph pass too, "
                         "unlike --update-normals' analytic transport)")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
+
+
+def _add_invert_flags(d) -> None:
+    """The solve-model + falloff surface relevant to the inverse problem,
+    plus fit_rig's own knobs.  Eval-only/morphspace flags are omitted (the
+    inverse fits the RBF rig, not the blend weights)."""
+    d.add_argument("--group", default=None,
+                   help="point group/pattern restricting which mesh points "
+                        "constrain the fit (the forward pass only writes "
+                        "these, so only they carry signal)")
+    d.add_argument("--model", choices=["qnn", "multilayer", "kernel"],
+                   default="qnn")
+    d.add_argument("--kernel", choices=["gaussian", "thin_plate",
+                   "multiquadric", "inverse_multiquadric", "linear", "cubic",
+                   "wendland_c2"], default="gaussian")
+    d.add_argument("--term", choices=["linear", "constant", "zero"],
+                   default="linear")
+    d.add_argument("--qcoef", type=float, default=1.0)
+    d.add_argument("--zcoef", type=float, default=5.0)
+    d.add_argument("--radius", type=float, default=1.0)
+    d.add_argument("--maxedges", type=int, default=4)
+    d.add_argument("--layers", type=int, default=4)
+    d.add_argument("--lambda", dest="lam", type=float, default=0.1)
+    d.add_argument("--tangent", action="store_true",
+                   help="model the forward pass's tangent projection "
+                        "(forces the gradient-descent path)")
+    d.add_argument("--falloff", action="store_true", dest="dofalloff",
+                   help="model the forward pass's capture falloff gate "
+                        "(real distances; otherwise captured verts get "
+                        "falloff 1, matching the forward default)")
+    d.add_argument("--falloff-rate", type=float, default=1.0)
+    d.add_argument("--falloff-metric", choices=["euclidean", "geodesic"],
+                   default="euclidean")
+    d.add_argument("--strict-parity", action="store_true")
+    d.add_argument("--ridge", type=float, default=1e-4,
+                   help="Tikhonov weight on the rig delta (keeps markers "
+                        "from flying off when the mesh underdetermines "
+                        "them; default 1e-4)")
+    d.add_argument("--subsample", type=int, default=20000,
+                   help="cap on constraint vertices (random subset; "
+                        "0 = use all)")
+    d.add_argument("--max-iters", type=int, default=200,
+                   help="gradient-path iteration budget "
+                        "(multilayer/--tangent)")
+    d.add_argument("--learning-rate", type=float, default=5e-2,
+                   help="gradient-path Adam step size")
+    d.add_argument("--seed", type=int, default=0,
+                   help="subsample RNG seed")
+    d.add_argument("--refit", metavar="PATH",
+                   help="also deform the mesh with the recovered rig "
+                        "(full forward cook), write it to PATH, and report "
+                        "the max |refit - target| round-trip error")
+    d.add_argument("--timing", action="store_true", help="print per-stage ms")
+    # _cfg_params_from reads the full cook surface; pin the flags the
+    # inverse doesn't expose to their forward defaults
+    d.set_defaults(morphspace=False, dbse_robust=False, clamp_weights=False,
+                   weight_range=[0.0, 1.0], falloff_radius=1.0, solver="auto")
 
 
 def _split_attr_names(spec):
@@ -412,6 +497,39 @@ def _cmd_deform_seq(args) -> int:
         [args.mesh, args.rest_rig] + list(args.deform_rigs) + list(args.blend),
         [mesh, rest_rig] + rigs + blends,
     )
+
+    if getattr(args, "temporal_smooth", None) and len(rigs) > 1:
+        # Denoise the RAW tracker data first; symmetry/fit see the
+        # filtered trajectories (ops/temporal.py — solver-agnostic).
+        from facedeform_tpu.ops import temporal
+
+        n0 = rest_rig.num_points
+        bad = [p for p, r in zip(args.deform_rigs, rigs)
+               if r.num_points != n0]
+        if bad:
+            print(
+                "error: rig point counts differ from the rest rig: "
+                f"{', '.join(bad)}", file=sys.stderr,
+            )
+            return 1
+        stack = np.stack([r.points for r in rigs])
+        sm = temporal.smooth_frames(
+            stack, window=args.temporal_smooth, order=args.temporal_order
+        )
+        removed = np.linalg.norm(sm - stack, axis=-1)
+        new_rigs = []
+        for r, p in zip(rigs, sm):
+            r2 = r.copy()
+            r2.set_points(p)
+            new_rigs.append(r2)
+        rigs = new_rigs
+        print(
+            f"info: temporal smooth (window {args.temporal_smooth}, "
+            f"order {args.temporal_order}): removed jitter rms "
+            f"{float(np.sqrt((removed ** 2).mean())):.3g}, "
+            f"max {float(removed.max()):.3g}",
+            file=sys.stderr,
+        )
 
     if getattr(args, "symmetrize", None) and rigs:
         # Pre-symmetrize the whole shot at load time (ops/symmetry.py):
@@ -907,6 +1025,128 @@ def _cmd_deform_seq(args) -> int:
     return 0
 
 
+def _cmd_invert(args) -> int:
+    """Inverse rig fit: target mesh -> recovered deformed rig.
+
+    Mirrors the forward pipeline's gating so the recovered rig reproduces
+    the target through `deform`: the same capture pass supplies the
+    falloff distances fit_rig models (node.cook's dist2), and --group
+    restricts the constraint set to the vertices the forward pass would
+    actually write (SOP_FaceDeform.cpp:485 semantics).
+    """
+    from facedeform_tpu import inverse
+    from facedeform_tpu.capture.capture import ProximityCapture
+    from facedeform_tpu.geometry import load_mesh, save_mesh
+    from facedeform_tpu.geometry.topology import compute_tangent_frame
+    from facedeform_tpu.ops import fit as fit_mod
+    from facedeform_tpu.utils.profiling import StageTimes, stage
+
+    times = StageTimes()
+    with stage("load", times):
+        mesh = load_mesh(args.mesh)
+        rest_rig = load_mesh(args.rest_rig)
+        target = load_mesh(args.target)
+    _print_load_warnings(
+        [args.mesh, args.rest_rig, args.target], [mesh, rest_rig, target]
+    )
+    if target.num_points != mesh.num_points:
+        print(
+            f"error: target has {target.num_points} points, rest mesh has "
+            f"{mesh.num_points} — the sculpt must keep the topology",
+            file=sys.stderr,
+        )
+        return 1
+
+    cfg, params = _cfg_params_from(args)
+    n = rest_rig.num_points
+    if fit_mod.uses_krylov(cfg, n):
+        print(
+            f"error: invert materializes the dense {n}-marker linear map; "
+            "rigs past the dense limit "
+            f"({fit_mod._KRYLOV_THRESHOLD}) aren't supported",
+            file=sys.stderr,
+        )
+        return 1
+
+    # the forward eval gates displacement by the capture falloff, so the
+    # inverse must model the same gate or it misattributes attenuated
+    # displacement to smaller rig motion
+    with stage("capture", times):
+        cap = ProximityCapture()
+        cap.init(mesh, rest_rig)
+        capres = cap.capture(
+            max(int(params.maxedges), 1), max(float(params.radius), 0.01),
+            cfg.dofalloff, float(params.falloffrate),
+            strict_parity=cfg.strict_parity, metric=cfg.falloff_metric,
+        )
+    dist2 = capres.dist2
+
+    frame = None
+    if cfg.tangent:
+        if not mesh.has_tangent_frame():
+            with stage("tangent_frame", times):
+                compute_tangent_frame(mesh)
+        frame = tuple(
+            mesh.point_attrs[k] for k in ("tangentu", "tangentv", "N")
+        )
+
+    rest_pts, tgt_pts = mesh.points, target.points
+    if args.group:
+        mask = mesh.select_points(args.group)
+        if not mask.any():
+            print(f"error: group {args.group!r} selects no points",
+                  file=sys.stderr)
+            return 1
+        rest_pts, tgt_pts, dist2 = rest_pts[mask], tgt_pts[mask], dist2[mask]
+        if frame is not None:
+            frame = tuple(f[mask] for f in frame)
+
+    with stage("fit_rig", times):
+        res = inverse.fit_rig(
+            rest_rig.points, rest_pts, tgt_pts, cfg, params,
+            dist2=dist2, frame=frame, ridge=args.ridge,
+            max_iters=args.max_iters, learning_rate=args.learning_rate,
+            subsample=args.subsample or None, seed=args.seed,
+        )
+
+    out_rig = rest_rig.copy()
+    out_rig.set_points(np.asarray(res.deformed_ctrl, np.float32))
+    with stage("save", times):
+        save_mesh(args.output, out_rig)
+    route = ("closed-form" if res.iterations == 0
+             else f"gradient, {res.iterations} iters")
+    print(
+        f"info: inverse fit ({route}): constraint rms "
+        f"{float(res.residual_rms):.3e} over {rest_pts.shape[0]} vertices",
+        file=sys.stderr,
+    )
+
+    if args.refit:
+        # round-trip QC: deform through the FULL forward node with the
+        # recovered rig and compare against the target
+        from facedeform_tpu.node import FaceDeformNode
+
+        with stage("refit", times):
+            rres = FaceDeformNode().cook(
+                [mesh, rest_rig, out_rig], cfg, params, group=args.group,
+            )
+        for w in rres.warnings:
+            print(f"warning: {w}", file=sys.stderr)
+        err = np.abs(rres.mesh.points - target.points)
+        if args.group:
+            err = err[mask]
+        print(
+            f"info: round trip: max |refit - target| {err.max():.3e}",
+            file=sys.stderr,
+        )
+        with stage("save", times):
+            save_mesh(args.refit, rres.mesh)
+    if args.timing:
+        print(f"timing: {times.summary()}", file=sys.stderr)
+    print(f"wrote {args.output} ({out_rig.num_points} markers)")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     # Shared measurement core (facedeform_tpu/benchmark.py) — this
     # subcommand and the repo-root bench.py report the same numbers.
@@ -923,6 +1163,8 @@ def main(argv=None) -> int:
             return _cmd_deform(args)
         if args.cmd == "deform-seq":
             return _cmd_deform_seq(args)
+        if args.cmd == "invert":
+            return _cmd_invert(args)
         if args.cmd == "bench":
             return _cmd_bench(args)
     except (FileNotFoundError, KeyError, ValueError) as e:

@@ -229,11 +229,45 @@ class Client:
         )
         return out["points"], out["weights"], out["morph_ok"].astype(bool)
 
-    def fit_seq(self, rest_ctrl, deformed_frames, cfg: Optional[dict] = None,
-                params: Optional[dict] = None, confidence=None) -> str:
-        """One batched solve for an (F, N, 3) animated rig sequence."""
+    def fit_rig(self, rest_ctrl, rest_points, target_points, dist2=None,
+                frame=None, cfg: Optional[dict] = None,
+                params: Optional[dict] = None, register: bool = False,
+                **kw):
+        """Inverse rig fit server-side (inverse.fit_rig): recover the
+        deformed rig that reproduces a target mesh pose.  Returns
+        (deformed_ctrl, residual_rms, deformer_id_or_None); register=True
+        also fits the recovered pose into a resident deformer.  kw passes
+        ridge / subsample / max_iters / learning_rate / seed through."""
+        arrays = {
+            "rest_ctrl": np.asarray(rest_ctrl, np.float32),
+            "rest_points": np.asarray(rest_points, np.float32),
+            "target_points": np.asarray(target_points, np.float32),
+        }
+        if dist2 is not None:
+            arrays["dist2"] = np.asarray(dist2, np.float32)
+        if frame is not None:
+            for k, f in zip(("tangentu", "tangentv", "normal"), frame):
+                arrays[k] = np.asarray(f, np.float32)
         resp, out = self.request(
-            {"cmd": "fit_seq", "cfg": cfg or {}, "params": params or {}},
+            {"cmd": "fit_rig", "cfg": cfg or {}, "params": params or {},
+             "register": bool(register), **kw},
+            arrays,
+        )
+        return (out["deformed_ctrl"], float(resp["residual_rms"]),
+                resp.get("deformer"))
+
+    def fit_seq(self, rest_ctrl, deformed_frames, cfg: Optional[dict] = None,
+                params: Optional[dict] = None, confidence=None,
+                temporal_smooth: Optional[int] = None,
+                temporal_order: int = 2) -> str:
+        """One batched solve for an (F, N, 3) animated rig sequence.
+        temporal_smooth=WINDOW (odd) Savitzky-Golay-filters the rig
+        trajectories server-side before the fit (ops/temporal.py)."""
+        resp, out = self.request(
+            {"cmd": "fit_seq", "cfg": cfg or {}, "params": params or {},
+             **({"temporal_smooth": int(temporal_smooth),
+                 "temporal_order": int(temporal_order)}
+                if temporal_smooth else {})},
             {
                 "rest_ctrl": np.asarray(rest_ctrl, np.float32),
                 "deformed_frames": np.asarray(deformed_frames, np.float32),
@@ -587,6 +621,57 @@ class DeformServer:
                 if warnings_out:
                     resp["warnings"] = warnings_out
                 return resp
+            if cmd == "fit_rig":
+                # inverse rigging over the wire (inverse.fit_rig): a
+                # sculpt/scan round-trips to a rig pose without shipping
+                # solver state to the client; register=True also fits the
+                # recovered pose into a resident deformer for apply
+                from facedeform_tpu import inverse
+
+                cfg = DeformConfig(**req.get("cfg", {}))
+                params = DeformParams(**req.get("params", {}))
+                rest_ctrl = decode_array(req["rest_ctrl"]).astype(np.float32)
+                rest_pts = decode_array(req["rest_points"])
+                tgt = decode_array(req["target_points"])
+                if tgt.shape != rest_pts.shape:
+                    raise errors.ShapeMismatchError(
+                        f"target_points {tgt.shape} must match "
+                        f"rest_points {rest_pts.shape}"
+                    )
+                dist2 = decode_array(req["dist2"]) if "dist2" in req else None
+                frame = None
+                if all(k in req for k in ("tangentu", "tangentv", "normal")):
+                    frame = tuple(
+                        decode_array(req[k])
+                        for k in ("tangentu", "tangentv", "normal")
+                    )
+                res = inverse.fit_rig(
+                    rest_ctrl, rest_pts, tgt, cfg, params, dist2=dist2,
+                    frame=frame,
+                    ridge=float(req.get("ridge", 1e-4)),
+                    max_iters=int(req.get("max_iters", 200)),
+                    learning_rate=float(req.get("learning_rate", 5e-2)),
+                    subsample=req.get("subsample", 20000) or None,
+                    seed=int(req.get("seed", 0)),
+                )
+                rec = np.asarray(res.deformed_ctrl, np.float32)
+                resp = {
+                    "ok": True,
+                    "deformed_ctrl": enc(rec),
+                    "residual_rms": float(res.residual_rms),
+                    "iterations": int(res.iterations),
+                }
+                if req.get("register"):
+                    if cfg.solver == "pu":
+                        from facedeform_tpu.ops.pu import PUNodeDeformer
+
+                        d = PUNodeDeformer.fit(rest_ctrl, rec, cfg, params)
+                    else:
+                        d = Deformer.fit(rest_ctrl, rec, cfg, params)
+                    did = self._new_id()
+                    self._deformers[did] = d
+                    resp["deformer"] = did
+                return resp
             if cmd == "fit_seq":
                 # animated shot: ONE batched solve for all F posed rigs
                 # (parallel/batched.fit_frames); apply_seq evaluates every
@@ -608,6 +693,15 @@ class DeformServer:
                     decode_array(req["confidence"])
                     if "confidence" in req else None
                 )
+                if req.get("temporal_smooth"):
+                    # denoise tracker jitter before the batched solve
+                    # (ops/temporal.py: SG filter over the frame axis)
+                    from facedeform_tpu.ops import temporal
+
+                    frames = temporal.smooth_frames(
+                        frames, window=int(req["temporal_smooth"]),
+                        order=int(req.get("temporal_order", 2)),
+                    )
                 if cfg.solver == "pu":
                     # any-N sequence: all frames share one patch
                     # factorization (ops/pu.fit_pu_frames) and one eval

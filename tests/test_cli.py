@@ -474,3 +474,73 @@ def test_cli_deform_seq_recompute_normals(tmp_path):
         np.testing.assert_allclose(
             got.point_attrs["N"], vertex_normals(got), atol=1e-4)
         assert np.abs(got.point_attrs["N"]).max() > 0.5  # not the zeros
+
+
+def test_cli_invert_roundtrip(tmp_path, rng, capsys):
+    """invert recovers a rig whose forward cook reproduces the target:
+    forward deform -> invert -> --refit round trip stays tight."""
+    mesh = _write_inputs(tmp_path, rng)
+    rc = main([
+        "deform", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        str(tmp_path / "drig.obj"), "-o", str(tmp_path / "target.obj"),
+    ])
+    assert rc == 0
+    rc = main([
+        "invert", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        str(tmp_path / "target.obj"), "-o", str(tmp_path / "rec_rig.obj"),
+        "--ridge", "1e-8", "--refit", str(tmp_path / "refit.obj"),
+        "--timing",
+    ])
+    assert rc == 0
+    rec = load_obj(str(tmp_path / "rec_rig.obj"))
+    true_rig = load_obj(str(tmp_path / "drig.obj"))
+    assert rec.num_points == true_rig.num_points
+    refit = load_obj(str(tmp_path / "refit.obj"))
+    target = load_obj(str(tmp_path / "target.obj"))
+    assert np.abs(refit.points - target.points).max() < 5e-4
+    err = capsys.readouterr().err
+    assert "inverse fit (closed-form)" in err
+    assert "round trip" in err
+
+
+def test_cli_invert_group_and_guards(tmp_path, rng, capsys):
+    """--group restricts the constraint set; oversize rigs and point-count
+    mismatches error out before any heavy work."""
+    mesh = _write_inputs(tmp_path, rng)
+    rc = main([
+        "deform", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        str(tmp_path / "drig.obj"), "-o", str(tmp_path / "target.obj"),
+        "--group", "0-399",
+    ])
+    assert rc == 0
+    rc = main([
+        "invert", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        str(tmp_path / "target.obj"), "-o", str(tmp_path / "rec_rig.obj"),
+        "--group", "0-399", "--ridge", "1e-8",
+        "--refit", str(tmp_path / "refit.obj"),
+    ])
+    assert rc == 0
+    refit = load_obj(str(tmp_path / "refit.obj"))
+    target = load_obj(str(tmp_path / "target.obj"))
+    # round trip within the group; outside it neither pass moved points
+    assert np.abs(refit.points - target.points).max() < 5e-4
+
+    # guard: target topology mismatch
+    save_obj(str(tmp_path / "bad.obj"), Mesh(points=mesh.points[:-1]))
+    rc = main([
+        "invert", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        str(tmp_path / "bad.obj"), "-o", str(tmp_path / "x.obj"),
+    ])
+    assert rc == 1
+    assert "must keep the topology" in capsys.readouterr().err
+
+    # guard: rig past the dense limit refuses cleanly (checked before
+    # capture/fit — keep it cheap with a fake huge rig)
+    big = Mesh(points=rng.standard_normal((9000, 3)).astype(np.float32))
+    save_obj(str(tmp_path / "bigrig.obj"), big)
+    rc = main([
+        "invert", str(tmp_path / "mesh.obj"), str(tmp_path / "bigrig.obj"),
+        str(tmp_path / "target.obj"), "-o", str(tmp_path / "x.obj"),
+    ])
+    assert rc == 1
+    assert "dense limit" in capsys.readouterr().err

@@ -467,3 +467,41 @@ def test_serve_dbse_fit_morph(server, rng):
         assert not r["ok"]
     finally:
         c.close()
+
+
+def test_serve_fit_rig_inverse(server, rng):
+    """fit_rig over the wire: a target generated by a known rig pose round
+    trips (register=True fits the recovered pose for immediate apply)."""
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer
+    from facedeform_tpu.geometry.primitives import uv_sphere
+
+    mesh = uv_sphere(25, 25)
+    rest_ctrl = fibonacci_points(18)
+    true_pose = rest_ctrl + 0.06 * rng.standard_normal((18, 3)).astype(
+        np.float32)
+    d = Deformer.fit(rest_ctrl, true_pose, DeformConfig(), DeformParams())
+    target, _ = d.apply(mesh.points)
+    target = np.asarray(target)
+
+    c = serve_mod.Client(host=server[0], port=server[1])
+    try:
+        rec, rms, did = c.fit_rig(
+            rest_ctrl, mesh.points, target, ridge=1e-8, register=True,
+        )
+        assert rec.shape == rest_ctrl.shape
+        assert rms < 1e-4
+        assert did is not None
+        # the registered deformer reproduces the target immediately
+        got, _ = c.apply(did, mesh.points)
+        assert np.abs(got - target).max() < 5e-4
+    finally:
+        c.close()
+
+    # shape-mismatch guard surfaces as a protocol error, not a hang
+    r = _rpc(server, {
+        "cmd": "fit_rig",
+        "rest_ctrl": serve_mod.encode_array(rest_ctrl),
+        "rest_points": serve_mod.encode_array(mesh.points),
+        "target_points": serve_mod.encode_array(mesh.points[:-1]),
+    })
+    assert not r["ok"] and "must match" in r["error"]
