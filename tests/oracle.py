@@ -69,7 +69,8 @@ def qnn_radii(ctrl: np.ndarray, q: float, z: float) -> np.ndarray:
     return np.minimum(eps, z * np.mean(nn))
 
 
-def fit(rest_ctrl, deformed_ctrl, cfg: DeformConfig, params: DeformParams = DeformParams()):
+def fit(rest_ctrl, deformed_ctrl, cfg: DeformConfig, params: DeformParams = DeformParams(),
+        confidence=None):
     """Returns (ctrl, w_rbf (L,N,3), w_poly (m,3), eps (L,N))."""
     q = max(float(params.qcoef), 0.1)
     z = max(float(params.zcoef), 0.1)
@@ -85,6 +86,12 @@ def fit(rest_ctrl, deformed_ctrl, cfg: DeformConfig, params: DeformParams = Defo
         eps0, lam0, kernel = np.full(n, radius), lam, RBFKernel.GAUSSIAN
     else:
         eps0, lam0, kernel = np.full(n, radius), lam, cfg.kernel
+    if confidence is not None:
+        # weighted ridge lam_i = lam / c_i, c clipped to [1e-3, 1]
+        # (ops/fit.confidence_clipped, the library-wide contract); ridge
+        # families only — the API rejects QNN before this point
+        c = np.clip(np.asarray(confidence, np.float64).reshape(-1), 1e-3, 1.0)
+        lam0 = lam0 / c
 
     n_layers = cfg.n_layers
     w_layers, eps_layers = [], []
@@ -93,7 +100,10 @@ def fit(rest_ctrl, deformed_ctrl, cfg: DeformConfig, params: DeformParams = Defo
     d2 = pairwise_sqdist(ctrl, ctrl)
     for layer in range(n_layers):
         eps_l = eps0 * 0.5 ** layer
-        phi = apply_kernel(kernel, d2, eps_l) + lam0 * np.eye(n)
+        # np.diag broadcasts both the scalar and per-marker ridge shapes
+        phi = apply_kernel(kernel, d2, eps_l) + np.diag(
+            np.broadcast_to(np.asarray(lam0, np.float64), (n,))
+        )
         term = cfg.term if layer == 0 else PolyTerm.ZERO
         p = poly_basis(ctrl, term)
         m = p.shape[1]
@@ -176,9 +186,10 @@ def falloff_weight(dist2, radius, rate, strict_parity=False):
 
 def deform(rest_ctrl, deformed_ctrl, points, cfg: DeformConfig,
            params: DeformParams = DeformParams(), dist2=None, frame=None,
-           group_mask=None):
+           group_mask=None, confidence=None):
     """Full oracle pipeline mirroring Deformer.fit + Deformer.apply."""
-    ctrl, w_rbf, w_poly, eps = fit(rest_ctrl, deformed_ctrl, cfg, params)
+    ctrl, w_rbf, w_poly, eps = fit(rest_ctrl, deformed_ctrl, cfg, params,
+                                   confidence=confidence)
     from facedeform_tpu.ops.fit import effective_kernel
 
     kernel = effective_kernel(cfg)

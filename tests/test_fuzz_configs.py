@@ -272,3 +272,109 @@ def test_fuzzed_pu_sequence_matches_per_frame(trial):
         f"trial {trial}: kernel={kernel} term={term} lam={lam} "
         f"F={f_n} frame={f} err={err:.2e}"
     )
+
+
+# ---------------------------------------------------- confidence-ridge fuzz
+# Per-marker confidence (weighted ridge lam_i = lam / c_i) across the ridge
+# families x kernels x terms x layers x solver routing, vs the same
+# weighted assembly in the f64 oracle (oracle.fit confidence=).  Draws
+# include out-of-range confidences to exercise the [1e-3, 1] clip contract
+# (ops/fit.confidence_clipped).
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzzed_confidence_matches_oracle(trial):
+    rng = np.random.default_rng(11000 + trial)
+    model = (RBFModelType.MULTILAYER if rng.random() < 0.5
+             else RBFModelType.KERNEL)
+    cfg = DeformConfig(
+        model=model,
+        kernel=KERNELS[int(rng.integers(0, len(KERNELS)))],
+        term=PolyTerm(int(rng.integers(0, 3))),
+        layers=int(rng.integers(1, 4)),
+        solver="krylov" if rng.random() < 0.25 else "direct",
+    )
+    n = int(rng.integers(12, 120))
+    v = int(rng.integers(50, 400))
+    rest = fibonacci_points(n) * float(rng.uniform(0.5, 2.0))
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    params = DeformParams(
+        radius=float(rng.uniform(0.3, 2.0)),
+        lam=float(rng.uniform(0.01, 0.3)),
+    )
+    # mostly-confident rig with a few glitched / out-of-range entries
+    confidence = rng.uniform(0.5, 1.0, n).astype(np.float32)
+    confidence[rng.integers(0, n, max(n // 8, 1))] = rng.choice(
+        [1e-5, 0.01, 1.5]
+    )
+    pts = (rng.standard_normal((v, 3)) * rng.uniform(0.3, 1.5)).astype(
+        np.float32
+    ) + np.asarray(rest.mean(0))
+    try:
+        d = Deformer.fit(rest, deformed, cfg, params, confidence=confidence)
+    except Exception as e:
+        from facedeform_tpu.utils.errors import SolveFailedError
+
+        assert isinstance(e, SolveFailedError), e
+        return
+    got, _ = d.apply(pts)
+    want, _ = oracle.deform(
+        rest, deformed, pts, cfg, params, confidence=confidence
+    )
+    got = np.asarray(got, np.float64)
+    scale = max(1.0, np.abs(want - pts).max())
+    err = np.abs(got - want).max() / scale
+    assert err < 5e-5, (
+        f"trial {trial}: cfg={cfg} err={err:.2e} scale={scale:.1f}"
+    )
+
+
+# ------------------------------------------------------- symmetry-closure fuzz
+# symmetrize_rig's guarantee — the fitted field commutes with the
+# reflection, f(Rx) = R f(x) — must hold for EVERY family / kernel / term /
+# layer-count draw, not just the enumerated cases in test_symmetry.py.
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzzed_symmetry_closure_invariance(trial):
+    from facedeform_tpu.ops import symmetry as sym
+
+    rng = np.random.default_rng(12000 + trial)
+    cfg = DeformConfig(
+        model=RBFModelType(int(rng.integers(0, 3))),
+        kernel=KERNELS[int(rng.integers(0, len(KERNELS)))],
+        term=PolyTerm(int(rng.integers(0, 3))),
+        layers=int(rng.integers(1, 4)),
+    )
+    plane = ("x", "y", "z")[int(rng.integers(0, 3))]
+    n = int(rng.integers(15, 80))
+    rest = fibonacci_points(n) * float(rng.uniform(0.5, 2.0))
+    deformed = rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+    params = DeformParams(
+        qcoef=float(rng.uniform(0.5, 2.0)),
+        zcoef=float(rng.uniform(1.0, 8.0)),
+        radius=float(rng.uniform(0.3, 2.0)),
+        lam=float(rng.uniform(0.01, 0.3)),
+    )
+    r2, d2_, _, rep = sym.symmetrize_rig(rest, deformed, plane)
+    assert rep.n_paired + rep.n_on_plane + rep.n_appended + rep.n_skipped >= n
+    try:
+        d = Deformer.fit(r2, d2_, cfg, params)
+    except Exception as e:
+        from facedeform_tpu.utils.errors import SolveFailedError
+
+        assert isinstance(e, SolveFailedError), e
+        return
+    v = int(rng.integers(50, 300))
+    q = (rng.standard_normal((v, 3)) * rng.uniform(0.5, 1.5)).astype(
+        np.float32
+    )
+    r_mat = sym.reflection_matrix(plane)
+    disp_q = np.asarray(d.displacement(q), np.float64)
+    disp_m = np.asarray(
+        d.displacement(q @ r_mat.T.astype(np.float32)), np.float64
+    )
+    scale = max(1.0, np.abs(disp_q).max())
+    err = np.abs(disp_m - disp_q @ r_mat.T).max() / scale
+    # skipped mirrors break exact closure by construction; only demand the
+    # invariance when the closure is complete (the common case)
+    if rep.n_skipped == 0:
+        assert err < 5e-5, (
+            f"trial {trial}: cfg={cfg} plane={plane} err={err:.2e}"
+        )
