@@ -92,6 +92,25 @@ def _build_parser() -> argparse.ArgumentParser:
                           "it back to `deform` as input 2")
     _add_invert_flags(inv)
 
+    doc = sub.add_parser(
+        "doctor",
+        help="lint a mesh/rig input set before fitting: duplicate markers, "
+             "radius sanity, capture coverage, solve conditioning, "
+             "symmetry detection, tracker jitter",
+    )
+    doc.add_argument("mesh", help="rest-pose mesh (.obj/.geo/.hgeo)")
+    doc.add_argument("rest_rig", help="rest control rig")
+    doc.add_argument("posed_rigs", nargs="*",
+                     help="posed rig(s); enables the solve probe, pose "
+                          "asymmetry and (5+ frames) tracker-jitter checks")
+    doc.add_argument("--group", default=None,
+                     help="point group/pattern the deform would write")
+    doc.add_argument("--json", action="store_true", dest="as_json",
+                     help="machine-readable findings + stats on stdout")
+    doc.add_argument("--no-solve", dest="probe_solve", action="store_false",
+                     help="skip the test solve (host-only checks)")
+    _add_model_flags(doc)
+
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.add_argument("--verts", type=int, default=1_000_000)
     b.add_argument("--controls", type=int, default=1000)
@@ -191,14 +210,10 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
 
 
-def _add_invert_flags(d) -> None:
-    """The solve-model + falloff surface relevant to the inverse problem,
-    plus fit_rig's own knobs.  Eval-only/morphspace flags are omitted (the
-    inverse fits the RBF rig, not the blend weights)."""
-    d.add_argument("--group", default=None,
-                   help="point group/pattern restricting which mesh points "
-                        "constrain the fit (the forward pass only writes "
-                        "these, so only they carry signal)")
+def _add_model_flags(d) -> None:
+    """The solve-model + falloff-shape surface shared by `invert` and
+    `doctor` (no eval-only/morphspace flags).  Pins the cook flags these
+    subcommands don't expose so `_cfg_params_from` works unchanged."""
     d.add_argument("--model", choices=["qnn", "multilayer", "kernel"],
                    default="qnn")
     d.add_argument("--kernel", choices=["gaussian", "thin_plate",
@@ -214,7 +229,7 @@ def _add_invert_flags(d) -> None:
     d.add_argument("--lambda", dest="lam", type=float, default=0.1)
     d.add_argument("--tangent", action="store_true",
                    help="model the forward pass's tangent projection "
-                        "(forces the gradient-descent path)")
+                        "(invert: forces the gradient-descent path)")
     d.add_argument("--falloff", action="store_true", dest="dofalloff",
                    help="model the forward pass's capture falloff gate "
                         "(real distances; otherwise captured verts get "
@@ -223,6 +238,17 @@ def _add_invert_flags(d) -> None:
     d.add_argument("--falloff-metric", choices=["euclidean", "geodesic"],
                    default="euclidean")
     d.add_argument("--strict-parity", action="store_true")
+    d.set_defaults(morphspace=False, dbse_robust=False, clamp_weights=False,
+                   weight_range=[0.0, 1.0], falloff_radius=1.0, solver="auto")
+
+
+def _add_invert_flags(d) -> None:
+    """fit_rig's knobs on top of the shared model surface."""
+    d.add_argument("--group", default=None,
+                   help="point group/pattern restricting which mesh points "
+                        "constrain the fit (the forward pass only writes "
+                        "these, so only they carry signal)")
+    _add_model_flags(d)
     d.add_argument("--ridge", type=float, default=1e-4,
                    help="Tikhonov weight on the rig delta (keeps markers "
                         "from flying off when the mesh underdetermines "
@@ -242,10 +268,6 @@ def _add_invert_flags(d) -> None:
                         "(full forward cook), write it to PATH, and report "
                         "the max |refit - target| round-trip error")
     d.add_argument("--timing", action="store_true", help="print per-stage ms")
-    # _cfg_params_from reads the full cook surface; pin the flags the
-    # inverse doesn't expose to their forward defaults
-    d.set_defaults(morphspace=False, dbse_robust=False, clamp_weights=False,
-                   weight_range=[0.0, 1.0], falloff_radius=1.0, solver="auto")
 
 
 def _split_attr_names(spec):
@@ -1147,6 +1169,35 @@ def _cmd_invert(args) -> int:
     return 0
 
 
+def _cmd_doctor(args) -> int:
+    from facedeform_tpu.doctor import diagnose
+    from facedeform_tpu.geometry import load_mesh
+
+    mesh = load_mesh(args.mesh)
+    rest_rig = load_mesh(args.rest_rig)
+    posed = [load_mesh(p) for p in args.posed_rigs]
+    _print_load_warnings(
+        [args.mesh, args.rest_rig] + list(args.posed_rigs),
+        [mesh, rest_rig] + posed,
+    )
+    cfg, params = _cfg_params_from(args)
+    rep = diagnose(
+        mesh, rest_rig, posed, cfg, params, group=args.group,
+        probe_solve=args.probe_solve,
+    )
+    if args.as_json:
+        print(json.dumps({
+            "findings": [f._asdict() for f in rep.findings],
+            "stats": rep.stats,
+            "summary": rep.summary(),
+        }))
+    else:
+        for f in rep.findings:
+            print(f"{f.severity}: [{f.code}] {f.message}")
+        print(rep.summary())
+    return 1 if rep.errors else 0
+
+
 def _cmd_bench(args) -> int:
     # Shared measurement core (facedeform_tpu/benchmark.py) — this
     # subcommand and the repo-root bench.py report the same numbers.
@@ -1165,6 +1216,8 @@ def main(argv=None) -> int:
             return _cmd_deform_seq(args)
         if args.cmd == "invert":
             return _cmd_invert(args)
+        if args.cmd == "doctor":
+            return _cmd_doctor(args)
         if args.cmd == "bench":
             return _cmd_bench(args)
     except (FileNotFoundError, KeyError, ValueError) as e:
