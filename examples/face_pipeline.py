@@ -26,6 +26,10 @@ feature set plus the rebuild's extensions):
       symmetric deformation, tracker asymmetry averaged out
   19. per-marker confidence: weighted ridge smooths over a glitched
       tracker marker instead of interpolating it
+  20. temporal smoothing: Savitzky-Golay over the shot's rig
+      trajectories — jitter out, motion arcs through exactly
+  21. doctor: lint the inputs (duplicates, units, radius, coverage,
+      jitter, conditioning) before anything fits
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -317,6 +321,36 @@ def main():
     e_cf = np.abs(np.asarray(d_conf.apply(face.points)[0]) - f_clean).max()
     print(f"confidence: glitched-marker field error {e_no:.3f} -> "
           f"{e_cf:.4f} vs the clean fit ({e_no / max(e_cf, 1e-9):.0f}x)")
+
+    # 20. temporal smoothing: jittered tracker trajectories are filtered
+    # by the SG operator — the underlying motion arc survives exactly
+    # (ops/temporal.py; CLI deform-seq --temporal-smooth 7)
+    from facedeform_tpu.ops import temporal
+
+    t_lin = np.linspace(0, 1, 16, dtype=np.float32)[:, None, None]
+    shot_clean = rig.points[None] + t_lin * smile * np.float32([0, -0.3, 0.4])
+    shot_noisy = shot_clean + 0.01 * rng.standard_normal(
+        shot_clean.shape).astype(np.float32)
+    shot_sm = temporal.smooth_frames(shot_noisy, window=7, order=2)
+    j_before = float(np.sqrt(((shot_noisy - shot_clean) ** 2).mean()))
+    j_after = float(np.sqrt(((shot_sm - shot_clean) ** 2).mean()))
+    print(f"temporal smooth: trajectory error rms {j_before:.4f} -> "
+          f"{j_after:.4f} ({j_before / max(j_after, 1e-12):.1f}x) — "
+          "the motion arc itself is untouched")
+
+    # 21. doctor: lint the inputs before anything fits (CLI `doctor`)
+    from facedeform_tpu.doctor import diagnose
+
+    flawed = rig.points.copy()
+    flawed[7] = flawed[6] + 1e-6                     # duplicate marker
+    rep = diagnose(
+        face, Mesh(points=flawed),
+        [Mesh(points=f) for f in shot_noisy],
+        DeformConfig(), DeformParams(radius=0.01),   # radius too small too
+    )
+    print(f"doctor: {rep.summary()}")
+    for f in rep.findings:
+        print(f"  {f.severity}: [{f.code}] {f.message[:72]}...")
 
 
 if __name__ == "__main__":
