@@ -520,11 +520,10 @@ def _cmd_deform_seq(args) -> int:
         [mesh, rest_rig] + rigs + blends,
     )
 
-    if getattr(args, "temporal_smooth", None) and len(rigs) > 1:
-        # Denoise the RAW tracker data first; symmetry/fit see the
-        # filtered trajectories (ops/temporal.py — solver-agnostic).
-        from facedeform_tpu.ops import temporal
-
+    needs_uniform = (getattr(args, "temporal_smooth", None)
+                     or getattr(args, "symmetrize", None))
+    if needs_uniform and rigs:
+        # both whole-shot transforms stack the rigs; validate once
         n0 = rest_rig.num_points
         bad = [p for p, r in zip(args.deform_rigs, rigs)
                if r.num_points != n0]
@@ -534,6 +533,12 @@ def _cmd_deform_seq(args) -> int:
                 f"{', '.join(bad)}", file=sys.stderr,
             )
             return 1
+
+    if getattr(args, "temporal_smooth", None) and len(rigs) > 1:
+        # Denoise the RAW tracker data first; symmetry/fit see the
+        # filtered trajectories (ops/temporal.py — solver-agnostic).
+        from facedeform_tpu.ops import temporal
+
         stack = np.stack([r.points for r in rigs])
         sm = temporal.smooth_frames(
             stack, window=args.temporal_smooth, order=args.temporal_order
@@ -561,15 +566,7 @@ def _cmd_deform_seq(args) -> int:
         from facedeform_tpu.geometry.mesh import Mesh as _Mesh
         from facedeform_tpu.ops import symmetry as sym_ops
 
-        n0 = rest_rig.num_points
-        bad = [p for p, r in zip(args.deform_rigs, rigs)
-               if r.num_points != n0]
-        if bad:
-            print(
-                "error: rig point counts differ from the rest rig: "
-                f"{', '.join(bad)}", file=sys.stderr,
-            )
-            return 1
+        # (point counts validated once above, shared with temporal-smooth)
         # one pairing pass for the whole shot (the pairing and rest snap
         # depend only on the rest rig); `class` and `confidence` attrs
         # ride through so capture islands and the weighted ridge survive
@@ -1186,9 +1183,15 @@ def _cmd_doctor(args) -> int:
         probe_solve=args.probe_solve,
     )
     if args.as_json:
+        # RFC-8259-safe: json.dumps renders float inf as the bare token
+        # `Infinity`, which jq/JSON.parse reject — null the non-finites
+        safe_stats = {
+            k: (None if isinstance(v, float) and not np.isfinite(v) else v)
+            for k, v in rep.stats.items()
+        }
         print(json.dumps({
             "findings": [f._asdict() for f in rep.findings],
-            "stats": rep.stats,
+            "stats": safe_stats,
             "summary": rep.summary(),
         }))
     else:

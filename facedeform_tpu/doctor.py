@@ -93,12 +93,14 @@ def _scale_overlap(mesh_pts, rig_pts, out, stats) -> None:
 
 
 def _marker_spacing(rig_pts, params, out, stats) -> float:
-    from facedeform_tpu.ops.symmetry import _median_nn_spacing
-
     n = rig_pts.shape[0]
-    med = _median_nn_spacing(rig_pts)
-    stats["median_marker_spacing"] = med
-    # exact min-NN (cheap at rig sizes; KD via the same helper's path)
+    if n < 2:
+        # no spacing to measure (the tiny-rig warning already fired);
+        # skip rather than emit inf-based advice
+        stats["median_marker_spacing"] = 0.0
+        stats["near_duplicate_markers"] = 0
+        return 0.0
+    # exact min-NN (cheap at rig sizes)
     try:
         from scipy.spatial import cKDTree
 
@@ -107,7 +109,25 @@ def _marker_spacing(rig_pts, params, out, stats) -> float:
         d2 = ((rig_pts[:, None] - rig_pts[None]) ** 2).sum(-1)
         np.fill_diagonal(d2, np.inf)
         d_nn = np.sqrt(d2.min(1))
-    n_dup = int((d_nn < 0.05 * med).sum())
+    # median over NONZERO spacings: a rig whose markers are exported
+    # twice (the canonical duplicate bug) has median NN spacing 0, which
+    # would make the 5%-of-median duplicate test vacuous exactly when it
+    # matters most
+    pos = d_nn[(d_nn > 0) & np.isfinite(d_nn)]
+    if pos.size == 0:
+        out.append(Finding(
+            "error", "all-markers-coincident",
+            f"every one of the {n} markers coincides with another — the "
+            "RBF system is singular",
+        ))
+        stats["median_marker_spacing"] = 0.0
+        stats["near_duplicate_markers"] = n
+        return 0.0
+    med = float(np.median(pos))
+    stats["median_marker_spacing"] = med
+    # absolute floor too: duplicates at exactly 0 distance must count
+    # even against a healthy median
+    n_dup = int((d_nn < max(0.05 * med, 1e-12)).sum())
     stats["near_duplicate_markers"] = n_dup
     if n_dup:
         out.append(Finding(
@@ -180,7 +200,10 @@ def _capture_coverage(mesh, rest_rig, cfg, params, group_mask, out, stats):
     # of the captured verts, how many found no rig prim within radius
     d2 = np.asarray(res.dist2)
     inside = res.captured & sel
-    if inside.any():
+    # the clipping advice only applies when the user's config actually
+    # computes falloff distances — with dofalloff=False the deform
+    # applies weight 1 everywhere and nothing clips
+    if inside.any() and cfg.dofalloff:
         far = float((d2[inside] >= radius * radius).mean())
         stats["captured_beyond_radius_fraction"] = far
         if far > 0.5:
@@ -350,6 +373,13 @@ def diagnose(
     rig_pts = np.asarray(rest_rig.points, np.float32)
     stats["num_points"] = int(mesh_pts.shape[0])
     stats["num_markers"] = int(rig_pts.shape[0])
+    for name, pts in (("mesh", mesh_pts), ("rest rig", rig_pts)):
+        if pts.shape[0] == 0:
+            out.append(Finding(
+                "error", "empty-input", f"{name} has no points"
+            ))
+    if out:
+        return DoctorReport(out, stats)
 
     ok = _finite_check("mesh", mesh_pts, out)
     ok &= _finite_check("rest rig", rig_pts, out)
@@ -413,7 +443,8 @@ def diagnose(
 
     confidence = _confidence_check(rest_rig, cfg, out, stats)
     first_pose = posed_stack[0] if posed_stack is not None else None
-    _symmetry_scan(rig_pts, first_pose, out, stats)
+    if rig_pts.shape[0] >= 4:
+        _symmetry_scan(rig_pts, first_pose, out, stats)
 
     if posed_stack is not None and posed_stack.shape[0] >= 5:
         _temporal_scan(rig_pts, posed_stack, out, stats)

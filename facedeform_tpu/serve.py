@@ -638,6 +638,22 @@ class DeformServer:
                         f"target_points {tgt.shape} must match "
                         f"rest_points {rest_pts.shape}"
                     )
+                from facedeform_tpu.ops import fit as fit_mod
+
+                n_rig = int(rest_ctrl.shape[0])
+                if cfg.solver == "pu" or fit_mod.uses_krylov(cfg, n_rig):
+                    # same guard as the CLI invert: the linear map is a
+                    # dense (N+m)^2 factorization with V RHS columns —
+                    # past the dense limit it OOMs XLA's LU VMEM panels
+                    # (and a stuck compile wedges the shared TPU tunnel)
+                    return {
+                        "ok": False,
+                        "error": f"fit_rig materializes the dense "
+                                 f"{n_rig}-marker linear map; rigs past "
+                                 f"the dense limit "
+                                 f"({fit_mod._KRYLOV_THRESHOLD}) aren't "
+                                 "supported",
+                    }
                 dist2 = decode_array(req["dist2"]) if "dist2" in req else None
                 frame = None
                 if all(k in req for k in ("tangentu", "tangentv", "normal")):

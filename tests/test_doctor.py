@@ -154,3 +154,57 @@ def test_doctor_cli(tmp_path, rng, capsys):
     err_out = capsys.readouterr().out
     assert rc == 1
     assert "[no-overlap]" in err_out
+
+
+# -------------------------------------------------- review-fix regressions
+def test_doctor_fully_duplicated_rig(rng):
+    """A rig exported twice (median NN spacing 0) must still be caught —
+    the median-relative test alone is vacuous there."""
+    mesh, rig, _ = _clean_inputs(rng)
+    doubled = Mesh(points=np.concatenate([rig.points, rig.points]))
+    rep = diagnose(mesh, doubled, probe_solve=False)
+    assert "all-markers-coincident" in _codes(rep)
+    assert rep.errors
+    # partial duplication (exact copies against a healthy median)
+    pts = rig.points.copy()
+    pts[5] = pts[4]  # exactly coincident
+    rep2 = diagnose(mesh, Mesh(points=pts), probe_solve=False)
+    assert "duplicate-markers" in _codes(rep2)
+
+
+def test_doctor_empty_and_single_marker(rng, tmp_path, capsys):
+    mesh, rig, _ = _clean_inputs(rng)
+    rep = diagnose(mesh, Mesh(points=np.zeros((0, 3), np.float32)))
+    assert "empty-input" in _codes(rep) and rep.errors
+
+    # 1-marker rig: no inf-based advice, and --json stays RFC-8259 valid
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.obj_io import save_obj
+
+    save_obj(str(tmp_path / "mesh.obj"), mesh)
+    save_obj(str(tmp_path / "one.obj"), Mesh(points=rig.points[:1]))
+    rc = main(["doctor", str(tmp_path / "mesh.obj"),
+               str(tmp_path / "one.obj"), "--no-solve", "--json"])
+    out = capsys.readouterr().out
+    assert "Infinity" not in out
+    parsed = json.loads(out)
+    codes = {f["code"] for f in parsed["findings"]}
+    assert "tiny-rig" in codes
+    assert "radius-small" not in codes
+    assert rc == 0
+
+
+def test_doctor_falloff_advice_respects_dofalloff(rng):
+    """falloff-clips is advice about the falloff gate; with dofalloff=False
+    the deform applies weight 1 everywhere, so it must not fire."""
+    from facedeform_tpu.config import DeformConfig
+
+    mesh, rig, _ = _clean_inputs(rng)
+    tiny_r = DeformParams(radius=0.05)
+    rep_off = diagnose(mesh, rig, params=tiny_r, probe_solve=False)
+    assert "falloff-clips" not in _codes(rep_off)
+    rep_on = diagnose(mesh, rig, cfg=DeformConfig(dofalloff=True),
+                      params=tiny_r, probe_solve=False)
+    # with real distances at a tiny radius most captured verts clip
+    assert "falloff-clips" in _codes(rep_on) or \
+        rep_on.stats.get("captured_beyond_radius_fraction", 1.0) <= 0.5

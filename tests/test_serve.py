@@ -505,3 +505,16 @@ def test_serve_fit_rig_inverse(server, rng):
         "target_points": serve_mod.encode_array(mesh.points[:-1]),
     })
     assert not r["ok"] and "must match" in r["error"]
+
+
+def test_serve_fit_rig_dense_limit_guard(server, rng):
+    """Oversize rigs must get the protocol error, not a VMEM OOM."""
+    big = rng.standard_normal((9000, 3)).astype(np.float32)
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    r = _rpc(server, {
+        "cmd": "fit_rig",
+        "rest_ctrl": serve_mod.encode_array(big),
+        "rest_points": serve_mod.encode_array(pts),
+        "target_points": serve_mod.encode_array(pts),
+    })
+    assert not r["ok"] and "dense limit" in r["error"]
