@@ -593,12 +593,81 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
     }
 
 
+def config12_interactive_drag(rng, n_ctrl=4096, drags=8):
+    """Interactive marker-drag re-solve: FitPlan.refit vs full Deformer.fit.
+
+    The system matrix depends only on the rest rig; a drag changes the RHS
+    alone, so the cached factorization turns the per-drag cost from the
+    O(n^3) LU into O(n^2) solves + refinement (deformer.FitPlan).  Uses the
+    TPS growing kernel at config 7's size — the most expensive dense fit
+    (df assembly + GMRES-IR refinement) and the one an artist sculpting a
+    dense scan rig actually pays.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from facedeform_tpu import (
+        DeformConfig, DeformParams, Deformer, RBFKernel, RBFModelType,
+    )
+    from facedeform_tpu.deformer import FitPlan
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+
+    rest = fibonacci_points(n_ctrl)
+    cfg = DeformConfig(model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE)
+    params = DeformParams(radius=1.0, lam=0.01)
+
+    def pose(i):
+        r = np.random.default_rng(100 + i)
+        return (rest + 0.05 * r.standard_normal((n_ctrl, 3))).astype(np.float32)
+
+    # Warm both programs.
+    d0, plan = Deformer.fit_with_plan(rest, pose(0), cfg, params)
+    _sync(d0.model.w_rbf)
+    _sync(plan.refit(pose(1)).model.w_rbf)
+    _sync(Deformer.fit(rest, pose(1), cfg, params).model.w_rbf)
+
+    best_fit = None
+    for i in range(3):
+        p = jnp.asarray(pose(2 + i))
+        t0 = _time.time()
+        _sync(Deformer.fit(rest, p, cfg, params).model.w_rbf)
+        dt = _time.time() - t0
+        best_fit = dt if best_fit is None else min(best_fit, dt)
+
+    best_refit = None
+    last = None
+    for i in range(drags):
+        p = jnp.asarray(pose(2 + i))
+        t0 = _time.time()
+        last = plan.refit(p)
+        _sync(last.model.w_rbf)
+        dt = _time.time() - t0
+        best_refit = dt if best_refit is None else min(best_refit, dt)
+
+    # Refit must reproduce the from-scratch fit of the same pose exactly.
+    ref = Deformer.fit(rest, pose(2 + drags - 1), cfg, params)
+    werr = float(
+        jnp.max(jnp.abs(last.model.w_rbf - ref.model.w_rbf))
+        / jnp.maximum(jnp.max(jnp.abs(ref.model.w_rbf)), 1e-30)
+    )
+    return {
+        "config": "12: interactive drag re-solve (FitPlan)",
+        "controls": n_ctrl,
+        "full_fit_ms": best_fit * 1e3,
+        "refit_ms": best_refit * 1e3,
+        "speedup": best_fit / best_refit,
+        "refit_vs_fit_weight_relerr": werr,
+        "pass": bool(werr < 1e-6 and best_refit < best_fit),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", type=int, default=None, metavar="N",
-                    choices=range(1, 12),
-                    help="run a single config (1-10) for iteration")
+                    choices=range(1, 13),
+                    help="run a single config (1-12) for iteration")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     results = []
@@ -606,7 +675,7 @@ def main():
                config4_dbse, config5_animated, config6_large_n,
                config7_growing_kernel_precision, config8_cpd_preconditioned,
                config9_pu_any_n, config10_pu_sequence,
-               config11_normal_transport)
+               config11_normal_transport, config12_interactive_drag)
     if args.only is not None:
         configs = (configs[args.only - 1],)
     for fn in configs:

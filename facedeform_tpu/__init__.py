@@ -46,7 +46,7 @@ from facedeform_tpu.config import (
     RBFModelType,
 )
 from facedeform_tpu.capture.capture import CaptureResult, ProximityCapture
-from facedeform_tpu.deformer import Deformer
+from facedeform_tpu.deformer import Deformer, FitPlan
 from facedeform_tpu.geometry.mesh import Mesh
 from facedeform_tpu.inverse import InverseRigResult, fit_rig
 from facedeform_tpu.node import CookResult, FaceDeformNode
@@ -68,6 +68,7 @@ __all__ = [
     "RBFKernel",
     "RBFModelType",
     "Deformer",
+    "FitPlan",
     "FaceDeformNode",
     "CookResult",
     "ProximityCapture",

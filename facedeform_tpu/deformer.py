@@ -90,6 +90,7 @@ class Deformer:
         params: DeformParams = DeformParams(),
         check: bool = True,
         confidence=None,
+        want_plan: bool = False,
     ) -> "Deformer":
         """Solve the RBF system mapping rest_ctrl -> deformed_ctrl.
 
@@ -124,10 +125,16 @@ class Deformer:
                 confidence, int(rest_ctrl.shape[0])
             )
         # solve_view: don't let eval-only config toggles force recompiles
-        model, report = fit_mod.fit(
-            rest_ctrl, deformed_ctrl, cfg.solve_view(), params,
-            confidence=confidence,
-        )
+        if want_plan:
+            model, report, factors = fit_mod.fit_with_factors(
+                rest_ctrl, deformed_ctrl, cfg.solve_view(), params,
+                confidence=confidence,
+            )
+        else:
+            model, report = fit_mod.fit(
+                rest_ctrl, deformed_ctrl, cfg.solve_view(), params,
+                confidence=confidence,
+            )
         if check:
             # The CPD-kernel Krylov path converges to the f32 Krylov noise
             # floor, not the refined-LU floor — match the threshold to the
@@ -147,7 +154,40 @@ class Deformer:
                 rtol=errors.KRYLOV_CPD_BACKWARD_RTOL if cpd_krylov
                 else errors.SOLVE_BACKWARD_RTOL,
             )
-        return cls(model=model, cfg=cfg, params=params, report=report)
+        deformer = cls(model=model, cfg=cfg, params=params, report=report)
+        if want_plan:
+            return deformer, FitPlan(factors=factors, cfg=cfg, params=params)
+        return deformer
+
+    @classmethod
+    def fit_with_plan(
+        cls,
+        rest_ctrl: np.ndarray,
+        deformed_ctrl: np.ndarray,
+        cfg: DeformConfig = DeformConfig(),
+        params: DeformParams = DeformParams(),
+        check: bool = True,
+        confidence=None,
+    ) -> tuple["Deformer", "FitPlan"]:
+        """Deformer.fit that also returns the pose-independent FitPlan.
+
+        The plan's factors ride along with the fit (the LU was computed
+        anyway), so there is no second factorization — subsequent poses of
+        the same rest rig go through plan.refit() at O(n^2) (the
+        interactive marker-drag path; see FitPlan).  Requires the dense
+        route: gate with FitPlan.supports(cfg, n).
+        """
+        if not FitPlan.supports(cfg, int(jnp.shape(rest_ctrl)[0])):
+            raise ValueError(
+                "fit_with_plan needs the dense route (plans cache the "
+                "dense factorization): this cfg/rig routes through "
+                f"{'PU' if cfg.solver == 'pu' else 'Krylov'} — gate with "
+                "FitPlan.supports(cfg, n)"
+            )
+        return cls.fit(
+            rest_ctrl, deformed_ctrl, cfg, params, check=check,
+            confidence=confidence, want_plan=True,
+        )
 
     def displacement(self, points) -> jnp.ndarray:
         """Raw RBF displacement field at arbitrary points (V, 3) -> (V, 3)."""
@@ -407,4 +447,83 @@ class Deformer:
         return apply_fn(
             self.model, points, dist2, frame, group_mask,
             self.cfg.eval_view(), self.params,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class FitPlan:
+    """Pose-independent half of a dense fit: the interactive-drag artifact.
+
+    The RBF system matrix depends only on the rest rig and the solve
+    params; the deformed rig enters through the RHS alone.  A FitPlan
+    holds the assembled + LU-factored per-layer systems
+    (ops/fit.FitFactors), so re-posing the SAME rest rig — an artist
+    dragging markers, a tracked shot streaming new frames — costs
+    O(n^2) triangular solves + refinement instead of the O(n^3)
+    factorization the reference pays every cook
+    (src/SOP_FaceDeform.cpp:330-368 rebuilds the whole ALGLIB model).
+
+    Obtain one from Deformer.fit_with_plan (rides along with the first
+    full fit — the factors are computed by the fit anyway) or
+    FitPlan.prepare (no pose needed).  refit() returns a full Deformer
+    whose weights match a from-scratch fit bitwise (same resolve
+    arithmetic against the same factors).
+
+    Dense route only: PU rigs plan per patch (ops/pu.py), Krylov fits
+    are matrix-free.  Gate with FitPlan.supports(cfg, n).
+    """
+
+    factors: fit_mod.FitFactors
+    cfg: DeformConfig
+    params: DeformParams
+
+    @staticmethod
+    def supports(cfg: DeformConfig, n: int) -> bool:
+        """Whether (cfg, n-control rig) routes through the dense
+        factorization a plan can cache."""
+        return cfg.solver != "pu" and not fit_mod.uses_krylov(cfg, n)
+
+    @classmethod
+    def prepare(
+        cls,
+        rest_ctrl,
+        cfg: DeformConfig = DeformConfig(),
+        params: DeformParams = DeformParams(),
+        confidence=None,
+    ) -> "FitPlan":
+        """Assemble + factor without a pose (ops/fit.prepare)."""
+        rest_ctrl = jnp.asarray(rest_ctrl, jnp.float32)
+        if confidence is not None:
+            confidence = fit_mod.confidence_clipped(
+                confidence, int(rest_ctrl.shape[0])
+            )
+        factors = fit_mod.prepare(
+            rest_ctrl, cfg.solve_view(), params, confidence=confidence
+        )
+        return cls(factors=factors, cfg=cfg, params=params)
+
+    @property
+    def num_controls(self) -> int:
+        return int(self.factors.ctrl.shape[0])
+
+    def refit(self, deformed_ctrl, check: bool = True) -> Deformer:
+        """Re-solve for a new pose of the planned rest rig.
+
+        Same validation surface as Deformer.fit: ShapeMismatchError on a
+        rig-count mismatch, SolveFailedError through errors.check_solve
+        (dense-route threshold — plans never cover Krylov fits).
+        """
+        deformed_ctrl = jnp.asarray(deformed_ctrl, jnp.float32)
+        if deformed_ctrl.shape != self.factors.ctrl.shape:
+            raise errors.ShapeMismatchError(
+                f"planned rest rig has {self.factors.ctrl.shape} points "
+                f"but the pose has {deformed_ctrl.shape}"
+            )
+        model, report = fit_mod.refit(
+            self.factors, deformed_ctrl, self.cfg.solve_view()
+        )
+        if check:
+            errors.check_solve(report, rtol=errors.SOLVE_BACKWARD_RTOL)
+        return Deformer(
+            model=model, cfg=self.cfg, params=self.params, report=report
         )

@@ -87,6 +87,14 @@ class FaceDeformNode:
         self._dbse_model: Optional[dbse_ops.DBSEModel] = None
         self._fit_key: Optional[tuple] = None
         self._deformer: Optional[Deformer] = None
+        # Pose-independent dense factorization (deformer.FitPlan), keyed on
+        # everything in the fit key EXCEPT the deformed rig: an interactive
+        # marker drag (new pose, same rest rig/params) re-solves through
+        # plan.refit() at O(n^2) instead of refactoring at O(n^3) — the
+        # change-tracking granularity the reference's per-cook ALGLIB
+        # rebuild never had (src/SOP_FaceDeform.cpp:330-368).
+        self._fit_plan = None
+        self._fit_plan_key: Optional[tuple] = None
         self._rest_key: Optional[int] = None
         self._rest_attr: Optional[np.ndarray] = None
         # Autotuned eval backend (dense vs culled Pallas kernel), keyed on
@@ -455,10 +463,41 @@ class FaceDeformNode:
                         mesh_devices=mesh_devices, confidence=confidence,
                     )
                 else:
-                    self._deformer = Deformer.fit(
-                        rest_rig.points, deform_rig.points, cfg, params,
-                        confidence=confidence,
+                    from facedeform_tpu.deformer import FitPlan
+
+                    # The factor key is the fit key minus the deformed rig:
+                    # a pose-only change (marker drag / next tracked frame)
+                    # keeps it, so the cached FitPlan's O(n^2) refit
+                    # replaces the O(n^3) refactorization.
+                    factor_key = (
+                        rest_rig.pos_id, cfg.solve_view(),
+                        _fit_params_key(params),
+                        rest_rig.attr_id if confidence is not None else None,
                     )
+                    if FitPlan.supports(cfg, rest_rig.num_points):
+                        if factor_key == self._fit_plan_key:
+                            # plan cfg/params carry fit-time eval toggles;
+                            # refresh to this cook's (solve fields match —
+                            # they are in the factor key)
+                            self._deformer = dataclasses.replace(
+                                self._fit_plan.refit(deform_rig.points),
+                                cfg=cfg, params=params,
+                            )
+                        else:
+                            self._deformer, self._fit_plan = (
+                                Deformer.fit_with_plan(
+                                    rest_rig.points, deform_rig.points,
+                                    cfg, params, confidence=confidence,
+                                )
+                            )
+                            self._fit_plan_key = factor_key
+                    else:
+                        self._fit_plan = None
+                        self._fit_plan_key = None
+                        self._deformer = Deformer.fit(
+                            rest_rig.points, deform_rig.points, cfg, params,
+                            confidence=confidence,
+                        )
             self._fit_key = fit_key
         elif (
             self._deformer.cfg != cfg

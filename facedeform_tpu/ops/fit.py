@@ -180,6 +180,67 @@ def _lam_col(lam: jnp.ndarray) -> jnp.ndarray:
     return lam[:, None] if lam.ndim == 1 else lam
 
 
+class LayerFactors(NamedTuple):
+    """Pose-independent artifacts of one dense layer's solve: the
+    assembled system (df pair for growing kernels, a_lo=None otherwise)
+    plus its f32 LU factors.  Everything here depends only on the rest
+    rig and the solve params — never on the deformed pose — which is what
+    makes the interactive marker-drag re-solve (refit) an O(n^2) step."""
+
+    a_hi: jnp.ndarray
+    a_lo: jnp.ndarray | None
+    lu: jnp.ndarray
+    piv: jnp.ndarray
+
+
+class FitFactors(NamedTuple):
+    """prepare()'s output: per-layer LayerFactors plus the radius/ridge
+    fields fit() derived from the rest rig, so refit() never recomputes
+    them (QNN's adaptive radii are a rest-rig function)."""
+
+    ctrl: jnp.ndarray                       # (N, 3) f32 rest controls
+    eps0: jnp.ndarray                       # (N,) first-layer radii
+    lam0: jnp.ndarray                       # scalar or (N,) ridge
+    layers: tuple                           # L x LayerFactors
+
+
+def _assemble_layer(rest_ctrl, kernel, term, eps_l, lam0):
+    """Assemble one layer's system: df pair for growing kernels (the f32
+    assembly rounding of phi is itself budget-breaking once amplified by
+    conditioning), plain f32 (a, None) for decaying kernels."""
+    from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
+    if kernel in GROWING_KERNELS:
+        from facedeform_tpu.ops.assemble import assemble_system_df
+
+        return assemble_system_df(rest_ctrl, kernel, term, eps_l, lam0)
+    return assemble_system(rest_ctrl, kernel, term, eps_l, lam0), None
+
+
+def _factor_layer(a_hi, a_lo) -> LayerFactors:
+    from facedeform_tpu.ops.solve import lu_factor_hp
+
+    lu, piv = lu_factor_hp(a_hi)
+    return LayerFactors(a_hi=a_hi, a_lo=a_lo, lu=lu, piv=piv)
+
+
+def _resolve_layer(lay: LayerFactors, b: jnp.ndarray, n_refine: int):
+    """Refined solve against a layer's PRECOMPUTED factors — the exact
+    refinement arithmetic of the factoring path (ops/solve.py), minus the
+    O(n^3) factorization.  Returns ((x, x_lo), report)."""
+    from facedeform_tpu.ops.solve import _lu_against_df_impl, _lu_refined_impl
+
+    if lay.a_lo is not None:
+        return _lu_against_df_impl(
+            lay.a_hi, lay.a_lo, b, max(n_refine, 3), gmres_ir=True,
+            lu_piv=(lay.lu, lay.piv),
+        )
+    (x, x_lo), report, _ = _lu_refined_impl(
+        lay.a_hi, b, n_refine, want_lo=True, lu_piv=(lay.lu, lay.piv)
+    )
+    return (x, x_lo), report
+
+
 def _dense_layer_solve(
     rest_ctrl: jnp.ndarray,
     kernel: RBFKernel,
@@ -188,32 +249,21 @@ def _dense_layer_solve(
     lam0: jnp.ndarray,
     b: jnp.ndarray,
     n_refine: int,
+    want_factors: bool = False,
 ):
     """One dense-layer solve: assemble + refined LU, df-aware per kernel.
 
-    Growing kernels assemble and refine against the double-float system
-    (the f32 assembly rounding of phi is itself budget-breaking once
-    amplified by conditioning); decaying kernels take the plain f32
-    system with compensated refinement.  Returns (a, (x, x_lo), report);
-    a is the f32(-hi) system for residual chaining.  Single source of
-    truth for fit()'s dense branch AND fit_frames_dense (which only packs
-    more RHS columns into b).
+    Returns (a, (x, x_lo), report[, LayerFactors]); a is the f32(-hi)
+    system for residual chaining.  Single source of truth for fit()'s
+    dense branch AND fit_frames_dense (which only packs more RHS columns
+    into b) AND — decomposed as _assemble_layer/_factor_layer/
+    _resolve_layer — the prepare()/refit() pose-independent split.
     """
-    from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
-
-    if kernel in GROWING_KERNELS:
-        from facedeform_tpu.ops.assemble import assemble_system_df
-        from facedeform_tpu.ops.solve import lu_solve_refined_against_df
-
-        a, a_lo = assemble_system_df(rest_ctrl, kernel, term, eps_l, lam0)
-        (x, x_lo), report = lu_solve_refined_against_df(
-            a, a_lo, b, n_refine=max(n_refine, 3)
-        )
-    else:
-        from facedeform_tpu.ops.solve import lu_solve_refined_df
-
-        a = assemble_system(rest_ctrl, kernel, term, eps_l, lam0)
-        (x, x_lo), report = lu_solve_refined_df(a, b, n_refine=n_refine)
+    a, a_lo = _assemble_layer(rest_ctrl, kernel, term, eps_l, lam0)
+    lay = _factor_layer(a, a_lo)
+    (x, x_lo), report = _resolve_layer(lay, b, n_refine)
+    if want_factors:
+        return a, (x, x_lo), report, lay
     return a, (x, x_lo), report
 
 
@@ -225,6 +275,47 @@ def fit(
     params: DeformParams = DeformParams(),
     confidence: jnp.ndarray | None = None,
 ) -> tuple[RBFModel, SolveReport]:
+    """Fit an RBFModel mapping rest control points to their displacements.
+    (docstring continues on _fit_impl)"""
+    model, report, _ = _fit_impl(
+        rest_ctrl, deformed_ctrl, cfg, params, confidence, want_factors=False
+    )
+    return model, report
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fit_with_factors(
+    rest_ctrl: jnp.ndarray,
+    deformed_ctrl: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams = DeformParams(),
+    confidence: jnp.ndarray | None = None,
+) -> tuple[RBFModel, SolveReport, FitFactors]:
+    """fit() that also returns the pose-independent FitFactors, so an
+    interactive caller (node.py's factor cache) pays the O(n^3)
+    factorizations ONCE per rest rig and re-solves marker drags through
+    refit() at O(n^2).  Dense route only — Krylov fits are matrix-free
+    (raise at trace time; callers gate on uses_krylov)."""
+    if uses_krylov(cfg, int(rest_ctrl.shape[0])):
+        raise ValueError(
+            "fit_with_factors is a dense-route API: the Krylov path is "
+            "matrix-free (no factorization to reuse) — gate on "
+            "fit.uses_krylov before calling"
+        )
+    model, report, factors = _fit_impl(
+        rest_ctrl, deformed_ctrl, cfg, params, confidence, want_factors=True
+    )
+    return model, report, factors
+
+
+def _fit_impl(
+    rest_ctrl: jnp.ndarray,
+    deformed_ctrl: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams,
+    confidence: jnp.ndarray | None,
+    want_factors: bool,
+):
     """Fit an RBFModel mapping rest control points to their displacements.
 
     Equivalent of the reference's pack + build sequence
@@ -256,6 +347,7 @@ def fit(
     w_lo_layers = []
     eps_layers = []
     layer_reports = []
+    layer_factors = []
     w_poly = jnp.zeros((cfg.n_poly, 3), dtype=jnp.float32)
     w_poly_lo = jnp.zeros((cfg.n_poly, 3), dtype=jnp.float32)
     target = delta
@@ -315,9 +407,16 @@ def fit(
             # The solver reports carry the double-float-compensated
             # residual plus the backward-error scale and LU cond estimate;
             # x_lo holds the sub-f32 solution bits for the precise eval.
-            a, (x, x_lo), report = _dense_layer_solve(
-                rest_ctrl, kernel, term, eps_l, lam0, b, cfg.n_refine
-            )
+            if want_factors:
+                a, (x, x_lo), report, lay = _dense_layer_solve(
+                    rest_ctrl, kernel, term, eps_l, lam0, b, cfg.n_refine,
+                    want_factors=True,
+                )
+                layer_factors.append(lay)
+            else:
+                a, (x, x_lo), report = _dense_layer_solve(
+                    rest_ctrl, kernel, term, eps_l, lam0, b, cfg.n_refine
+                )
 
             def apply_sys(v, a=a):
                 return jnp.dot(
@@ -353,6 +452,105 @@ def fit(
         eps=jnp.stack(eps_layers),
         w_rbf_lo=None if use_krylov else jnp.stack(w_lo_layers),
         w_poly_lo=None if use_krylov else w_poly_lo,
+    )
+    factors = (
+        FitFactors(ctrl=rest_ctrl, eps0=eps0, lam0=lam0,
+                   layers=tuple(layer_factors))
+        if want_factors else None
+    )
+    return model, _worst_report(layer_reports), factors
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prepare(
+    rest_ctrl: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams = DeformParams(),
+    confidence: jnp.ndarray | None = None,
+) -> FitFactors:
+    """Assemble + LU-factor the dense per-layer systems WITHOUT a pose.
+
+    The saddle system depends only on the rest rig and solve params
+    (ops/assemble.py) — the deformed rig enters through the RHS alone.
+    prepare() + refit() split the fit at exactly that boundary, so an
+    interactive session (an artist dragging markers: same rest rig, new
+    pose every cook — the reference re-solves its whole ALGLIB model per
+    cook, src/SOP_FaceDeform.cpp:330-368) pays the O(n^3) factorization
+    once and O(n^2) triangular solves + refinement per drag.
+
+    Dense route only; gate on fit.uses_krylov (matrix-free — nothing to
+    factor) and solver != "pu" (ops/pu.py has its own patch plan).
+    """
+    if uses_krylov(cfg, int(rest_ctrl.shape[0])):
+        raise ValueError(
+            "prepare() is a dense-route API: the Krylov path is "
+            "matrix-free — gate on fit.uses_krylov"
+        )
+    params = params.clamped()
+    rest_ctrl = rest_ctrl.astype(jnp.float32)
+    kernel = effective_kernel(cfg)
+    eps0, lam0 = _family_radii(cfg, params, rest_ctrl, confidence)
+    layers = []
+    for layer in range(cfg.n_layers):
+        eps_l = eps0 * (0.5 ** layer)
+        term = cfg.term if layer == 0 else type(cfg.term)(2)  # PolyTerm.ZERO
+        a, a_lo = _assemble_layer(rest_ctrl, kernel, term, eps_l, lam0)
+        layers.append(_factor_layer(a, a_lo))
+    return FitFactors(ctrl=rest_ctrl, eps0=eps0, lam0=lam0,
+                      layers=tuple(layers))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def refit(
+    factors: FitFactors,
+    deformed_ctrl: jnp.ndarray,
+    cfg: DeformConfig,
+) -> tuple[RBFModel, SolveReport]:
+    """Re-solve a prepared dense fit for a NEW pose: the marker-drag path.
+
+    Identical refinement arithmetic to fit()'s dense branch (both route
+    through _resolve_layer against the same factors), so a refit model
+    matches a from-scratch fit of the same pose.  Takes no params: every
+    dynamic knob that shapes the system (radius/lam/qcoef/zcoef,
+    confidence) was baked into `factors` by prepare()/fit_with_factors —
+    changing those requires a new prepare.
+    """
+    rest_ctrl = factors.ctrl
+    n = rest_ctrl.shape[0]
+    lam0 = factors.lam0
+    delta = deformed_ctrl.astype(jnp.float32) - rest_ctrl
+    target = delta
+    w_layers, w_lo_layers, eps_layers, layer_reports = [], [], [], []
+    w_poly = jnp.zeros((cfg.n_poly, 3), dtype=jnp.float32)
+    w_poly_lo = jnp.zeros((cfg.n_poly, 3), dtype=jnp.float32)
+    hp = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+
+    for layer in range(cfg.n_layers):
+        eps_l = factors.eps0 * (0.5 ** layer)
+        term = cfg.term if layer == 0 else type(cfg.term)(2)  # PolyTerm.ZERO
+        b = assemble_rhs(target, term)
+        lay = factors.layers[layer]
+        (x, x_lo), report = _resolve_layer(lay, b, cfg.n_refine)
+        w_l = x[:n]
+        w_layers.append(w_l)
+        w_lo_layers.append(x_lo[:n])
+        eps_layers.append(eps_l)
+        layer_reports.append(report)
+        if layer == 0 and cfg.n_poly > 0:
+            w_poly = x[n:]
+            w_poly_lo = x_lo[n:]
+        if layer + 1 < cfg.n_layers:
+            ax = jnp.dot(lay.a_hi, x, **hp)
+            target = target - (ax[:n] - _lam_col(lam0) * w_l)
+
+    model = RBFModel(
+        ctrl=rest_ctrl,
+        w_rbf=jnp.stack(w_layers),
+        w_poly=w_poly,
+        eps=jnp.stack(eps_layers),
+        w_rbf_lo=jnp.stack(w_lo_layers),
+        w_poly_lo=w_poly_lo,
     )
     return model, _worst_report(layer_reports)
 

@@ -220,6 +220,55 @@ def lu_solve_refined_factored(
     return x, report, lu_piv
 
 
+@functools.partial(jax.jit, static_argnames=())
+def lu_factor_hp(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 LU factorization under HIGHEST matmul precision.
+
+    The precision scope matters: the blocked LAPACK-style factorization
+    runs its panel updates through the MXU, and the default bf16 pass
+    would destabilize the factors as a refinement preconditioner.  This
+    is THE factor step of the pose-independent fit plan (ops/fit.prepare):
+    the system matrix depends only on the rest rig + solve params, so an
+    interactive marker drag (deformed rig moved, rest rig unchanged) can
+    reuse these factors and pay only triangular solves + refinement
+    (lu_resolve_* below).
+    """
+    with jax.default_matmul_precision("highest"):
+        return jax.scipy.linalg.lu_factor(a.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_refine",))
+def lu_resolve_refined_df(
+    lu_piv: tuple[jnp.ndarray, jnp.ndarray],
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    n_refine: int = 2,
+) -> tuple[tuple[jnp.ndarray, jnp.ndarray], SolveReport]:
+    """lu_solve_refined_df against PRECOMPUTED (lu, piv) factors of `a`.
+
+    Same refinement arithmetic as the factoring entry — only the O(n^3)
+    factorization is skipped, so a re-solve for a new RHS (marker drag:
+    same rest rig, new pose delta) costs O(n^2 * sweeps).
+    """
+    x_df, report, _ = _lu_refined_impl(a, b, n_refine, want_lo=True,
+                                       lu_piv=lu_piv)
+    return x_df, report
+
+
+@functools.partial(jax.jit, static_argnames=("n_refine", "gmres_ir"))
+def lu_resolve_refined_against_df(
+    lu_piv: tuple[jnp.ndarray, jnp.ndarray],
+    a_hi: jnp.ndarray,
+    a_lo: jnp.ndarray,
+    b: jnp.ndarray,
+    n_refine: int = 3,
+    gmres_ir: bool = True,
+) -> tuple[tuple[jnp.ndarray, jnp.ndarray], SolveReport]:
+    """lu_solve_refined_against_df against PRECOMPUTED factors of a_hi."""
+    return _lu_against_df_impl(a_hi, a_lo, b, n_refine, gmres_ir,
+                               lu_piv=lu_piv)
+
+
 @functools.partial(jax.jit, static_argnames=("n_refine", "gmres_ir"))
 def lu_solve_refined_against_df(
     a_hi: jnp.ndarray,
@@ -251,6 +300,12 @@ def lu_solve_refined_against_df(
     30k controls, warm fit 5.0 s -> 0.68 s on v5e).  Forced-global-eps
     fits (cond ~5e10) MUST keep GMRES-IR.
     """
+    return _lu_against_df_impl(a_hi, a_lo, b, n_refine, gmres_ir)
+
+
+def _lu_against_df_impl(a_hi, a_lo, b, n_refine, gmres_ir, lu_piv=None):
+    """Shared body of lu_solve_refined_against_df / lu_resolve_...: factor
+    a_hi unless precomputed (lu, piv) factors were passed."""
     from facedeform_tpu.ops.krylov import gmres
 
     a_hi = a_hi.astype(jnp.float32)
@@ -260,7 +315,8 @@ def lu_solve_refined_against_df(
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
     with jax.default_matmul_precision("highest"):
-        lu, piv = jax.scipy.linalg.lu_factor(a_hi)
+        lu, piv = (jax.scipy.linalg.lu_factor(a_hi)
+                   if lu_piv is None else lu_piv)
 
         def msolve(v):
             return jax.scipy.linalg.lu_solve((lu, piv), v)
@@ -321,7 +377,7 @@ def lu_solve_refined_against_df(
     return (x_hi, x_lo), report
 
 
-def _lu_refined_impl(a, b, n_refine, want_lo):
+def _lu_refined_impl(a, b, n_refine, want_lo, lu_piv=None):
     """Iterative refinement with the solution kept in DOUBLE-FLOAT.
 
     Folding each correction into an f32 x re-rounds the solution every
@@ -339,7 +395,8 @@ def _lu_refined_impl(a, b, n_refine, want_lo):
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )
     with jax.default_matmul_precision("highest"):
-        lu, piv = jax.scipy.linalg.lu_factor(a)
+        lu, piv = (jax.scipy.linalg.lu_factor(a)
+                   if lu_piv is None else lu_piv)
         from facedeform_tpu.ops.dfloat import _two_sum as _guarded_two_sum
 
         def _refine(b_blk):

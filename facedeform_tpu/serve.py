@@ -174,6 +174,17 @@ class Client:
         )
         return resp["deformer"]
 
+    def refit(self, deformer: str, deformed_ctrl) -> str:
+        """Re-pose a fitted deformer's rig in place (interactive drag):
+        ships ONLY the new pose; the server re-solves against the cached
+        pose-independent factorization (deformer.FitPlan) at O(n^2).
+        Raises if the deformer has no plan (PU/Krylov/checkpoint-loaded)."""
+        resp, _ = self.request(
+            {"cmd": "refit", "deformer": deformer},
+            {"deformed_ctrl": np.asarray(deformed_ctrl, np.float32)},
+        )
+        return resp["deformer"]
+
     def apply(self, deformer: str, points, dist2=None, gate=None):
         arrays = {"points": np.asarray(points, np.float32)}
         if dist2 is not None:
@@ -324,6 +335,10 @@ class DeformServer:
 
     def __init__(self) -> None:
         self._deformers: Dict[str, object] = {}
+        # Pose-independent FitPlans riding alongside dense-route deformers
+        # (same id): the `refit` cmd re-solves a marker drag at O(n^2)
+        # without re-shipping the rest rig (deformer.FitPlan).
+        self._plans: Dict[str, object] = {}
         self._counter = 0
         self._lock = threading.Lock()
 
@@ -355,6 +370,7 @@ class DeformServer:
                     decode_array(req["confidence"])
                     if "confidence" in req else None
                 )
+                plan = None
                 if cfg.solver == "pu":
                     # partition-of-unity route: the adapter exposes the
                     # same apply() contract, so downstream cmds just work
@@ -363,9 +379,35 @@ class DeformServer:
                     d = PUNodeDeformer.fit(rest, deformed, cfg, params,
                                            confidence=conf)
                 else:
-                    d = Deformer.fit(rest, deformed, cfg, params,
-                                     confidence=conf)
+                    from facedeform_tpu.deformer import FitPlan
+
+                    if FitPlan.supports(cfg, int(rest.shape[0])):
+                        # keep the factorization: `refit` drags are O(n^2)
+                        d, plan = Deformer.fit_with_plan(
+                            rest, deformed, cfg, params, confidence=conf
+                        )
+                    else:
+                        d = Deformer.fit(rest, deformed, cfg, params,
+                                         confidence=conf)
                 did = self._new_id()
+                self._deformers[did] = d
+                if plan is not None:
+                    self._plans[did] = plan
+                return {
+                    "ok": True, "deformer": did, "plan": plan is not None,
+                    "residual": float(d.report.residual_norm),
+                }
+            if cmd == "refit":
+                did = req.get("deformer")
+                plan = self._plans.get(did)
+                if plan is None:
+                    return {
+                        "ok": False,
+                        "error": "deformer has no drag plan (unknown id, "
+                                 "loaded from checkpoint, or a PU/Krylov "
+                                 "route) — use fit",
+                    }
+                d = plan.refit(decode_array(req["deformed_ctrl"]))
                 self._deformers[did] = d
                 return {
                     "ok": True, "deformer": did,

@@ -518,3 +518,61 @@ def test_serve_fit_rig_dense_limit_guard(server, rng):
         "target_points": serve_mod.encode_array(pts),
     })
     assert not r["ok"] and "dense limit" in r["error"]
+
+
+def test_serve_refit_drag(server, rng):
+    """fit -> refit (new pose only over the wire) must equal a fresh fit
+    of that pose; non-plan deformers refuse with a clear error."""
+    from facedeform_tpu import DeformConfig, DeformParams, Deformer
+
+    rest = fibonacci_points(24)
+    pose_a = rest + 0.1 * rng.standard_normal((24, 3)).astype(np.float32)
+    pose_b = rest + 0.1 * rng.standard_normal((24, 3)).astype(np.float32)
+    r = _rpc(server, {
+        "cmd": "fit",
+        "rest_ctrl": serve_mod.encode_array(rest),
+        "deformed_ctrl": serve_mod.encode_array(pose_a),
+        "cfg": {}, "params": {},
+    })
+    assert r["ok"] and r["plan"], r
+    did = r["deformer"]
+
+    r2 = _rpc(server, {
+        "cmd": "refit", "deformer": did,
+        "deformed_ctrl": serve_mod.encode_array(pose_b),
+    })
+    assert r2["ok"], r2
+    pts = rng.standard_normal((80, 3)).astype(np.float32)
+    r3 = _rpc(server, {
+        "cmd": "apply", "deformer": did,
+        "points": serve_mod.encode_array(pts),
+    })
+    got = serve_mod.decode_array(r3["points"])
+    want, _ = Deformer.fit(rest, pose_b).apply(pts)
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+    # Unknown id / plan-less deformer: loud refusal, not a silent stale fit.
+    r4 = _rpc(server, {
+        "cmd": "refit", "deformer": "nope",
+        "deformed_ctrl": serve_mod.encode_array(pose_b),
+    })
+    assert not r4["ok"] and "plan" in r4["error"]
+
+
+def test_serve_refit_via_client_binary(server, rng):
+    """Client.refit over the binary framing."""
+    rest = fibonacci_points(16)
+    pose_a = rest + 0.05 * rng.standard_normal((16, 3)).astype(np.float32)
+    pose_b = rest + 0.05 * rng.standard_normal((16, 3)).astype(np.float32)
+    c = serve_mod.Client(*server)
+    try:
+        did = c.fit(rest, pose_a)
+        assert c.refit(did, pose_b) == did
+        pts = rng.standard_normal((50, 3)).astype(np.float32)
+        out, _ = c.apply(did, pts)
+        from facedeform_tpu import Deformer
+
+        want, _ = Deformer.fit(rest, pose_b).apply(pts)
+        np.testing.assert_array_equal(out, np.asarray(want))
+    finally:
+        c.close()
