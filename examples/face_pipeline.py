@@ -30,6 +30,8 @@ feature set plus the rebuild's extensions):
       trajectories — jitter out, motion arcs through exactly
   21. doctor: lint the inputs (duplicates, units, radius, coverage,
       jitter, conditioning) before anything fits
+  22. pose-space sculpt corrections (PSD): artist fixes reproduce
+      exactly at their example poses, decay to zero elsewhere
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -351,6 +353,28 @@ def main():
     print(f"doctor: {rep.summary()}")
     for f in rep.findings:
         print(f"  {f.severity}: [{f.code}] {f.message[:72]}...")
+
+    # 22. pose-space sculpt corrections (PSD): an artist fixes what the
+    # deformer got wrong at one pose; the fix reproduces exactly at that
+    # pose and decays to zero on unrelated poses (ops/psd.py;
+    # CLI --example POSED SCULPT, --save-psd/--load-psd)
+    psd_node = FaceDeformNode()
+    base22 = psd_node.cook([face, rig, posed], DeformConfig(), params).mesh
+    bump = 0.1 * np.exp(-6 * np.sum((base22.points - [0, -0.3, 1.0]) ** 2,
+                                    -1)).astype(np.float32)
+    sculpt = Mesh(points=base22.points + bump[:, None] * np.float32([0, 0, 1]))
+    res_at = psd_node.cook([face, rig, posed], DeformConfig(), params,
+                           examples=[(posed, sculpt)])
+    frown = Mesh(points=rig.points - smile * np.float32([0, -0.3, 0.4]))
+    base_far = FaceDeformNode().cook(
+        [face, rig, frown], DeformConfig(), params).mesh
+    res_far = psd_node.cook([face, rig, frown], DeformConfig(), params,
+                            examples=[(posed, sculpt)])
+    e_at = np.abs(np.asarray(res_at.mesh.points) - sculpt.points).max()
+    e_far = np.abs(np.asarray(res_far.mesh.points) - base_far.points).max()
+    print(f"psd: sculpt reproduced to {e_at:.2e} at its pose; "
+          f"leakage onto an opposite pose {e_far:.2e} "
+          f"(sculpt moved the face {bump.max():.2f})")
 
 
 if __name__ == "__main__":

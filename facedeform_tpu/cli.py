@@ -169,6 +169,29 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--autotune-ridge", action="store_true",
                    help="with --autotune: also select lambda by LOOCV "
                         "(MULTILAYER/KERNEL families)")
+    d.add_argument("--example", nargs=2, action="append", default=[],
+                   metavar=("POSED_RIG", "SCULPT"),
+                   help="pose-space deformation example (repeatable): a "
+                        "posed rig and the artist-corrected mesh at that "
+                        "pose; the blended correction is added after the "
+                        "morph pass and reproduces each sculpt exactly at "
+                        "its own pose (ops/psd.py)")
+    d.add_argument("--psd-lambda", type=float, default=0.0,
+                   help="pose-space ridge (default 0: exact interpolation "
+                        "of the sculpts)")
+    d.add_argument("--psd-eps", type=float, default=None,
+                   help="pose-space kernel radius (default: median "
+                        "pairwise example-pose distance)")
+    d.add_argument("--psd-normalize", action="store_true",
+                   help="rescale pose-space weights toward sum 1 where "
+                        "their sum is significant (normalized RBF)")
+    d.add_argument("--save-psd", metavar="PATH", default=None,
+                   help="checkpoint the fitted pose-space model (.npz); "
+                        "reload with --load-psd to skip re-cooking the "
+                        "examples")
+    d.add_argument("--load-psd", metavar="PATH", default=None,
+                   help="apply a pose-space model saved by --save-psd "
+                        "(no example cooks; --example wins if both given)")
     d.add_argument("--symmetrize", choices=["x", "y", "z"], default=None,
                    help="close the rig under a mirror reflection before "
                         "the fit (paired markers get averaged symmetric "
@@ -397,10 +420,20 @@ def _cmd_deform(args) -> int:
         rest_rig = load_mesh(args.rest_rig)
         deform_rig = load_mesh(args.deform_rig)
         blends = [load_mesh(b) for b in args.blend]
+        examples = [
+            (load_mesh(p), load_mesh(s)) for p, s in args.example
+        ]
+    ex_paths = [p for pair in args.example for p in pair]
+    ex_meshes = [m for pair in examples for m in pair]
     _print_load_warnings(
-        [args.mesh, args.rest_rig, args.deform_rig] + list(args.blend),
-        [mesh, rest_rig, deform_rig] + blends,
+        [args.mesh, args.rest_rig, args.deform_rig]
+        + list(args.blend) + ex_paths,
+        [mesh, rest_rig, deform_rig] + blends + ex_meshes,
     )
+    psd_loaded, psd_err = _load_psd_arg(args, bool(examples))
+    if psd_err:
+        print(f"error: {psd_err}", file=sys.stderr)
+        return 1
 
     cfg, params = _cfg_params_from(args)
     if getattr(args, "load_deformer", None):
@@ -459,6 +492,9 @@ def _cmd_deform(args) -> int:
             output_stretch=args.output_stretch,
             recompute_normals=args.recompute_normals,
             symmetrize=args.symmetrize, symmetry_tol=args.symmetry_tol,
+            examples=examples, psd_lam=args.psd_lambda,
+            psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
+            psd=psd_loaded,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -469,9 +505,49 @@ def _cmd_deform(args) -> int:
         save_mesh(args.output, res.mesh)
     if args.save_deformer:
         _save_deformer(node, args.save_deformer)
+    if args.save_psd:
+        rc = _save_psd_state(node, args.save_psd)
+        if rc:
+            return rc
     if args.timing:
         print(f"timing: {times.summary()}", file=sys.stderr)
     print(f"wrote {args.output} ({res.mesh.num_points} points)")
+    return 0
+
+
+def _load_psd_arg(args, have_examples: bool):
+    """(PSDDeformer | None, error string | None) for --load-psd."""
+    path = getattr(args, "load_psd", None)
+    if not path:
+        return None, None
+    if have_examples:
+        print(
+            "warning: --load-psd is ignored with --example (the examples "
+            "refit the pose-space model)", file=sys.stderr,
+        )
+        return None, None
+    from facedeform_tpu.utils import checkpoint
+
+    try:
+        return checkpoint.load_psd(path), None
+    except (OSError, ValueError) as e:
+        return None, f"--load-psd: {e}"
+
+
+def _save_psd_state(node, path: str) -> int:
+    """Checkpoint the cook's fitted pose-space model; 0 on success."""
+    from facedeform_tpu.utils import checkpoint
+
+    psd, _ = node.psd_state()
+    if psd is None:
+        print(
+            "error: --save-psd: no pose-space model was fitted (pass "
+            "--example pairs; a failed fit reports its own warning)",
+            file=sys.stderr,
+        )
+        return 1
+    checkpoint.save_psd(path, psd)
+    print(f"checkpointed the pose-space model to {path}", file=sys.stderr)
     return 0
 
 
@@ -515,10 +591,19 @@ def _cmd_deform_seq(args) -> int:
         rest_rig = load_mesh(args.rest_rig)
         rigs = [load_mesh(p) for p in args.deform_rigs]
         blends = [load_mesh(b) for b in args.blend]
+        examples = [
+            (load_mesh(p), load_mesh(s)) for p, s in args.example
+        ]
     _print_load_warnings(
-        [args.mesh, args.rest_rig] + list(args.deform_rigs) + list(args.blend),
-        [mesh, rest_rig] + rigs + blends,
+        [args.mesh, args.rest_rig] + list(args.deform_rigs)
+        + list(args.blend) + [p for pair in args.example for p in pair],
+        [mesh, rest_rig] + rigs + blends
+        + [m for pair in examples for m in pair],
     )
+    psd_loaded, psd_err = _load_psd_arg(args, bool(examples))
+    if psd_err:
+        print(f"error: {psd_err}", file=sys.stderr)
+        return 1
 
     needs_uniform = (getattr(args, "temporal_smooth", None)
                      or getattr(args, "symmetrize", None))
@@ -570,12 +655,33 @@ def _cmd_deform_seq(args) -> int:
         # one pairing pass for the whole shot (the pairing and rest snap
         # depend only on the rest rig); `class` and `confidence` attrs
         # ride through so capture islands and the weighted ridge survive
+        # example poses (pose-space deformation) ride the SAME pairing
+        # pass as the shot — once the rig is closed under the mirror,
+        # an unsymmetrized example pose no longer matches its point count
+        ex_ok = [i for i, (p, _) in enumerate(examples)
+                 if p.num_points == rest_rig.num_points]
+        if len(ex_ok) < len(examples):
+            print(
+                f"warning: psd: {len(examples) - len(ex_ok)} example "
+                "pose(s) don't match the rig point count; dropped before "
+                "symmetrize.", file=sys.stderr,
+            )
+            examples = [examples[i] for i in ex_ok]
+        n_shot = len(rigs)
         r2, frames2, cls2, conf2, rep = sym_ops.symmetrize_frames(
-            rest_rig.points, np.stack([r.points for r in rigs]),
+            rest_rig.points,
+            np.stack([r.points for r in rigs]
+                     + [p.points for p, _ in examples]),
             args.symmetrize, tol=args.symmetry_tol,
             classes=rest_rig.attr("class"),
             confidence=rest_rig.attr("confidence"),
         )
+        if examples:
+            examples = [
+                (_Mesh(points=f), s)
+                for f, (_, s) in zip(frames2[n_shot:], examples)
+            ]
+            frames2 = frames2[:n_shot]
         rest_sym = _Mesh(points=r2)
         if cls2 is not None:
             rest_sym.set_attr("class", cls2)
@@ -673,6 +779,9 @@ def _cmd_deform_seq(args) -> int:
                 transform_attrs=_split_attr_names(args.transform_attrs),
                 output_stretch=args.output_stretch,
                 recompute_normals=args.recompute_normals,
+                examples=examples, psd_lam=args.psd_lambda,
+                psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
+                psd=psd_loaded,
             )
         for w in res0.warnings:
             if w not in warned:
@@ -895,6 +1004,25 @@ def _cmd_deform_seq(args) -> int:
                     if seq_weights is not None:
                         seq_weights = seq_weights[1:]
                         seq_w_ok = seq_w_ok[1:]
+                # ---- pose-space correction (psd) for frames 1+: ONE
+                # weights dispatch for the whole shot (K scalars/frame
+                # through the tunnel) + a host contraction against the
+                # corrections frame 0's full node cook fitted/validated —
+                # same order as the node (after the morph pass).
+                psd_m, psd_corr = node.psd_state()
+                if (examples or psd_loaded is not None) and psd_m is not None:
+                    from facedeform_tpu.ops import psd as psd_ops
+
+                    feats = np.stack([
+                        psd_ops.features_from_rig(rest_rig.points, r.points)
+                        for r in rigs[1:]
+                    ])
+                    w_psd = np.asarray(psd_ops.psd_weights(
+                        psd_m.model, feats, psd_m.kernel, psd_m.normalize
+                    ), np.float32)
+                    out_frames = out_frames + np.tensordot(
+                        w_psd, psd_corr, axes=1
+                    ).astype(np.float32)
             if vel_fps is not None:
                 # Trail-SOP semantics: backward difference of the DEFORMED
                 # positions; frame 0 forward so every frame has motion
@@ -969,6 +1097,9 @@ def _cmd_deform_seq(args) -> int:
                     transform_attrs=_split_attr_names(args.transform_attrs),
                     output_stretch=args.output_stretch,
                     recompute_normals=args.recompute_normals,
+                    examples=examples, psd_lam=args.psd_lambda,
+                    psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
+                    psd=psd_loaded,
                 )
             for w in res.warnings:
                 if w not in warned:  # each distinct warning once per sequence
@@ -1035,6 +1166,10 @@ def _cmd_deform_seq(args) -> int:
             # per-frame path: the last frame's solved deformer (matches
             # deform's semantics of checkpointing the node's end state)
             _save_deformer(node, args.save_deformer)
+    if args.save_psd:
+        rc = _save_psd_state(node, args.save_psd)
+        if rc:
+            return rc
     if args.timing:
         print(f"timing: {times.summary()}", file=sys.stderr)
     print(

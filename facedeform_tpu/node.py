@@ -105,6 +105,19 @@ class FaceDeformNode:
         self._backend_choice: str = "auto"
         self._sym_key: Optional[tuple] = None
         self._sym_rigs: Optional[tuple] = None
+        # Pose-space deformation (ops/psd.py): fitted correction model +
+        # a child node that cooks the example poses through the SAME
+        # pipeline (its FitPlan makes the K per-example base cooks one
+        # factorization + K O(n^2) pose refits).
+        self._psd_key: Optional[tuple] = None
+        self._psd_deformer = None
+        self._psd_corr_host: Optional[np.ndarray] = None
+        self._psd_node: Optional["FaceDeformNode"] = None
+        # host copy of an EXTERNAL (checkpoint-loaded) PSD's corrections;
+        # keyed by object identity so repeated cooks with the same loaded
+        # model pull the (K, V, 3) tensor through the tunnel only once
+        self._psd_ext = None
+        self._psd_ext_corr: Optional[np.ndarray] = None
 
     # ---------------------------------------------------------- symmetrize
     def _symmetrized_rigs(self, rest_rig, deform_rig, plane, tol):
@@ -144,6 +157,128 @@ class FaceDeformNode:
             self._sym_rigs = (rest_m, dfm_m, report)
             self._sym_key = key
         return self._sym_rigs
+
+    # ------------------------------------------------------------------ psd
+    def _psd_fit(
+        self, inputs, examples, cfg, params, group_mask, mesh_devices,
+        symmetrize, symmetry_tol, psd_lam, psd_eps, psd_normalize,
+        warnings, times,
+    ):
+        """Fit (or reuse) the pose-space correction model for `examples`.
+
+        Each example pose is cooked through a CHILD FaceDeformNode with
+        this cook's exact configuration, so the stored corrections are
+        sculpt-minus-*this-pipeline* — whatever capture/tangent/morph do
+        at that pose is absorbed.  The child's own caches make the K base
+        cooks cheap: one capture, one FitPlan factorization, K pose
+        refits.  Returns a PSDDeformer or None (invalid/unsolvable
+        examples degrade to a warning, the blendshape-mismatch
+        convention, src/SOP_FaceDeform.cpp:201-204).
+        """
+        from facedeform_tpu.ops import psd as psd_ops
+
+        mesh_in, rest_rig = inputs[0], inputs[1]
+        blends = list(inputs[3:])
+        valid = []
+        skipped = 0
+        for ex in examples:
+            posed, sculpt = ex
+            if (
+                posed.num_points != rest_rig.num_points
+                or sculpt.num_points != mesh_in.num_points
+            ):
+                skipped += 1
+                continue
+            valid.append((posed, sculpt))
+        if skipped:
+            warnings.append(
+                f"psd: {skipped} example(s) don't match the rig/mesh "
+                "point counts. Ignoring them."
+            )
+        if not valid:
+            warnings.append("psd: no usable examples. Ignoring pose-space "
+                            "deformation.")
+            return None
+
+        if symmetrize is None:
+            sym_key = None
+        elif isinstance(symmetrize, str):
+            sym_key = (symmetrize.lower(),
+                       None if symmetry_tol is None else float(symmetry_tol))
+        else:
+            sym_key = (repr(np.asarray(symmetrize, np.float64).tolist()),
+                       None if symmetry_tol is None else float(symmetry_tol))
+        mask_key = (
+            None if group_mask is None
+            else hash(np.asarray(group_mask, bool).tobytes())
+        )
+        key = (
+            mesh_in.pos_id, mesh_in.top_id,
+            rest_rig.pos_id, rest_rig.attr_id,
+            tuple((p.pos_id, s.pos_id) for p, s in valid),
+            tuple(b.pos_id for b in blends) if cfg.morphspace else (),
+            cfg, _all_params_key(params), mask_key, sym_key,
+            float(psd_lam),
+            None if psd_eps is None else float(psd_eps),
+            bool(psd_normalize),
+        )
+        if key == self._psd_key:
+            return self._psd_deformer
+
+        with stage("psd_fit", times):
+            if self._psd_node is None:
+                self._psd_node = FaceDeformNode()
+            feats, corr = [], []
+            max_off_group = 0.0
+            for posed, sculpt in valid:
+                base = self._psd_node.cook(
+                    [mesh_in, rest_rig, posed] + blends, cfg, params,
+                    group_mask=group_mask, mesh_devices=mesh_devices,
+                    symmetrize=symmetrize, symmetry_tol=symmetry_tol,
+                )
+                c = (sculpt.points.astype(np.float32)
+                     - base.mesh.points.astype(np.float32))
+                if group_mask is not None:
+                    # The group contract (src/SOP_FaceDeform.cpp:485) caps
+                    # writes to the group; a sculpt editing off-group
+                    # vertices cannot be reproduced — zero it and report.
+                    mask = np.asarray(group_mask, bool)
+                    if (~mask).any():
+                        max_off_group = max(
+                            max_off_group, float(np.abs(c[~mask]).max())
+                        )
+                    c = np.where(mask[:, None], c, np.float32(0.0))
+                corr.append(c)
+                feats.append(
+                    psd_ops.features_from_rig(rest_rig.points, posed.points)
+                )
+            if max_off_group > 1e-6:
+                warnings.append(
+                    f"psd: sculpt(s) move off-group vertices by up to "
+                    f"{max_off_group:.3g}; those edits are outside the "
+                    "group and were dropped."
+                )
+            try:
+                model, report = psd_ops.fit_psd(
+                    np.stack(feats), np.stack(corr),
+                    eps=psd_eps, lam=float(psd_lam),
+                )
+                errors.check_solve(report)
+            except (ValueError, errors.SolveFailedError) as e:
+                # not cached: a failing fit is cheap to re-derive and the
+                # warning must re-emit on every cook that ignores examples
+                warnings.append(
+                    f"psd: {e} — ignoring pose-space deformation."
+                )
+                self._psd_key, self._psd_deformer = None, None
+                self._psd_corr_host = None
+                return None
+            psd = psd_ops.PSDDeformer(
+                model, normalize=bool(psd_normalize), report=report
+            )
+        self._psd_key, self._psd_deformer = key, psd
+        self._psd_corr_host = np.stack(corr)
+        return psd
 
     # -------------------------------------------------------------- backend
     def _choose_backend(
@@ -214,6 +349,20 @@ class FaceDeformNode:
         """
         return self._dbse_model, self._rest_attr
 
+    def psd_state(self):
+        """(PSDDeformer, host corrections (K, V, 3)) cached by the last
+        cook's `examples=` fit (or its validated `psd=` checkpoint), or
+        (None, None).
+
+        The deform-seq batch path applies the pose-space correction to
+        frames 1+ itself (one psd_weights dispatch for the shot + a host
+        contraction); reusing the cook-cached fit guarantees those frames
+        see exactly the corrections frame 0's full node cook derived.
+        """
+        if self._psd_deformer is not None:
+            return self._psd_deformer, self._psd_corr_host
+        return self._psd_ext, self._psd_ext_corr
+
     # ------------------------------------------------------------------ cook
     def cook(
         self,
@@ -232,6 +381,11 @@ class FaceDeformNode:
         recompute_normals: bool = False,
         symmetrize=None,
         symmetry_tol: Optional[float] = None,
+        examples: Optional[Sequence] = None,
+        psd_lam: float = 0.0,
+        psd_eps: Optional[float] = None,
+        psd_normalize: bool = False,
+        psd=None,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -274,6 +428,21 @@ class FaceDeformNode:
         capture/fit (ops/symmetry.py) so the deformation provably
         commutes with it; `symmetry_tol` overrides the marker-pairing
         tolerance.  The removed asymmetry is reported in messages.
+
+        `examples` enables pose-space deformation (ops/psd.py): a sequence
+        of (posed_rig, sculpt) Mesh pairs — the artist's corrected mesh at
+        each example rig pose.  The node cooks each example pose through
+        this same pipeline, stores sculpt-minus-base correction fields,
+        fits a cardinal RBF over the example poses, and adds the blended
+        correction AFTER the morph pass — so at an example pose the output
+        reproduces that sculpt exactly, and nearby poses blend smoothly.
+        `psd_lam` / `psd_eps` / `psd_normalize` tune the pose-space kernel
+        (defaults: exact interpolation, auto radius, raw cardinal
+        weights).  Pose-space weights land in
+        mesh.detail_attrs['psd_weights'].  Alternatively pass `psd` (a
+        PSDDeformer, e.g. utils/checkpoint.load_psd) to apply an
+        already-fitted pose-space model without re-cooking the examples;
+        `examples` wins when both are given.
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -809,6 +978,69 @@ class FaceDeformNode:
                 new_pts = np.asarray(morphed)
                 weights_out = np.asarray(w)
                 out.detail_attrs["weights"] = weights_out
+
+        # -------------------------------------------------------- psd pass
+        # Pose-space sculpt corrections (ops/psd.py) layered on top of the
+        # full pipeline output; at an example pose the cook reproduces the
+        # artist's sculpt exactly (the corrections were derived against
+        # this same pipeline, so they absorb capture/tangent/morph).
+        if examples:
+            psd = self._psd_fit(
+                inputs, examples, cfg, params, group_mask, mesh_devices,
+                symmetrize, symmetry_tol, psd_lam, psd_eps, psd_normalize,
+                warnings, times,
+            )
+            corr_host = self._psd_corr_host
+        elif psd is not None:
+            # checkpoint-loaded model: validate against THIS mesh/rig and
+            # cache a host copy of the corrections (identity-keyed)
+            kk, v_corr, _ = (int(s) for s in psd.model.corrections.shape)
+            d_feat = int(psd.model.features.shape[1])
+            if v_corr != mesh_in.num_points or d_feat != 3 * rest_rig.num_points:
+                warnings.append(
+                    f"psd: checkpoint was fitted for {v_corr} mesh points / "
+                    f"{d_feat // 3} rig markers; inputs have "
+                    f"{mesh_in.num_points} / {rest_rig.num_points}. "
+                    "Ignoring pose-space deformation."
+                )
+                psd = None
+                corr_host = None
+            else:
+                if self._psd_ext is not psd:
+                    self._psd_ext_corr = np.asarray(
+                        psd.model.corrections, np.float32
+                    )
+                    self._psd_ext = psd
+                corr_host = self._psd_ext_corr
+        else:
+            corr_host = None
+        if examples or psd is not None:
+            if psd is not None:
+                with stage("psd", times):
+                    from facedeform_tpu.ops import psd as psd_ops
+
+                    feat = psd_ops.features_from_rig(
+                        inputs[1].points, inputs[2].points
+                    )
+                    # weights on device (K scalars through the tunnel);
+                    # the (K) x (K, 3V) contraction on HOST against the
+                    # cached host corrections — pulling a (V, 3) field per
+                    # cook would cost ~1 s/1M verts on a tunneled runtime
+                    w_psd = np.asarray(
+                        psd_ops.psd_weights(
+                            psd.model, feat, psd.kernel, psd.normalize
+                        ),
+                        np.float32,
+                    )
+                    delta = np.tensordot(
+                        w_psd, corr_host, axes=1
+                    ).astype(np.float32)
+                    new_pts = new_pts + delta
+                out.detail_attrs["psd_weights"] = w_psd
+                messages.append(
+                    f"psd: {psd.model.features.shape[0]} example pose(s), "
+                    f"max |w| {float(np.abs(w_psd).max()):.3f}"
+                )
 
         out.set_points(new_pts)
         # ------------------------------------------- geometric normals

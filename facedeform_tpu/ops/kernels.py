@@ -158,6 +158,14 @@ def pairwise_sqdist(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     the VPU cost (9 ops/pair) is negligible next to the kernel phi —
     the rank-3 matmul was a pad-dominated MXU sliver anyway (see the
     measurement notes in ops/pallas_eval.py)."""
+    if x.shape[-1] != 3 or y.shape[-1] != 3:
+        # 3-D points ONLY: the unrolled form below silently drops extra
+        # coordinates (bit the pose-space fit, whose features are (K, 3N)
+        # — use ops/psd.pairwise_sqdist_nd for general-D descriptors).
+        raise ValueError(
+            f"pairwise_sqdist is specialized to 3-D points; got trailing "
+            f"dims {x.shape[-1]} and {y.shape[-1]}"
+        )
     dx = x[:, 0:1] - y[None, :, 0]  # (V, N) broadcasts, fused by XLA
     dy = x[:, 1:2] - y[None, :, 1]
     dz = x[:, 2:3] - y[None, :, 2]

@@ -19,6 +19,11 @@ Protocol (one JSON object per line, response per line):
   {"cmd": "info"}                                -> backend, deformer list
   {"cmd": "shutdown"}                            -> stops the server
 
+plus fit_seq/apply_seq (animated shots), fit_dbse/morph (blendshapes),
+fit_rig (inverse rigging), fit_psd/psd_delta (pose-space sculpt
+corrections), refit (interactive drags), transport (attrs through the
+deformation Jacobian) — see the Client methods below for signatures.
+
 Array encoding: {"shape": [...], "dtype": "float32", "b64": "..."} or a
 plain nested JSON list.
 
@@ -240,6 +245,36 @@ class Client:
         )
         return out["points"], out["weights"], out["morph_ok"].astype(bool)
 
+    def fit_psd(self, rest_rig, posed_rigs, corrections,
+                kernel: str = "GAUSSIAN", eps: Optional[float] = None,
+                lam: float = 0.0, normalize: bool = False) -> str:
+        """Hold a pose-space sculpt-correction model resident
+        (ops/psd.py): (N, 3) rest rig, (K, N, 3) example poses,
+        (K, V, 3) sculpt-minus-base corrections."""
+        resp, _ = self.request(
+            {"cmd": "fit_psd", "kernel": kernel, "lam": float(lam),
+             "normalize": bool(normalize),
+             **({"eps": float(eps)} if eps is not None else {})},
+            {"rest_rig": np.asarray(rest_rig, np.float32),
+             "posed_rigs": np.asarray(posed_rigs, np.float32),
+             "corrections": np.asarray(corrections, np.float32)},
+        )
+        return resp["deformer"]
+
+    def psd_delta(self, deformer: str, rest_rig, posed_rigs, points=None):
+        """Blended corrections for (N, 3) or (F, N, 3) query poses ->
+        ((V, 3) or (F, V, 3) field, (K,) or (F, K) weights).  With
+        `points`, the correction is added and the sum returned instead —
+        one round trip applies the fix to a whole shot."""
+        arrays = {"rest_rig": np.asarray(rest_rig, np.float32),
+                  "posed_rigs": np.asarray(posed_rigs, np.float32)}
+        if points is not None:
+            arrays["points"] = np.asarray(points, np.float32)
+        _, out = self.request(
+            {"cmd": "psd_delta", "deformer": deformer}, arrays
+        )
+        return out["points"], out["weights"]
+
     def fit_rig(self, rest_ctrl, rest_points, target_points, dist2=None,
                 frame=None, cfg: Optional[dict] = None,
                 params: Optional[dict] = None, register: bool = False,
@@ -439,6 +474,17 @@ class DeformServer:
                         "ok": True, "deformer": did,
                         "frames": seq.num_frames,
                     }
+                if ck == "psd":
+                    psd_d = checkpoint.load_psd(req["path"])
+                    did = self._new_id()
+                    self._deformers[did] = (
+                        "psd", psd_d,
+                        np.asarray(psd_d.model.corrections, np.float32),
+                    )
+                    return {
+                        "ok": True, "deformer": did,
+                        "examples": int(psd_d.model.features.shape[0]),
+                    }
                 if ck == "pu":
                     # PU checkpoints carry the model, not eval knobs —
                     # optional cfg/params in the request set those
@@ -458,7 +504,9 @@ class DeformServer:
                 self._deformers.get(req.get("deformer")), tuple
             ):
                 kind = self._deformers[req["deformer"]][0]
-                hint = "morph" if kind == "dbse" else "apply_seq"
+                hint = {"dbse": "morph", "psd": "psd_delta"}.get(
+                    kind, "apply_seq"
+                )
                 return {
                     "ok": False,
                     "error": f"apply does not take a {kind} deformer "
@@ -483,6 +531,8 @@ class DeformServer:
                     )
                 elif isinstance(d, tuple) and d[0] == "pu_seq":
                     checkpoint.save_pu_seq(req["path"], d[1])
+                elif isinstance(d, tuple) and d[0] == "psd":
+                    checkpoint.save_psd(req["path"], d[1])
                 elif isinstance(d, PUNodeDeformer):
                     checkpoint.save_pu(req["path"], d.pud)
                 else:
@@ -663,6 +713,80 @@ class DeformServer:
                 if warnings_out:
                     resp["warnings"] = warnings_out
                 return resp
+            if cmd == "fit_psd":
+                # pose-space deformation over the wire (ops/psd.py): hold
+                # a sculpt-correction model resident, then psd_delta many
+                # poses against it.  corrections are sculpt-minus-base as
+                # the CALLER's pipeline derived them (the node path does
+                # this automatically; serve is the lower-level API).
+                from facedeform_tpu.config import RBFKernel
+                from facedeform_tpu.ops import psd as psd_ops
+
+                rest_rig = decode_array(req["rest_rig"]).astype(np.float32)
+                posed = decode_array(req["posed_rigs"]).astype(np.float32)
+                corr = decode_array(req["corrections"]).astype(np.float32)
+                if posed.ndim != 3 or posed.shape[1:] != rest_rig.shape:
+                    raise errors.ShapeMismatchError(
+                        f"posed_rigs {posed.shape} must be (K,) + rest_rig "
+                        f"{rest_rig.shape}"
+                    )
+                kernel = RBFKernel[str(req.get("kernel", "GAUSSIAN")).upper()]
+                psd_d = psd_ops.PSDDeformer.fit(
+                    rest_rig, posed, corr, kernel=kernel,
+                    eps=req.get("eps"), lam=float(req.get("lam", 0.0)),
+                    normalize=bool(req.get("normalize", False)),
+                )
+                errors.check_solve(psd_d.report)
+                did = self._new_id()
+                # host corrections cached with the entry: psd_delta pulls
+                # K scalars from the device and contracts on host (the
+                # node.py convention — a (V, 3) device pull per request
+                # would be tunnel-bound)
+                self._deformers[did] = ("psd", psd_d, corr)
+                return {
+                    "ok": True, "deformer": did,
+                    "examples": int(posed.shape[0]),
+                    "backward_error": float(psd_d.report.backward_error()),
+                }
+            if cmd == "psd_delta":
+                from facedeform_tpu.ops import psd as psd_ops
+
+                entry = self._deformers[req["deformer"]]
+                if not (isinstance(entry, tuple) and entry[0] == "psd"):
+                    return {"ok": False,
+                            "error": "psd_delta needs a fit_psd deformer"}
+                _, psd_d, corr = entry
+                rest_rig = decode_array(req["rest_rig"]).astype(np.float32)
+                posed = decode_array(req["posed_rigs"]).astype(np.float32)
+                single = posed.ndim == 2
+                stack = posed[None] if single else posed
+                d_feat = int(psd_d.model.features.shape[1])
+                if stack.ndim != 3 or stack.shape[1] * 3 != d_feat:
+                    raise errors.ShapeMismatchError(
+                        f"posed_rigs {posed.shape}: model was fitted for "
+                        f"{d_feat // 3} rig markers"
+                    )
+                feats = np.stack([
+                    psd_ops.features_from_rig(rest_rig, stack[i])
+                    for i in range(stack.shape[0])
+                ])
+                w = np.atleast_2d(np.asarray(psd_ops.psd_weights(
+                    psd_d.model, feats, psd_d.kernel, psd_d.normalize
+                ), np.float32))
+                delta = np.tensordot(w, corr, axes=1).astype(np.float32)
+                if "points" in req:
+                    pts = decode_array(req["points"]).astype(np.float32)
+                    if pts.shape[-2:] != delta.shape[-2:]:
+                        raise errors.ShapeMismatchError(
+                            f"points {pts.shape} must end in "
+                            f"{delta.shape[-2:]}"
+                        )
+                    delta = pts + delta if pts.ndim == delta.ndim else (
+                        pts[None] + delta
+                    )
+                if single:
+                    delta, w = delta[0], w[0]
+                return {"ok": True, "points": enc(delta), "weights": enc(w)}
             if cmd == "fit_rig":
                 # inverse rigging over the wire (inverse.fit_rig): a
                 # sculpt/scan round-trips to a rig pose without shipping

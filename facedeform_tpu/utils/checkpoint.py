@@ -65,14 +65,14 @@ def save(path: str, deformer: Deformer) -> None:
 
 
 def kind(path: str) -> str:
-    """Checkpoint kind marker: 'dense' | 'pu' | 'seq' | 'pu_seq'.
+    """Checkpoint kind marker: 'dense' | 'pu' | 'seq' | 'pu_seq' | 'psd'.
 
     Lets callers (serve's `load` cmd) dispatch to the right codec without
     trial-and-error; each load_* still validates the marker itself."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:
-        for k in ("pu_seq", "seq", "pu"):
+        for k in ("pu_seq", "seq", "pu", "psd"):
             if k in data:
                 return k
     return "dense"
@@ -91,6 +91,8 @@ def load(path: str) -> Deformer:
         raise ValueError(f"{path} is a sequence checkpoint (use load_seq())")
     if "pu" in data:
         raise ValueError(f"{path} is a PU checkpoint (use load_pu())")
+    if "psd" in data:
+        raise ValueError(f"{path} is a PSD checkpoint (use load_psd())")
     version = int(data["format_version"])
     if version > _FORMAT_VERSION:
         raise ValueError(f"checkpoint format {version} is newer than supported")
@@ -393,3 +395,71 @@ def load_pu(path: str):
         col_backward=jnp.asarray(data["col_backward"]),
     )
     return pud
+
+
+def save_psd(path: str, psd) -> None:
+    """Serialize a PSDDeformer (ops/psd.py) to one .npz file.
+
+    Stores the pose-space model (features/alpha/corrections/eps) plus the
+    static kernel/normalize knobs; the solve report carries over for node
+    messages.  The corrections tensor is (K, V, 3) — the dominant payload,
+    same order as the rest mesh it was fitted against."""
+    from facedeform_tpu.ops.psd import PSDDeformer
+
+    if not isinstance(psd, PSDDeformer):
+        raise ValueError(
+            f"save_psd expects a PSDDeformer, got {type(psd).__name__}"
+        )
+    m = psd.model
+    rep = psd.report
+    extra = {}
+    if rep is not None:
+        extra["residual_norm"] = float(rep.residual_norm)
+        extra["rhs_norm"] = float(rep.rhs_norm)
+        if rep.scale_norm is not None:
+            extra["scale_norm"] = float(rep.scale_norm)
+    np.savez(
+        path,
+        format_version=_FORMAT_VERSION,
+        psd=1,
+        kernel=int(psd.kernel),
+        normalize=int(bool(psd.normalize)),
+        features=np.asarray(m.features),
+        alpha=np.asarray(m.alpha),
+        corrections=np.asarray(m.corrections),
+        psd_eps=np.asarray(m.eps),
+        **extra,
+    )
+
+
+def load_psd(path: str):
+    """Restore a PSDDeformer saved by save_psd()."""
+    from facedeform_tpu.config import RBFKernel
+    from facedeform_tpu.ops.psd import PSDDeformer, PSDModel
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    if "psd" not in data:
+        raise ValueError(f"{path} is not a PSD checkpoint (use load())")
+    version = int(data["format_version"])
+    if version > _FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {version} is newer than supported")
+    model = PSDModel(
+        features=jnp.asarray(data["features"]),
+        alpha=jnp.asarray(data["alpha"]),
+        corrections=jnp.asarray(data["corrections"]),
+        eps=jnp.asarray(data["psd_eps"]),
+    )
+    report = None
+    if "residual_norm" in data:
+        report = SolveReport(
+            residual_norm=jnp.asarray(float(data["residual_norm"])),
+            rhs_norm=jnp.asarray(float(data["rhs_norm"])),
+            scale_norm=(jnp.asarray(float(data["scale_norm"]))
+                        if "scale_norm" in data else None),
+        )
+    return PSDDeformer(
+        model, RBFKernel(int(data["kernel"])),
+        normalize=bool(int(data["normalize"])), report=report,
+    )

@@ -1,0 +1,369 @@
+"""Pose-space deformation (ops/psd.py) — sculpt corrections driven by
+rig pose, an extension over the reference's single-pose marker deform
+(src/SOP_FaceDeform.cpp:330-439).
+
+The load-bearing claims:
+  * cardinal interpolation — at example pose j the weights are e_j, so
+    the cook reproduces the artist's sculpt EXACTLY (the corrections are
+    sculpt-minus-this-pipeline, absorbing capture/tangent/morph);
+  * locality — gaussian pose-kernel weights decay to zero away from
+    every example, so corrections never leak into unrelated poses;
+  * the node/CLI/checkpoint integration composes with groups, caching,
+    the deform-seq batch path, and symmetrize.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from facedeform_tpu import DeformConfig, DeformParams, Mesh
+from facedeform_tpu.config import RBFKernel
+from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+from facedeform_tpu.node import FaceDeformNode
+from facedeform_tpu.ops import psd
+
+
+# ------------------------------------------------------------------ ops
+
+
+@pytest.fixture
+def example_set(rng):
+    k, d, v = 4, 9, 50
+    feats = rng.normal(size=(k, d)).astype(np.float32)
+    corr = rng.normal(size=(k, v, 3)).astype(np.float32)
+    return feats, corr
+
+
+def test_exact_reproduction_at_examples(example_set):
+    feats, corr = example_set
+    model, report = psd.fit_psd(feats, corr)
+    assert float(report.backward_error()) < 1e-5
+    w = np.asarray(psd.psd_weights(model, feats))
+    np.testing.assert_allclose(w, np.eye(len(feats)), atol=2e-5)
+    for j in range(len(feats)):
+        d = np.asarray(psd.psd_delta(model, feats[j]))
+        np.testing.assert_allclose(d, corr[j], atol=1e-4)
+
+
+def test_far_pose_decays_to_zero(example_set):
+    feats, corr = example_set
+    model, _ = psd.fit_psd(feats, corr)
+    far = feats[0] + 100.0 * psd.auto_eps(feats)
+    w = np.asarray(psd.psd_weights(model, far))
+    assert np.abs(w).max() < 1e-6
+    d = np.asarray(psd.psd_delta(model, far))
+    assert np.abs(d).max() < 1e-4
+
+
+def test_normalize_preserves_exactness(example_set):
+    feats, corr = example_set
+    model, _ = psd.fit_psd(feats, corr)
+    w = np.asarray(psd.psd_weights(model, feats, normalize=True))
+    np.testing.assert_allclose(w, np.eye(len(feats)), atol=2e-4)
+    # between two examples the normalized weights sum to ~1
+    mid = 0.5 * (feats[0] + feats[1])
+    wm = np.asarray(psd.psd_weights(model, mid, normalize=True))
+    assert abs(float(wm.sum()) - 1.0) < 5e-2
+    # and far away they still fade out (no divide-by-vanishing-sum)
+    far = feats[0] + 100.0 * psd.auto_eps(feats)
+    wf = np.asarray(psd.psd_weights(model, far, normalize=True))
+    assert np.isfinite(wf).all() and np.abs(wf).max() < 1e-3
+
+
+def test_delta_frames_matches_single(example_set, rng):
+    feats, corr = example_set
+    model, _ = psd.fit_psd(feats, corr)
+    queries = rng.normal(size=(3, feats.shape[1])).astype(np.float32)
+    batch = np.asarray(psd.psd_delta(model, queries))
+    for i in range(3):
+        one = np.asarray(psd.psd_delta(model, queries[i]))
+        np.testing.assert_allclose(batch[i], one, atol=1e-6)
+
+
+def test_duplicate_pose_raises(example_set):
+    feats, corr = example_set
+    feats = feats.copy()
+    feats[2] = feats[0]
+    with pytest.raises(ValueError, match="duplicate example poses 0 and 2"):
+        psd.fit_psd(feats, corr)
+
+
+def test_non_pd_kernel_needs_ridge(example_set):
+    feats, corr = example_set
+    with pytest.raises(ValueError, match="not positive definite"):
+        psd.fit_psd(feats, corr, kernel=RBFKernel.THIN_PLATE, lam=0.0)
+    model, _ = psd.fit_psd(feats, corr, kernel=RBFKernel.THIN_PLATE, lam=0.1)
+    w = np.asarray(psd.psd_weights(model, feats, kernel=RBFKernel.THIN_PLATE))
+    assert np.isfinite(w).all()
+
+
+def test_single_example(rng):
+    feats = rng.normal(size=(1, 6)).astype(np.float32)
+    corr = rng.normal(size=(1, 10, 3)).astype(np.float32)
+    model, _ = psd.fit_psd(feats, corr)
+    w = np.asarray(psd.psd_weights(model, feats[0]))
+    np.testing.assert_allclose(w, [1.0], atol=1e-6)
+
+
+def test_bad_shapes_raise(example_set):
+    feats, corr = example_set
+    with pytest.raises(ValueError, match=r"features must be \(K, D\)"):
+        psd.fit_psd(feats[0], corr)
+    with pytest.raises(ValueError, match="corrections must be"):
+        psd.fit_psd(feats, corr[:2])
+    with pytest.raises(ValueError, match="eps must be positive"):
+        psd.fit_psd(feats, corr, eps=-1.0)
+    with pytest.raises(ValueError, match="shape"):
+        psd.features_from_rig(np.zeros((4, 3)), np.zeros((5, 3)))
+
+
+def test_deformer_facade(rng):
+    rest = fibonacci_points(8)
+    posed = np.stack([rest * (1.0 + 0.1 * (i + 1)) for i in range(3)])
+    corr = rng.normal(size=(3, 20, 3)).astype(np.float32)
+    d = psd.PSDDeformer.fit(rest, posed, corr)
+    w = np.asarray(d.weights(rest, posed[1]))
+    np.testing.assert_allclose(w, [0, 1, 0], atol=2e-5)
+    stack = np.asarray(d.delta_frames(rest, posed))
+    np.testing.assert_allclose(stack, corr, atol=1e-4)
+
+
+# ------------------------------------------------------------ checkpoint
+
+
+def test_checkpoint_roundtrip(example_set, tmp_path):
+    from facedeform_tpu.utils import checkpoint
+
+    feats, corr = example_set
+    model, report = psd.fit_psd(feats, corr)
+    d = psd.PSDDeformer(model, normalize=True, report=report)
+    path = str(tmp_path / "psd.npz")
+    checkpoint.save_psd(path, d)
+    assert checkpoint.kind(path) == "psd"
+    d2 = checkpoint.load_psd(path)
+    assert d2.normalize is True and d2.kernel == d.kernel
+    np.testing.assert_array_equal(np.asarray(d2.model.alpha),
+                                  np.asarray(model.alpha))
+    np.testing.assert_array_equal(np.asarray(d2.model.corrections), corr)
+    assert d2.report is not None
+    assert float(d2.report.backward_error()) == pytest.approx(
+        float(report.backward_error()), rel=1e-6)
+    # the generic loader refuses a PSD file with a pointer to load_psd
+    with pytest.raises(ValueError, match="PSD checkpoint"):
+        checkpoint.load(path)
+    with pytest.raises(ValueError, match="save_psd expects"):
+        checkpoint.save_psd(str(tmp_path / "x.npz"), object())
+    # and load_psd refuses a non-PSD file
+    other = str(tmp_path / "notpsd.npz")
+    np.savez(other, format_version=1)
+    with pytest.raises(ValueError, match="not a PSD checkpoint"):
+        checkpoint.load_psd(other)
+
+
+# ------------------------------------------------------------------ node
+
+
+def _node_inputs(n_rig=24):
+    mesh = uv_sphere(20, 20)
+    rest_rig = Mesh(points=fibonacci_points(n_rig))
+    return mesh, rest_rig
+
+
+def _posed(rest_rig, scale, axis=1):
+    pts = rest_rig.points.copy()
+    pts[:, axis] *= np.float32(scale)
+    return Mesh(points=pts)
+
+
+def _make_example(node_inputs, posed, bump=0.15):
+    """Sculpt = base pipeline output at `posed` + a localized bump."""
+    mesh, rest = node_inputs
+    base = FaceDeformNode().cook([mesh, rest, posed]).mesh
+    g = np.exp(-4.0 * np.sum((base.points - [0, 0, 1]) ** 2, -1))
+    sculpt = Mesh(points=(base.points
+                          + bump * g[:, None] * np.float32([0, 0, 1])))
+    return posed, sculpt
+
+
+def test_node_examples_reproduce_sculpt():
+    mesh, rest = _node_inputs()
+    pose_a = _posed(rest, 1.10)
+    pose_b = _posed(rest, 0.92)
+    ex_a = _make_example((mesh, rest), pose_a)
+    ex_b = _make_example((mesh, rest), pose_b, bump=-0.1)
+    node = FaceDeformNode()
+    res = node.cook([mesh, rest, pose_a], examples=[ex_a, ex_b])
+    # at example pose a the cook reproduces sculpt a exactly
+    np.testing.assert_allclose(res.mesh.points, ex_a[1].points, atol=2e-4)
+    w = res.mesh.detail_attrs["psd_weights"]
+    np.testing.assert_allclose(w, [1.0, 0.0], atol=1e-4)
+    assert any("psd: 2 example pose(s)" in m for m in res.messages)
+    # a pose far from both examples gets (almost) no correction
+    far = _posed(rest, 1.6)
+    base_far = FaceDeformNode().cook([mesh, rest, far]).mesh
+    res_far = node.cook([mesh, rest, far], examples=[ex_a, ex_b])
+    np.testing.assert_allclose(res_far.mesh.points, base_far.points,
+                               atol=5e-4)
+
+
+def test_node_psd_cache_reuse():
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    ex = _make_example((mesh, rest), pose)
+    node = FaceDeformNode()
+    node.cook([mesh, rest, pose], examples=[ex])
+    fitted = node._psd_deformer
+    assert fitted is not None
+    # same example set at a NEW pose: the fit is reused, not re-derived
+    node.cook([mesh, rest, _posed(rest, 1.05)], examples=[ex])
+    assert node._psd_deformer is fitted
+    # psd knob change invalidates
+    node.cook([mesh, rest, pose], examples=[ex], psd_lam=0.05)
+    assert node._psd_deformer is not fitted
+
+
+def test_node_bad_examples_warn_and_skip():
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    ex = _make_example((mesh, rest), pose)
+    node = FaceDeformNode()
+    # wrong rig point count: dropped with a warning, the good one stays
+    bad = (Mesh(points=fibonacci_points(rest.num_points + 3)), ex[1])
+    res = node.cook([mesh, rest, pose], examples=[bad, ex])
+    assert any("don't match the rig/mesh point counts" in w
+               for w in res.warnings)
+    np.testing.assert_allclose(res.mesh.points, ex[1].points, atol=2e-4)
+    # all examples unusable: cook degrades to the base pipeline
+    base = FaceDeformNode().cook([mesh, rest, pose]).mesh
+    res2 = FaceDeformNode().cook([mesh, rest, pose], examples=[bad])
+    assert any("no usable examples" in w for w in res2.warnings)
+    np.testing.assert_allclose(res2.mesh.points, base.points, atol=1e-6)
+    # duplicate poses: fit fails, warns, cook still completes
+    res3 = FaceDeformNode().cook([mesh, rest, pose], examples=[ex, ex])
+    assert any("duplicate example poses" in w for w in res3.warnings)
+    np.testing.assert_allclose(res3.mesh.points, base.points, atol=1e-6)
+
+
+def test_node_group_caps_psd_writes():
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    gmask = mesh.points[:, 2] > 0.0  # sculpt bump lives at z ~ 1
+    base = FaceDeformNode().cook([mesh, rest, pose], group_mask=gmask).mesh
+    # sculpt edits BOTH sides: off-group edits must be dropped + reported
+    g = np.exp(-4.0 * np.sum((base.points - [0, 0, 1]) ** 2, -1))
+    delta = 0.15 * g[:, None] * np.float32([0, 0, 1])
+    delta += np.where(gmask[:, None], 0.0, np.float32([0.05, 0, 0]))
+    sculpt = Mesh(points=base.points + delta)
+    node = FaceDeformNode()
+    res = node.cook([mesh, rest, pose], group_mask=gmask,
+                    examples=[(pose, sculpt)])
+    assert any("off-group vertices" in w for w in res.warnings)
+    np.testing.assert_allclose(res.mesh.points[~gmask],
+                               mesh.points[~gmask], atol=1e-6)
+    np.testing.assert_allclose(res.mesh.points[gmask],
+                               sculpt.points[gmask], atol=2e-4)
+
+
+def test_node_loaded_psd_matches_fit(tmp_path):
+    from facedeform_tpu.utils import checkpoint
+
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    ex = _make_example((mesh, rest), pose)
+    node = FaceDeformNode()
+    res_fit = node.cook([mesh, rest, pose], examples=[ex])
+    fitted, _ = node.psd_state()
+    path = str(tmp_path / "psd.npz")
+    checkpoint.save_psd(path, fitted)
+    loaded = checkpoint.load_psd(path)
+    node2 = FaceDeformNode()
+    res_load = node2.cook([mesh, rest, pose], psd=loaded)
+    np.testing.assert_allclose(res_load.mesh.points, res_fit.mesh.points,
+                               atol=1e-6)
+    # the host corrections copy is cached by identity across cooks
+    corr0 = node2._psd_ext_corr
+    node2.cook([mesh, rest, _posed(rest, 1.05)], psd=loaded)
+    assert node2._psd_ext_corr is corr0
+    # a checkpoint for a different mesh is refused with a warning
+    other = uv_sphere(8, 8)
+    res_bad = FaceDeformNode().cook([other, rest, pose], psd=loaded)
+    assert any("checkpoint was fitted for" in w for w in res_bad.warnings)
+
+
+# ------------------------------------------------------------------- cli
+
+
+def _write_cli_inputs(tmp_path):
+    from facedeform_tpu.geometry.obj_io import save_obj
+
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    ex_pose, ex_sculpt = _make_example((mesh, rest), pose)
+    save_obj(str(tmp_path / "mesh.obj"), mesh)
+    save_obj(str(tmp_path / "rig.obj"), rest)
+    save_obj(str(tmp_path / "drig.obj"), pose)
+    save_obj(str(tmp_path / "expose.obj"), ex_pose)
+    save_obj(str(tmp_path / "exsculpt.obj"), ex_sculpt)
+    return mesh, rest, pose, ex_sculpt
+
+
+def test_cli_deform_example_and_checkpoint(tmp_path):
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.obj_io import load_obj
+
+    _, _, _, sculpt = _write_cli_inputs(tmp_path)
+    args = ["deform", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+            str(tmp_path / "drig.obj"),
+            "--example", str(tmp_path / "expose.obj"),
+            str(tmp_path / "exsculpt.obj")]
+    rc = main(args + ["-o", str(tmp_path / "out.obj"),
+                      "--save-psd", str(tmp_path / "psd.npz")])
+    assert rc == 0
+    out = load_obj(str(tmp_path / "out.obj"))
+    np.testing.assert_allclose(out.points, sculpt.points, atol=2e-4)
+    # reload the checkpoint: same output without the example inputs
+    rc = main(["deform", str(tmp_path / "mesh.obj"),
+               str(tmp_path / "rig.obj"), str(tmp_path / "drig.obj"),
+               "-o", str(tmp_path / "out2.obj"),
+               "--load-psd", str(tmp_path / "psd.npz")])
+    assert rc == 0
+    out2 = load_obj(str(tmp_path / "out2.obj"))
+    np.testing.assert_allclose(out2.points, out.points, atol=1e-6)
+
+
+def test_cli_save_psd_without_examples_errors(tmp_path):
+    from facedeform_tpu.cli import main
+
+    _write_cli_inputs(tmp_path)
+    rc = main(["deform", str(tmp_path / "mesh.obj"),
+               str(tmp_path / "rig.obj"), str(tmp_path / "drig.obj"),
+               "-o", str(tmp_path / "out.obj"),
+               "--save-psd", str(tmp_path / "psd.npz")])
+    assert rc == 1
+
+
+def test_cli_seq_batch_psd_matches_per_frame(tmp_path):
+    from facedeform_tpu.cli import main
+    from facedeform_tpu.geometry.obj_io import load_obj, save_obj
+
+    mesh, rest, pose, _ = _write_cli_inputs(tmp_path)
+    for f, s in enumerate([1.02, 1.06, 1.10]):
+        save_obj(str(tmp_path / f"posed{f}.obj"), _posed(rest, s))
+    base = ["deform-seq", str(tmp_path / "mesh.obj"),
+            str(tmp_path / "rig.obj"),
+            *[str(tmp_path / f"posed{f}.obj") for f in range(3)],
+            "--out-pattern", "f_%02d.obj",
+            "--example", str(tmp_path / "expose.obj"),
+            str(tmp_path / "exsculpt.obj")]
+    assert main(base + ["-o", str(tmp_path / "ref")]) == 0
+    assert main(base + ["-o", str(tmp_path / "bat"), "--batch"]) == 0
+    for f in range(3):
+        ref = load_obj(str(tmp_path / "ref" / f"f_{f:02d}.obj"))
+        got = load_obj(str(tmp_path / "bat" / f"f_{f:02d}.obj"))
+        np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
+                                   err_msg=f"frame {f}")
+    # frame 2 IS the example pose: the written frame equals the sculpt
+    sculpt = load_obj(str(tmp_path / "exsculpt.obj"))
+    got2 = load_obj(str(tmp_path / "bat" / "f_02.obj"))
+    np.testing.assert_allclose(got2.points, sculpt.points, atol=2e-4)

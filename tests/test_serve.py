@@ -576,3 +576,48 @@ def test_serve_refit_via_client_binary(server, rng):
         np.testing.assert_array_equal(out, np.asarray(want))
     finally:
         c.close()
+
+
+def test_serve_psd_fit_delta_save_load(server, rng, tmp_path):
+    """Pose-space deformation over the wire: fit_psd holds the
+    sculpt-correction model resident, psd_delta blends corrections for
+    query poses (optionally applied to shipped points), and save/load
+    round-trips through the psd checkpoint codec."""
+    from facedeform_tpu.ops import psd as psd_ops
+
+    rest = fibonacci_points(12)
+    posed = np.stack([rest * (1.0 + 0.1 * (i + 1)) for i in range(3)])
+    corr = rng.standard_normal((3, 40, 3)).astype(np.float32)
+    c = serve_mod.Client(*server)
+    try:
+        did = c.fit_psd(rest, posed, corr)
+        # at an example pose the blended field IS that sculpt's correction
+        delta, w = c.psd_delta(did, rest, posed[1])
+        np.testing.assert_allclose(w, [0, 1, 0], atol=2e-5)
+        np.testing.assert_allclose(delta, corr[1], atol=1e-4)
+        # batched poses + points: one round trip applies the whole shot,
+        # matching the in-process facade
+        pts = rng.standard_normal((40, 3)).astype(np.float32)
+        out, wf = c.psd_delta(did, rest, posed, points=pts)
+        ref = psd_ops.PSDDeformer.fit(rest, posed, corr)
+        want = pts[None] + np.asarray(ref.delta_frames(rest, posed))
+        assert out.shape == (3, 40, 3) and wf.shape == (3, 3)
+        np.testing.assert_allclose(out, want, atol=1e-5)
+        # save -> load -> same field from the restored model
+        p = str(tmp_path / "srv_psd.npz")
+        c.save(did, p)
+        did2 = c.load(p)
+        delta2, _ = c.psd_delta(did2, rest, posed[1])
+        np.testing.assert_array_equal(delta2, delta)
+        # apply refuses a psd deformer with a pointer to psd_delta
+        with pytest.raises(RuntimeError, match="psd_delta"):
+            c.apply(did, pts)
+        # psd_delta refuses a non-psd deformer
+        dense = c.fit(rest, posed[0])
+        with pytest.raises(RuntimeError, match="fit_psd"):
+            c.psd_delta(dense, rest, posed[1])
+        # marker-count mismatch is a loud shape error
+        with pytest.raises(RuntimeError, match="markers"):
+            c.psd_delta(did, rest[:8], posed[:, :8])
+    finally:
+        c.close()
