@@ -378,3 +378,80 @@ def test_fuzzed_symmetry_closure_invariance(trial):
         assert err < 5e-5, (
             f"trial {trial}: cfg={cfg} plane={plane} err={err:.2e}"
         )
+
+
+# ------------------------------------------------------------ pose-space fuzz
+# PSD (ops/psd.py) across kernel x lam x eps x normalize x example-count
+# draws, vs an f64 re-derivation of the cardinal system.  PD kernels draw
+# lam = 0 (exact interpolation; weights at an example pose must be e_j);
+# non-PD kernels must draw lam > 0 (fit_psd raises otherwise — asserted).
+_PSD_PD = [RBFKernel.GAUSSIAN, RBFKernel.INVERSE_MULTIQUADRIC,
+           RBFKernel.WENDLAND_C2]
+_PSD_NON_PD = [RBFKernel.THIN_PLATE, RBFKernel.MULTIQUADRIC,
+               RBFKernel.LINEAR, RBFKernel.CUBIC]
+
+
+def _oracle_psd(feats, corr, kernel, eps, lam, q_feats, normalize):
+    f = feats.astype(np.float64)
+    d2 = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+    phi = oracle.apply_kernel(kernel, d2, eps) + lam * np.eye(len(f))
+    alpha = np.linalg.solve(phi, np.eye(len(f)))
+    qd2 = ((q_feats.astype(np.float64)[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+    w = oracle.apply_kernel(kernel, qd2, eps) @ alpha
+    if normalize:
+        s = w.sum(-1, keepdims=True)
+        w = w * (s / (s * s + 1e-4))  # same guard as psd_weights
+    return w, np.tensordot(w, corr.astype(np.float64), axes=1)
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzzed_psd_matches_oracle(trial):
+    from facedeform_tpu.ops import psd
+
+    rng = np.random.default_rng(13000 + trial)
+    pd = rng.random() < 0.6
+    kernel = (_PSD_PD[int(rng.integers(0, len(_PSD_PD)))] if pd
+              else _PSD_NON_PD[int(rng.integers(0, len(_PSD_NON_PD)))])
+    lam = float(rng.choice([1e-3, 1e-2, 0.1])) if not pd or rng.random() < 0.3 \
+        else 0.0
+    k = int(rng.integers(2, 12))
+    n = int(rng.integers(5, 40))       # rig markers -> D = 3N descriptors
+    v = int(rng.integers(30, 200))
+    rest = fibonacci_points(n)
+    poses = rest[None] + 0.3 * rng.standard_normal((k, n, 3)).astype(np.float32)
+    feats = np.stack([psd.features_from_rig(rest, p) for p in poses])
+    corr = 0.1 * rng.standard_normal((k, v, 3)).astype(np.float32)
+    eps = None if rng.random() < 0.5 else float(rng.uniform(0.5, 3.0)) * float(
+        np.sqrt(((feats[0] - feats[-1]) ** 2).sum()) + 0.1
+    )
+    normalize = bool(rng.integers(0, 2))
+
+    if lam == 0.0 and not pd:
+        with pytest.raises(ValueError):
+            psd.fit_psd(feats, corr, kernel, eps=eps, lam=lam)
+        return
+    model, report = psd.fit_psd(feats, corr, kernel, eps=eps, lam=lam)
+    eps_used = float(model.eps)
+    # queries: the example poses themselves + nearby perturbed poses
+    q = np.concatenate([
+        feats,
+        feats[rng.integers(0, k, 3)] + (0.2 * eps_used) * rng.standard_normal(
+            (3, feats.shape[1])
+        ).astype(np.float32),
+    ])
+    got_w = np.asarray(psd.psd_weights(model, q, kernel, normalize), np.float64)
+    got_d = np.asarray(psd.psd_delta(model, q, kernel, normalize), np.float64)
+    want_w, want_d = _oracle_psd(feats, corr, kernel, eps_used, lam, q, normalize)
+    w_scale = max(1.0, np.abs(want_w).max())
+    assert np.abs(got_w - want_w).max() / w_scale < 5e-5, (
+        f"trial {trial}: kernel={kernel} lam={lam} K={k} weight err "
+        f"{np.abs(got_w - want_w).max():.2e}"
+    )
+    d_scale = max(1.0, np.abs(want_d).max())
+    assert np.abs(got_d - want_d).max() / d_scale < 5e-5, f"trial {trial}"
+    if lam == 0.0:
+        # cardinal property: exact sculpt reproduction at each example pose
+        np.testing.assert_allclose(
+            got_d[:k], corr.astype(np.float64), atol=5e-5 * d_scale,
+            err_msg=f"trial {trial}: lam=0 must reproduce the sculpts",
+        )
