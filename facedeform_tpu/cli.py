@@ -185,6 +185,11 @@ def _add_cook_flags(d) -> None:
     d.add_argument("--psd-normalize", action="store_true",
                    help="rescale pose-space weights toward sum 1 where "
                         "their sum is significant (normalized RBF)")
+    d.add_argument("--psd-align", action="store_true",
+                   help="rigid-invariant pose descriptors: remove each "
+                        "pose's best-fit rigid transform (Kabsch) before "
+                        "the pose-space kernel and rotate corrections "
+                        "with the head — tracked rigs carry head motion")
     d.add_argument("--save-psd", metavar="PATH", default=None,
                    help="checkpoint the fitted pose-space model (.npz); "
                         "reload with --load-psd to skip re-cooking the "
@@ -494,7 +499,7 @@ def _cmd_deform(args) -> int:
             symmetrize=args.symmetrize, symmetry_tol=args.symmetry_tol,
             examples=examples, psd_lam=args.psd_lambda,
             psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
-            psd=psd_loaded,
+            psd_align=args.psd_align, psd=psd_loaded,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -781,7 +786,7 @@ def _cmd_deform_seq(args) -> int:
                 recompute_normals=args.recompute_normals,
                 examples=examples, psd_lam=args.psd_lambda,
                 psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
-                psd=psd_loaded,
+                psd_align=args.psd_align, psd=psd_loaded,
             )
         for w in res0.warnings:
             if w not in warned:
@@ -1013,16 +1018,27 @@ def _cmd_deform_seq(args) -> int:
                 if (examples or psd_loaded is not None) and psd_m is not None:
                     from facedeform_tpu.ops import psd as psd_ops
 
-                    feats = np.stack([
-                        psd_ops.features_from_rig(rest_rig.points, r.points)
+                    fr = [
+                        psd_ops.pose_feature(
+                            rest_rig.points, r.points, psd_m.align
+                        )
                         for r in rigs[1:]
-                    ])
+                    ]
+                    feats = np.stack([f for f, _ in fr])
                     w_psd = np.asarray(psd_ops.psd_weights(
                         psd_m.model, feats, psd_m.kernel, psd_m.normalize
                     ), np.float32)
-                    out_frames = out_frames + np.tensordot(
+                    delta = np.tensordot(
                         w_psd, psd_corr, axes=1
                     ).astype(np.float32)
+                    if psd_m.align:
+                        # rest-frame corrections rotate out by each
+                        # frame's own rigid pose: delta_f @ r_f.T
+                        rots = np.stack([r for _, r in fr])
+                        delta = np.einsum(
+                            "fvc,fdc->fvd", delta, rots
+                        ).astype(np.float32)
+                    out_frames = out_frames + delta
             if vel_fps is not None:
                 # Trail-SOP semantics: backward difference of the DEFORMED
                 # positions; frame 0 forward so every frame has motion

@@ -162,7 +162,7 @@ class FaceDeformNode:
     def _psd_fit(
         self, inputs, examples, cfg, params, group_mask, mesh_devices,
         symmetrize, symmetry_tol, psd_lam, psd_eps, psd_normalize,
-        warnings, times,
+        psd_align, warnings, times,
     ):
         """Fit (or reuse) the pose-space correction model for `examples`.
 
@@ -220,7 +220,7 @@ class FaceDeformNode:
             cfg, _all_params_key(params), mask_key, sym_key,
             float(psd_lam),
             None if psd_eps is None else float(psd_eps),
-            bool(psd_normalize),
+            bool(psd_normalize), bool(psd_align),
         )
         if key == self._psd_key:
             return self._psd_deformer
@@ -248,10 +248,14 @@ class FaceDeformNode:
                             max_off_group, float(np.abs(c[~mask]).max())
                         )
                     c = np.where(mask[:, None], c, np.float32(0.0))
-                corr.append(c)
-                feats.append(
-                    psd_ops.features_from_rig(rest_rig.points, posed.points)
+                f, r = psd_ops.pose_feature(
+                    rest_rig.points, posed.points, bool(psd_align)
                 )
+                # align: the stored correction lives in the rest
+                # (head-local) frame; the apply pass rotates it back by
+                # the QUERY pose's own rigid rotation (ops/psd.py)
+                corr.append(c @ r if r is not None else c)
+                feats.append(f)
             if max_off_group > 1e-6:
                 warnings.append(
                     f"psd: sculpt(s) move off-group vertices by up to "
@@ -274,7 +278,8 @@ class FaceDeformNode:
                 self._psd_corr_host = None
                 return None
             psd = psd_ops.PSDDeformer(
-                model, normalize=bool(psd_normalize), report=report
+                model, normalize=bool(psd_normalize), report=report,
+                align=bool(psd_align),
             )
         self._psd_key, self._psd_deformer = key, psd
         self._psd_corr_host = np.stack(corr)
@@ -385,6 +390,7 @@ class FaceDeformNode:
         psd_lam: float = 0.0,
         psd_eps: Optional[float] = None,
         psd_normalize: bool = False,
+        psd_align: bool = False,
         psd=None,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
@@ -438,7 +444,11 @@ class FaceDeformNode:
         reproduces that sculpt exactly, and nearby poses blend smoothly.
         `psd_lam` / `psd_eps` / `psd_normalize` tune the pose-space kernel
         (defaults: exact interpolation, auto radius, raw cardinal
-        weights).  Pose-space weights land in
+        weights).  `psd_align=True` removes each pose's best-fit rigid
+        transform before the descriptor and carries the corrections in
+        the rest (head-local) frame — the same expression with the head
+        moved still triggers the sculpt, rotated with the head (tracked
+        rigs carry head motion; see ops/psd.rigid_align).  Pose-space weights land in
         mesh.detail_attrs['psd_weights'].  Alternatively pass `psd` (a
         PSDDeformer, e.g. utils/checkpoint.load_psd) to apply an
         already-fitted pose-space model without re-cooking the examples;
@@ -988,7 +998,7 @@ class FaceDeformNode:
             psd = self._psd_fit(
                 inputs, examples, cfg, params, group_mask, mesh_devices,
                 symmetrize, symmetry_tol, psd_lam, psd_eps, psd_normalize,
-                warnings, times,
+                psd_align, warnings, times,
             )
             corr_host = self._psd_corr_host
         elif psd is not None:
@@ -1019,8 +1029,8 @@ class FaceDeformNode:
                 with stage("psd", times):
                     from facedeform_tpu.ops import psd as psd_ops
 
-                    feat = psd_ops.features_from_rig(
-                        inputs[1].points, inputs[2].points
+                    feat, r_q = psd_ops.pose_feature(
+                        inputs[1].points, inputs[2].points, psd.align
                     )
                     # weights on device (K scalars through the tunnel);
                     # the (K) x (K, 3V) contraction on HOST against the
@@ -1035,6 +1045,10 @@ class FaceDeformNode:
                     delta = np.tensordot(
                         w_psd, corr_host, axes=1
                     ).astype(np.float32)
+                    if r_q is not None:
+                        # rest-frame corrections ride the query pose's
+                        # rigid rotation back to world (rigid equivariance)
+                        delta = delta @ r_q.T
                     new_pts = new_pts + delta
                 out.detail_attrs["psd_weights"] = w_psd
                 messages.append(

@@ -91,6 +91,45 @@ def features_from_rig(rest_rig: np.ndarray, posed_rig: np.ndarray) -> np.ndarray
     return (posed - rest).reshape(-1)
 
 
+def rigid_align(rest_rig: np.ndarray, posed_rig: np.ndarray):
+    """Best-fit rigid registration of a posed rig onto the rest rig.
+
+    Kabsch in f64 on host (N is rig-sized): returns `(aligned, r)` where
+    `aligned = (posed - posed_mean) @ r + rest_mean` is the posed rig with
+    its rigid motion removed and `r` is the rest->posed rotation in ROW
+    convention — a row vector expressed in the rest (head-local) frame
+    maps to world as `v_world = v_local @ r.T`, so a world-space field
+    moves into the local frame as `c_local = c_world @ r`.
+
+    Proper rotation is enforced (det +1 via the sign-flip column), so
+    mirror-image poses align through the nearest rotation, never a
+    reflection.  Requires >= 3 markers (fewer leave the rotation
+    underdetermined).
+    """
+    rest = np.asarray(rest_rig, np.float64)
+    posed = np.asarray(posed_rig, np.float64)
+    if rest.shape != posed.shape:
+        raise ValueError(
+            f"posed rig shape {posed.shape} != rest rig shape {rest.shape}"
+        )
+    if rest.ndim != 2 or rest.shape[1] != 3 or rest.shape[0] < 3:
+        raise ValueError(
+            "rigid_align needs an (N>=3, 3) rig; got "
+            f"{rest.shape} (a rotation is underdetermined below 3 markers)"
+        )
+    rest_c = rest - rest.mean(0)
+    posed_mean = posed.mean(0)
+    posed_c = posed - posed_mean
+    h = rest_c.T @ posed_c                      # (3, 3) covariance
+    u, _, vt = np.linalg.svd(h)
+    d = np.sign(np.linalg.det(vt.T @ u.T))
+    # rest->posed rotation (column convention R = V diag(1,1,d) U^T);
+    # posed_c ~= rest_c @ r.T in row convention
+    r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+    aligned = posed_c @ r + rest.mean(0)
+    return aligned.astype(np.float32), r.astype(np.float32)
+
+
 def auto_eps(features: np.ndarray) -> float:
     """Median pairwise example distance — the package's auto-radius
     convention (cf. ops/pu.py eps='auto'), here over the K examples."""
@@ -212,6 +251,22 @@ def psd_delta(
     return out
 
 
+def pose_feature(
+    rest_rig: np.ndarray, posed_rig: np.ndarray, align: bool = False
+):
+    """(feature (D,), rotation (3, 3) | None) for one query pose.
+
+    With `align=True` the pose descriptor is computed on the
+    rigid-registered pose (rigid_align), making it INVARIANT to head
+    motion — and the returned rest->posed rotation is what maps a
+    rest-frame correction field back to world (`c_world = c_local @ r.T`).
+    """
+    if not align:
+        return features_from_rig(rest_rig, posed_rig), None
+    aligned, r = rigid_align(rest_rig, posed_rig)
+    return features_from_rig(rest_rig, aligned), r
+
+
 @dataclasses.dataclass(frozen=True)
 class PSDDeformer:
     """Solved PSD artifact: model pytree + static kernel/normalize knobs.
@@ -219,12 +274,20 @@ class PSDDeformer:
     Checkpoints via utils/checkpoint.save_psd/load_psd; apply composes on
     top of any base pipeline output (node.cook wires it automatically
     when `examples=` are passed).
+
+    `align=True` makes the model rigid-EQUIVARIANT: pose descriptors are
+    computed on Kabsch-registered poses (head motion does not move the
+    query through pose space) and the stored corrections live in the rest
+    (head-local) frame, rotated back to world by each query pose's own
+    rigid rotation — the same expression with the head turned reproduces
+    the sculpt turned with the head.
     """
 
     model: PSDModel
     kernel: RBFKernel = RBFKernel.GAUSSIAN
     normalize: bool = False
     report: Optional[SolveReport] = None
+    align: bool = False
 
     @staticmethod
     def fit(
@@ -235,33 +298,49 @@ class PSDDeformer:
         eps: Optional[float] = None,
         lam: float = 0.0,
         normalize: bool = False,
+        align: bool = False,
     ) -> "PSDDeformer":
-        """posed_rigs: (K, N, 3) example rig poses; corrections: (K, V, 3)."""
+        """posed_rigs: (K, N, 3) example rig poses; corrections: (K, V, 3)
+        world-space sculpt deltas (rotated into the rest frame internally
+        when align=True)."""
         posed = np.asarray(posed_rigs, np.float32)
-        feats = np.stack([
-            features_from_rig(rest_rig, posed[i]) for i in range(posed.shape[0])
-        ])
-        model, report = fit_psd(feats, corrections, kernel, eps, lam)
-        return PSDDeformer(model, kernel, normalize, report)
+        corr = np.asarray(corrections, np.float32)
+        feats, corr_fit = [], []
+        for i in range(posed.shape[0]):
+            f, r = pose_feature(rest_rig, posed[i], align)
+            feats.append(f)
+            corr_fit.append(corr[i] @ r if r is not None else corr[i])
+        model, report = fit_psd(
+            np.stack(feats), np.stack(corr_fit), kernel, eps, lam
+        )
+        return PSDDeformer(model, kernel, normalize, report, align)
 
     def weights(self, rest_rig: np.ndarray, posed_rig: np.ndarray) -> jnp.ndarray:
-        return psd_weights(
-            self.model, features_from_rig(rest_rig, posed_rig),
-            self.kernel, self.normalize,
-        )
+        f, _ = pose_feature(rest_rig, posed_rig, self.align)
+        return psd_weights(self.model, f, self.kernel, self.normalize)
 
     def delta(self, rest_rig: np.ndarray, posed_rig: np.ndarray) -> jnp.ndarray:
-        return psd_delta(
-            self.model, features_from_rig(rest_rig, posed_rig),
-            self.kernel, self.normalize,
-        )
+        f, r = pose_feature(rest_rig, posed_rig, self.align)
+        d = psd_delta(self.model, f, self.kernel, self.normalize)
+        if r is not None:
+            d = jnp.matmul(d, jnp.asarray(r.T), precision=_HIGHEST)
+        return d
 
     def delta_frames(
         self, rest_rig: np.ndarray, posed_rigs: np.ndarray
     ) -> jnp.ndarray:
         """(F, V, 3) corrections for a whole shot in ONE dispatch."""
         posed = np.asarray(posed_rigs, np.float32)
-        feats = np.stack([
-            features_from_rig(rest_rig, posed[i]) for i in range(posed.shape[0])
-        ])
-        return psd_delta(self.model, feats, self.kernel, self.normalize)
+        feats, rots = [], []
+        for i in range(posed.shape[0]):
+            f, r = pose_feature(rest_rig, posed[i], self.align)
+            feats.append(f)
+            rots.append(r)
+        d = psd_delta(self.model, np.stack(feats), self.kernel, self.normalize)
+        if self.align:
+            # per-frame world rotation: (F, V, 3) x (F, 3, 3) -> (F, V, 3)
+            d = jnp.einsum(
+                "fvc,fdc->fvd", d, jnp.asarray(np.stack(rots)),
+                precision=_HIGHEST,
+            )
+        return d

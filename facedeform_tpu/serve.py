@@ -247,13 +247,16 @@ class Client:
 
     def fit_psd(self, rest_rig, posed_rigs, corrections,
                 kernel: str = "GAUSSIAN", eps: Optional[float] = None,
-                lam: float = 0.0, normalize: bool = False) -> str:
+                lam: float = 0.0, normalize: bool = False,
+                align: bool = False) -> str:
         """Hold a pose-space sculpt-correction model resident
         (ops/psd.py): (N, 3) rest rig, (K, N, 3) example poses,
-        (K, V, 3) sculpt-minus-base corrections."""
+        (K, V, 3) sculpt-minus-base corrections.  align=True makes the
+        model rigid-equivariant (Kabsch-registered descriptors,
+        corrections carried in the rest frame)."""
         resp, _ = self.request(
             {"cmd": "fit_psd", "kernel": kernel, "lam": float(lam),
-             "normalize": bool(normalize),
+             "normalize": bool(normalize), "align": bool(align),
              **({"eps": float(eps)} if eps is not None else {})},
             {"rest_rig": np.asarray(rest_rig, np.float32),
              "posed_rigs": np.asarray(posed_rigs, np.float32),
@@ -735,14 +738,19 @@ class DeformServer:
                     rest_rig, posed, corr, kernel=kernel,
                     eps=req.get("eps"), lam=float(req.get("lam", 0.0)),
                     normalize=bool(req.get("normalize", False)),
+                    align=bool(req.get("align", False)),
                 )
                 errors.check_solve(psd_d.report)
                 did = self._new_id()
                 # host corrections cached with the entry: psd_delta pulls
                 # K scalars from the device and contracts on host (the
                 # node.py convention — a (V, 3) device pull per request
-                # would be tunnel-bound)
-                self._deformers[did] = ("psd", psd_d, corr)
+                # would be tunnel-bound).  model.corrections, not the raw
+                # request payload: align=True stores them rest-frame.
+                self._deformers[did] = (
+                    "psd", psd_d, np.asarray(psd_d.model.corrections,
+                                             np.float32),
+                )
                 return {
                     "ok": True, "deformer": did,
                     "examples": int(posed.shape[0]),
@@ -766,14 +774,19 @@ class DeformServer:
                         f"posed_rigs {posed.shape}: model was fitted for "
                         f"{d_feat // 3} rig markers"
                     )
-                feats = np.stack([
-                    psd_ops.features_from_rig(rest_rig, stack[i])
+                fr = [
+                    psd_ops.pose_feature(rest_rig, stack[i], psd_d.align)
                     for i in range(stack.shape[0])
-                ])
+                ]
+                feats = np.stack([f for f, _ in fr])
                 w = np.atleast_2d(np.asarray(psd_ops.psd_weights(
                     psd_d.model, feats, psd_d.kernel, psd_d.normalize
                 ), np.float32))
                 delta = np.tensordot(w, corr, axes=1).astype(np.float32)
+                if psd_d.align:
+                    delta = np.einsum(
+                        "fvc,fdc->fvd", delta, np.stack([r for _, r in fr])
+                    ).astype(np.float32)
                 if "points" in req:
                     pts = decode_array(req["points"]).astype(np.float32)
                     if pts.shape[-2:] != delta.shape[-2:]:

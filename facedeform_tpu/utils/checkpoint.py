@@ -424,6 +424,7 @@ def save_psd(path: str, psd) -> None:
         psd=1,
         kernel=int(psd.kernel),
         normalize=int(bool(psd.normalize)),
+        align=int(bool(psd.align)),
         features=np.asarray(m.features),
         alpha=np.asarray(m.alpha),
         corrections=np.asarray(m.corrections),
@@ -462,4 +463,5 @@ def load_psd(path: str):
     return PSDDeformer(
         model, RBFKernel(int(data["kernel"])),
         normalize=bool(int(data["normalize"])), report=report,
+        align=bool(int(data["align"])) if "align" in data else False,
     )

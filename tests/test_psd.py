@@ -367,3 +367,118 @@ def test_cli_seq_batch_psd_matches_per_frame(tmp_path):
     sculpt = load_obj(str(tmp_path / "exsculpt.obj"))
     got2 = load_obj(str(tmp_path / "bat" / "f_02.obj"))
     np.testing.assert_allclose(got2.points, sculpt.points, atol=2e-4)
+
+
+# ---------------------------------------------------------- rigid alignment
+
+
+def _rotation(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    k = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return (np.eye(3) + np.sin(angle) * k
+            + (1 - np.cos(angle)) * (k @ k)).astype(np.float32)
+
+
+def test_rigid_align_recovers_pure_rigid_motion(rng):
+    rest = fibonacci_points(20)
+    r_true = _rotation([1, 2, 3], 0.7)
+    t = np.float32([0.5, -1.0, 2.0])
+    posed = rest @ r_true.T + t
+    aligned, r = psd.rigid_align(rest, posed)
+    np.testing.assert_allclose(aligned, rest, atol=1e-5)
+    np.testing.assert_allclose(r, r_true, atol=1e-5)
+    # proper rotation, never a reflection
+    assert np.linalg.det(np.asarray(r, np.float64)) > 0.99
+
+
+def test_rigid_align_needs_three_markers():
+    with pytest.raises(ValueError, match="underdetermined"):
+        psd.rigid_align(np.zeros((2, 3), np.float32),
+                        np.ones((2, 3), np.float32))
+
+
+def test_pose_feature_rigid_invariance(rng):
+    rest = fibonacci_points(16)
+    expr = rest.copy()
+    expr[:, 1] *= np.float32(1.15)            # a non-rigid expression
+    r_mat = _rotation([0, 1, 0], 1.1)
+    moved = expr @ r_mat.T + np.float32([3.0, 0.2, -1.0])
+    f_a, _ = psd.pose_feature(rest, expr, align=True)
+    f_b, _ = psd.pose_feature(rest, moved, align=True)
+    scale = max(1.0, float(np.abs(f_a).max()))
+    assert np.abs(f_a - f_b).max() / scale < 1e-4
+    # and WITHOUT align the head motion swamps the descriptor
+    g_a, _ = psd.pose_feature(rest, expr, align=False)
+    g_b, _ = psd.pose_feature(rest, moved, align=False)
+    assert np.abs(g_a - g_b).max() > 1.0
+
+
+def test_aligned_delta_is_rigid_equivariant(rng):
+    rest = fibonacci_points(12)
+    posed = np.stack([rest * np.float32([1, 1.1, 1]),
+                      rest * np.float32([1, 0.9, 1]),
+                      rest * np.float32([1.05, 1, 1])])
+    corr = rng.normal(size=(3, 30, 3)).astype(np.float32)
+    d = psd.PSDDeformer.fit(rest, posed, corr, align=True)
+    r_mat = _rotation([1, 0, 1], 0.6)
+    q = posed[0] @ r_mat.T + np.float32([2.0, -0.5, 1.0])
+    # the moved pose still reads as example 0 ...
+    np.testing.assert_allclose(
+        np.asarray(d.weights(rest, q)), [1, 0, 0], atol=2e-4
+    )
+    # ... and its correction arrives rotated with the head
+    np.testing.assert_allclose(
+        np.asarray(d.delta(rest, q)), corr[0] @ r_mat.T, atol=2e-4
+    )
+    # delta_frames agrees with per-pose deltas (per-frame rotations)
+    stack = np.stack([posed[1], q])
+    frames = np.asarray(d.delta_frames(rest, stack))
+    np.testing.assert_allclose(
+        frames[0], np.asarray(d.delta(rest, posed[1])), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        frames[1], np.asarray(d.delta(rest, q)), atol=1e-5
+    )
+
+
+def test_node_psd_align_equivariance():
+    mesh, rest = _node_inputs()
+    pose_a = _posed(rest, 1.12)
+    ex_a = _make_example((mesh, rest), pose_a)
+    r_mat = _rotation([0, 0, 1], 0.8)
+    moved = Mesh(points=(pose_a.points @ r_mat.T
+                         + np.float32([1.5, 0.0, -0.7])))
+    node = FaceDeformNode()
+    base = FaceDeformNode().cook([mesh, rest, moved]).mesh
+    res = node.cook([mesh, rest, moved], examples=[ex_a], psd_align=True)
+    corr = ex_a[1].points - FaceDeformNode().cook(
+        [mesh, rest, pose_a]
+    ).mesh.points
+    np.testing.assert_allclose(
+        res.mesh.points - base.points, corr @ r_mat.T, atol=5e-4
+    )
+    # at the untransformed example pose, exact reproduction still holds
+    res_a = node.cook([mesh, rest, pose_a], examples=[ex_a], psd_align=True)
+    np.testing.assert_allclose(res_a.mesh.points, ex_a[1].points, atol=2e-4)
+
+
+def test_checkpoint_align_roundtrip(rng, tmp_path):
+    rest = fibonacci_points(10)
+    posed = np.stack([rest * np.float32([1, 1.2, 1]),
+                      rest * np.float32([1, 0.8, 1])])
+    corr = rng.normal(size=(2, 15, 3)).astype(np.float32)
+    d = psd.PSDDeformer.fit(rest, posed, corr, align=True)
+    from facedeform_tpu.utils import checkpoint
+
+    checkpoint.save_psd(str(tmp_path / "al"), d)
+    d2 = checkpoint.load_psd(str(tmp_path / "al"))
+    assert d2.align is True
+    r_mat = _rotation([1, 1, 0], 0.5)
+    q = posed[1] @ r_mat.T + np.float32(0.3)
+    np.testing.assert_allclose(
+        np.asarray(d2.delta(rest, q)), np.asarray(d.delta(rest, q)),
+        atol=1e-6,
+    )

@@ -619,5 +619,24 @@ def test_serve_psd_fit_delta_save_load(server, rng, tmp_path):
         # marker-count mismatch is a loud shape error
         with pytest.raises(RuntimeError, match="markers"):
             c.psd_delta(did, rest[:8], posed[:, :8])
+        # align=True: rigid-equivariant over the wire — the example pose
+        # rigidly moved still triggers its sculpt, rotated with the head
+        did_al = c.fit_psd(rest, posed, corr, align=True)
+        ang = 0.6
+        r_mat = np.array([
+            [np.cos(ang), -np.sin(ang), 0],
+            [np.sin(ang), np.cos(ang), 0],
+            [0, 0, 1],
+        ], np.float32)
+        q = posed[1] @ r_mat.T + np.float32([2.0, -1.0, 0.5])
+        delta_al, w_al = c.psd_delta(did_al, rest, q)
+        np.testing.assert_allclose(w_al, [0, 1, 0], atol=2e-4)
+        np.testing.assert_allclose(delta_al, corr[1] @ r_mat.T, atol=2e-4)
+        # align survives the checkpoint round trip
+        p_al = str(tmp_path / "srv_psd_al.npz")
+        c.save(did_al, p_al)
+        did_al2 = c.load(p_al)
+        delta_al2, _ = c.psd_delta(did_al2, rest, q)
+        np.testing.assert_array_equal(delta_al2, delta_al)
     finally:
         c.close()
