@@ -96,6 +96,10 @@ PARM_SPECS: List[Tuple[str, str, str, object, object]] = [
     ("recompute_normals", "Recompute normals", "toggle", 0, None),
     ("symmetrize", "Symmetrize rig", "menu", 0, ["Off", "X", "Y", "Z"]),
     ("symmetry_tol", "Symmetry pair tolerance", "float", 0.0, (0.0, 1.0)),
+    # pose-space sculpt corrections: a checkpoint fitted offline (CLI
+    # --save-psd or serve fit_psd + save) applied on top of the cook —
+    # the file carries kernel/normalize/align, ops/psd.py
+    ("psd_file", "PSD checkpoint", "string", "", None),
 ]
 
 _SYMMETRIZE_NAMES = (None, "x", "y", "z")
@@ -105,6 +109,36 @@ _SOLVER_NAMES = ("auto", "direct", "krylov", "pu")
 # Per-Houdini-node adapter state: the stateful FaceDeformNode (its capture /
 # solve / DBSE caches) and the geometry-conversion cache per input slot.
 _NODE_STATE: Dict[str, dict] = {}
+
+
+def _psd_from_path(state: dict, path: str):
+    """Load (and cache) the PSD checkpoint named by the `psd_file` parm.
+
+    Cached on (path, mtime) and returned IDENTITY-STABLE across cooks so
+    FaceDeformNode's external-psd host-corrections cache keys on the same
+    object — re-editing the parm or replacing the file reloads.  A bad
+    path/file is a hou.NodeError: the artist set it explicitly.
+    """
+    import hou
+
+    import os
+
+    try:
+        key = (path, os.path.getmtime(path if os.path.exists(path)
+                                      else path + ".npz"))
+    except OSError as e:
+        raise hou.NodeError(f"PSD checkpoint: {e}") from e
+    cached = state.get("psd_cache")
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    from facedeform_tpu.utils import checkpoint
+
+    try:
+        model = checkpoint.load_psd(path)
+    except (OSError, ValueError) as e:
+        raise hou.NodeError(f"PSD checkpoint: {e}") from e
+    state["psd_cache"] = (key, model)
+    return model
 
 
 def clear_state(path: Optional[str] = None) -> None:
@@ -367,6 +401,8 @@ def cook_sop(node) -> Optional[CookResult]:
 
     tr_attrs = str(_eval_parm(node, "transform_attrs", "")).strip()
     sym_tol = float(_eval_parm(node, "symmetry_tol", 0.0))
+    psd_path = str(_eval_parm(node, "psd_file", "")).strip()
+    psd_model = _psd_from_path(state, psd_path) if psd_path else None
     try:
         result = state["node"].cook(
             meshes, cfg, params, group=group or None,
@@ -383,6 +419,7 @@ def cook_sop(node) -> Optional[CookResult]:
             ],
             # 0 = auto (5% of median marker spacing, ops/symmetry.py)
             symmetry_tol=sym_tol if sym_tol > 0 else None,
+            psd=psd_model,
         )
     except errors.FaceDeformError as e:
         raise hou.NodeError(str(e)) from e

@@ -262,3 +262,38 @@ def test_parm_specs_cover_reference_surface():
     # idempotent: re-applying adds nothing
     hadapt.apply_parm_templates(d)
     assert len(d.parmTemplateGroup().entries()) == len(names)
+
+
+def test_cook_sop_psd_checkpoint(rng, tmp_path):
+    """The psd_file parm applies a fitted pose-space model on top of the
+    cook (identity-cached across cooks); a bad path is a NodeError."""
+    from facedeform_tpu.ops import psd as psd_ops
+    from facedeform_tpu.utils import checkpoint
+
+    node, meshes = _scene(rng)
+    mesh, rig0, rig1 = meshes
+    # a model fitted FOR this scene: one example at rig1's pose
+    feats = np.stack([psd_ops.features_from_rig(rig0.points, rig1.points)])
+    corr = 0.05 * rng.standard_normal(
+        (1, mesh.num_points, 3)
+    ).astype(np.float32)
+    model, report = psd_ops.fit_psd(feats, corr)
+    p = str(tmp_path / "sop_psd.npz")
+    checkpoint.save_psd(p, psd_ops.PSDDeformer(model, report=report))
+
+    node._parms["psd_file"] = p
+    hadapt.cook_sop(node)
+    want = FaceDeformNode().cook(
+        [m.copy() for m in meshes], DeformConfig(), DeformParams(),
+        psd=checkpoint.load_psd(p),
+    )
+    np.testing.assert_allclose(_out_points(node), want.mesh.points,
+                               atol=1e-6)
+    # the checkpoint object is identity-cached across cooks
+    first = hadapt._NODE_STATE[node.path()]["psd_cache"][1]
+    hadapt.cook_sop(node)
+    assert hadapt._NODE_STATE[node.path()]["psd_cache"][1] is first
+
+    node._parms["psd_file"] = str(tmp_path / "missing.npz")
+    with pytest.raises(mock_hou.NodeError, match="PSD checkpoint"):
+        hadapt.cook_sop(node)
