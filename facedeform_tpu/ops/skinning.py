@@ -1,0 +1,502 @@
+"""Skinning decomposition: bake the RBF deformer to linear blend skinning.
+
+Production pipelines end in engines (game runtimes, crowd systems,
+real-time previz) that evaluate LINEAR BLEND SKINNING — per-vertex bone
+weights plus per-pose rigid bone transforms — not RBF fields.  The
+reference plugin (and this rebuild's core) outputs deformed geometry per
+cook; to ship a face into an engine you need the deformation EXPRESSED as
+LBS.  This module solves that export problem: sample the deformer over a
+set of poses (a shot, or a sweep of rig poses), then decompose
+
+    P[f, v] ~= sum_b W[v, b] * (X[v] @ R[f, b].T + t[f, b])
+
+into B virtual bones — Smooth Skinning Decomposition with Rigid Bones
+(Le & Deng, SIGGRAPH Asia 2012), re-designed for the TPU:
+
+* every stage is a dense (V, B)-shaped contraction — k-means assignment
+  distances, weighted Procrustes moments, and the weight-solve gradient
+  are all MXU matmuls / VPU elementwise over static shapes;
+* the weight solve is PROJECTED GRADIENT over the whole (V, B) weight
+  matrix at once (diag-preconditioned, capped-simplex projection with a
+  top-k support cap) instead of the reference algorithm's per-vertex
+  NNLS loop — no data-dependent control flow, no per-vertex host work,
+  and crucially NO per-vertex gathers (TPU gathers cost ~8 ms per 1M
+  rows; everything here stays in natural vertex order);
+* per-frame moments accumulate under `lax.scan` so peak memory is one
+  (V, B, 3) frame basis, not the (F, V, B, 3) stack.
+
+The result is exact for rigid-cluster motion (each vertex following one
+rigid transform recovers RMSE ~ 0) and near-exact for smooth fields with
+enough bones; `SkinningModel.reconstruct` reports the residual so the
+budget is measurable, not hoped for.
+
+No reference-code counterpart: symek/facedeform has no LBS export
+(src/SOP_FaceDeform.cpp writes deformed positions only); this is a
+rebuild extension in the same spirit as PSD (ops/psd.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------------- projection
+def project_capped_simplex(w: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise Euclidean projection of (V, B) onto the simplex
+    {w >= 0, sum w = 1} restricted to `mask` (True = allowed support).
+
+    Sort-based water-filling (Held/Wolfe/Crowder): B <= 64 so the rowwise
+    sort is trivial next to the surrounding matmuls.  Masked-out entries
+    are pinned to 0 by pushing them to -inf before the threshold search.
+    A row whose mask is all-False would be ill-posed; callers guarantee
+    at least one allowed bone per row (the top-k cap keeps k >= 1).
+    """
+    neg = jnp.float32(-1e30)
+    wm = jnp.where(mask, w, neg)
+    # descending sort; cumulative water level tau_k = (cumsum - 1) / k
+    s = -jnp.sort(-wm, axis=-1)
+    cs = jnp.cumsum(s, axis=-1)
+    k = jnp.arange(1, w.shape[-1] + 1, dtype=w.dtype)
+    tau = (cs - 1.0) / k
+    # the largest k with s_k > tau_k gives the active threshold
+    active = s > tau
+    n_active = jnp.sum(active, axis=-1, keepdims=True)
+    tau_star = jnp.take_along_axis(tau, n_active - 1, axis=-1)
+    return jnp.where(mask, jnp.maximum(wm - tau_star, 0.0), 0.0)
+
+
+# ----------------------------------------------------- local rigid features
+def _horn_quaternions(s: jnp.ndarray) -> jnp.ndarray:
+    """Batched rotation quaternions (w, x, y, z) from (..., 3, 3) Procrustes
+    covariances S_ij = sum_k x_i p_j (rest-centered x, posed-centered p).
+
+    Horn's closed form (JOSA A 1987): the optimal rotation's quaternion is
+    the top eigenvector of a symmetric 4x4 built from S.  Unlike the
+    polar-Newton route (ops/jacobian.polar_rotation) this is well-defined
+    for RANK-2 covariances — surface-mesh neighborhoods are near-planar,
+    so det(S) ~ 0 is the common case, not the degenerate one.  Sign is
+    fixed to the w >= 0 hemisphere (q and -q are the same rotation); near
+    180-degree rotations sit on that boundary and may split clusters, but
+    the hard rigid rounds downstream re-merge them.
+    """
+    sxx, sxy, sxz = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+    syx, syy, syz = s[..., 1, 0], s[..., 1, 1], s[..., 1, 2]
+    szx, szy, szz = s[..., 2, 0], s[..., 2, 1], s[..., 2, 2]
+    n = jnp.stack([
+        jnp.stack([sxx + syy + szz, syz - szy, szx - sxz, sxy - syx], -1),
+        jnp.stack([syz - szy, sxx - syy - szz, sxy + syx, szx + sxz], -1),
+        jnp.stack([szx - sxz, sxy + syx, syy - sxx - szz, syz + szy], -1),
+        jnp.stack([sxy - syx, szx + sxz, syz + szy, szz - sxx - syy], -1),
+    ], -2)
+    _, vecs = jnp.linalg.eigh(n)           # ascending eigenvalues
+    q = vecs[..., -1]                      # top eigenvector
+    return jnp.where(q[..., 0:1] < 0, -q, q)
+
+
+def _quat_to_mat(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) unit quaternion (w, x, y, z) -> (..., 3, 3) rotation."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                   2 * (x * z + w * y)], -1),
+        jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - w * x)], -1),
+        jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                   1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+
+
+@jax.jit
+def _rigid_feats_device(x, frames, nbr, inv_scale):
+    """(V, 7F) per-frame local rigid-transform features.
+
+    For each vertex, fit a rigid (R, t) to its k-NN neighborhood's motion
+    (Horn quaternions over gathered neighborhoods) and emit
+    [q, t * inv_scale] per frame.  Vertices inside a rigid-coherent region
+    share these EXACTLY, and they vary only across true motion boundaries
+    — unlike raw displacement vectors, which vary with position inside a
+    rotating part (a twist's displacements rotate with azimuth, seeding
+    azimuthal-wedge clusters that the alternation cannot escape; measured
+    12-bone RMSE 0.13 vs 0.01 band-seeded on the uv-sphere twist).
+    Gathers are one-time init cost (~8 ms per 1M rows on v5e).
+    """
+    xn = x[nbr]                                        # (V, K, 3)
+    xbar = jnp.mean(xn, axis=1)
+    xc = xn - xbar[:, None]
+
+    def one(_, p_f):
+        pn = p_f[nbr]
+        pbar = jnp.mean(pn, axis=1)
+        pc = pn - pbar[:, None]
+        s = jnp.einsum("vki,vkj->vij", xc, pc, precision=_HIGHEST)
+        q = _horn_quaternions(s)
+        r = _quat_to_mat(q)
+        t = pbar - jnp.einsum("vij,vj->vi", r, xbar, precision=_HIGHEST)
+        return None, jnp.concatenate([q, t * inv_scale], -1)
+
+    _, f = jax.lax.scan(one, None, frames)             # (F, V, 7)
+    return jnp.transpose(f, (1, 0, 2)).reshape(x.shape[0], -1)
+
+
+def _local_rigid_features(x: np.ndarray, p: np.ndarray,
+                          k_neighbors: int) -> np.ndarray:
+    """Host wrapper: k-NN on rest points (scipy), features on device."""
+    from scipy.spatial import cKDTree
+
+    k = int(min(k_neighbors, x.shape[0]))
+    _, nbr = cKDTree(x).query(x, k=k)
+    nbr = np.ascontiguousarray(np.atleast_2d(nbr.T).T, np.int32)
+    bbox = float(np.linalg.norm(x.max(0) - x.min(0)))
+    feats = _rigid_feats_device(
+        jnp.asarray(x), jnp.asarray(p), jnp.asarray(nbr),
+        jnp.float32(1.0 / max(bbox, 1e-12)),
+    )
+    return np.asarray(feats)
+
+
+# ------------------------------------------------------------------ k-means
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
+def _kmeans_labels(feats, init_idx, n_clusters, iters):
+    """Lloyd iterations on (V, D) trajectory features; returns labels.
+
+    Assignment distances are one (V, D) @ (D, B) matmul per iteration
+    (||x||^2 is rank-constant per row and drops out of the argmin).
+    Empty clusters keep their previous centroid (sum-guarded divide).
+    """
+    cent = feats[init_idx]  # (B, D)
+
+    def step(cent, _):
+        logits = jnp.matmul(feats, cent.T, precision=_HIGHEST)
+        d2 = jnp.sum(cent * cent, axis=-1)[None, :] - 2.0 * logits
+        labels = jnp.argmin(d2, axis=-1)
+        one_hot = jax.nn.one_hot(labels, n_clusters, dtype=feats.dtype)
+        sums = jnp.matmul(one_hot.T, feats, precision=_HIGHEST)
+        counts = jnp.sum(one_hot, axis=0)[:, None]
+        cent = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cent)
+        return cent, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    logits = jnp.matmul(feats, cent.T, precision=_HIGHEST)
+    d2 = jnp.sum(cent * cent, axis=-1)[None, :] - 2.0 * logits
+    return jnp.argmin(d2, axis=-1)
+
+
+def _kmeanspp_indices(feats64: np.ndarray, n_clusters: int,
+                      rng: np.random.Generator) -> np.ndarray:
+    """k-means++ seeding on host f64 (B sequential steps; V x 1 distance
+    updates are numpy-cheap even at 1M vertices)."""
+    v = feats64.shape[0]
+    idx = [int(rng.integers(0, v))]
+    d2 = ((feats64 - feats64[idx[0]]) ** 2).sum(-1)
+    for _ in range(1, n_clusters):
+        total = float(d2.sum())
+        if total <= 0:  # fewer distinct trajectories than bones
+            idx.append(int(rng.integers(0, v)))
+            continue
+        nxt = int(rng.choice(v, p=d2 / total))
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((feats64 - feats64[nxt]) ** 2).sum(-1))
+    return np.asarray(idx, np.int32)
+
+
+# ----------------------------------------------------------------- moments
+def _procrustes_transforms(x, frames, w, eps=1e-8):
+    """Weighted Procrustes per (frame, bone): optimal rigid (R, t).
+
+    Moments are MXU contractions: the (B, V) @ (V, 9) product per frame
+    under lax.scan.  The 3x3 rotation extraction is one batched SVD over
+    (F*B) tiny matrices — negligible next to the moments.
+    """
+    sw = jnp.sum(w, axis=0)                                  # (B,)
+    sw_safe = jnp.maximum(sw, eps)
+    xc = jnp.matmul(w.T, x, precision=_HIGHEST) / sw_safe[:, None]  # (B, 3)
+
+    def frame_moments(_, p):
+        pc = jnp.matmul(w.T, p, precision=_HIGHEST) / sw_safe[:, None]
+        z = (p[:, :, None] * x[:, None, :]).reshape(x.shape[0], 9)
+        m = jnp.matmul(w.T, z, precision=_HIGHEST).reshape(-1, 3, 3)
+        s = m - sw_safe[:, None, None] * pc[:, :, None] * xc[:, None, :]
+        return None, (s, pc)
+
+    _, (s, pc) = jax.lax.scan(frame_moments, None, frames)   # (F,B,3,3),(F,B,3)
+    u, _, vt = jnp.linalg.svd(s)
+    det = jnp.linalg.det(jnp.matmul(u, vt))
+    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
+    r = jnp.matmul(u * d[..., None, :], vt)                  # (F, B, 3, 3)
+    t = pc - jnp.einsum("fbij,bj->fbi", r, xc, precision=_HIGHEST)
+    return r, t
+
+
+def _frame_basis(x, r_f, t_f):
+    """(V, B, 3) bone-transformed rest positions for one frame."""
+    y = jnp.einsum("vj,bij->vbi", x, r_f, precision=_HIGHEST)
+    return y + t_f[None, :, :]
+
+
+def _weights_pgd(x, frames, r, t, w0, mask, iters):
+    """Projected gradient on the masked simplex, exact line search.
+
+    Objective per vertex: sum_f |sum_b w_vb y_fvb - p_fv|^2 with
+    y the bone-transformed positions.  Gradient and the diagonal
+    preconditioner accumulate per frame under lax.scan (peak memory is
+    one (V, B, 3) basis).  `mask` pins pruned bones to zero support.
+
+    The diag-preconditioned trial point alone is NOT a safe step: when
+    bone bases are strongly correlated (adjacent bands of a smooth twist
+    are nearly parallel columns) the row Hessian is far from diagonal
+    and the full Jacobi step DIVERGES — measured on the uv-sphere twist,
+    it took a perfect band init from RMSE 0.041 (binary weights) to
+    0.104.  So each iteration moves along the projected direction
+    d = P(w - g/diag) - w by the EXACT quadratic step
+    alpha* = -g.d / (d^T H d), clipped to [0, 1]; both endpoints are
+    feasible, so w + alpha*d stays on the simplex and the objective is
+    monotone by construction.  Cost: one extra basis pass per iteration.
+    """
+
+    def grad_diag(w):
+        def acc(carry, fr):
+            g, d = carry
+            r_f, t_f, p_f = fr
+            # centered basis: on the simplex sum_b w_vb x_v = x_v, so the
+            # displacement form has the same minimizer but displacement-
+            # scale columns — the diag preconditioner then reflects the
+            # actual curvature instead of |position|^2 (off-origin meshes
+            # would otherwise crawl)
+            y = _frame_basis(x, r_f, t_f) - x[:, None, :]    # (V, B, 3)
+            resid = (
+                jnp.einsum("vb,vbi->vi", w, y, precision=_HIGHEST)
+                - (p_f - x)
+            )
+            g = g + jnp.einsum("vi,vbi->vb", resid, y, precision=_HIGHEST)
+            d = d + jnp.sum(y * y, axis=-1)
+            return (g, d), None
+
+        (g, d), _ = jax.lax.scan(
+            acc, (jnp.zeros_like(w), jnp.zeros_like(w)), (r, t, frames)
+        )
+        return g, d
+
+    def curvature(dirn):
+        def acc(c, fr):
+            r_f, t_f, _ = fr
+            y = _frame_basis(x, r_f, t_f) - x[:, None, :]
+            a = jnp.einsum("vb,vbi->vi", dirn, y, precision=_HIGHEST)
+            return c + jnp.sum(a * a, axis=-1), None
+
+        c, _ = jax.lax.scan(
+            acc, jnp.zeros((x.shape[0],), x.dtype), (r, t, frames)
+        )
+        return c                                             # (V,)
+
+    def step(w, _):
+        g, d = grad_diag(w)
+        # Levenberg-style floor: a bone that barely moves vertex v has
+        # d ~ 0 but can still carry a tiny gradient — tie the floor to
+        # the row's strongest curvature so no coordinate takes a wild
+        # step (and rows where NO bone moves are inert: g is 0 there too)
+        d = d + 0.05 * jnp.max(d, axis=-1, keepdims=True) + 1e-12
+        trial = project_capped_simplex(w - g / d, mask)
+        dirn = trial - w
+        num = -jnp.sum(g * dirn, axis=-1)
+        den = curvature(dirn)
+        alpha = jnp.clip(num / jnp.maximum(den, 1e-20), 0.0, 1.0)
+        return w + alpha[:, None] * dirn, None
+
+    # Land the start point on the masked simplex first: the line-search
+    # blend keeps any support the start had, so every iterate inherits
+    # w0's support union — projecting up front makes "in the masked
+    # simplex" an invariant of the whole loop (the influence cap holds
+    # on exit, not just at the trial points).
+    w0 = project_capped_simplex(w0, mask)
+    w, _ = jax.lax.scan(step, w0, None, length=iters)
+    return w
+
+
+def _per_bone_err2(x, frames, r, t):
+    """(V, B) summed-over-frames squared reconstruction error of assigning
+    each vertex WHOLLY to each bone."""
+
+    def acc(e, fr):
+        r_f, t_f, p_f = fr
+        y = _frame_basis(x, r_f, t_f) - p_f[:, None, :]
+        return e + jnp.sum(y * y, axis=-1), None
+
+    e, _ = jax.lax.scan(
+        acc, jnp.zeros((x.shape[0], r.shape[1]), x.dtype), (r, t, frames)
+    )
+    return e
+
+
+@functools.partial(jax.jit, static_argnames=("outer", "pgd_iters",
+                                              "max_influences",
+                                              "hard_rounds"))
+def _ssdr_rounds(x, frames, w0, outer, pgd_iters, max_influences,
+                 hard_rounds):
+    """Hard rigid-k-means rounds, then Procrustes <-> PGD alternation.
+
+    The trajectory k-means init clusters by displacement VECTOR, which
+    mixes slow-moving vertices of a rotating part with genuinely static
+    ones; the hard rounds reassign each vertex to the bone whose rigid
+    transform reconstructs it best (Le & Deng's initialization), which
+    fixes cluster purity before any soft weights exist.  The support is
+    pruned to `max_influences` only at the LAST soft round so the cap
+    never starves the exploration.
+    """
+    n_bones = w0.shape[1]
+
+    def hard(w, _):
+        r, t = _procrustes_transforms(x, frames, w)
+        labels = jnp.argmin(_per_bone_err2(x, frames, r, t), axis=-1)
+        return jax.nn.one_hot(labels, n_bones, dtype=w.dtype), None
+
+    w0, _ = jax.lax.scan(hard, w0, None, length=hard_rounds)
+
+    full = jnp.ones_like(w0, dtype=bool)
+
+    def round_(w, i):
+        r, t = _procrustes_transforms(x, frames, w)
+        last = i == outer - 1
+        kth = -jnp.sort(-w, axis=-1)[:, max_influences - 1:max_influences]
+        topk = w >= jnp.maximum(kth, 1e-12)
+        mask = jnp.where(last, topk, full)
+        w = _weights_pgd(x, frames, r, t, w, mask, pgd_iters)
+        return w, None
+
+    w, _ = jax.lax.scan(round_, w0, jnp.arange(outer))
+    r, t = _procrustes_transforms(x, frames, w)
+    return w, r, t
+
+
+class SkinningModel(NamedTuple):
+    """LBS decomposition: per-pose bone transforms + vertex weights.
+
+    weights:    (V, B) f32, rows on the simplex, <= max_influences
+                nonzeros each.
+    rotations:  (F, B, 3, 3) f32 per training-pose bone rotations.
+    translations: (F, B, 3) f32.
+    rest:       (V, 3) f32 rest positions the weights were fitted against.
+    """
+
+    weights: jnp.ndarray
+    rotations: jnp.ndarray
+    translations: jnp.ndarray
+    rest: jnp.ndarray
+
+    @property
+    def n_bones(self) -> int:
+        return self.weights.shape[1]
+
+    @property
+    def n_frames(self) -> int:
+        return self.rotations.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lbs_apply(weights, rest, r, t):
+    """Pose (V, 3) positions from (V, B) weights and one frame's
+    (B, 3, 3)/(B, 3) transforms — the engine-side evaluation, provided
+    for parity checks and previews."""
+    y = _frame_basis(rest, r, t)
+    return jnp.einsum("vb,vbi->vi", weights, y, precision=_HIGHEST)
+
+
+@dataclasses.dataclass(frozen=True)
+class SkinningReport:
+    """Decomposition quality: worst/RMS reconstruction distance over the
+    training poses, in mesh units (compare against your tolerance — Le &
+    Deng report ~1e-2 of the bbox diagonal as visually lossless)."""
+
+    rmse: float
+    max_err: float
+    bbox_diag: float
+
+    @property
+    def relative_rmse(self) -> float:
+        return self.rmse / max(self.bbox_diag, 1e-12)
+
+
+def fit_skinning(
+    rest_points: np.ndarray,
+    posed_frames: np.ndarray,
+    n_bones: int = 16,
+    max_influences: int = 4,
+    outer_iters: int = 8,
+    pgd_iters: int = 24,
+    kmeans_iters: int = 15,
+    hard_rounds: int = 5,
+    k_neighbors: int = 8,
+    seed: int = 0,
+) -> tuple[SkinningModel, SkinningReport]:
+    """Decompose sampled deformations into LBS bones + weights.
+
+    rest_points: (V, 3); posed_frames: (F, V, 3) — typically the
+    deformer's output over a pose sweep (see node/CLI `bake-skin`).
+    Initialization is k-means++ over per-vertex LOCAL RIGID TRANSFORM
+    features (k-NN Procrustes per frame, `k_neighbors`); the alternation
+    runs entirely on device in one jit program.
+    """
+    x = np.asarray(rest_points, np.float32)
+    p = np.asarray(posed_frames, np.float32)
+    if x.ndim != 2 or x.shape[1] != 3:
+        raise ValueError(f"rest_points must be (V, 3), got {x.shape}")
+    if p.ndim != 3 or p.shape[1:] != x.shape:
+        raise ValueError(
+            f"posed_frames must be (F,) + {x.shape}, got {p.shape}"
+        )
+    v = x.shape[0]
+    if not 1 <= n_bones <= min(v, 256):
+        raise ValueError(f"n_bones={n_bones} out of range [1, min(V, 256)]")
+    if not 1 <= max_influences <= n_bones:
+        raise ValueError(
+            f"max_influences={max_influences} must be in [1, n_bones]"
+        )
+
+    # ---- init: k-means over local rigid-transform features -------------
+    feats = _local_rigid_features(x, p, k_neighbors)
+    rng = np.random.default_rng(seed)
+    init_idx = _kmeanspp_indices(feats.astype(np.float64), n_bones, rng)
+    labels = _kmeans_labels(
+        jnp.asarray(feats), jnp.asarray(init_idx), n_bones, kmeans_iters
+    )
+    w0 = jax.nn.one_hot(labels, n_bones, dtype=jnp.float32)
+
+    # ---- alternate transforms <-> weights on device --------------------
+    w, r, t = _ssdr_rounds(
+        jnp.asarray(x), jnp.asarray(p), w0,
+        int(outer_iters), int(pgd_iters), int(max_influences),
+        int(hard_rounds),
+    )
+    model = SkinningModel(w, r, t, jnp.asarray(x))
+
+    # ---- residual report (single scalar pull) ---------------------------
+    err2 = _reconstruction_err2(model, jnp.asarray(p))
+    err2_host = np.asarray(err2, np.float64)
+    bbox = float(np.linalg.norm(x.max(0) - x.min(0)))
+    report = SkinningReport(
+        rmse=float(np.sqrt(err2_host.mean())),
+        max_err=float(np.sqrt(err2_host.max())),
+        bbox_diag=bbox,
+    )
+    return model, report
+
+
+@jax.jit
+def _reconstruction_err2(model: SkinningModel, frames: jnp.ndarray):
+    def one(carry, fr):
+        r_f, t_f, p_f = fr
+        q = lbs_apply(model.weights, model.rest, r_f, t_f)
+        d = q - p_f
+        return carry, jnp.sum(d * d, axis=-1)
+
+    _, e = jax.lax.scan(
+        one, None, (model.rotations, model.translations, frames)
+    )
+    return e  # (F, V) squared distances
