@@ -32,6 +32,8 @@ feature set plus the rebuild's extensions):
       jitter, conditioning) before anything fits
   22. pose-space sculpt corrections (PSD): artist fixes reproduce
       exactly at their example poses, decay to zero elsewhere
+  23. skinning decomposition: bake a pose sweep to engine-ready linear
+      blend skinning (virtual bones + capped vertex weights)
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -375,6 +377,27 @@ def main():
     print(f"psd: sculpt reproduced to {e_at:.2e} at its pose; "
           f"leakage onto an opposite pose {e_far:.2e} "
           f"(sculpt moved the face {bump.max():.2f})")
+
+    # 23. skinning decomposition: sample the deformer over a pose sweep
+    # and bake it to LBS — what game/crowd runtimes actually evaluate
+    # (ops/skinning.py; CLI `bake-skin`; checkpoint kind "skin")
+    from facedeform_tpu.ops import skinning
+
+    sweep = []
+    for s in (0.33, 0.66, 1.0):
+        ds = Deformer.fit(
+            rig.points, rig.points + s * (posed.points - rig.points),
+            DeformConfig(), params,
+        )
+        sweep.append(np.asarray(ds.apply(face.points)[0]))
+    skin_model, skin_rep = skinning.fit_skinning(
+        face.points, np.stack(sweep), n_bones=12, max_influences=4
+    )
+    checkpoint.save_skinning(os.path.join(args.out, "skin.npz"),
+                             skin_model, skin_rep)
+    print(f"skinning: {skin_model.n_bones} bones, <=4 influences/vertex; "
+          f"LBS reconstruction rmse {skin_rep.relative_rmse:.2%} of bbox "
+          f"-> {os.path.join(args.out, 'skin.npz')}")
 
 
 if __name__ == "__main__":

@@ -111,6 +111,42 @@ def _build_parser() -> argparse.ArgumentParser:
                      help="skip the test solve (host-only checks)")
     _add_model_flags(doc)
 
+    bs = sub.add_parser(
+        "bake-skin",
+        help="bake a pose sweep to linear-blend skinning (virtual bones + "
+             "vertex weights) for engine export (ops/skinning.py)",
+    )
+    bs.add_argument("mesh", help="rest-pose mesh (.obj/.geo/.hgeo, input 0)")
+    bs.add_argument("rest_rig", help="rest control rig (.obj/.geo/.hgeo)")
+    bs.add_argument("deform_rigs", nargs="+",
+                    help="posed control rigs spanning the motion to bake "
+                         "(with --from-meshes: posed MESHES instead — skip "
+                         "the deformer and decompose the given frames)")
+    bs.add_argument("-o", "--output", required=True,
+                    help="skinning checkpoint output (.npz: weights, "
+                         "per-pose bone transforms, rest positions; load "
+                         "with utils.checkpoint.load_skinning)")
+    bs.add_argument("--bones", type=int, default=16,
+                    help="number of virtual bones (default 16)")
+    bs.add_argument("--max-influences", type=int, default=4,
+                    help="max bones per vertex (default 4, the common "
+                         "engine budget)")
+    bs.add_argument("--skin-iters", type=int, default=8,
+                    help="transform<->weight alternation rounds (default 8)")
+    bs.add_argument("--seed", type=int, default=0,
+                    help="bone-seeding RNG (k-means++ over local rigid "
+                         "features)")
+    bs.add_argument("--from-meshes", action="store_true",
+                    help="positional inputs after the rest rig are posed "
+                         "meshes (same point count as the rest mesh); no "
+                         "deformer cook happens and the rest rig argument "
+                         "is ignored")
+    bs.add_argument("--write-frames", default=None, metavar="DIR",
+                    help="also write the LBS reconstruction of every "
+                         "training pose to DIR (frame_%%04d.obj) for "
+                         "side-by-side QC against the deformer output")
+    _add_cook_flags(bs)
+
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.add_argument("--verts", type=int, default=1_000_000)
     b.add_argument("--controls", type=int, default=1000)
@@ -1352,6 +1388,129 @@ def _cmd_doctor(args) -> int:
     return 1 if rep.errors else 0
 
 
+def _cmd_bake_skin(args) -> int:
+    """Cook a pose sweep through the node, decompose it to LBS, save.
+
+    The engine-export path: the reference (and this rebuild's `deform`)
+    outputs deformed GEOMETRY; runtimes want bones + weights.  Each posed
+    rig cooks through the full node (capture, falloff, group, blends,
+    PSD) so the decomposition bakes everything the deformer would do —
+    then ops/skinning.fit_skinning turns the sampled frames into a
+    SkinningModel checkpoint."""
+    import os
+
+    from facedeform_tpu.geometry import load_mesh, save_mesh
+    from facedeform_tpu.geometry.topology import compute_tangent_frame
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.ops import skinning
+    from facedeform_tpu.utils import checkpoint
+    from facedeform_tpu.utils.profiling import StageTimes, stage
+
+    times = StageTimes()
+    with stage("load", times):
+        mesh = load_mesh(args.mesh)
+        rest_rig = load_mesh(args.rest_rig)
+        inputs = [load_mesh(p) for p in args.deform_rigs]
+        blends = [load_mesh(b) for b in args.blend]
+        examples = [(load_mesh(p), load_mesh(s)) for p, s in args.example]
+    _print_load_warnings(
+        [args.mesh, args.rest_rig] + list(args.deform_rigs)
+        + list(args.blend) + [p for pair in args.example for p in pair],
+        [mesh, rest_rig] + inputs + blends
+        + [m for pair in examples for m in pair],
+    )
+
+    if args.from_meshes:
+        bad = [p for p, m in zip(args.deform_rigs, inputs)
+               if m.num_points != mesh.num_points]
+        if bad:
+            print(
+                "error: --from-meshes: posed-mesh point counts differ "
+                f"from the rest mesh: {', '.join(bad)}", file=sys.stderr,
+            )
+            return 1
+        frames = np.stack([m.points for m in inputs]).astype(np.float32)
+    else:
+        psd_loaded, psd_err = _load_psd_arg(args, bool(examples))
+        if psd_err:
+            print(f"error: {psd_err}", file=sys.stderr)
+            return 1
+        cfg, params = _cfg_params_from(args)
+        params, tune_err = _maybe_autotune(
+            args, cfg, params, rest_rig, inputs[0]
+        )
+        if tune_err:
+            print(f"error: {tune_err}", file=sys.stderr)
+            return 1
+        if cfg.tangent and not mesh.has_tangent_frame():
+            with stage("tangent_frame", times):
+                compute_tangent_frame(mesh)
+        node = FaceDeformNode()
+        warned: set = set()
+        cooked = []
+        with stage("cook", times):
+            for rig in inputs:
+                res = node.cook(
+                    [mesh, rest_rig, rig] + blends, cfg, params,
+                    group=args.group,
+                    examples=examples, psd_lam=args.psd_lambda,
+                    psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
+                    psd_align=args.psd_align, psd=psd_loaded,
+                )
+                for w in res.warnings:
+                    if w not in warned:
+                        warned.add(w)
+                        print(f"warning: {w}", file=sys.stderr)
+                cooked.append(np.asarray(res.mesh.points, np.float32))
+        frames = np.stack(cooked)
+
+    with stage("fit_skinning", times):
+        model, report = skinning.fit_skinning(
+            mesh.points, frames, n_bones=args.bones,
+            max_influences=args.max_influences,
+            outer_iters=args.skin_iters, seed=args.seed,
+        )
+    checkpoint.save_skinning(args.output, model, report)
+    print(
+        f"info: skinning: {args.bones} bones, <= {args.max_influences} "
+        f"influences/vertex over {frames.shape[0]} poses; reconstruction "
+        f"rmse {report.rmse:.4g} ({report.relative_rmse:.2%} of bbox), "
+        f"max {report.max_err:.4g}", file=sys.stderr,
+    )
+    if report.relative_rmse > 0.01:
+        print(
+            "warning: skinning residual exceeds 1% of the bbox diagonal "
+            "(the visually-lossless rule of thumb) — try more --bones, "
+            "more poses, or a higher --max-influences",
+            file=sys.stderr,
+        )
+
+    if args.write_frames:
+        os.makedirs(args.write_frames, exist_ok=True)
+        out_mesh = mesh.copy()
+        for f in range(frames.shape[0]):
+            pts = np.asarray(skinning.lbs_apply(
+                model.weights, model.rest,
+                model.rotations[f], model.translations[f],
+            ))
+            out_mesh.set_points(pts)
+            save_mesh(
+                os.path.join(args.write_frames, "frame_%04d.obj" % f),
+                out_mesh,
+            )
+        print(
+            f"info: wrote {frames.shape[0]} LBS-reconstructed QC frames "
+            f"to {args.write_frames}", file=sys.stderr,
+        )
+    if args.timing:
+        print(f"timing: {times.summary()}", file=sys.stderr)
+    print(
+        f"wrote {args.output} ({model.n_bones} bones x "
+        f"{model.weights.shape[0]} points, {model.n_frames} poses)"
+    )
+    return 0
+
+
 def _cmd_bench(args) -> int:
     # Shared measurement core (facedeform_tpu/benchmark.py) — this
     # subcommand and the repo-root bench.py report the same numbers.
@@ -1372,6 +1531,8 @@ def main(argv=None) -> int:
             return _cmd_invert(args)
         if args.cmd == "doctor":
             return _cmd_doctor(args)
+        if args.cmd == "bake-skin":
+            return _cmd_bake_skin(args)
         if args.cmd == "bench":
             return _cmd_bench(args)
     except (FileNotFoundError, KeyError, ValueError) as e:

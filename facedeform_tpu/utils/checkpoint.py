@@ -65,14 +65,15 @@ def save(path: str, deformer: Deformer) -> None:
 
 
 def kind(path: str) -> str:
-    """Checkpoint kind marker: 'dense' | 'pu' | 'seq' | 'pu_seq' | 'psd'.
+    """Checkpoint kind marker: 'dense' | 'pu' | 'seq' | 'pu_seq' | 'psd'
+    | 'skin'.
 
     Lets callers (serve's `load` cmd) dispatch to the right codec without
     trial-and-error; each load_* still validates the marker itself."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:
-        for k in ("pu_seq", "seq", "pu", "psd"):
+        for k in ("pu_seq", "seq", "pu", "psd", "skin"):
             if k in data:
                 return k
     return "dense"
@@ -93,6 +94,10 @@ def load(path: str) -> Deformer:
         raise ValueError(f"{path} is a PU checkpoint (use load_pu())")
     if "psd" in data:
         raise ValueError(f"{path} is a PSD checkpoint (use load_psd())")
+    if "skin" in data:
+        raise ValueError(
+            f"{path} is a skinning checkpoint (use load_skinning())"
+        )
     version = int(data["format_version"])
     if version > _FORMAT_VERSION:
         raise ValueError(f"checkpoint format {version} is newer than supported")
@@ -465,3 +470,62 @@ def load_psd(path: str):
         normalize=bool(int(data["normalize"])), report=report,
         align=bool(int(data["align"])) if "align" in data else False,
     )
+
+
+def save_skinning(path: str, model, report=None) -> None:
+    """Serialize a SkinningModel (ops/skinning.py) to one .npz file.
+
+    The payload is exactly what an engine importer needs — (V, B) weights,
+    per-training-pose (F, B, 3, 3)/(F, B, 3) bone transforms, and the rest
+    positions the weights were fitted against; the report rides along so a
+    later load can surface the decomposition quality without refitting."""
+    from facedeform_tpu.ops.skinning import SkinningModel
+
+    if not isinstance(model, SkinningModel):
+        raise ValueError(
+            f"save_skinning expects a SkinningModel, got {type(model).__name__}"
+        )
+    extra = {}
+    if report is not None:
+        extra["rmse"] = float(report.rmse)
+        extra["max_err"] = float(report.max_err)
+        extra["bbox_diag"] = float(report.bbox_diag)
+    np.savez(
+        path,
+        format_version=_FORMAT_VERSION,
+        skin=1,
+        weights=np.asarray(model.weights),
+        rotations=np.asarray(model.rotations),
+        translations=np.asarray(model.translations),
+        rest=np.asarray(model.rest),
+        **extra,
+    )
+
+
+def load_skinning(path: str):
+    """Restore (SkinningModel, SkinningReport | None) saved by
+    save_skinning()."""
+    from facedeform_tpu.ops.skinning import SkinningModel, SkinningReport
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    if "skin" not in data:
+        raise ValueError(f"{path} is not a skinning checkpoint (use load())")
+    version = int(data["format_version"])
+    if version > _FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {version} is newer than supported")
+    model = SkinningModel(
+        weights=jnp.asarray(data["weights"]),
+        rotations=jnp.asarray(data["rotations"]),
+        translations=jnp.asarray(data["translations"]),
+        rest=jnp.asarray(data["rest"]),
+    )
+    report = None
+    if "rmse" in data:
+        report = SkinningReport(
+            rmse=float(data["rmse"]),
+            max_err=float(data["max_err"]),
+            bbox_diag=float(data["bbox_diag"]),
+        )
+    return model, report
