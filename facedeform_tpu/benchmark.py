@@ -26,6 +26,7 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
     from facedeform_tpu.deformer import Deformer
     from facedeform_tpu.geometry.primitives import fibonacci_points
     from facedeform_tpu.ops import fit as fit_mod
+    from facedeform_tpu.utils.platform import on_tpu
 
     rng = np.random.default_rng(0)
     rest = fibonacci_points(n_ctrl)
@@ -63,7 +64,7 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
     pts = jnp.asarray(mesh.points)
     dist2 = jnp.zeros(n_verts, jnp.float32)
 
-    use_pallas = jax.default_backend() == "tpu"
+    use_pallas = on_tpu()
 
     def measure(deformer, backends, rounds=5, iters=10):
         """Best sustained round per backend, INTERLEAVED: the shared chip's

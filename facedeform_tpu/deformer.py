@@ -32,6 +32,7 @@ from facedeform_tpu.ops.fit import RBFModel
 from facedeform_tpu.ops.solve import SolveReport
 from facedeform_tpu.ops.tangent import project_to_tangents
 from facedeform_tpu.utils import errors
+from facedeform_tpu.utils.platform import on_tpu
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -200,7 +201,7 @@ class Deformer:
         """Spatial Jacobian of the displacement field, (V, 3, 3)."""
         kernel = fit_mod.effective_kernel(self.cfg)
         pts = jnp.asarray(points, jnp.float32)
-        if jax.default_backend() == "tpu":
+        if on_tpu():
             # fused VPU kernel: g = 2 phi'/eps^2 never touches HBM and the
             # 3/9-column einsum slivers disappear (measured ~3x at 1M x 1k)
             from facedeform_tpu.ops.pallas_jacobian import jacobian_pallas
@@ -334,7 +335,7 @@ class Deformer:
                 # correctness is the contract (the reference runs in C++
                 # doubles).  Force backend="pallas"/"dense" to trade it away.
                 backend = "dense_precise"
-            elif jax.default_backend() == "tpu":
+            elif on_tpu():
                 from facedeform_tpu.ops.pallas_eval import kernel_is_cullable
 
                 # Culling needs enough vertex tiles for coherent bboxes to
@@ -348,7 +349,7 @@ class Deformer:
                 backend = "dense"
         if backend == "dense_precise":
             params = self.params.clamped()
-            if jax.default_backend() == "tpu":
+            if on_tpu():
                 # Fused Mosaic df kernel: same math, VMEM-resident
                 # intermediates (~4-6x the XLA elementwise composition).
                 from facedeform_tpu.ops.pallas_precise import (

@@ -41,6 +41,7 @@ from facedeform_tpu.geometry.mesh import Mesh
 from facedeform_tpu.ops import dbse as dbse_ops
 from facedeform_tpu.utils import errors
 from facedeform_tpu.utils.profiling import StageTimes, stage
+from facedeform_tpu.utils.platform import on_tpu
 
 
 @dataclasses.dataclass
@@ -310,7 +311,7 @@ class FaceDeformNode:
             return "auto"  # PU picks its own (Mosaic-tile) path internally
         kernel = fit_mod.effective_kernel(deformer.cfg)
         if (
-            jax.default_backend() != "tpu"
+            not on_tpu()
             or mesh_in.num_points < 4096
             or kernel in GROWING_KERNELS
         ):

@@ -61,6 +61,7 @@ import jax.numpy as jnp
 from facedeform_tpu.config import PolyTerm, RBFKernel
 from facedeform_tpu.ops.kernels import apply_kernel
 from facedeform_tpu.ops.solve import SolveReport
+from facedeform_tpu.utils.platform import on_tpu
 
 _HP = dict(
     preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
@@ -1040,7 +1041,7 @@ class PUDeformer:
         use_pallas = backend == "pallas" or (
             backend == "auto"
             and not precise
-            and jax.default_backend() == "tpu"
+            and on_tpu()
         )
         points_np = np.asarray(points, np.float32)
         if use_pallas:
@@ -1081,7 +1082,7 @@ class PUDeformer:
         callers that key plans themselves (e.g. the node's pos_id cache)
         instead of paying the content-digest hash per call."""
         precise = not self.auto_eps
-        if not precise and jax.default_backend() == "tpu":
+        if not precise and on_tpu():
             from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
 
             return plan_eval_tiles(self.patches, points_np)
@@ -1112,7 +1113,7 @@ class PUDeformer:
             self.model, jnp.asarray(points, jnp.float32),
             *tplan.device_arrays(), self.kernel, self.term,
             tplan.num_points, tplan.tile_v,
-            interpret=jax.default_backend() != "tpu",
+            interpret=not on_tpu(),
         )
 
     def _run_xla(self, points, plan, precise):
@@ -1228,7 +1229,7 @@ class PUSeqDeformer:
             evaluate_pu_tiles_frames, plan_eval_tiles,
         )
 
-        if self.auto_eps and jax.default_backend() == "tpu":
+        if self.auto_eps and on_tpu():
             tplan = pud0._cached_plan(
                 points_np, "tiles",
                 lambda: plan_eval_tiles(self.patches, points_np),

@@ -27,6 +27,7 @@ from facedeform_tpu.ops.evaluate import evaluate_block
 from facedeform_tpu.ops.falloff import falloff_weight
 from facedeform_tpu.ops.fit import RBFModel
 from facedeform_tpu.parallel.sharding import VERTEX_AXIS
+from facedeform_tpu.utils.platform import on_tpu
 
 
 # HBM budget for the vmapped per-frame fit's refinement temps.  The
@@ -181,7 +182,7 @@ def apply_frames(
     from facedeform_tpu.parallel.sharding import _mesh_on_tpu
 
     use_pallas = (
-        _mesh_on_tpu(mesh) if mesh is not None else jax.default_backend() == "tpu"
+        _mesh_on_tpu(mesh) if mesh is not None else on_tpu()
     )
 
     def eval_frames_local(model, pts, wloc, frm):
@@ -379,7 +380,7 @@ def _transport_frames_jit(
     from facedeform_tpu.parallel.sharding import _mesh_on_tpu
 
     use_pallas = (
-        _mesh_on_tpu(mesh) if mesh is not None else jax.default_backend() == "tpu"
+        _mesh_on_tpu(mesh) if mesh is not None else on_tpu()
     )
 
     def local(model, pts, w, vs, fr):
