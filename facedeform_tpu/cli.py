@@ -145,6 +145,15 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="also write the LBS reconstruction of every "
                          "training pose to DIR (frame_%%04d.obj) for "
                          "side-by-side QC against the deformer output")
+    bs.add_argument("--gltf", default=None, metavar="PATH",
+                    help="also write a glTF binary (.glb): skinned mesh "
+                         "with JOINTS/WEIGHTS vertex attrs, one joint per "
+                         "bone, and an animation stepping through the "
+                         "baked poses — imports directly into engines "
+                         "and glTF viewers")
+    bs.add_argument("--gltf-fps", type=float, default=24.0,
+                    help="keyframe rate for the .glb pose animation "
+                         "(default 24)")
     _add_cook_flags(bs)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
@@ -1483,6 +1492,15 @@ def _cmd_bake_skin(args) -> int:
             "(the visually-lossless rule of thumb) — try more --bones, "
             "more poses, or a higher --max-influences",
             file=sys.stderr,
+        )
+
+    if args.gltf:
+        from facedeform_tpu.geometry.gltf_io import save_glb_skinned
+
+        save_glb_skinned(args.gltf, mesh, model, fps=args.gltf_fps)
+        print(
+            f"info: wrote glTF binary {args.gltf} (skinned mesh + "
+            f"{frames.shape[0]}-pose animation)", file=sys.stderr,
         )
 
     if args.write_frames:

@@ -1,0 +1,359 @@
+"""glTF 2.0 binary (.glb) export: static meshes and baked LBS skins.
+
+The skinning decomposition (ops/skinning.py, CLI `bake-skin`) exists to
+hand deformations to engines — and engines ingest glTF, not .npz.  This
+module writes a self-contained .glb:
+
+  * `save_glb(path, mesh)` — static triangle mesh (POSITION [+ NORMAL]);
+  * `save_glb_skinned(path, mesh, model)` — skinned mesh: JOINTS_0 /
+    WEIGHTS_0 vertex attributes, one joint node per virtual bone
+    (identity inverse bind matrices — the decomposition's bind pose IS
+    the rest mesh), plus an animation cycling through the training
+    poses so the bake is previewable in any glTF viewer.
+
+The LBS conventions line up exactly: glTF computes
+`sum_j w_j * globalJoint_j * IBM_j * position` and the decomposition is
+`sum_b w_vb (R_b x_v + t_b)`, so with every joint parented to an
+identity armature and IBM = I, the joint local TRS (R_fb, t_fb) poses
+frame f verbatim (ops/skinning.py lbs_apply).  glTF quaternions are
+(x, y, z, w) order and column-major matrices — both handled here.
+
+Writers are host-side numpy (export is an offline step); a minimal
+reader (`load_glb` / `read_accessor`) backs round-trip tests and QC.
+
+No reference-code counterpart: symek/facedeform writes deformed Houdini
+geometry only (src/SOP_FaceDeform.cpp); this is a rebuild extension in
+the export chain bake-skin -> engine.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Optional
+
+import numpy as np
+
+_MAGIC = b"glTF"
+_JSON_CHUNK = 0x4E4F534A
+_BIN_CHUNK = 0x004E4942
+
+# component types
+_F32 = 5126
+_U32 = 5125
+_U16 = 5123
+_U8 = 5121
+
+_ARRAY_BUFFER = 34962
+_ELEMENT_ARRAY_BUFFER = 34963
+
+
+class _BufferBuilder:
+    """Accumulates 4-byte-aligned binary blobs + matching accessors."""
+
+    def __init__(self):
+        self.blob = bytearray()
+        self.views = []
+        self.accessors = []
+
+    def _align(self, n=4):
+        while len(self.blob) % n:
+            self.blob.append(0)
+
+    def add(self, arr: np.ndarray, component_type: int, type_str: str,
+            target: Optional[int] = None, minmax: bool = False) -> int:
+        """Append `arr` (already the right dtype/layout) -> accessor index."""
+        self._align()
+        data = np.ascontiguousarray(arr)
+        offset = len(self.blob)
+        self.blob.extend(data.tobytes())
+        view = {"buffer": 0, "byteOffset": offset,
+                "byteLength": data.nbytes}
+        if target is not None:
+            view["target"] = target
+        self.views.append(view)
+        count = data.shape[0] if data.ndim > 1 else data.size
+        acc = {
+            "bufferView": len(self.views) - 1,
+            "componentType": component_type,
+            "count": int(count),
+            "type": type_str,
+        }
+        if minmax:
+            # required for POSITION; element-wise over the count axis
+            flat = data.reshape(count, -1)
+            acc["min"] = [float(v) for v in flat.min(0)]
+            acc["max"] = [float(v) for v in flat.max(0)]
+        self.accessors.append(acc)
+        return len(self.accessors) - 1
+
+
+def _write_glb(path: str, gltf: dict, blob: bytes) -> None:
+    js = json.dumps(gltf, separators=(",", ":")).encode()
+    js += b" " * (-len(js) % 4)
+    blob = bytes(blob) + b"\x00" * (-len(blob) % 4)
+    total = 12 + 8 + len(js) + 8 + len(blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4sII", _MAGIC, 2, total))
+        f.write(struct.pack("<II", len(js), _JSON_CHUNK))
+        f.write(js)
+        f.write(struct.pack("<II", len(blob), _BIN_CHUNK))
+        f.write(blob)
+
+
+def _rot_to_quat(r: np.ndarray) -> np.ndarray:
+    """(..., 3, 3) rotation matrices -> (..., 4) glTF (x, y, z, w) quats.
+
+    Shepperd's branch-per-largest-diagonal method in f64 (numerically
+    safe near 180-degree rotations, unlike the trace-only formula)."""
+    r = np.asarray(r, np.float64)
+    m00, m11, m22 = r[..., 0, 0], r[..., 1, 1], r[..., 2, 2]
+    tr = m00 + m11 + m22
+    qw = np.empty_like(tr)
+    qx = np.empty_like(tr)
+    qy = np.empty_like(tr)
+    qz = np.empty_like(tr)
+
+    c0 = tr > 0
+    s = np.sqrt(np.maximum(tr + 1.0, 0.0)) * 2  # 4*qw
+    qw_, qx_ = s / 4, (r[..., 2, 1] - r[..., 1, 2]) / np.where(s == 0, 1, s)
+    qy_, qz_ = ((r[..., 0, 2] - r[..., 2, 0]) / np.where(s == 0, 1, s),
+                (r[..., 1, 0] - r[..., 0, 1]) / np.where(s == 0, 1, s))
+    c1 = (~c0) & (m00 >= m11) & (m00 >= m22)
+    s1 = np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 0.0)) * 2
+    s1w = np.where(s1 == 0, 1, s1)
+    c2 = (~c0) & (~c1) & (m11 >= m22)
+    s2 = np.sqrt(np.maximum(1.0 + m11 - m00 - m22, 0.0)) * 2
+    s2w = np.where(s2 == 0, 1, s2)
+    c3 = (~c0) & (~c1) & (~c2)
+    s3 = np.sqrt(np.maximum(1.0 + m22 - m00 - m11, 0.0)) * 2
+    s3w = np.where(s3 == 0, 1, s3)
+
+    qw = np.select(
+        [c0, c1, c2, c3],
+        [qw_, (r[..., 2, 1] - r[..., 1, 2]) / s1w,
+         (r[..., 0, 2] - r[..., 2, 0]) / s2w,
+         (r[..., 1, 0] - r[..., 0, 1]) / s3w])
+    qx = np.select(
+        [c0, c1, c2, c3],
+        [qx_, s1 / 4, (r[..., 0, 1] + r[..., 1, 0]) / s2w,
+         (r[..., 0, 2] + r[..., 2, 0]) / s3w])
+    qy = np.select(
+        [c0, c1, c2, c3],
+        [qy_, (r[..., 0, 1] + r[..., 1, 0]) / s1w, s2 / 4,
+         (r[..., 1, 2] + r[..., 2, 1]) / s3w])
+    qz = np.select(
+        [c0, c1, c2, c3],
+        [qz_, (r[..., 0, 2] + r[..., 2, 0]) / s1w,
+         (r[..., 1, 2] + r[..., 2, 1]) / s2w, s3 / 4])
+    q = np.stack([qx, qy, qz, qw], -1)
+    return (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def _mesh_primitive(bb: _BufferBuilder, mesh, extra_attrs=None) -> dict:
+    """POSITION [+ NORMAL] [+ skin attrs] primitive; triangles or points."""
+    attrs = {
+        "POSITION": bb.add(
+            np.asarray(mesh.points, np.float32), _F32, "VEC3",
+            target=_ARRAY_BUFFER, minmax=True,
+        )
+    }
+    n = mesh.point_attrs.get("N")
+    if n is not None and n.shape == mesh.points.shape:
+        norm = np.asarray(n, np.float32)
+        lens = np.linalg.norm(norm, axis=-1, keepdims=True)
+        norm = norm / np.where(lens < 1e-12, 1.0, lens)  # spec: unit length
+        attrs["NORMAL"] = bb.add(norm, _F32, "VEC3", target=_ARRAY_BUFFER)
+    if extra_attrs:
+        attrs.update(extra_attrs)
+    prim = {"attributes": attrs}
+    tris = mesh.triangles()
+    if tris is None:
+        prim["mode"] = 0  # POINTS (a control rig / point cloud)
+    else:
+        idx = tris.reshape(-1)
+        if idx.max(initial=0) < 65536:
+            prim["indices"] = bb.add(
+                idx.astype(np.uint16), _U16, "SCALAR",
+                target=_ELEMENT_ARRAY_BUFFER,
+            )
+        else:
+            prim["indices"] = bb.add(
+                idx.astype(np.uint32), _U32, "SCALAR",
+                target=_ELEMENT_ARRAY_BUFFER,
+            )
+        prim["mode"] = 4  # TRIANGLES
+    return prim
+
+
+def _base_gltf(bb: _BufferBuilder) -> dict:
+    return {
+        "asset": {"version": "2.0", "generator": "facedeform_tpu"},
+        "buffers": [{"byteLength": 0}],  # patched at write time
+        "bufferViews": bb.views,
+        "accessors": bb.accessors,
+    }
+
+
+def save_glb(path: str, mesh) -> None:
+    """Write a static mesh (or point cloud) as a .glb."""
+    bb = _BufferBuilder()
+    prim = _mesh_primitive(bb, mesh)
+    gltf = _base_gltf(bb)
+    gltf.update({
+        "meshes": [{"primitives": [prim]}],
+        "nodes": [{"mesh": 0, "name": "facedeform"}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    })
+    gltf["buffers"][0]["byteLength"] = len(bb.blob) + (-len(bb.blob) % 4)
+    _write_glb(path, gltf, bb.blob)
+
+
+def save_glb_skinned(path: str, mesh, model, fps: float = 24.0,
+                     animate: bool = True) -> None:
+    """Write a baked SkinningModel as a skinned, animated .glb.
+
+    mesh supplies topology (+ optional normals) and must match the
+    model's rest vertex count; the model supplies weights and per-pose
+    bone transforms.  With `animate`, poses become keyframes at `fps`
+    (STEP interpolation: training poses are samples, not a smooth arc).
+    """
+    w = np.asarray(model.weights, np.float32)             # (V, B)
+    rot = np.asarray(model.rotations, np.float32)         # (F, B, 3, 3)
+    tra = np.asarray(model.translations, np.float32)      # (F, B, 3)
+    v, b = w.shape
+    f_n = rot.shape[0]
+    if mesh.num_points != v:
+        raise ValueError(
+            f"mesh has {mesh.num_points} points but the skinning model "
+            f"was fitted on {v}"
+        )
+
+    # glTF budget: exactly 4 influences; take top-4 and renormalize
+    k = min(4, b)
+    top = np.argsort(-w, axis=1)[:, :k]                   # (V, k)
+    tw = np.take_along_axis(w, top, axis=1)
+    joints4 = np.zeros((v, 4), np.uint16)
+    weights4 = np.zeros((v, 4), np.float32)
+    joints4[:, :k] = top
+    weights4[:, :k] = tw
+    wsum = weights4.sum(-1, keepdims=True)
+    weights4 /= np.where(wsum < 1e-12, 1.0, wsum)
+    # spec: joints with zero weight SHOULD be 0
+    joints4[weights4 == 0.0] = 0
+
+    bb = _BufferBuilder()
+    jtype = _U8 if b <= 256 else _U16
+    jarr = joints4.astype(np.uint8) if b <= 256 else joints4
+    prim = _mesh_primitive(bb, mesh, extra_attrs={
+        "JOINTS_0": bb.add(jarr, jtype, "VEC4", target=_ARRAY_BUFFER),
+        "WEIGHTS_0": bb.add(weights4, _F32, "VEC4", target=_ARRAY_BUFFER),
+    })
+
+    # identity inverse bind matrices (column-major == row-major for I)
+    ibm = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+    ibm_acc = bb.add(ibm.reshape(b, 16), _F32, "MAT4")
+
+    # nodes: 0 = skinned mesh, 1 = armature root, 2.. = joints (frame-0
+    # pose as the static TRS so an animation-less viewer shows pose 0)
+    quats = _rot_to_quat(rot)                              # (F, B, 4)
+    nodes = [
+        {"mesh": 0, "skin": 0, "name": "facedeform_skin"},
+        {"name": "armature", "children": list(range(2, 2 + b))},
+    ]
+    for j in range(b):
+        nodes.append({
+            "name": f"bone_{j:03d}",
+            "rotation": [float(x) for x in quats[0, j]],
+            "translation": [float(x) for x in tra[0, j]],
+        })
+
+    gltf = _base_gltf(bb)
+    gltf.update({
+        "meshes": [{"primitives": [prim]}],
+        "skins": [{
+            "inverseBindMatrices": ibm_acc,
+            "joints": list(range(2, 2 + b)),
+            "skeleton": 1,
+        }],
+        "nodes": nodes,
+        "scenes": [{"nodes": [0, 1]}],
+        "scene": 0,
+    })
+
+    if animate and f_n > 0:
+        times = (np.arange(f_n, dtype=np.float32) / float(fps))
+        t_acc = bb.add(times, _F32, "SCALAR")
+        # glTF wants explicit min/max on animation input accessors
+        bb.accessors[t_acc]["min"] = [float(times.min())]
+        bb.accessors[t_acc]["max"] = [float(times.max())]
+        samplers, channels = [], []
+        for j in range(b):
+            r_acc = bb.add(quats[:, j], _F32, "VEC4")
+            samplers.append({"input": t_acc, "output": r_acc,
+                             "interpolation": "STEP"})
+            channels.append({
+                "sampler": len(samplers) - 1,
+                "target": {"node": 2 + j, "path": "rotation"},
+            })
+            tr_acc = bb.add(tra[:, j], _F32, "VEC3")
+            samplers.append({"input": t_acc, "output": tr_acc,
+                             "interpolation": "STEP"})
+            channels.append({
+                "sampler": len(samplers) - 1,
+                "target": {"node": 2 + j, "path": "translation"},
+            })
+        gltf["animations"] = [{
+            "name": "bake_poses", "samplers": samplers, "channels": channels,
+        }]
+
+    gltf["buffers"][0]["byteLength"] = len(bb.blob) + (-len(bb.blob) % 4)
+    _write_glb(path, gltf, bb.blob)
+
+
+# ------------------------------------------------------------------ reading
+_CT_DTYPE = {_F32: np.float32, _U32: np.uint32, _U16: np.uint16,
+             _U8: np.uint8, 5120: np.int8, 5122: np.int16}
+_TYPE_WIDTH = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+               "MAT2": 4, "MAT3": 9, "MAT4": 16}
+
+
+def load_glb(path: str):
+    """Parse a .glb -> (gltf dict, binary chunk bytes)."""
+    with open(path, "rb") as f:
+        magic, version, _total = struct.unpack("<4sII", f.read(12))
+        if magic != _MAGIC:
+            raise ValueError(f"{path} is not a glTF binary (bad magic)")
+        if version != 2:
+            raise ValueError(f"unsupported glTF version {version}")
+        gltf, blob = None, b""
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            length, ctype = struct.unpack("<II", header)
+            data = f.read(length)
+            if ctype == _JSON_CHUNK:
+                gltf = json.loads(data)
+            elif ctype == _BIN_CHUNK:
+                blob = data
+    if gltf is None:
+        raise ValueError(f"{path} has no JSON chunk")
+    return gltf, blob
+
+
+def read_accessor(gltf: dict, blob: bytes, index: int) -> np.ndarray:
+    """Decode accessor `index` -> (count, width) array (width-1 squeezed).
+
+    Tightly-packed accessors only — which is all this writer emits."""
+    acc = gltf["accessors"][index]
+    view = gltf["bufferViews"][acc["bufferView"]]
+    dtype = _CT_DTYPE[acc["componentType"]]
+    width = _TYPE_WIDTH[acc["type"]]
+    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    count = acc["count"]
+    arr = np.frombuffer(
+        blob, dtype=dtype, count=count * width, offset=start
+    ).reshape(count, width)
+    return arr[:, 0] if width == 1 else arr

@@ -55,6 +55,30 @@ def test_cli_bake_skin_end_to_end(tmp_path, capsys):
     np.testing.assert_allclose(qc0.points, want, atol=2e-4)
 
 
+def test_cli_bake_skin_gltf_export(tmp_path, capsys):
+    from facedeform_tpu.geometry import gltf_io
+
+    mesh, rig_paths = _write_sweep(tmp_path, n_poses=2)
+    out = str(tmp_path / "skin.npz")
+    glb = str(tmp_path / "skin.glb")
+    rc = main([
+        "bake-skin", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        *rig_paths, "-o", out, "--bones", "6", "--gltf", glb,
+        "--gltf-fps", "12",
+    ])
+    assert rc == 0
+    gltf, blob = gltf_io.load_glb(glb)
+    assert len(gltf["skins"][0]["joints"]) == 6
+    assert len(gltf["animations"][0]["channels"]) == 12  # rot+trans per bone
+    prim = gltf["meshes"][0]["primitives"][0]
+    pos = gltf_io.read_accessor(gltf, blob, prim["attributes"]["POSITION"])
+    np.testing.assert_allclose(pos, mesh.points, atol=0)
+    times = gltf_io.read_accessor(
+        gltf, blob, gltf["animations"][0]["samplers"][0]["input"]
+    )
+    np.testing.assert_allclose(times, [0.0, 1.0 / 12.0], atol=1e-7)
+
+
 def test_cli_bake_skin_from_meshes(tmp_path):
     """--from-meshes bypasses the deformer: decompose given posed meshes."""
     mesh = uv_sphere(16, 16)

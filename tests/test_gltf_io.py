@@ -1,0 +1,171 @@
+"""glTF .glb export (geometry/gltf_io.py): structure, LBS parity, quats."""
+
+import json
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from facedeform_tpu.geometry import gltf_io
+from facedeform_tpu.geometry.mesh import Mesh
+from facedeform_tpu.geometry.primitives import fibonacci_points, uv_sphere
+from facedeform_tpu.ops import skinning
+
+
+def _rotation(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    k = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return (np.eye(3) + np.sin(angle) * k
+            + (1 - np.cos(angle)) * (k @ k))
+
+
+def _quat_to_mat_np(q):
+    """glTF (x, y, z, w) quaternion -> rotation matrix, f64 reference."""
+    x, y, z, w = [np.asarray(v, np.float64) for v in np.moveaxis(q, -1, 0)]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                  2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                  2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                  1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+
+
+def test_rot_to_quat_roundtrip(rng):
+    angles = np.concatenate([
+        rng.uniform(-np.pi, np.pi, 40),
+        [np.pi - 1e-5, -np.pi + 1e-5, np.pi, 1e-8],  # near-180 + tiny
+    ])
+    rots = np.stack([
+        _rotation(rng.normal(size=3), a) for a in angles
+    ])
+    q = gltf_io._rot_to_quat(rots)
+    back = _quat_to_mat_np(q)
+    assert np.abs(back - rots).max() < 1e-5
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-6)
+
+
+def test_save_glb_static_roundtrip(tmp_path):
+    mesh = uv_sphere(8, 8)
+    path = str(tmp_path / "static.glb")
+    gltf_io.save_glb(path, mesh)
+    gltf, blob = gltf_io.load_glb(path)
+    assert gltf["asset"]["version"] == "2.0"
+    prim = gltf["meshes"][0]["primitives"][0]
+    pos = gltf_io.read_accessor(gltf, blob, prim["attributes"]["POSITION"])
+    np.testing.assert_allclose(pos, mesh.points, atol=0)
+    idx = gltf_io.read_accessor(gltf, blob, prim["indices"])
+    np.testing.assert_array_equal(
+        idx.reshape(-1, 3), mesh.triangles().astype(idx.dtype)
+    )
+    acc = gltf["accessors"][prim["attributes"]["POSITION"]]
+    np.testing.assert_allclose(acc["min"], mesh.points.min(0), atol=1e-6)
+    np.testing.assert_allclose(acc["max"], mesh.points.max(0), atol=1e-6)
+    # chunk alignment: total length recorded in the header matches the file
+    raw = open(path, "rb").read()
+    assert struct.unpack("<I", raw[8:12])[0] == len(raw)
+    assert len(raw) % 4 == 0
+
+
+def test_save_glb_point_cloud_mode(tmp_path):
+    cloud = Mesh(points=fibonacci_points(10))
+    path = str(tmp_path / "cloud.glb")
+    gltf_io.save_glb(path, cloud)
+    gltf, _ = gltf_io.load_glb(path)
+    prim = gltf["meshes"][0]["primitives"][0]
+    assert prim["mode"] == 0 and "indices" not in prim
+
+
+def test_save_glb_skinned_lbs_parity(tmp_path):
+    """Decode JOINTS/WEIGHTS + animation TRS back out of the .glb and
+    CPU-evaluate glTF skinning: must equal skinning.lbs_apply."""
+    pts = fibonacci_points(200) * np.float32([2.0, 1.0, 1.0])
+    left = pts[:, 0] < 0
+    frames = []
+    for ang in (0.3, -0.5):
+        r = _rotation([0, 0, 1], ang).astype(np.float32)
+        moved = pts.copy()
+        moved[left] = pts[left] @ r.T + np.float32([0.1, 0.0, 0.2]) * ang
+        frames.append(moved)
+    frames = np.stack(frames)
+    model, report = skinning.fit_skinning(
+        pts, frames, n_bones=2, max_influences=2, seed=3
+    )
+    assert report.rmse < 1e-3
+
+    mesh = Mesh(points=pts)
+    path = str(tmp_path / "skin.glb")
+    gltf_io.save_glb_skinned(path, mesh, model, fps=10.0)
+    gltf, blob = gltf_io.load_glb(path)
+
+    prim = gltf["meshes"][0]["primitives"][0]
+    joints = gltf_io.read_accessor(gltf, blob, prim["attributes"]["JOINTS_0"])
+    weights = gltf_io.read_accessor(
+        gltf, blob, prim["attributes"]["WEIGHTS_0"]
+    )
+    np.testing.assert_allclose(weights.sum(-1), 1.0, atol=1e-4)
+
+    skin = gltf["skins"][0]
+    ibm = gltf_io.read_accessor(gltf, blob, skin["inverseBindMatrices"])
+    np.testing.assert_array_equal(
+        ibm, np.tile(np.eye(4, dtype=np.float32).reshape(1, 16), (2, 1))
+    )
+
+    anim = gltf["animations"][0]
+    n_joints = len(skin["joints"])
+    for f in range(model.n_frames):
+        # joint globals at keyframe f from the animation channels
+        r_j = np.zeros((n_joints, 3, 3), np.float64)
+        t_j = np.zeros((n_joints, 3), np.float64)
+        for ch in anim["channels"]:
+            sampler = anim["samplers"][ch["sampler"]]
+            out = gltf_io.read_accessor(gltf, blob, sampler["output"])
+            j = skin["joints"].index(ch["target"]["node"])
+            if ch["target"]["path"] == "rotation":
+                r_j[j] = _quat_to_mat_np(out[f])
+            else:
+                t_j[j] = out[f]
+        # glTF skinning with identity IBM and identity armature parent
+        posed = np.einsum("vbij,vj->vbi", r_j[joints], pts.astype(np.float64))
+        posed = posed + t_j[joints]
+        got = np.einsum("vb,vbi->vi", weights.astype(np.float64), posed)
+        want = np.asarray(skinning.lbs_apply(
+            model.weights, model.rest,
+            model.rotations[f], model.translations[f],
+        ))
+        assert np.abs(got - want).max() < 1e-4
+
+    times = gltf_io.read_accessor(
+        gltf, blob, anim["samplers"][0]["input"]
+    )
+    np.testing.assert_allclose(times, [0.0, 0.1], atol=1e-7)
+
+
+def test_save_glb_skinned_normals_and_validation(tmp_path, rng):
+    mesh = uv_sphere(6, 6)
+    n = rng.normal(size=mesh.points.shape).astype(np.float32) * 3.0
+    mesh.set_attr("N", n)
+    frames = (mesh.points + np.float32([0, 0.2, 0]))[None]
+    model, _ = skinning.fit_skinning(
+        mesh.points, frames, n_bones=1, max_influences=1, outer_iters=2
+    )
+    path = str(tmp_path / "n.glb")
+    gltf_io.save_glb_skinned(path, mesh, model, animate=False)
+    gltf, blob = gltf_io.load_glb(path)
+    prim = gltf["meshes"][0]["primitives"][0]
+    nn = gltf_io.read_accessor(gltf, blob, prim["attributes"]["NORMAL"])
+    np.testing.assert_allclose(
+        np.linalg.norm(nn, axis=-1), 1.0, atol=1e-5
+    )  # spec requires unit normals
+    assert "animations" not in gltf
+    # vertex-count mismatch is a clear error
+    with pytest.raises(ValueError, match="fitted on"):
+        gltf_io.save_glb_skinned(
+            str(tmp_path / "bad.glb"), uv_sphere(4, 4), model
+        )
