@@ -1415,6 +1415,21 @@ def _cmd_bake_skin(args) -> int:
     from facedeform_tpu.utils import checkpoint
     from facedeform_tpu.utils.profiling import StageTimes, stage
 
+    # cook flags that bake-skin cannot honor: say so instead of silently
+    # producing a bake the user didn't ask for
+    for flag, val in (
+        ("--save-deformer", getattr(args, "save_deformer", None)),
+        ("--load-deformer", getattr(args, "load_deformer", None)),
+        ("--save-psd", getattr(args, "save_psd", None)),
+        ("--picked", getattr(args, "picked", False)),
+    ):
+        if val:
+            print(
+                f"warning: {flag} is ignored by bake-skin (it bakes "
+                "positions only; checkpoint the solve via `deform`)",
+                file=sys.stderr,
+            )
+
     times = StageTimes()
     with stage("load", times):
         mesh = load_mesh(args.mesh)
@@ -1462,6 +1477,8 @@ def _cmd_bake_skin(args) -> int:
                 res = node.cook(
                     [mesh, rest_rig, rig] + blends, cfg, params,
                     group=args.group,
+                    symmetrize=args.symmetrize,
+                    symmetry_tol=args.symmetry_tol,
                     examples=examples, psd_lam=args.psd_lambda,
                     psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
                     psd_align=args.psd_align, psd=psd_loaded,

@@ -104,50 +104,18 @@ def _write_glb(path: str, gltf: dict, blob: bytes) -> None:
 def _rot_to_quat(r: np.ndarray) -> np.ndarray:
     """(..., 3, 3) rotation matrices -> (..., 4) glTF (x, y, z, w) quats.
 
-    Shepperd's branch-per-largest-diagonal method in f64 (numerically
-    safe near 180-degree rotations, unlike the trace-only formula)."""
-    r = np.asarray(r, np.float64)
-    m00, m11, m22 = r[..., 0, 0], r[..., 1, 1], r[..., 2, 2]
-    tr = m00 + m11 + m22
-    qw = np.empty_like(tr)
-    qx = np.empty_like(tr)
-    qy = np.empty_like(tr)
-    qz = np.empty_like(tr)
+    Delegates to the tested branch-free Shepperd conversion
+    (ops/jacobian.quaternion_from_rotation — same layout; Houdini
+    `orient` and glTF agree on xyzw) so quaternion edge-case fixes live
+    in exactly one place.  Quaternion sign is unconstrained (q and -q
+    are the same rotation; the animation uses STEP interpolation, so
+    sign flips between keyframes cannot produce slerp artifacts)."""
+    import jax.numpy as jnp
 
-    c0 = tr > 0
-    s = np.sqrt(np.maximum(tr + 1.0, 0.0)) * 2  # 4*qw
-    qw_, qx_ = s / 4, (r[..., 2, 1] - r[..., 1, 2]) / np.where(s == 0, 1, s)
-    qy_, qz_ = ((r[..., 0, 2] - r[..., 2, 0]) / np.where(s == 0, 1, s),
-                (r[..., 1, 0] - r[..., 0, 1]) / np.where(s == 0, 1, s))
-    c1 = (~c0) & (m00 >= m11) & (m00 >= m22)
-    s1 = np.sqrt(np.maximum(1.0 + m00 - m11 - m22, 0.0)) * 2
-    s1w = np.where(s1 == 0, 1, s1)
-    c2 = (~c0) & (~c1) & (m11 >= m22)
-    s2 = np.sqrt(np.maximum(1.0 + m11 - m00 - m22, 0.0)) * 2
-    s2w = np.where(s2 == 0, 1, s2)
-    c3 = (~c0) & (~c1) & (~c2)
-    s3 = np.sqrt(np.maximum(1.0 + m22 - m00 - m11, 0.0)) * 2
-    s3w = np.where(s3 == 0, 1, s3)
+    from facedeform_tpu.ops.jacobian import quaternion_from_rotation
 
-    qw = np.select(
-        [c0, c1, c2, c3],
-        [qw_, (r[..., 2, 1] - r[..., 1, 2]) / s1w,
-         (r[..., 0, 2] - r[..., 2, 0]) / s2w,
-         (r[..., 1, 0] - r[..., 0, 1]) / s3w])
-    qx = np.select(
-        [c0, c1, c2, c3],
-        [qx_, s1 / 4, (r[..., 0, 1] + r[..., 1, 0]) / s2w,
-         (r[..., 0, 2] + r[..., 2, 0]) / s3w])
-    qy = np.select(
-        [c0, c1, c2, c3],
-        [qy_, (r[..., 0, 1] + r[..., 1, 0]) / s1w, s2 / 4,
-         (r[..., 1, 2] + r[..., 2, 1]) / s3w])
-    qz = np.select(
-        [c0, c1, c2, c3],
-        [qz_, (r[..., 0, 2] + r[..., 2, 0]) / s1w,
-         (r[..., 1, 2] + r[..., 2, 1]) / s2w, s3 / 4])
-    q = np.stack([qx, qy, qz, qw], -1)
-    return (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+    q = np.asarray(quaternion_from_rotation(jnp.asarray(r, jnp.float32)))
+    return q.astype(np.float32)
 
 
 def _mesh_primitive(bb: _BufferBuilder, mesh, extra_attrs=None) -> dict:
@@ -172,7 +140,9 @@ def _mesh_primitive(bb: _BufferBuilder, mesh, extra_attrs=None) -> dict:
         prim["mode"] = 0  # POINTS (a control rig / point cloud)
     else:
         idx = tris.reshape(-1)
-        if idx.max(initial=0) < 65536:
+        # spec: index accessors must not contain the component type's max
+        # value (the primitive-restart sentinel), so 65535 forces uint32
+        if idx.max(initial=0) < 65535:
             prim["indices"] = bb.add(
                 idx.astype(np.uint16), _U16, "SCALAR",
                 target=_ELEMENT_ARRAY_BUFFER,

@@ -453,6 +453,19 @@ class DeformServer:
                 }
             if cmd == "load":
                 ck = checkpoint.kind(req["path"])
+                if ck == "skin":
+                    # skinning checkpoints are ENGINE EXPORTS (bones +
+                    # weights for LBS runtimes), not servable deformers —
+                    # a wire client can't call load_skinning(), so say
+                    # what to do instead of leaking the Python-API hint
+                    return {
+                        "ok": False,
+                        "error": "skin checkpoints are engine exports "
+                                 "(bake-skin output), not servable "
+                                 "deformers; load them in the consuming "
+                                 "runtime or via "
+                                 "utils.checkpoint.load_skinning",
+                    }
                 if ck == "seq":
                     model, cfg, params, resid = checkpoint.load_seq(
                         req["path"]

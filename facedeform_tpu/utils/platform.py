@@ -25,5 +25,7 @@ def on_tpu() -> bool:
     """True when default-placed computation will land on a TPU."""
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform == "tpu"
+        # jax.default_device also accepts a platform-name string
+        plat = dev if isinstance(dev, str) else dev.platform
+        return plat == "tpu"
     return jax.default_backend() == "tpu"

@@ -80,6 +80,30 @@ def test_serve_save_load(server, rng, tmp_path):
     assert r2["ok"] and r2["deformer"] != r["deformer"]
 
 
+def test_serve_load_skin_checkpoint_clean_error(server, tmp_path):
+    """Skinning checkpoints are engine exports, not servable deformers —
+    the wire error must say that, not leak a Python-API hint."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.ops import skinning
+    from facedeform_tpu.utils import checkpoint
+
+    model = skinning.SkinningModel(
+        weights=jnp.ones((4, 1), jnp.float32),
+        rotations=jnp.eye(3, dtype=jnp.float32)[None, None],
+        translations=jnp.zeros((1, 1, 3), jnp.float32),
+        rest=jnp.zeros((4, 3), jnp.float32),
+    )
+    p = str(tmp_path / "skin.npz")
+    checkpoint.save_skinning(p, model)
+    r = _rpc(server, {"cmd": "load", "path": p})
+    assert not r["ok"]
+    assert "engine export" in r["error"]
+    assert "load_skinning()" not in r["error"].replace(
+        "utils.checkpoint.load_skinning", ""
+    )
+
+
 def test_serve_errors(server):
     r = _rpc(server, {"cmd": "nope"})
     assert not r["ok"] and "unknown cmd" in r["error"]
