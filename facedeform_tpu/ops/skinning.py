@@ -125,7 +125,7 @@ def _rigid_feats_device(x, frames, nbr, inv_scale):
     — unlike raw displacement vectors, which vary with position inside a
     rotating part (a twist's displacements rotate with azimuth, seeding
     azimuthal-wedge clusters that the alternation cannot escape; measured
-    12-bone RMSE 0.13 vs 0.01 band-seeded on the uv-sphere twist).
+    12-bone RMSE 0.13 vs 0.04 band-seeded on the uv-sphere twist).
     Gathers are one-time init cost (~8 ms per 1M rows on v5e).
     """
     xn = x[nbr]                                        # (V, K, 3)
@@ -163,23 +163,39 @@ def _local_rigid_features(x: np.ndarray, p: np.ndarray,
 
 
 # ------------------------------------------------------------------ k-means
-@functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
-def _kmeans_labels(feats, init_idx, n_clusters, iters):
-    """Lloyd iterations on (V, D) trajectory features; returns labels.
+def _allsum(v, axis_name):
+    """Vertex-axis reduction hook: identity single-device, psum sharded.
+
+    Every cross-vertex reduction in this module goes through this so the
+    SAME functions run inside parallel/skinning_sharded's shard_map —
+    vertices shard, (B,)-space quantities come out replicated."""
+    return jax.lax.psum(v, axis_name) if axis_name else v
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_clusters", "iters", "axis_name"))
+def _kmeans_labels(feats, cent0, n_clusters, iters, valid, axis_name=None):
+    """Lloyd iterations on (V, D) rigid-transform features; returns labels.
 
     Assignment distances are one (V, D) @ (D, B) matmul per iteration
     (||x||^2 is rank-constant per row and drops out of the argmin).
     Empty clusters keep their previous centroid (sum-guarded divide).
+    `valid` (V,) zeroes padded rows out of the centroid sums (sharded
+    callers pad V to the device count); labels for padded rows are
+    meaningless and must be masked by the caller.
     """
-    cent = feats[init_idx]  # (B, D)
+    cent = cent0  # (B, D), computed from global features by the caller
 
     def step(cent, _):
         logits = jnp.matmul(feats, cent.T, precision=_HIGHEST)
         d2 = jnp.sum(cent * cent, axis=-1)[None, :] - 2.0 * logits
         labels = jnp.argmin(d2, axis=-1)
-        one_hot = jax.nn.one_hot(labels, n_clusters, dtype=feats.dtype)
-        sums = jnp.matmul(one_hot.T, feats, precision=_HIGHEST)
-        counts = jnp.sum(one_hot, axis=0)[:, None]
+        one_hot = (jax.nn.one_hot(labels, n_clusters, dtype=feats.dtype)
+                   * valid[:, None])
+        sums = _allsum(
+            jnp.matmul(one_hot.T, feats, precision=_HIGHEST), axis_name
+        )
+        counts = _allsum(jnp.sum(one_hot, axis=0), axis_name)[:, None]
         cent = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cent)
         return cent, None
 
@@ -208,21 +224,28 @@ def _kmeanspp_indices(feats64: np.ndarray, n_clusters: int,
 
 
 # ----------------------------------------------------------------- moments
-def _procrustes_transforms(x, frames, w, eps=1e-8):
+def _procrustes_transforms(x, frames, w, eps=1e-8, axis_name=None):
     """Weighted Procrustes per (frame, bone): optimal rigid (R, t).
 
     Moments are MXU contractions: the (B, V) @ (V, 9) product per frame
     under lax.scan.  The 3x3 rotation extraction is one batched SVD over
-    (F*B) tiny matrices — negligible next to the moments.
+    (F*B) tiny matrices — negligible next to the moments.  Sharded
+    callers (axis_name set) contribute per-shard partial moments; the
+    psums make every (B,)-space quantity replicated, so the SVD runs
+    identically on each device.
     """
-    sw = jnp.sum(w, axis=0)                                  # (B,)
+    sw = _allsum(jnp.sum(w, axis=0), axis_name)              # (B,)
     sw_safe = jnp.maximum(sw, eps)
-    xc = jnp.matmul(w.T, x, precision=_HIGHEST) / sw_safe[:, None]  # (B, 3)
+    xc = (_allsum(jnp.matmul(w.T, x, precision=_HIGHEST), axis_name)
+          / sw_safe[:, None])                                # (B, 3)
 
     def frame_moments(_, p):
-        pc = jnp.matmul(w.T, p, precision=_HIGHEST) / sw_safe[:, None]
+        pc = (_allsum(jnp.matmul(w.T, p, precision=_HIGHEST), axis_name)
+              / sw_safe[:, None])
         z = (p[:, :, None] * x[:, None, :]).reshape(x.shape[0], 9)
-        m = jnp.matmul(w.T, z, precision=_HIGHEST).reshape(-1, 3, 3)
+        m = _allsum(
+            jnp.matmul(w.T, z, precision=_HIGHEST), axis_name
+        ).reshape(-1, 3, 3)
         s = m - sw_safe[:, None, None] * pc[:, :, None] * xc[:, None, :]
         return None, (s, pc)
 
@@ -291,9 +314,8 @@ def _weights_pgd(x, frames, r, t, w0, mask, iters):
             a = jnp.einsum("vb,vbi->vi", dirn, y, precision=_HIGHEST)
             return c + jnp.sum(a * a, axis=-1), None
 
-        c, _ = jax.lax.scan(
-            acc, jnp.zeros((x.shape[0],), x.dtype), (r, t, frames)
-        )
+        # varying-typed zero carry (see _per_bone_err2)
+        c, _ = jax.lax.scan(acc, jnp.sum(x, axis=-1) * 0.0, (r, t, frames))
         return c                                             # (V,)
 
     def step(w, _):
@@ -329,17 +351,19 @@ def _per_bone_err2(x, frames, r, t):
         y = _frame_basis(x, r_f, t_f) - p_f[:, None, :]
         return e + jnp.sum(y * y, axis=-1), None
 
-    e, _ = jax.lax.scan(
-        acc, jnp.zeros((x.shape[0], r.shape[1]), x.dtype), (r, t, frames)
-    )
+    # derive the zero carry from x so it carries x's shard-axis varying
+    # annotation (a plain jnp.zeros is "replicated" under shard_map's
+    # vma checking, and scan requires carry-in == carry-out types)
+    e0 = x[:, :1] * 0.0 + jnp.zeros((1, r.shape[1]), x.dtype)
+    e, _ = jax.lax.scan(acc, e0, (r, t, frames))
     return e
 
 
 @functools.partial(jax.jit, static_argnames=("outer", "pgd_iters",
                                               "max_influences",
-                                              "hard_rounds"))
+                                              "hard_rounds", "axis_name"))
 def _ssdr_rounds(x, frames, w0, outer, pgd_iters, max_influences,
-                 hard_rounds):
+                 hard_rounds, valid, axis_name=None):
     """Hard rigid-k-means rounds, then Procrustes <-> PGD alternation.
 
     The trajectory k-means init clusters by displacement VECTOR, which
@@ -349,29 +373,40 @@ def _ssdr_rounds(x, frames, w0, outer, pgd_iters, max_influences,
     fixes cluster purity before any soft weights exist.  The support is
     pruned to `max_influences` only at the LAST soft round so the cap
     never starves the exploration.
+
+    `valid` (V,) gates padded rows (sharded callers pad V to the device
+    count): their one-hot rows zero out of every moment, and the PGD
+    leaves all-zero rows at zero (their residual is exactly zero, so
+    alpha clips to 0).  Single-device callers pass ones.
     """
     n_bones = w0.shape[1]
 
     def hard(w, _):
-        r, t = _procrustes_transforms(x, frames, w)
+        r, t = _procrustes_transforms(x, frames, w, axis_name=axis_name)
         labels = jnp.argmin(_per_bone_err2(x, frames, r, t), axis=-1)
-        return jax.nn.one_hot(labels, n_bones, dtype=w.dtype), None
+        w = jax.nn.one_hot(labels, n_bones, dtype=w.dtype) * valid[:, None]
+        return w, None
 
     w0, _ = jax.lax.scan(hard, w0, None, length=hard_rounds)
 
     full = jnp.ones_like(w0, dtype=bool)
 
     def round_(w, i):
-        r, t = _procrustes_transforms(x, frames, w)
+        r, t = _procrustes_transforms(x, frames, w, axis_name=axis_name)
         last = i == outer - 1
-        kth = -jnp.sort(-w, axis=-1)[:, max_influences - 1:max_influences]
-        topk = w >= jnp.maximum(kth, 1e-12)
+        # rank-based selection admits EXACTLY max_influences bones per
+        # row (a >=-kth-value test keeps every tied entry, so f32-exact
+        # ties on symmetric meshes would overflow the influence cap)
+        order = jnp.argsort(-w, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)
+        topk = ranks < max_influences
         mask = jnp.where(last, topk, full)
         w = _weights_pgd(x, frames, r, t, w, mask, pgd_iters)
+        w = w * valid[:, None]  # the masked projection re-fills zero rows
         return w, None
 
     w, _ = jax.lax.scan(round_, w0, jnp.arange(outer))
-    r, t = _procrustes_transforms(x, frames, w)
+    r, t = _procrustes_transforms(x, frames, w, axis_name=axis_name)
     return w, r, t
 
 
@@ -423,6 +458,27 @@ class SkinningReport:
         return self.rmse / max(self.bbox_diag, 1e-12)
 
 
+def validate_inputs(rest_points, posed_frames, n_bones: int,
+                    max_influences: int) -> tuple[np.ndarray, np.ndarray]:
+    """Shared input contract for fit_skinning and the sharded variant."""
+    x = np.asarray(rest_points, np.float32)
+    p = np.asarray(posed_frames, np.float32)
+    if x.ndim != 2 or x.shape[1] != 3:
+        raise ValueError(f"rest_points must be (V, 3), got {x.shape}")
+    if p.ndim != 3 or p.shape[1:] != x.shape:
+        raise ValueError(
+            f"posed_frames must be (F,) + {x.shape}, got {p.shape}"
+        )
+    v = x.shape[0]
+    if not 1 <= n_bones <= min(v, 256):
+        raise ValueError(f"n_bones={n_bones} out of range [1, min(V, 256)]")
+    if not 1 <= max_influences <= n_bones:
+        raise ValueError(
+            f"max_influences={max_influences} must be in [1, n_bones]"
+        )
+    return x, p
+
+
 def fit_skinning(
     rest_points: np.ndarray,
     posed_frames: np.ndarray,
@@ -443,28 +499,18 @@ def fit_skinning(
     features (k-NN Procrustes per frame, `k_neighbors`); the alternation
     runs entirely on device in one jit program.
     """
-    x = np.asarray(rest_points, np.float32)
-    p = np.asarray(posed_frames, np.float32)
-    if x.ndim != 2 or x.shape[1] != 3:
-        raise ValueError(f"rest_points must be (V, 3), got {x.shape}")
-    if p.ndim != 3 or p.shape[1:] != x.shape:
-        raise ValueError(
-            f"posed_frames must be (F,) + {x.shape}, got {p.shape}"
-        )
+    x, p = validate_inputs(rest_points, posed_frames, n_bones,
+                           max_influences)
     v = x.shape[0]
-    if not 1 <= n_bones <= min(v, 256):
-        raise ValueError(f"n_bones={n_bones} out of range [1, min(V, 256)]")
-    if not 1 <= max_influences <= n_bones:
-        raise ValueError(
-            f"max_influences={max_influences} must be in [1, n_bones]"
-        )
 
     # ---- init: k-means over local rigid-transform features -------------
     feats = _local_rigid_features(x, p, k_neighbors)
     rng = np.random.default_rng(seed)
     init_idx = _kmeanspp_indices(feats.astype(np.float64), n_bones, rng)
+    valid = jnp.ones(v, jnp.float32)
     labels = _kmeans_labels(
-        jnp.asarray(feats), jnp.asarray(init_idx), n_bones, kmeans_iters
+        jnp.asarray(feats), jnp.asarray(feats[init_idx]), n_bones,
+        kmeans_iters, valid,
     )
     w0 = jax.nn.one_hot(labels, n_bones, dtype=jnp.float32)
 
@@ -472,7 +518,7 @@ def fit_skinning(
     w, r, t = _ssdr_rounds(
         jnp.asarray(x), jnp.asarray(p), w0,
         int(outer_iters), int(pgd_iters), int(max_influences),
-        int(hard_rounds),
+        int(hard_rounds), valid,
     )
     model = SkinningModel(w, r, t, jnp.asarray(x))
 

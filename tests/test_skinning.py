@@ -154,6 +154,22 @@ def test_smooth_field_error_decreases_with_bones(rng):
     assert errs[12] < 0.02 * float(np.linalg.norm(pts.max(0) - pts.min(0)))
 
 
+def test_influence_cap_holds_under_exact_ties(rng):
+    """Pure translation makes every bone's transform identical, so all
+    weights tie exactly — rank-based top-k must still admit EXACTLY
+    max_influences bones (a >=-threshold test would keep every tie)."""
+    pts = fibonacci_points(60)
+    frames = np.stack([pts + np.float32([0.3, 0, 0]),
+                       pts + np.float32([0, 0.5, 0])])
+    model, report = skinning.fit_skinning(
+        pts, frames, n_bones=4, max_influences=2, seed=0
+    )
+    w = np.asarray(model.weights)
+    assert ((w > 1e-6).sum(-1) <= 2).all(), (w > 1e-6).sum(-1).max()
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-4)
+    assert report.rmse < 1e-5  # translation is representable exactly
+
+
 # ------------------------------------------------------------------ oracle
 
 
