@@ -662,12 +662,75 @@ def config12_interactive_drag(rng, n_ctrl=4096, drags=8):
     }
 
 
+def config13_skinning(rng, n_verts=50_000, n_bones=16, n_frames=4):
+    """Skinning decomposition (LBS engine export): fit + engine-side eval.
+
+    A smooth twist sweep decomposes into bones + capped weights
+    (ops/skinning.fit_skinning, CLI bake-skin); records the warm
+    decomposition wall time, reconstruction quality vs the 1%-of-bbox
+    visually-lossless rule, and the lbs_apply per-pose cost a consuming
+    engine would pay.  No reference counterpart (the plugin stops at
+    deformed geometry) — the target is the documented PERFORMANCE.md
+    numbers staying true on the end-state code.
+    """
+    import time as _time
+
+    from facedeform_tpu.ops import skinning
+
+    pts = rng.standard_normal((n_verts, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    frames = []
+    for t in np.linspace(0.3, 1.0, n_frames):
+        ang = t * 0.8 * (pts[:, 1] + 1.0)
+        ca, sa = np.cos(ang), np.sin(ang)
+        frames.append(np.stack(
+            [ca * pts[:, 0] - sa * pts[:, 2], pts[:, 1],
+             sa * pts[:, 0] + ca * pts[:, 2]], -1,
+        ))
+    frames = np.stack(frames).astype(np.float32)
+
+    # first fit pays the remote compile; measure the warm refit
+    _m, _ = skinning.fit_skinning(
+        pts, frames, n_bones=n_bones, max_influences=4, seed=0
+    )
+    t0 = _time.time()
+    m, rep = skinning.fit_skinning(
+        pts, frames, n_bones=n_bones, max_influences=4, seed=1
+    )
+    fit_s = _time.time() - t0
+
+    q = skinning.lbs_apply(
+        m.weights, m.rest, m.rotations[0], m.translations[0]
+    )
+    _sync(q)
+    t0 = _time.time()
+    for _ in range(10):
+        q = skinning.lbs_apply(
+            m.weights, m.rest, m.rotations[0], m.translations[0]
+        )
+    _sync(q)
+    apply_ms = (_time.time() - t0) / 10 * 1e3
+    w = np.asarray(m.weights)
+    cap_ok = bool(((w > 1e-6).sum(-1) <= 4).all())
+    return {
+        "config": "13: skinning decomposition (LBS bake)",
+        "verts": n_verts,
+        "bones": n_bones,
+        "frames": n_frames,
+        "warm_fit_s": fit_s,
+        "relative_rmse": rep.relative_rmse,
+        "lbs_apply_ms": apply_ms,
+        "influence_cap_ok": cap_ok,
+        "pass": bool(rep.relative_rmse < 0.01 and cap_ok),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", type=int, default=None, metavar="N",
-                    choices=range(1, 13),
-                    help="run a single config (1-12) for iteration")
+                    choices=range(1, 14),
+                    help="run a single config (1-13) for iteration")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     results = []
@@ -675,7 +738,8 @@ def main():
                config4_dbse, config5_animated, config6_large_n,
                config7_growing_kernel_precision, config8_cpd_preconditioned,
                config9_pu_any_n, config10_pu_sequence,
-               config11_normal_transport, config12_interactive_drag)
+               config11_normal_transport, config12_interactive_drag,
+               config13_skinning)
     if args.only is not None:
         configs = (configs[args.only - 1],)
     for fn in configs:
