@@ -73,6 +73,17 @@ def _build_parser() -> argparse.ArgumentParser:
                         "forward) — Houdini Trail SOP 'compute velocity' "
                         "semantics for motion blur; overwrites any "
                         "existing v attribute")
+    s.add_argument("--gltf", default=None, metavar="PATH",
+                   help="also write the whole shot as one glTF binary "
+                        "(.glb): the rest mesh with one POSITION morph "
+                        "target per frame (sparse accessors where the "
+                        "deformation is localized) and a one-hot weights "
+                        "animation — exact at every keyframe, plays in "
+                        "any glTF viewer/engine (the lossless complement "
+                        "to bake-skin --gltf)")
+    s.add_argument("--gltf-fps", type=float, default=24.0,
+                   help="keyframe rate for the .glb shot animation "
+                        "(default 24)")
     _add_cook_flags(s)
 
     inv = sub.add_parser(
@@ -780,6 +791,9 @@ def _cmd_deform_seq(args) -> int:
         return 1
     node = FaceDeformNode()
     warned: set = set()
+    # --gltf collects every frame's deformed positions for the morph-
+    # target export; None keeps long per-frame shots O(1) memory
+    glb_frames = [] if getattr(args, "gltf", None) else None
 
     use_batch = bool(getattr(args, "batch", False))
     if use_batch:
@@ -1137,6 +1151,12 @@ def _cmd_deform_seq(args) -> int:
             res0.mesh.set_attr("v", np.zeros_like(res0.mesh.points))
             with stage("save", times):
                 save_mesh(path0, res0.mesh)
+        if glb_frames is not None:
+            # out_frames rows are the FINAL frames 1+ (post morph/psd),
+            # matching the per-frame files written above
+            glb_frames.append(np.asarray(res0.mesh.points, np.float32))
+            if len(rigs) > 1:
+                glb_frames.extend(np.asarray(out_frames, np.float32))
     else:
         vel_fps = args.out_velocity
         prev_pts = None      # previous frame's DEFORMED positions
@@ -1174,6 +1194,8 @@ def _cmd_deform_seq(args) -> int:
                     cur = _chain_quat_sign(prev_q[nm], cur)
                     res.mesh.set_attr(nm, cur)
                 prev_q[nm] = cur
+            if glb_frames is not None:
+                glb_frames.append(np.asarray(res.mesh.points, np.float32))
             out_path = os.path.join(args.outdir, args.out_pattern % f)
             if vel_fps is not None:
                 # backward difference of deformed positions; frame 0 uses
@@ -1205,6 +1227,18 @@ def _cmd_deform_seq(args) -> int:
                     save_mesh(out_path, res.mesh)
     n = len(rigs)
     dt = time.time() - t0
+    if glb_frames:
+        from facedeform_tpu.geometry.gltf_io import save_glb_morph
+
+        with stage("gltf", times):
+            save_glb_morph(
+                args.gltf, mesh, np.stack(glb_frames), fps=args.gltf_fps
+            )
+        print(
+            f"info: wrote glTF binary {args.gltf} "
+            f"({len(glb_frames)} morph-target keyframes)",
+            file=sys.stderr,
+        )
     if args.save_deformer:
         if seq_ckpt is not None:
             # batch path: the whole F-frame shot in one sequence

@@ -1,4 +1,5 @@
-"""glTF 2.0 binary (.glb) export: static meshes and baked LBS skins.
+"""glTF 2.0 binary (.glb) export: static meshes, baked LBS skins, and
+morph-target shots.
 
 The skinning decomposition (ops/skinning.py, CLI `bake-skin`) exists to
 hand deformations to engines — and engines ingest glTF, not .npz.  This
@@ -10,6 +11,14 @@ module writes a self-contained .glb:
     (identity inverse bind matrices — the decomposition's bind pose IS
     the rest mesh), plus an animation cycling through the training
     poses so the bake is previewable in any glTF viewer.
+  * `save_glb_morph(path, mesh, frame_points)` — a deformed shot as one
+    POSITION morph target per frame plus a weights animation (CLI
+    `deform-seq --gltf`): the lossless route when LBS can't capture the
+    deformation.  Playback at keyframe f shows frame f EXACTLY (one-hot
+    weights); LINEAR interpolation between keyframes is a per-vertex
+    lerp of adjacent frames.  Targets whose deltas touch few vertices
+    (capture-gated / localized rigs) are written as glTF sparse
+    accessors, so file size tracks the moved region, not V.
 
 The LBS conventions line up exactly: glTF computes
 `sum_j w_j * globalJoint_j * IBM_j * position` and the decomposition is
@@ -60,9 +69,12 @@ class _BufferBuilder:
         while len(self.blob) % n:
             self.blob.append(0)
 
-    def add(self, arr: np.ndarray, component_type: int, type_str: str,
-            target: Optional[int] = None, minmax: bool = False) -> int:
-        """Append `arr` (already the right dtype/layout) -> accessor index."""
+    def add_view(self, arr: np.ndarray,
+                 target: Optional[int] = None) -> int:
+        """Append `arr`'s bytes as a bare bufferView -> view index.
+
+        Used by sparse accessors, whose indices/values reference
+        bufferViews directly without accessors of their own."""
         self._align()
         data = np.ascontiguousarray(arr)
         offset = len(self.blob)
@@ -72,6 +84,13 @@ class _BufferBuilder:
         if target is not None:
             view["target"] = target
         self.views.append(view)
+        return len(self.views) - 1
+
+    def add(self, arr: np.ndarray, component_type: int, type_str: str,
+            target: Optional[int] = None, minmax: bool = False) -> int:
+        """Append `arr` (already the right dtype/layout) -> accessor index."""
+        data = np.ascontiguousarray(arr)
+        self.add_view(data, target=target)
         count = data.shape[0] if data.ndim > 1 else data.size
         acc = {
             "bufferView": len(self.views) - 1,
@@ -84,6 +103,32 @@ class _BufferBuilder:
             flat = data.reshape(count, -1)
             acc["min"] = [float(v) for v in flat.min(0)]
             acc["max"] = [float(v) for v in flat.max(0)]
+        self.accessors.append(acc)
+        return len(self.accessors) - 1
+
+    def add_sparse_vec3(self, dense: np.ndarray, idx: np.ndarray) -> int:
+        """Sparse VEC3 accessor: `dense` (count, 3) f32 whose nonzero rows
+        are exactly `idx` (sorted ascending, per spec) -> accessor index.
+
+        The accessor omits `bufferView`, so unlisted rows default to
+        zeros; only idx/values bytes land in the blob.  min/max still
+        describe the FULL dense array (the spec requires them to cover
+        the implied zeros)."""
+        dense = np.ascontiguousarray(dense, np.float32)
+        idx = np.ascontiguousarray(idx, np.uint32)
+        acc = {
+            "componentType": _F32,
+            "count": int(dense.shape[0]),
+            "type": "VEC3",
+            "min": [float(v) for v in dense.min(0)],
+            "max": [float(v) for v in dense.max(0)],
+            "sparse": {
+                "count": int(idx.size),
+                "indices": {"bufferView": self.add_view(idx),
+                            "componentType": _U32},
+                "values": {"bufferView": self.add_view(dense[idx])},
+            },
+        }
         self.accessors.append(acc)
         return len(self.accessors) - 1
 
@@ -282,6 +327,92 @@ def save_glb_skinned(path: str, mesh, model, fps: float = 24.0,
     _write_glb(path, gltf, bb.blob)
 
 
+def save_glb_morph(path: str, mesh, frame_points: np.ndarray,
+                   fps: float = 24.0, animate: bool = True) -> None:
+    """Write a deformed shot as morph targets on the rest mesh.
+
+    `mesh` is the rest-pose mesh (topology + optional normals);
+    `frame_points` is (F, V, 3) deformed positions — one POSITION morph
+    target per frame holding `frame_f - rest` deltas.  The weights
+    animation is one-hot per keyframe at `fps` with LINEAR
+    interpolation, so keyframe f reproduces frame f exactly and
+    between-keyframe playback is a per-vertex lerp of adjacent frames.
+    Static viewers (no animation playback) show frame 0 via the mesh's
+    default weights.
+
+    Targets whose deltas touch few vertices are written as glTF sparse
+    accessors: a sparse row costs 16 bytes (u32 index + vec3 value) vs
+    12 dense, so sparse wins below nnz < 0.75 V — exactly the
+    capture-gated case where most of the face never moves.
+
+    Complements `save_glb_skinned`: the skin is compact and
+    engine-riggable but lossy (LBS residual); this is exact at every
+    keyframe at O(moved vertices x frames) bytes.  No reference-code
+    counterpart (symek/facedeform writes deformed Houdini geometry
+    only, src/SOP_FaceDeform.cpp); rebuild extension in the
+    deform-seq -> engine export chain.
+    """
+    frame_points = np.asarray(frame_points, np.float32)
+    if frame_points.ndim != 3 or frame_points.shape[-1] != 3:
+        raise ValueError(
+            f"frame_points must be (F, V, 3), got {frame_points.shape}"
+        )
+    f_n, v = frame_points.shape[:2]
+    if mesh.num_points != v:
+        raise ValueError(
+            f"mesh has {mesh.num_points} points but frame_points has {v}"
+        )
+
+    bb = _BufferBuilder()
+    prim = _mesh_primitive(bb, mesh)
+    rest = np.asarray(mesh.points, np.float32)
+    targets = []
+    for f in range(f_n):
+        delta = frame_points[f] - rest
+        idx = np.flatnonzero(np.any(delta != 0.0, axis=1))
+        if idx.size * 16 < v * 12:
+            if idx.size == 0:
+                idx = np.array([0], np.int64)  # spec: sparse count >= 1
+            acc = bb.add_sparse_vec3(delta, idx)
+        else:
+            acc = bb.add(delta, _F32, "VEC3", target=_ARRAY_BUFFER,
+                         minmax=True)
+        targets.append({"POSITION": acc})
+    prim["targets"] = targets
+
+    one_hot = np.eye(f_n, dtype=np.float32)
+    gltf = _base_gltf(bb)
+    gltf.update({
+        "meshes": [{
+            "primitives": [prim],
+            "weights": [float(w) for w in one_hot[0]],
+            "extras": {
+                "targetNames": [f"frame_{f:04d}" for f in range(f_n)],
+            },
+        }],
+        "nodes": [{"mesh": 0, "name": "facedeform_shot"}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    })
+
+    if animate and f_n > 0:
+        times = np.arange(f_n, dtype=np.float32) / float(fps)
+        t_acc = bb.add(times, _F32, "SCALAR")
+        bb.accessors[t_acc]["min"] = [float(times.min())]
+        bb.accessors[t_acc]["max"] = [float(times.max())]
+        w_acc = bb.add(one_hot.reshape(-1), _F32, "SCALAR")
+        gltf["animations"] = [{
+            "name": "shot",
+            "samplers": [{"input": t_acc, "output": w_acc,
+                          "interpolation": "LINEAR"}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 0, "path": "weights"}}],
+        }]
+
+    gltf["buffers"][0]["byteLength"] = len(bb.blob) + (-len(bb.blob) % 4)
+    _write_glb(path, gltf, bb.blob)
+
+
 # ------------------------------------------------------------------ reading
 _CT_DTYPE = {_F32: np.float32, _U32: np.uint32, _U16: np.uint16,
              _U8: np.uint8, 5120: np.int8, 5122: np.int16}
@@ -313,17 +444,49 @@ def load_glb(path: str):
     return gltf, blob
 
 
+def _read_view(gltf: dict, blob: bytes, view_index: int, dtype,
+               extra_offset: int = 0, count: Optional[int] = None,
+               width: int = 1) -> np.ndarray:
+    view = gltf["bufferViews"][view_index]
+    start = view.get("byteOffset", 0) + extra_offset
+    if count is None:
+        count = view["byteLength"] // (np.dtype(dtype).itemsize * width)
+    return np.frombuffer(
+        blob, dtype=dtype, count=count * width, offset=start
+    ).reshape(count, width)
+
+
 def read_accessor(gltf: dict, blob: bytes, index: int) -> np.ndarray:
     """Decode accessor `index` -> (count, width) array (width-1 squeezed).
 
-    Tightly-packed accessors only — which is all this writer emits."""
+    Tightly-packed accessors only — which is all this writer emits.
+    Sparse accessors (morph-target deltas) decode to their dense form:
+    the base is the referenced bufferView, or zeros when the accessor
+    omits one (the save_glb_morph case)."""
     acc = gltf["accessors"][index]
-    view = gltf["bufferViews"][acc["bufferView"]]
     dtype = _CT_DTYPE[acc["componentType"]]
     width = _TYPE_WIDTH[acc["type"]]
-    start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
     count = acc["count"]
-    arr = np.frombuffer(
-        blob, dtype=dtype, count=count * width, offset=start
-    ).reshape(count, width)
+    if "bufferView" in acc:
+        arr = _read_view(
+            gltf, blob, acc["bufferView"], dtype,
+            extra_offset=acc.get("byteOffset", 0), count=count, width=width,
+        )
+    else:
+        arr = np.zeros((count, width), dtype)
+    sp = acc.get("sparse")
+    if sp is not None:
+        n = sp["count"]
+        idx = _read_view(
+            gltf, blob, sp["indices"]["bufferView"],
+            _CT_DTYPE[sp["indices"]["componentType"]],
+            extra_offset=sp["indices"].get("byteOffset", 0), count=n,
+        )[:, 0]
+        vals = _read_view(
+            gltf, blob, sp["values"]["bufferView"], dtype,
+            extra_offset=sp["values"].get("byteOffset", 0),
+            count=n, width=width,
+        )
+        arr = arr.copy()
+        arr[idx.astype(np.int64)] = vals
     return arr[:, 0] if width == 1 else arr

@@ -544,3 +544,48 @@ def test_cli_invert_group_and_guards(tmp_path, rng, capsys):
     ])
     assert rc == 1
     assert "dense limit" in capsys.readouterr().err
+
+
+def test_cli_deform_seq_gltf_export(tmp_path):
+    """deform-seq --gltf writes a morph-target .glb whose keyframes
+    reconstruct the written per-frame geometry exactly, on both the
+    per-frame and the --batch paths."""
+    from facedeform_tpu.geometry import gltf_io
+    from facedeform_tpu.geometry.geo_io import load_geo, save_geo
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+
+    mesh = uv_sphere(10, 10)
+    rig_pts = fibonacci_points(18)
+    mesh_p = str(tmp_path / "mesh.geo")
+    rig_p = str(tmp_path / "rig.geo")
+    save_geo(mesh_p, mesh)
+    save_geo(rig_p, Mesh(points=rig_pts))
+    rig_frames = []
+    for f in range(3):
+        p = str(tmp_path / f"posed{f}.geo")
+        save_geo(p, Mesh(points=rig_pts * (1.0 + 0.05 * (f + 1))))
+        rig_frames.append(p)
+
+    base = ["deform-seq", mesh_p, rig_p, *rig_frames,
+            "--out-pattern", "f_%02d.geo", "--radius", "2.0"]
+    for tag, extra in (("pf", []), ("bat", ["--batch"])):
+        glb_p = str(tmp_path / f"{tag}.glb")
+        outdir = tmp_path / tag
+        assert main(base + ["-o", str(outdir), "--gltf", glb_p,
+                            "--gltf-fps", "12", *extra]) == 0
+        gltf, blob = gltf_io.load_glb(glb_p)
+        prim = gltf["meshes"][0]["primitives"][0]
+        rest = gltf_io.read_accessor(
+            gltf, blob, prim["attributes"]["POSITION"]
+        )
+        np.testing.assert_allclose(rest, mesh.points, atol=0)
+        assert len(prim["targets"]) == 3
+        for f in range(3):
+            want = load_geo(str(outdir / f"f_{f:02d}.geo")).points
+            delta = gltf_io.read_accessor(
+                gltf, blob, prim["targets"][f]["POSITION"]
+            )
+            np.testing.assert_allclose(
+                rest + delta, want, atol=1e-6,
+                err_msg=f"{tag} frame {f}",
+            )

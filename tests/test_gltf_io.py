@@ -147,6 +147,70 @@ def test_save_glb_skinned_lbs_parity(tmp_path):
     np.testing.assert_allclose(times, [0.0, 0.1], atol=1e-7)
 
 
+def test_save_glb_morph_roundtrip(tmp_path):
+    """Morph-target shot export: per-frame deltas decode back exactly,
+    localized frames go sparse, global frames dense, and the weights
+    animation is the one-hot identity."""
+    mesh = uv_sphere(8, 8)
+    rest = mesh.points
+    v = mesh.num_points
+    f0 = rest.copy()
+    f0[:5] += np.float32([0.0, 0.3, 0.0])        # localized -> sparse
+    f1 = rest * np.float32(1.1)                  # global -> dense
+    f2 = rest.copy()                             # zero delta -> sparse(1)
+    frames = np.stack([f0, f1, f2])
+
+    path = str(tmp_path / "shot.glb")
+    gltf_io.save_glb_morph(path, mesh, frames, fps=12.0)
+    gltf, blob = gltf_io.load_glb(path)
+
+    m = gltf["meshes"][0]
+    prim = m["primitives"][0]
+    targets = prim["targets"]
+    assert len(targets) == 3
+    for f in range(3):
+        delta = gltf_io.read_accessor(gltf, blob, targets[f]["POSITION"])
+        np.testing.assert_allclose(delta, frames[f] - rest, atol=0,
+                                   err_msg=f"target {f}")
+    # sparse-vs-dense routing: the localized and zero targets omit the
+    # dense bufferView; the global target is a plain dense accessor
+    acc0 = gltf["accessors"][targets[0]["POSITION"]]
+    acc1 = gltf["accessors"][targets[1]["POSITION"]]
+    acc2 = gltf["accessors"][targets[2]["POSITION"]]
+    assert "sparse" in acc0 and "bufferView" not in acc0
+    assert acc0["sparse"]["count"] == 5
+    assert "sparse" not in acc1 and "bufferView" in acc1
+    assert acc2["sparse"]["count"] == 1  # spec: sparse count >= 1
+    # spec: min/max cover the full dense array (zeros included)
+    assert acc0["min"][1] == 0.0 and acc0["max"][1] > 0.29
+
+    # default weights show frame 0 in a static viewer
+    np.testing.assert_allclose(m["weights"], [1.0, 0.0, 0.0])
+    assert m["extras"]["targetNames"] == [
+        "frame_0000", "frame_0001", "frame_0002",
+    ]
+
+    anim = gltf["animations"][0]
+    sampler = anim["samplers"][anim["channels"][0]["sampler"]]
+    assert sampler["interpolation"] == "LINEAR"
+    assert anim["channels"][0]["target"]["path"] == "weights"
+    times = gltf_io.read_accessor(gltf, blob, sampler["input"])
+    np.testing.assert_allclose(times, np.arange(3) / 12.0, atol=1e-7)
+    w = gltf_io.read_accessor(gltf, blob, sampler["output"])
+    np.testing.assert_allclose(w.reshape(3, 3), np.eye(3), atol=0)
+
+    # base POSITION still the rest mesh; container well-formed
+    pos = gltf_io.read_accessor(gltf, blob, prim["attributes"]["POSITION"])
+    np.testing.assert_allclose(pos, rest, atol=0)
+    raw = open(path, "rb").read()
+    assert struct.unpack("<I", raw[8:12])[0] == len(raw)
+
+    with pytest.raises(ValueError, match="frame_points"):
+        gltf_io.save_glb_morph(path, mesh, frames[0])
+    with pytest.raises(ValueError, match="points"):
+        gltf_io.save_glb_morph(path, uv_sphere(4, 4), frames)
+
+
 def test_save_glb_skinned_normals_and_validation(tmp_path, rng):
     mesh = uv_sphere(6, 6)
     n = rng.normal(size=mesh.points.shape).astype(np.float32) * 3.0
