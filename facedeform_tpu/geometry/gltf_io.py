@@ -490,3 +490,60 @@ def read_accessor(gltf: dict, blob: bytes, index: int) -> np.ndarray:
         arr = arr.copy()
         arr[idx.astype(np.int64)] = vals
     return arr[:, 0] if width == 1 else arr
+
+
+def load_glb_mesh(path: str, mesh_index: int = 0):
+    """Read mesh `mesh_index` of a .glb back into a Mesh.
+
+    Engine assets come as glTF; this makes `.glb` a first-class input
+    everywhere a `.obj`/`.geo` is accepted (geometry.load_mesh dispatch,
+    so CLI mesh/rig/blendshape arguments too).  Decodes POSITION
+    [+ NORMAL -> `N`] and triangle indices across all primitives of the
+    mesh (vertex offsets composed); POINTS primitives contribute
+    positions only.  Skin/morph/animation data is ignored — the rest
+    geometry is what a deform cook consumes.
+    """
+    from facedeform_tpu.geometry.mesh import Mesh
+
+    gltf, blob = load_glb(path)
+    meshes = gltf.get("meshes") or []
+    if mesh_index >= len(meshes):
+        raise ValueError(
+            f"{path} has {len(meshes)} meshes, asked for #{mesh_index}"
+        )
+    pts, norms, tris = [], [], []
+    offset = 0
+    for prim in meshes[mesh_index]["primitives"]:
+        attrs = prim["attributes"]
+        if "POSITION" not in attrs:
+            continue
+        p = read_accessor(gltf, blob, attrs["POSITION"]).astype(np.float32)
+        mode = prim.get("mode", 4)
+        if mode == 4:  # TRIANGLES
+            if "indices" in prim:
+                idx = read_accessor(
+                    gltf, blob, prim["indices"]
+                ).astype(np.int32)
+            else:
+                idx = np.arange(len(p), dtype=np.int32)
+            tris.append(idx.reshape(-1, 3) + offset)
+        elif mode != 0:  # strips/fans/lines: out of scope for a writer
+            raise ValueError(
+                f"{path}: unsupported primitive mode {mode} "
+                "(triangles and points only)"
+            )
+        pts.append(p)
+        if "NORMAL" in attrs:
+            norms.append(read_accessor(
+                gltf, blob, attrs["NORMAL"]
+            ).astype(np.float32))
+        offset += len(p)
+    if not pts:
+        raise ValueError(f"{path}: mesh #{mesh_index} has no POSITION data")
+    mesh = Mesh(
+        points=np.concatenate(pts),
+        faces=np.concatenate(tris) if tris else None,
+    )
+    if norms and sum(len(n) for n in norms) == mesh.num_points:
+        mesh.set_attr("N", np.concatenate(norms))
+    return mesh

@@ -233,3 +233,32 @@ def test_save_glb_skinned_normals_and_validation(tmp_path, rng):
         gltf_io.save_glb_skinned(
             str(tmp_path / "bad.glb"), uv_sphere(4, 4), model
         )
+
+
+def test_glb_as_mesh_input_roundtrip(tmp_path):
+    """.glb is a first-class geometry format: save_mesh/load_mesh
+    dispatch to gltf_io, and a deform cook consumes the loaded mesh."""
+    from facedeform_tpu.geometry import load_mesh, save_mesh
+
+    mesh = uv_sphere(8, 8)
+    n = mesh.points / np.linalg.norm(mesh.points, axis=1, keepdims=True)
+    mesh.set_attr("N", n.astype(np.float32))
+    path = str(tmp_path / "asset.glb")
+    save_mesh(path, mesh)
+    back = load_mesh(path)
+    np.testing.assert_allclose(back.points, mesh.points, atol=0)
+    # quads fan to triangles through the glTF writer; topology is
+    # preserved as the same triangle set
+    np.testing.assert_array_equal(back.faces, mesh.triangles())
+    np.testing.assert_allclose(back.attr("N"), n, atol=1e-6)
+
+    # point clouds round-trip as POINTS primitives (a control rig)
+    rig = Mesh(points=fibonacci_points(12))
+    rig_p = str(tmp_path / "rig.glb")
+    save_mesh(rig_p, rig)
+    rig2 = load_mesh(rig_p)
+    np.testing.assert_allclose(rig2.points, rig.points, atol=0)
+    assert rig2.faces is None
+
+    with pytest.raises(ValueError, match="meshes"):
+        gltf_io.load_glb_mesh(path, mesh_index=3)
