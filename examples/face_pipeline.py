@@ -399,6 +399,27 @@ def main():
           f"LBS reconstruction rmse {skin_rep.relative_rmse:.2%} of bbox "
           f"-> {os.path.join(args.out, 'skin.npz')}")
 
+    # 24. engine export, both routes: the baked skin as a skinned .glb
+    # (compact, riggable, lossy by skin_rep.rmse) and the pose sweep as
+    # a morph-target .glb (exact at every keyframe, sparse where the
+    # deformation is localized); both open in any glTF viewer/engine
+    from facedeform_tpu.geometry import gltf_io
+
+    skin_glb = os.path.join(args.out, "skin.glb")
+    gltf_io.save_glb_skinned(skin_glb, face, skin_model)
+    shot_glb = os.path.join(args.out, "shot.glb")
+    gltf_io.save_glb_morph(shot_glb, face, np.stack(sweep))
+    g, blob = gltf_io.load_glb(shot_glb)
+    prim = g["meshes"][0]["primitives"][0]
+    n_sparse = sum(
+        "sparse" in g["accessors"][t["POSITION"]] for t in prim["targets"]
+    )
+    print(f"glTF export: {skin_glb} (skinned, "
+          f"{os.path.getsize(skin_glb) // 1024} KB) and {shot_glb} "
+          f"(morph targets, {os.path.getsize(shot_glb) // 1024} KB, "
+          f"{n_sparse}/{len(prim['targets'])} sparse); .glb is also a "
+          f"valid input everywhere (geometry.load_mesh)")
+
 
 if __name__ == "__main__":
     main()

@@ -22,7 +22,9 @@ Protocol (one JSON object per line, response per line):
 plus fit_seq/apply_seq (animated shots), fit_dbse/morph (blendshapes),
 fit_rig (inverse rigging), fit_psd/psd_delta (pose-space sculpt
 corrections), refit (interactive drags), transport (attrs through the
-deformation Jacobian) — see the Client methods below for signatures.
+deformation Jacobian), fit_skin (LBS bake: posed frames in, bones +
+weights out, optional server-side .npz/.glb) — see the Client methods
+below for signatures.
 
 Array encoding: {"shape": [...], "dtype": "float32", "b64": "..."} or a
 plain nested JSON list.
@@ -327,6 +329,34 @@ class Client:
             },
         )
         return resp["deformer"]
+
+    def fit_skin(self, rest_points, frames, bones: int = 16,
+                 max_influences: int = 4, iters: int = 8, seed: int = 0,
+                 faces=None, path: Optional[str] = None,
+                 gltf: Optional[str] = None, gltf_fps: float = 24.0):
+        """Skinning-as-a-service: decompose (F, V, 3) posed frames into
+        LBS bones (ops/skinning.py — the bake-skin core).  Returns
+        (weights (V, B), rotations (F, B, 3, 3), translations (F, B, 3),
+        relative_rmse).  path= checkpoints server-side (.npz, kind
+        "skin"); gltf= writes a skinned .glb server-side (pass faces=
+        (T, 3) for a viewable surface)."""
+        arrays = {
+            "rest_points": np.asarray(rest_points, np.float32),
+            "frames": np.asarray(frames, np.float32),
+        }
+        if faces is not None:
+            arrays["faces"] = np.asarray(faces, np.int32)
+        req = {"cmd": "fit_skin", "bones": int(bones),
+               "max_influences": int(max_influences), "iters": int(iters),
+               "seed": int(seed)}
+        if path:
+            req["path"] = path
+        if gltf:
+            req["gltf"] = gltf
+            req["gltf_fps"] = float(gltf_fps)
+        resp, out = self.request(req, arrays)
+        return (out["weights"], out["rotations"], out["translations"],
+                float(resp["relative_rmse"]))
 
     def apply_seq(self, deformer: str, points, dist2=None, gate=None):
         """Evaluate every frame of a fit_seq model: (F, V, 3), (V,)."""
@@ -880,6 +910,57 @@ class DeformServer:
                     self._deformers[did] = d
                     resp["deformer"] = did
                 return resp
+            if cmd == "fit_skin":
+                # skinning-as-a-service (ops/skinning.py, the CLI
+                # bake-skin core): posed frames in, engine-ready LBS out
+                # — weights + per-pose transforms on the wire, optional
+                # server-side .npz checkpoint and skinned .glb writes
+                from facedeform_tpu.ops import skinning
+
+                rest_pts = decode_array(req["rest_points"]).astype(
+                    np.float32
+                )
+                frames = decode_array(req["frames"]).astype(np.float32)
+                if frames.ndim != 3 or frames.shape[1:] != rest_pts.shape:
+                    raise errors.ShapeMismatchError(
+                        f"frames {frames.shape} must be "
+                        f"(F,) + rest_points {rest_pts.shape}"
+                    )
+                model, rep = skinning.fit_skinning(
+                    rest_pts, frames,
+                    n_bones=int(req.get("bones", 16)),
+                    max_influences=int(req.get("max_influences", 4)),
+                    outer_iters=int(req.get("iters", 8)),
+                    seed=int(req.get("seed", 0)),
+                )
+                if req.get("path"):
+                    checkpoint.save_skinning(req["path"], model, rep)
+                if req.get("gltf"):
+                    from facedeform_tpu.geometry.gltf_io import (
+                        save_glb_skinned,
+                    )
+                    from facedeform_tpu.geometry.mesh import Mesh
+
+                    faces = (
+                        decode_array(req["faces"]).astype(np.int32)
+                        if "faces" in req else None
+                    )
+                    save_glb_skinned(
+                        req["gltf"], Mesh(points=rest_pts, faces=faces),
+                        model, fps=float(req.get("gltf_fps", 24.0)),
+                    )
+                return {
+                    "ok": True,
+                    "weights": enc(np.asarray(model.weights, np.float32)),
+                    "rotations": enc(
+                        np.asarray(model.rotations, np.float32)
+                    ),
+                    "translations": enc(
+                        np.asarray(model.translations, np.float32)
+                    ),
+                    "rmse": float(rep.rmse),
+                    "relative_rmse": float(rep.relative_rmse),
+                }
             if cmd == "fit_seq":
                 # animated shot: ONE batched solve for all F posed rigs
                 # (parallel/batched.fit_frames); apply_seq evaluates every

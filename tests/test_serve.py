@@ -664,3 +664,50 @@ def test_serve_psd_fit_delta_save_load(server, rng, tmp_path):
         np.testing.assert_array_equal(delta_al2, delta_al)
     finally:
         c.close()
+
+
+def test_serve_fit_skin(server, tmp_path):
+    """Skinning-as-a-service: LBS decomposition over the wire matches a
+    local fit_skinning; server-side .npz and skinned .glb writes work."""
+    from facedeform_tpu.geometry import gltf_io
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.ops import skinning
+    from facedeform_tpu.utils import checkpoint
+
+    mesh = uv_sphere(8, 8)
+    rest = mesh.points
+    frames = np.stack([
+        rest + np.float32([0, 0.2, 0]) * (i + 1) for i in range(2)
+    ])
+    ck = str(tmp_path / "skin.npz")
+    glb = str(tmp_path / "skin.glb")
+    c = serve_mod.Client(*server)
+    try:
+        w, r, t, rel = c.fit_skin(
+            rest, frames, bones=2, max_influences=2, seed=1,
+            faces=mesh.triangles(), path=ck, gltf=glb,
+        )
+    finally:
+        c.close()
+    assert w.shape == (rest.shape[0], 2)
+    assert r.shape == (2, 2, 3, 3) and t.shape == (2, 2, 3)
+    assert rel < 1e-3  # pure translation sweep: LBS-exact
+
+    # served transforms reproduce the poses through the engine-side eval
+    got = np.asarray(skinning.lbs_apply(w, rest, r[1], t[1]))
+    np.testing.assert_allclose(got, frames[1], atol=1e-3)
+
+    # server-side artifacts: checkpoint kind + a parseable skinned .glb
+    assert checkpoint.kind(ck) == "skin"
+    model, rep = checkpoint.load_skinning(ck)
+    np.testing.assert_allclose(np.asarray(model.weights), w, atol=0)
+    g, _ = gltf_io.load_glb(glb)
+    assert "skins" in g and len(g["skins"][0]["joints"]) == 2
+
+    # shape guard: frames must be (F,) + rest_points
+    r_err = _rpc(server, {
+        "cmd": "fit_skin",
+        "rest_points": serve_mod.encode_array(rest),
+        "frames": serve_mod.encode_array(rest),
+    })
+    assert not r_err["ok"] and "frames" in r_err["error"]
