@@ -725,12 +725,66 @@ def config13_skinning(rng, n_verts=50_000, n_bones=16, n_frames=4):
     }
 
 
+def config14_blendshape_bake(rng, n_verts=500_000, n_frames=16, rank=8):
+    """PCA blendshape bake (compressed engine export): fit + quality.
+
+    A rank-8 synthetic shot at 500k vertices must bake back to rank 8
+    near-exactly (Eckart-Young: the bake is optimal, so a full-rank
+    recovery IS correctness), with the Gram matmul + basis matmul riding
+    the MXU (ops/blendshapes.fit_blendshapes, CLI deform-seq
+    --gltf-rank).  Frames are synthesized device-side — at the tunnel's
+    ~8-17 MB/s a (16, 500k, 3) host upload would swamp the measurement.
+    No reference counterpart (the plugin consumes blendshapes,
+    src/dbse.cpp:9-35, but never produces them).
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from facedeform_tpu.ops import blendshapes
+
+    k_true = rank
+    rest = jnp.asarray(rng.standard_normal((n_verts, 3)), jnp.float32)
+    basis = jnp.asarray(
+        rng.standard_normal((k_true, n_verts * 3)), jnp.float32
+    )
+    curves = jnp.asarray(
+        rng.standard_normal((n_frames, k_true)), jnp.float32
+    )
+    frames = (
+        rest[None]
+        + jnp.dot(curves, basis).reshape(n_frames, n_verts, 3) * 0.01
+    )
+    _sync(frames)
+
+    # first bake pays the remote compile; measure the warm re-bake
+    blendshapes.fit_blendshapes(rest, frames, rank=rank)
+    t0 = _time.time()
+    model, rep = blendshapes.fit_blendshapes(rest, frames, rank=rank)
+    fit_s = _time.time() - t0
+
+    scale = float(jnp.max(jnp.abs(frames - rest[None])))
+    return {
+        "config": "14: PCA blendshape bake (compressed morph export)",
+        "verts": n_verts,
+        "frames": n_frames,
+        "rank": rank,
+        "targets": model.n_targets,
+        "warm_bake_s": fit_s,
+        "rmse": rep.rmse,
+        "rel_max_err": rep.max_err / scale,
+        "energy": rep.energy,
+        "compression_vs_lossless": n_frames / float(model.n_targets),
+        "pass": bool(rep.max_err / scale < 1e-4 and rep.energy > 0.999),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", type=int, default=None, metavar="N",
-                    choices=range(1, 14),
-                    help="run a single config (1-13) for iteration")
+                    choices=range(1, 15),
+                    help="run a single config (1-14) for iteration")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     results = []
@@ -739,7 +793,7 @@ def main():
                config7_growing_kernel_precision, config8_cpd_preconditioned,
                config9_pu_any_n, config10_pu_sequence,
                config11_normal_transport, config12_interactive_drag,
-               config13_skinning)
+               config13_skinning, config14_blendshape_bake)
     if args.only is not None:
         configs = (configs[args.only - 1],)
     for fn in configs:

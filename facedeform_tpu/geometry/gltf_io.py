@@ -327,6 +327,90 @@ def save_glb_skinned(path: str, mesh, model, fps: float = 24.0,
     _write_glb(path, gltf, bb.blob)
 
 
+def save_glb_targets(path: str, mesh, targets: np.ndarray,
+                     weights: np.ndarray, fps: float = 24.0,
+                     names=None, animate: bool = True) -> None:
+    """Write a morph-target basis + weight curves as one .glb.
+
+    `targets` is (K, V, 3) rest-relative POSITION deltas; `weights` is
+    (F, K) per-frame weight rows animated at `fps` with LINEAR
+    interpolation, so keyframe f shows ``rest + weights[f] @ targets``
+    exactly.  The mesh's default (static-viewer) weights are row 0.
+    Localized targets are written as glTF sparse accessors (16 bytes/row
+    vs 12 dense → sparse wins below nnz < 0.75 V).
+
+    This is the general form behind `save_glb_morph` (one-hot weights)
+    and the compressed `bake-shapes`/`--gltf-rank` route
+    (ops/blendshapes.py PCA bakes).  No reference-code counterpart
+    (symek/facedeform writes deformed Houdini geometry only,
+    src/SOP_FaceDeform.cpp:404-439).
+    """
+    targets = np.asarray(targets, np.float32)
+    weights = np.asarray(weights, np.float32)
+    if targets.ndim != 3 or targets.shape[-1] != 3:
+        raise ValueError(f"targets must be (K, V, 3), got {targets.shape}")
+    k_n, v = targets.shape[:2]
+    if mesh.num_points != v:
+        raise ValueError(
+            f"mesh has {mesh.num_points} points but targets have {v}"
+        )
+    if weights.ndim != 2 or weights.shape[1] != k_n:
+        raise ValueError(
+            f"weights must be (F, {k_n}), got {weights.shape}"
+        )
+    f_n = weights.shape[0]
+    if names is None:
+        names = [f"target_{k:03d}" for k in range(k_n)]
+    elif len(names) != k_n:
+        raise ValueError(f"{len(names)} names for {k_n} targets")
+
+    bb = _BufferBuilder()
+    prim = _mesh_primitive(bb, mesh)
+    target_accs = []
+    for k in range(k_n):
+        delta = targets[k]
+        idx = np.flatnonzero(np.any(delta != 0.0, axis=1))
+        if idx.size * 16 < v * 12:
+            if idx.size == 0:
+                idx = np.array([0], np.int64)  # spec: sparse count >= 1
+            acc = bb.add_sparse_vec3(delta, idx)
+        else:
+            acc = bb.add(delta, _F32, "VEC3", target=_ARRAY_BUFFER,
+                         minmax=True)
+        target_accs.append({"POSITION": acc})
+    prim["targets"] = target_accs
+
+    default_w = weights[0] if f_n else np.zeros(k_n, np.float32)
+    gltf = _base_gltf(bb)
+    gltf.update({
+        "meshes": [{
+            "primitives": [prim],
+            "weights": [float(w) for w in default_w],
+            "extras": {"targetNames": [str(n) for n in names]},
+        }],
+        "nodes": [{"mesh": 0, "name": "facedeform_shot"}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    })
+
+    if animate and f_n > 0:
+        times = np.arange(f_n, dtype=np.float32) / float(fps)
+        t_acc = bb.add(times, _F32, "SCALAR")
+        bb.accessors[t_acc]["min"] = [float(times.min())]
+        bb.accessors[t_acc]["max"] = [float(times.max())]
+        w_acc = bb.add(weights.reshape(-1), _F32, "SCALAR")
+        gltf["animations"] = [{
+            "name": "shot",
+            "samplers": [{"input": t_acc, "output": w_acc,
+                          "interpolation": "LINEAR"}],
+            "channels": [{"sampler": 0,
+                          "target": {"node": 0, "path": "weights"}}],
+        }]
+
+    gltf["buffers"][0]["byteLength"] = len(bb.blob) + (-len(bb.blob) % 4)
+    _write_glb(path, gltf, bb.blob)
+
+
 def save_glb_morph(path: str, mesh, frame_points: np.ndarray,
                    fps: float = 24.0, animate: bool = True) -> None:
     """Write a deformed shot as morph targets on the rest mesh.
@@ -362,55 +446,12 @@ def save_glb_morph(path: str, mesh, frame_points: np.ndarray,
         raise ValueError(
             f"mesh has {mesh.num_points} points but frame_points has {v}"
         )
-
-    bb = _BufferBuilder()
-    prim = _mesh_primitive(bb, mesh)
     rest = np.asarray(mesh.points, np.float32)
-    targets = []
-    for f in range(f_n):
-        delta = frame_points[f] - rest
-        idx = np.flatnonzero(np.any(delta != 0.0, axis=1))
-        if idx.size * 16 < v * 12:
-            if idx.size == 0:
-                idx = np.array([0], np.int64)  # spec: sparse count >= 1
-            acc = bb.add_sparse_vec3(delta, idx)
-        else:
-            acc = bb.add(delta, _F32, "VEC3", target=_ARRAY_BUFFER,
-                         minmax=True)
-        targets.append({"POSITION": acc})
-    prim["targets"] = targets
-
-    one_hot = np.eye(f_n, dtype=np.float32)
-    gltf = _base_gltf(bb)
-    gltf.update({
-        "meshes": [{
-            "primitives": [prim],
-            "weights": [float(w) for w in one_hot[0]],
-            "extras": {
-                "targetNames": [f"frame_{f:04d}" for f in range(f_n)],
-            },
-        }],
-        "nodes": [{"mesh": 0, "name": "facedeform_shot"}],
-        "scenes": [{"nodes": [0]}],
-        "scene": 0,
-    })
-
-    if animate and f_n > 0:
-        times = np.arange(f_n, dtype=np.float32) / float(fps)
-        t_acc = bb.add(times, _F32, "SCALAR")
-        bb.accessors[t_acc]["min"] = [float(times.min())]
-        bb.accessors[t_acc]["max"] = [float(times.max())]
-        w_acc = bb.add(one_hot.reshape(-1), _F32, "SCALAR")
-        gltf["animations"] = [{
-            "name": "shot",
-            "samplers": [{"input": t_acc, "output": w_acc,
-                          "interpolation": "LINEAR"}],
-            "channels": [{"sampler": 0,
-                          "target": {"node": 0, "path": "weights"}}],
-        }]
-
-    gltf["buffers"][0]["byteLength"] = len(bb.blob) + (-len(bb.blob) % 4)
-    _write_glb(path, gltf, bb.blob)
+    save_glb_targets(
+        path, mesh, frame_points - rest[None], np.eye(f_n, dtype=np.float32),
+        fps=fps, names=[f"frame_{f:04d}" for f in range(f_n)],
+        animate=animate,
+    )
 
 
 # ------------------------------------------------------------------ reading

@@ -23,8 +23,9 @@ plus fit_seq/apply_seq (animated shots), fit_dbse/morph (blendshapes),
 fit_rig (inverse rigging), fit_psd/psd_delta (pose-space sculpt
 corrections), refit (interactive drags), transport (attrs through the
 deformation Jacobian), fit_skin (LBS bake: posed frames in, bones +
-weights out, optional server-side .npz/.glb) — see the Client methods
-below for signatures.
+weights out, optional server-side .npz/.glb), fit_shapes (PCA blendshape
+bake: posed frames in, morph targets + weight curves out, optional
+server-side .npz/.glb) — see the Client methods below for signatures.
 
 Array encoding: {"shape": [...], "dtype": "float32", "b64": "..."} or a
 plain nested JSON list.
@@ -357,6 +358,33 @@ class Client:
         resp, out = self.request(req, arrays)
         return (out["weights"], out["rotations"], out["translations"],
                 float(resp["relative_rmse"]))
+
+    def fit_shapes(self, rest_points, frames, rank: int = 4,
+                   center: bool = True, faces=None,
+                   path: Optional[str] = None, gltf: Optional[str] = None,
+                   gltf_fps: float = 24.0):
+        """Blendshape-bake-as-a-service: compress (F, V, 3) posed frames
+        into a rank-`rank` PCA morph-target basis (ops/blendshapes.py —
+        the deform-seq --gltf-rank core).  Returns (targets (K, V, 3),
+        weights (F, K), rmse, energy).  path= checkpoints server-side
+        (.npz, kind "shapes"); gltf= writes a morph-target .glb
+        server-side (pass faces= for a viewable surface)."""
+        arrays = {
+            "rest_points": np.asarray(rest_points, np.float32),
+            "frames": np.asarray(frames, np.float32),
+        }
+        if faces is not None:
+            arrays["faces"] = np.asarray(faces, np.int32)
+        req = {"cmd": "fit_shapes", "rank": int(rank),
+               "center": bool(center)}
+        if path:
+            req["path"] = path
+        if gltf:
+            req["gltf"] = gltf
+            req["gltf_fps"] = float(gltf_fps)
+        resp, out = self.request(req, arrays)
+        return (out["targets"], out["weights"],
+                float(resp["rmse"]), float(resp["energy"]))
 
     def apply_seq(self, deformer: str, points, dist2=None, gate=None):
         """Evaluate every frame of a fit_seq model: (F, V, 3), (V,)."""
@@ -960,6 +988,54 @@ class DeformServer:
                     ),
                     "rmse": float(rep.rmse),
                     "relative_rmse": float(rep.relative_rmse),
+                }
+            if cmd == "fit_shapes":
+                # blendshape-bake-as-a-service (ops/blendshapes.py, the
+                # deform-seq --gltf-rank core): posed frames in, PCA
+                # morph targets + weight curves out — optional
+                # server-side .npz checkpoint and morph-target .glb
+                from facedeform_tpu.ops import blendshapes
+
+                rest_pts = decode_array(req["rest_points"]).astype(
+                    np.float32
+                )
+                frames = decode_array(req["frames"]).astype(np.float32)
+                if frames.ndim != 3 or frames.shape[1:] != rest_pts.shape:
+                    raise errors.ShapeMismatchError(
+                        f"frames {frames.shape} must be "
+                        f"(F,) + rest_points {rest_pts.shape}"
+                    )
+                model, rep = blendshapes.fit_blendshapes(
+                    rest_pts, frames,
+                    rank=int(req.get("rank", 4)),
+                    center=bool(req.get("center", True)),
+                )
+                if req.get("path"):
+                    checkpoint.save_blendshapes(req["path"], model, rep)
+                if req.get("gltf"):
+                    from facedeform_tpu.geometry.gltf_io import (
+                        save_glb_targets,
+                    )
+                    from facedeform_tpu.geometry.mesh import Mesh
+
+                    faces = (
+                        decode_array(req["faces"]).astype(np.int32)
+                        if "faces" in req else None
+                    )
+                    save_glb_targets(
+                        req["gltf"], Mesh(points=rest_pts, faces=faces),
+                        np.asarray(model.targets, np.float32),
+                        np.asarray(model.weights, np.float32),
+                        fps=float(req.get("gltf_fps", 24.0)),
+                        names=model.target_names(),
+                    )
+                return {
+                    "ok": True,
+                    "targets": enc(np.asarray(model.targets, np.float32)),
+                    "weights": enc(np.asarray(model.weights, np.float32)),
+                    "rmse": float(rep.rmse),
+                    "max_err": float(rep.max_err),
+                    "energy": float(rep.energy),
                 }
             if cmd == "fit_seq":
                 # animated shot: ONE batched solve for all F posed rigs

@@ -66,14 +66,14 @@ def save(path: str, deformer: Deformer) -> None:
 
 def kind(path: str) -> str:
     """Checkpoint kind marker: 'dense' | 'pu' | 'seq' | 'pu_seq' | 'psd'
-    | 'skin'.
+    | 'skin' | 'shapes'.
 
     Lets callers (serve's `load` cmd) dispatch to the right codec without
     trial-and-error; each load_* still validates the marker itself."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:
-        for k in ("pu_seq", "seq", "pu", "psd", "skin"):
+        for k in ("pu_seq", "seq", "pu", "psd", "skin", "shapes"):
             if k in data:
                 return k
     return "dense"
@@ -97,6 +97,10 @@ def load(path: str) -> Deformer:
     if "skin" in data:
         raise ValueError(
             f"{path} is a skinning checkpoint (use load_skinning())"
+        )
+    if "shapes" in data:
+        raise ValueError(
+            f"{path} is a blendshape checkpoint (use load_blendshapes())"
         )
     version = int(data["format_version"])
     if version > _FORMAT_VERSION:
@@ -527,5 +531,68 @@ def load_skinning(path: str):
             rmse=float(data["rmse"]),
             max_err=float(data["max_err"]),
             bbox_diag=float(data["bbox_diag"]),
+        )
+    return model, report
+
+
+def save_blendshapes(path: str, model, report=None) -> None:
+    """Serialize a BlendshapeModel (ops/blendshapes.py) to one .npz file.
+
+    The payload is the full compressed-shot bake — rest positions, (K, V, 3)
+    morph-target deltas, and the (F, K) weight curves — so a load can replay
+    the shot (`apply_blendshapes`), re-export it (`save_glb_targets`), or
+    feed the targets to the morphspace pass (`blendshape_meshes`).  The
+    report rides along for quality surfacing without a refit."""
+    from facedeform_tpu.ops.blendshapes import BlendshapeModel
+
+    if not isinstance(model, BlendshapeModel):
+        raise ValueError(
+            f"save_blendshapes expects a BlendshapeModel, got "
+            f"{type(model).__name__}"
+        )
+    extra = {}
+    if report is not None:
+        extra["rmse"] = float(report.rmse)
+        extra["max_err"] = float(report.max_err)
+        extra["energy"] = float(report.energy)
+        extra["singular_values"] = np.asarray(
+            report.singular_values, np.float64
+        )
+    np.savez(
+        path,
+        format_version=_FORMAT_VERSION,
+        shapes=1,
+        rest=np.asarray(model.rest),
+        targets=np.asarray(model.targets),
+        weights_curves=np.asarray(model.weights),
+        **extra,
+    )
+
+
+def load_blendshapes(path: str):
+    """Restore (BlendshapeModel, BlendshapeReport | None) saved by
+    save_blendshapes()."""
+    from facedeform_tpu.ops.blendshapes import BlendshapeModel, BlendshapeReport
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    if "shapes" not in data:
+        raise ValueError(f"{path} is not a blendshape checkpoint (use load())")
+    version = int(data["format_version"])
+    if version > _FORMAT_VERSION:
+        raise ValueError(f"checkpoint format {version} is newer than supported")
+    model = BlendshapeModel(
+        rest=jnp.asarray(data["rest"]),
+        targets=jnp.asarray(data["targets"]),
+        weights=jnp.asarray(data["weights_curves"]),
+    )
+    report = None
+    if "rmse" in data:
+        report = BlendshapeReport(
+            rmse=float(data["rmse"]),
+            max_err=float(data["max_err"]),
+            energy=float(data["energy"]),
+            singular_values=np.asarray(data["singular_values"], np.float64),
         )
     return model, report

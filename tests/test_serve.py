@@ -711,3 +711,61 @@ def test_serve_fit_skin(server, tmp_path):
         "frames": serve_mod.encode_array(rest),
     })
     assert not r_err["ok"] and "frames" in r_err["error"]
+
+
+def test_serve_fit_shapes(server, tmp_path):
+    """Blendshape-bake-as-a-service: PCA bake over the wire matches a
+    local fit_blendshapes; server-side .npz and morph .glb writes work."""
+    from facedeform_tpu.geometry import gltf_io
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.ops import blendshapes
+    from facedeform_tpu.utils import checkpoint
+
+    mesh = uv_sphere(8, 8)
+    rest = mesh.points
+    rng = np.random.default_rng(5)
+    basis = rng.standard_normal((2,) + rest.shape).astype(np.float32)
+    curves = rng.standard_normal((5, 2)).astype(np.float32)
+    frames = rest[None] + np.einsum("fk,kvi->fvi", curves, basis)
+
+    ck = str(tmp_path / "shapes.npz")
+    glb = str(tmp_path / "shapes.glb")
+    c = serve_mod.Client(*server)
+    try:
+        targets, w, rmse, energy = c.fit_shapes(
+            rest, frames, rank=2, faces=mesh.triangles(),
+            path=ck, gltf=glb,
+        )
+    finally:
+        c.close()
+    # mean + 2 PCA targets reconstruct the rank-2 shot exactly
+    assert targets.shape[0] == 3 and w.shape == (5, 3)
+    scale = np.abs(frames - rest[None]).max()
+    assert rmse <= 1e-4 * scale
+    assert energy >= 1.0 - 1e-5
+
+    # wire result matches the local bake bit-for-bit inputs
+    local, _ = blendshapes.fit_blendshapes(rest, frames, rank=2)
+    np.testing.assert_allclose(
+        targets, np.asarray(local.targets), atol=1e-6
+    )
+    recon = rest[None] + np.einsum("fk,kvi->fvi", w, targets)
+    np.testing.assert_allclose(recon, frames, atol=1e-4 * scale)
+
+    # server-side artifacts: checkpoint kind + a parseable morph .glb
+    assert checkpoint.kind(ck) == "shapes"
+    model, rep = checkpoint.load_blendshapes(ck)
+    np.testing.assert_allclose(np.asarray(model.targets), targets, atol=0)
+    assert rep is not None and rep.energy >= 1.0 - 1e-5
+    g, _ = gltf_io.load_glb(glb)
+    prim = g["meshes"][0]["primitives"][0]
+    assert len(prim["targets"]) == 3
+    assert g["meshes"][0]["extras"]["targetNames"][0] == "mean"
+
+    # shape guard: frames must be (F,) + rest_points
+    r_err = _rpc(server, {
+        "cmd": "fit_shapes",
+        "rest_points": serve_mod.encode_array(rest),
+        "frames": serve_mod.encode_array(rest),
+    })
+    assert not r_err["ok"] and "frames" in r_err["error"]
