@@ -32,6 +32,13 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("rest_rig", help="rest control rig (.obj/.geo/.hgeo, input 1)")
     d.add_argument("deform_rig", help="deformed control rig (.obj/.geo/.hgeo, input 2)")
     d.add_argument("-o", "--output", required=True, help="output path (.obj or .geo)")
+    d.add_argument("--secondary", nargs=2, action="append", default=[],
+                   metavar=("IN", "OUT"),
+                   help="accessory mesh driven by the same solved field "
+                        "(teeth, eyeballs, brows, collars): IN deforms "
+                        "fully (no capture gate — capture binds the main "
+                        "mesh) and writes to OUT; repeatable, one fit "
+                        "serves every mesh")
     _add_cook_flags(d)
 
     s = sub.add_parser(
@@ -84,6 +91,27 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--gltf-fps", type=float, default=24.0,
                    help="keyframe rate for the .glb shot animation "
                         "(default 24)")
+    s.add_argument("--gltf-rank", type=int, default=None, metavar="K",
+                   help="compress the shot to K PCA morph targets plus a "
+                        "mean target, with per-frame weight curves "
+                        "(ops/blendshapes.py) — the L2-optimal K-target "
+                        "bake (Eckart-Young) at O(K*V) bytes instead of "
+                        "--gltf's lossless one-target-per-frame at "
+                        "O(F*V); prints the reconstruction RMSE")
+    s.add_argument("--save-shapes", default=None, metavar="PATH",
+                   help="save the PCA blendshape bake as a .npz "
+                        "checkpoint (requires --gltf-rank; replay via "
+                        "utils.checkpoint.load_blendshapes + "
+                        "ops.blendshapes.apply_blendshapes, or feed the "
+                        "targets to the morphspace pass via "
+                        "blendshape_meshes)")
+    s.add_argument("--secondary", nargs=2, action="append", default=[],
+                   metavar=("IN", "PATTERN"),
+                   help="accessory mesh driven by the same per-frame "
+                        "solves (teeth, eyeballs, ...): IN deforms fully "
+                        "(no capture gate) every frame and writes to "
+                        "outdir/PATTERN %% frame (e.g. teeth_%%04d.obj); "
+                        "repeatable; rides the --batch dispatch too")
     _add_cook_flags(s)
 
     inv = sub.add_parser(
@@ -484,12 +512,13 @@ def _cmd_deform(args) -> int:
         examples = [
             (load_mesh(p), load_mesh(s)) for p, s in args.example
         ]
+        sec_meshes = [load_mesh(p) for p, _ in args.secondary]
     ex_paths = [p for pair in args.example for p in pair]
     ex_meshes = [m for pair in examples for m in pair]
     _print_load_warnings(
         [args.mesh, args.rest_rig, args.deform_rig]
-        + list(args.blend) + ex_paths,
-        [mesh, rest_rig, deform_rig] + blends + ex_meshes,
+        + list(args.blend) + ex_paths + [p for p, _ in args.secondary],
+        [mesh, rest_rig, deform_rig] + blends + ex_meshes + sec_meshes,
     )
     psd_loaded, psd_err = _load_psd_arg(args, bool(examples))
     if psd_err:
@@ -556,6 +585,7 @@ def _cmd_deform(args) -> int:
             examples=examples, psd_lam=args.psd_lambda,
             psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
             psd_align=args.psd_align, psd=psd_loaded,
+            secondary=sec_meshes,
         )
     for w in res.warnings:
         print(f"warning: {w}", file=sys.stderr)
@@ -564,6 +594,12 @@ def _cmd_deform(args) -> int:
 
     with stage("save", times):
         save_mesh(args.output, res.mesh)
+        for (_, sec_out), sm in zip(args.secondary, res.secondary):
+            save_mesh(sec_out, sm)
+            print(
+                f"wrote {sec_out} ({sm.num_points} points, secondary)",
+                file=sys.stderr,
+            )
     if args.save_deformer:
         _save_deformer(node, args.save_deformer)
     if args.save_psd:
@@ -655,11 +691,13 @@ def _cmd_deform_seq(args) -> int:
         examples = [
             (load_mesh(p), load_mesh(s)) for p, s in args.example
         ]
+        sec_meshes = [load_mesh(p) for p, _ in args.secondary]
     _print_load_warnings(
         [args.mesh, args.rest_rig] + list(args.deform_rigs)
-        + list(args.blend) + [p for pair in args.example for p in pair],
+        + list(args.blend) + [p for pair in args.example for p in pair]
+        + [p for p, _ in args.secondary],
         [mesh, rest_rig] + rigs + blends
-        + [m for pair in examples for m in pair],
+        + [m for pair in examples for m in pair] + sec_meshes,
     )
     psd_loaded, psd_err = _load_psd_arg(args, bool(examples))
     if psd_err:
@@ -789,11 +827,32 @@ def _cmd_deform_seq(args) -> int:
             file=sys.stderr,
         )
         return 1
+    for _, sec_pat in args.secondary:
+        try:
+            if sec_pat % 0 == sec_pat:
+                raise ValueError("no frame index substituted")
+        except (TypeError, ValueError) as e:
+            print(
+                f"error: --secondary PATTERN must contain exactly one "
+                f"integer format field (e.g. teeth_%04d.obj): {e}",
+                file=sys.stderr,
+            )
+            return 1
     node = FaceDeformNode()
     warned: set = set()
-    # --gltf collects every frame's deformed positions for the morph-
-    # target export; None keeps long per-frame shots O(1) memory
-    glb_frames = [] if getattr(args, "gltf", None) else None
+    # --gltf / --save-shapes collect every frame's deformed positions for
+    # the morph-target export; None keeps long per-frame shots O(1) memory
+    if getattr(args, "save_shapes", None) and getattr(args, "gltf_rank", None) is None:
+        print("error: --save-shapes requires --gltf-rank", file=sys.stderr)
+        return 1
+    if (getattr(args, "gltf_rank", None) is not None
+            and not (getattr(args, "gltf", None)
+                     or getattr(args, "save_shapes", None))):
+        print("error: --gltf-rank needs --gltf and/or --save-shapes",
+              file=sys.stderr)
+        return 1
+    want_frames = getattr(args, "gltf", None) or getattr(args, "save_shapes", None)
+    glb_frames = [] if want_frames else None
 
     use_batch = bool(getattr(args, "batch", False))
     if use_batch:
@@ -846,17 +905,22 @@ def _cmd_deform_seq(args) -> int:
                 examples=examples, psd_lam=args.psd_lambda,
                 psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
                 psd_align=args.psd_align, psd=psd_loaded,
+                secondary=sec_meshes,
             )
         for w in res0.warnings:
             if w not in warned:
                 warned.add(w)
                 print(f"warning: {w}", file=sys.stderr)
+        for (_, sec_pat), sm in zip(args.secondary, res0.secondary):
+            with stage("save", times):
+                save_mesh(os.path.join(args.outdir, sec_pat % 0), sm)
         vel_fps = args.out_velocity
         path0 = os.path.join(args.outdir, args.out_pattern % 0)
         if vel_fps is None:
             # velocity needs frame 1's positions first; defer the write
             with stage("save", times):
                 save_mesh(path0, res0.mesh)
+        sec_frames_all: list = []   # per secondary: (F', Vs, 3) frames 1+
         if len(rigs) > 1:
             gate = np.asarray(
                 res0.mesh.point_attrs["fd_falloff"], np.float32
@@ -909,10 +973,11 @@ def _cmd_deform_seq(args) -> int:
                     )
                     if fit_all:
                         seq_ckpt = ("pu_seq", seq)
-                elif fit_all or transport_requested:
+                elif fit_all or transport_requested or sec_meshes:
                     # fit_frames + apply_frames instead of the fused
-                    # deform_frames: the checkpoint and/or the batched
-                    # attribute transport need the model stack
+                    # deform_frames: the checkpoint, the batched
+                    # attribute transport and/or the secondary-mesh
+                    # evals need the model stack
                     model_all, resid = batched.fit_frames(
                         jnp.asarray(rest_rig.points),
                         jnp.asarray(frames_arr), cfg, params,
@@ -933,6 +998,30 @@ def _cmd_deform_seq(args) -> int:
                         jnp.asarray(gate), cfg, params, frame=frame,
                         confidence=rig_confidence,
                     )
+                # ---- secondary accessory meshes: driven by the SAME
+                # batched solves, full displacement (no capture gate —
+                # node.cook(secondary=...) semantics), one dispatch each;
+                # morph/psd below are main-mesh passes and skip these
+                for sm in sec_meshes:
+                    s_frame = None
+                    if cfg.tangent and sm.has_tangent_frame():
+                        s_frame = tuple(
+                            sm.point_attrs[k]
+                            for k in ("tangentu", "tangentv", "N")
+                        )
+                    if cfg.solver == "pu":
+                        s_out, _ = seq.apply_seq(
+                            sm.points, cfg=cfg, params=params,
+                            frame=s_frame,
+                        )
+                    else:
+                        s_out, _ = batched.apply_frames(
+                            model_all, jnp.asarray(sm.points),
+                            jnp.zeros(sm.num_points, jnp.float32),
+                            jnp.ones(sm.num_points, jnp.float32),
+                            cfg, params, None, s_frame,
+                        )
+                    sec_frames_all.append(np.asarray(s_out, np.float32))
                 # ---- batched morph pass (DBSE): all remaining frames in
                 # ONE vmapped weight solve + reconstruction einsum, off
                 # the blend basis cached by frame 0's cook (the basis is
@@ -1068,6 +1157,7 @@ def _cmd_deform_seq(args) -> int:
                     if seq_weights is not None:
                         seq_weights = seq_weights[1:]
                         seq_w_ok = seq_w_ok[1:]
+                    sec_frames_all = [s[1:] for s in sec_frames_all]
                 # ---- pose-space correction (psd) for frames 1+: ONE
                 # weights dispatch for the whole shot (K scalars/frame
                 # through the tunnel) + a host contraction against the
@@ -1146,6 +1236,25 @@ def _cmd_deform_seq(args) -> int:
                     save_mesh(
                         os.path.join(args.outdir, args.out_pattern % f), fm
                     )
+            for si, (_, sec_pat) in enumerate(args.secondary):
+                sm0 = res0.secondary[si]
+                s_frames = sec_frames_all[si]
+                for f in range(1, len(rigs)):
+                    sfm = sm0.copy()
+                    sfm.set_points(
+                        np.ascontiguousarray(s_frames[f - 1], np.float32)
+                    )
+                    if (args.recompute_normals and sfm.faces is not None
+                            and len(sfm.faces)):
+                        from facedeform_tpu.geometry.topology import (
+                            vertex_normals,
+                        )
+
+                        sfm.set_attr("N", vertex_normals(sfm))
+                    with stage("save", times):
+                        save_mesh(
+                            os.path.join(args.outdir, sec_pat % f), sfm
+                        )
         elif vel_fps is not None:
             # single-frame "sequence": zero velocity, still write the attr
             res0.mesh.set_attr("v", np.zeros_like(res0.mesh.points))
@@ -1180,7 +1289,8 @@ def _cmd_deform_seq(args) -> int:
                     recompute_normals=args.recompute_normals,
                     examples=examples, psd_lam=args.psd_lambda,
                     psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
-                    psd=psd_loaded,
+                    psd_align=args.psd_align, psd=psd_loaded,
+                    secondary=sec_meshes,
                 )
             for w in res.warnings:
                 if w not in warned:  # each distinct warning once per sequence
@@ -1196,6 +1306,9 @@ def _cmd_deform_seq(args) -> int:
                 prev_q[nm] = cur
             if glb_frames is not None:
                 glb_frames.append(np.asarray(res.mesh.points, np.float32))
+            for (_, sec_pat), sm in zip(args.secondary, res.secondary):
+                with stage("save", times):
+                    save_mesh(os.path.join(args.outdir, sec_pat % f), sm)
             out_path = os.path.join(args.outdir, args.out_pattern % f)
             if vel_fps is not None:
                 # backward difference of deformed positions; frame 0 uses
@@ -1228,17 +1341,57 @@ def _cmd_deform_seq(args) -> int:
     n = len(rigs)
     dt = time.time() - t0
     if glb_frames:
-        from facedeform_tpu.geometry.gltf_io import save_glb_morph
+        rank = getattr(args, "gltf_rank", None)
+        if rank is not None:
+            from facedeform_tpu.ops.blendshapes import fit_blendshapes
 
-        with stage("gltf", times):
-            save_glb_morph(
-                args.gltf, mesh, np.stack(glb_frames), fps=args.gltf_fps
+            with stage("bake_shapes", times):
+                bs_model, bs_report = fit_blendshapes(
+                    mesh.points, np.stack(glb_frames), rank
+                )
+            print(
+                f"info: blendshape bake: {bs_model.n_targets} targets over "
+                f"{len(glb_frames)} frames — rmse {bs_report.rmse:.3e}, "
+                f"max err {bs_report.max_err:.3e}, "
+                f"energy {100.0 * bs_report.energy:.2f}%",
+                file=sys.stderr,
             )
-        print(
-            f"info: wrote glTF binary {args.gltf} "
-            f"({len(glb_frames)} morph-target keyframes)",
-            file=sys.stderr,
-        )
+            if args.save_shapes:
+                from facedeform_tpu.utils import checkpoint as ckpt_mod
+
+                ckpt_mod.save_blendshapes(args.save_shapes, bs_model, bs_report)
+                print(
+                    f"info: saved blendshape checkpoint {args.save_shapes}",
+                    file=sys.stderr,
+                )
+            if args.gltf:
+                from facedeform_tpu.geometry.gltf_io import save_glb_targets
+
+                with stage("gltf", times):
+                    save_glb_targets(
+                        args.gltf, mesh,
+                        np.asarray(bs_model.targets),
+                        np.asarray(bs_model.weights),
+                        fps=args.gltf_fps, names=bs_model.target_names(),
+                    )
+                print(
+                    f"info: wrote glTF binary {args.gltf} "
+                    f"({bs_model.n_targets} PCA morph targets, "
+                    f"{len(glb_frames)} weight keyframes)",
+                    file=sys.stderr,
+                )
+        else:
+            from facedeform_tpu.geometry.gltf_io import save_glb_morph
+
+            with stage("gltf", times):
+                save_glb_morph(
+                    args.gltf, mesh, np.stack(glb_frames), fps=args.gltf_fps
+                )
+            print(
+                f"info: wrote glTF binary {args.gltf} "
+                f"({len(glb_frames)} morph-target keyframes)",
+                file=sys.stderr,
+            )
     if args.save_deformer:
         if seq_ckpt is not None:
             # batch path: the whole F-frame shot in one sequence

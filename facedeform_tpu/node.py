@@ -58,6 +58,9 @@ class CookResult:
     #: (update_normals / transform_attrs / output_stretch outputs) —
     #: host adapters use this to write back only what changed
     transported: tuple = ()
+    #: deformed copies of cook(secondary=...) accessory meshes, in order —
+    #: driven by the same solved field, full displacement (no capture gate)
+    secondary: tuple = ()
 
 
 def _fit_params_key(params: DeformParams) -> tuple:
@@ -393,6 +396,7 @@ class FaceDeformNode:
         psd_normalize: bool = False,
         psd_align: bool = False,
         psd=None,
+        secondary: Optional[Sequence[Mesh]] = None,
     ) -> CookResult:
         """Run one cook; mirrors cookMySop's flow (src/SOP_FaceDeform.cpp:216-489).
 
@@ -454,6 +458,18 @@ class FaceDeformNode:
         PSDDeformer, e.g. utils/checkpoint.load_psd) to apply an
         already-fitted pose-space model without re-cooking the examples;
         `examples` wins when both are given.
+
+        `secondary` is a sequence of accessory meshes (teeth, eyeballs,
+        brows, collars) driven by the SAME solved field in this cook —
+        the RBF map is spatial, so any point set evaluates against the
+        one solve.  Secondaries deform fully (no capture gate: capture
+        binds the main mesh's topology; this is the reference's
+        no-capture semantics, src/SOP_FaceDeform.cpp:404-410) and skip
+        the group/morph/psd passes (those are main-mesh concepts);
+        cfg.tangent applies where a secondary carries its own
+        tangentu/tangentv/N, and recompute_normals refreshes their N
+        from faces.  Deformed copies land on CookResult.secondary in
+        order, each with its fd_falloff.
         """
         if len(inputs) < 3:
             raise errors.ShapeMismatchError(
@@ -1074,8 +1090,47 @@ class FaceDeformNode:
                     out.set_attr("N", vertex_normals(out))
                 if "N" not in transported_names:
                     transported_names.append("N")
+
+        # ------------------------------------------------ secondary meshes
+        # Extension over the reference: accessory geometry rides the same
+        # solved field in the same cook (one fit, many meshes).  Full
+        # displacement everywhere — dist2 defaults to zeros, reference
+        # quirk 1's no-capture semantics (src/SOP_FaceDeform.cpp:404-410).
+        sec_out: List[Mesh] = []
+        if secondary:
+            with stage("secondary", times):
+                for sec in secondary:
+                    s_out = sec.copy()
+                    s_frame = None
+                    if cfg.tangent and s_out.has_tangent_frame():
+                        s_frame = (
+                            s_out.attr("tangentu"),
+                            s_out.attr("tangentv"),
+                            s_out.attr("N"),
+                        )
+                    if isinstance(deformer, _PUND):
+                        s_pts, s_w = deformer.apply(
+                            s_out.points, frame=s_frame,
+                            plan_key=(sec.pos_id, s_out.num_points),
+                        )
+                    else:
+                        s_pts, s_w = deformer.apply(
+                            s_out.points, frame=s_frame
+                        )
+                    s_out.set_points(np.asarray(s_pts))
+                    s_out.set_attr("fd_falloff", np.asarray(s_w, np.float32))
+                    if (recompute_normals and s_out.faces is not None
+                            and len(s_out.faces)):
+                        from facedeform_tpu.geometry.topology import (
+                            vertex_normals,
+                        )
+
+                        s_out.set_attr("N", vertex_normals(s_out))
+                    sec_out.append(s_out)
+
         return CookResult(
             mesh=out, warnings=warnings, messages=messages,
             capture=capture, weights=weights_out,
             transported=tuple(transported_names),
+            secondary=tuple(sec_out),
         )
