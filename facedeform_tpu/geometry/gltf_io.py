@@ -164,7 +164,13 @@ def _rot_to_quat(r: np.ndarray) -> np.ndarray:
 
 
 def _mesh_primitive(bb: _BufferBuilder, mesh, extra_attrs=None) -> dict:
-    """POSITION [+ NORMAL] [+ skin attrs] primitive; triangles or points."""
+    """POSITION [+ NORMAL/TEXCOORD_0/COLOR_0] [+ skin attrs] primitive.
+
+    `uv` (V, 2) or Houdini-style (V, 3) maps to TEXCOORD_0 with the V
+    axis flipped (glTF's texture origin is top-left; Houdini/OBJ use
+    bottom-left) — load_glb_mesh flips back, so round trips are exact
+    and engines sample textures correctly.  `Cd` (V, 3) maps to COLOR_0.
+    """
     attrs = {
         "POSITION": bb.add(
             np.asarray(mesh.points, np.float32), _F32, "VEC3",
@@ -177,6 +183,17 @@ def _mesh_primitive(bb: _BufferBuilder, mesh, extra_attrs=None) -> dict:
         lens = np.linalg.norm(norm, axis=-1, keepdims=True)
         norm = norm / np.where(lens < 1e-12, 1.0, lens)  # spec: unit length
         attrs["NORMAL"] = bb.add(norm, _F32, "VEC3", target=_ARRAY_BUFFER)
+    uv = mesh.point_attrs.get("uv")
+    if (uv is not None and uv.ndim == 2 and uv.shape[0] == mesh.num_points
+            and uv.shape[1] in (2, 3)):
+        st = np.asarray(uv[:, :2], np.float32).copy()
+        st[:, 1] = 1.0 - st[:, 1]
+        attrs["TEXCOORD_0"] = bb.add(st, _F32, "VEC2", target=_ARRAY_BUFFER)
+    cd = mesh.point_attrs.get("Cd")
+    if cd is not None and cd.shape == mesh.points.shape:
+        attrs["COLOR_0"] = bb.add(
+            np.asarray(cd, np.float32), _F32, "VEC3", target=_ARRAY_BUFFER
+        )
     if extra_attrs:
         attrs.update(extra_attrs)
     prim = {"attributes": attrs}
@@ -539,10 +556,12 @@ def load_glb_mesh(path: str, mesh_index: int = 0):
     Engine assets come as glTF; this makes `.glb` a first-class input
     everywhere a `.obj`/`.geo` is accepted (geometry.load_mesh dispatch,
     so CLI mesh/rig/blendshape arguments too).  Decodes POSITION
-    [+ NORMAL -> `N`] and triangle indices across all primitives of the
-    mesh (vertex offsets composed); POINTS primitives contribute
-    positions only.  Skin/morph/animation data is ignored — the rest
-    geometry is what a deform cook consumes.
+    [+ NORMAL -> `N`, TEXCOORD_0 -> `uv` (V flipped back to bottom-left
+    origin), COLOR_0 -> `Cd` (normalized integer colors rescaled)] and
+    triangle indices across all primitives of the mesh (vertex offsets
+    composed); POINTS primitives contribute positions only.  Skin/morph/
+    animation data is ignored — the rest geometry is what a deform cook
+    consumes.
     """
     from facedeform_tpu.geometry.mesh import Mesh
 
@@ -553,6 +572,7 @@ def load_glb_mesh(path: str, mesh_index: int = 0):
             f"{path} has {len(meshes)} meshes, asked for #{mesh_index}"
         )
     pts, norms, tris = [], [], []
+    uvs, colors = [], []
     offset = 0
     for prim in meshes[mesh_index]["primitives"]:
         attrs = prim["attributes"]
@@ -578,6 +598,21 @@ def load_glb_mesh(path: str, mesh_index: int = 0):
             norms.append(read_accessor(
                 gltf, blob, attrs["NORMAL"]
             ).astype(np.float32))
+        if "TEXCOORD_0" in attrs:
+            st = read_accessor(
+                gltf, blob, attrs["TEXCOORD_0"]
+            ).astype(np.float32)[:, :2].copy()
+            st[:, 1] = 1.0 - st[:, 1]  # back to bottom-left origin
+            uvs.append(st)
+        if "COLOR_0" in attrs:
+            acc = gltf["accessors"][attrs["COLOR_0"]]
+            c = read_accessor(
+                gltf, blob, attrs["COLOR_0"]
+            ).astype(np.float32)
+            if acc.get("normalized"):
+                # external assets may store normalized ubyte/ushort colors
+                c = c / float(np.iinfo(_CT_DTYPE[acc["componentType"]]).max)
+            colors.append(c[:, :3])  # VEC4 loses alpha (Cd is RGB)
         offset += len(p)
     if not pts:
         raise ValueError(f"{path}: mesh #{mesh_index} has no POSITION data")
@@ -587,4 +622,10 @@ def load_glb_mesh(path: str, mesh_index: int = 0):
     )
     if norms and sum(len(n) for n in norms) == mesh.num_points:
         mesh.set_attr("N", np.concatenate(norms))
+    # attach only when every primitive carried the attribute (a partial
+    # concat would misalign rows with vertices)
+    if uvs and sum(len(u) for u in uvs) == mesh.num_points:
+        mesh.set_attr("uv", np.concatenate(uvs))
+    if colors and sum(len(c) for c in colors) == mesh.num_points:
+        mesh.set_attr("Cd", np.concatenate(colors))
     return mesh

@@ -262,3 +262,60 @@ def test_glb_as_mesh_input_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="meshes"):
         gltf_io.load_glb_mesh(path, mesh_index=3)
+
+
+def test_glb_uv_color_roundtrip(tmp_path, rng):
+    """uv -> TEXCOORD_0 (V flipped per glTF's top-left origin) and
+    Cd -> COLOR_0 survive a save/load round trip exactly; Houdini-style
+    (V, 3) uv drops its w component."""
+    mesh = uv_sphere(6, 6)
+    v = mesh.num_points
+    uv3 = np.concatenate(
+        [rng.random((v, 2), dtype=np.float32), np.zeros((v, 1), np.float32)],
+        axis=1,
+    )
+    cd = rng.random((v, 3), dtype=np.float32)
+    mesh.set_attr("uv", uv3)
+    mesh.set_attr("Cd", cd)
+    path = str(tmp_path / "uvcd.glb")
+    gltf_io.save_glb(path, mesh)
+
+    gltf, blob = gltf_io.load_glb(path)
+    attrs = gltf["meshes"][0]["primitives"][0]["attributes"]
+    assert "TEXCOORD_0" in attrs and "COLOR_0" in attrs
+    st = gltf_io.read_accessor(gltf, blob, attrs["TEXCOORD_0"])
+    # written with the V axis flipped for engine texture sampling
+    np.testing.assert_allclose(st[:, 1], 1.0 - uv3[:, 1], atol=1e-7)
+
+    back = gltf_io.load_glb_mesh(path)
+    np.testing.assert_allclose(back.attr("uv"), uv3[:, :2], atol=1e-7)
+    np.testing.assert_allclose(back.attr("Cd"), cd, atol=1e-7)
+
+
+def test_glb_color_normalized_ubyte(tmp_path, rng):
+    """External assets with normalized ubyte COLOR_0 load as [0,1] Cd."""
+    mesh = uv_sphere(5, 5)
+    path = str(tmp_path / "c8.glb")
+    gltf_io.save_glb(path, mesh)
+    gltf, blob = gltf_io.load_glb(path)
+    # splice a normalized ubyte COLOR_0 accessor into the written asset
+    v = mesh.num_points
+    c8 = (rng.random((v, 3)) * 255).astype(np.uint8)
+    pad = (-c8.nbytes) % 4
+    buf = blob + c8.tobytes() + b"\0" * pad
+    gltf["bufferViews"].append({
+        "buffer": 0, "byteOffset": len(blob), "byteLength": c8.nbytes,
+    })
+    gltf["accessors"].append({
+        "bufferView": len(gltf["bufferViews"]) - 1, "componentType": 5121,
+        "count": v, "type": "VEC3", "normalized": True,
+    })
+    prim = gltf["meshes"][0]["primitives"][0]
+    prim["attributes"]["COLOR_0"] = len(gltf["accessors"]) - 1
+    gltf["buffers"][0]["byteLength"] = len(buf)
+    gltf_io._write_glb(path, gltf, buf)
+
+    back = gltf_io.load_glb_mesh(path)
+    np.testing.assert_allclose(
+        back.attr("Cd"), c8.astype(np.float32) / 255.0, atol=1e-7
+    )
