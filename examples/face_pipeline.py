@@ -34,6 +34,9 @@ feature set plus the rebuild's extensions):
       exactly at their example poses, decay to zero elsewhere
   23. skinning decomposition: bake a pose sweep to engine-ready linear
       blend skinning (virtual bones + capped vertex weights)
+  24. engine export both ways: skinned .glb + lossless morph-target .glb
+  25. compressed engine export: PCA blendshape bake (targets + curves)
+  26. driven secondary meshes: teeth ride the same solved field
 
 Run:  PYTHONPATH=. python examples/face_pipeline.py [--out /tmp/fd_demo]
 """
@@ -419,6 +422,47 @@ def main():
           f"(morph targets, {os.path.getsize(shot_glb) // 1024} KB, "
           f"{n_sparse}/{len(prim['targets'])} sparse); .glb is also a "
           f"valid input everywhere (geometry.load_mesh)")
+
+    # 25. compressed engine export: bake the sweep to a PCA morph-target
+    # basis + weight curves (L2-optimal rank-K; CLI deform-seq
+    # --gltf-rank, serve fit_shapes, checkpoint kind "shapes") — and
+    # close the loop the reference leaves open: the baked targets feed
+    # the morphspace (DBSE) pass as blendshape inputs
+    from facedeform_tpu.ops import blendshapes
+
+    bs_model, bs_rep = blendshapes.fit_blendshapes(
+        face.points, np.stack(sweep), rank=2
+    )
+    bake_glb = os.path.join(args.out, "shot_pca.glb")
+    gltf_io.save_glb_targets(
+        bake_glb, face, np.asarray(bs_model.targets),
+        np.asarray(bs_model.weights), names=bs_model.target_names(),
+    )
+    checkpoint.save_blendshapes(
+        os.path.join(args.out, "shapes.npz"), bs_model, bs_rep
+    )
+    shapes_in = blendshapes.blendshape_meshes(bs_model, face)
+    print(f"blendshape bake: {bs_model.n_targets} targets capture "
+          f"{bs_rep.energy:.1%} of the sweep (rmse {bs_rep.rmse:.2e}) -> "
+          f"{bake_glb} ({os.path.getsize(bake_glb) // 1024} KB vs "
+          f"{os.path.getsize(shot_glb) // 1024} KB lossless); "
+          f"{len(shapes_in)} morphspace-ready blend meshes")
+
+    # 26. driven secondary meshes: accessories (teeth/eyes) ride the SAME
+    # solved field in the same cook — full displacement, no capture gate
+    # (CLI --secondary IN OUT / IN PATTERN)
+    teeth = uv_sphere(10, 10)
+    teeth.set_points(teeth.points * np.float32([0.45, 0.25, 0.45])
+                     + np.float32([0.0, -0.15, 0.55]))
+    res_sec = node.cook(
+        [face, rig, posed], DeformConfig(dofalloff=True), params,
+        secondary=[teeth],
+    )
+    moved = np.abs(res_sec.secondary[0].points - teeth.points).max()
+    save_obj(os.path.join(args.out, "teeth_deformed.obj"),
+             res_sec.secondary[0])
+    print(f"secondary mesh: teeth ({teeth.num_points} pts) rode the face "
+          f"field, max move {moved:.3f} -> teeth_deformed.obj")
 
 
 if __name__ == "__main__":
