@@ -682,6 +682,39 @@ def _cmd_deform_seq(args) -> int:
             "is ignored (it resumes a single-pose solve via `deform`)",
             file=sys.stderr,
         )
+    # argparse-level validation BEFORE the (possibly huge) geometry load:
+    # a typo must not cost minutes of shot I/O
+    if (getattr(args, "save_shapes", None)
+            and getattr(args, "gltf_rank", None) is None):
+        print("error: --save-shapes requires --gltf-rank", file=sys.stderr)
+        return 1
+    if (getattr(args, "gltf_rank", None) is not None
+            and not (getattr(args, "gltf", None)
+                     or getattr(args, "save_shapes", None))):
+        print("error: --gltf-rank needs --gltf and/or --save-shapes",
+              file=sys.stderr)
+        return 1
+    try:
+        if args.out_pattern % 0 == args.out_pattern:
+            raise ValueError("no frame index substituted")
+    except (TypeError, ValueError) as e:
+        print(
+            f"error: --out-pattern must contain exactly one integer "
+            f"format field (e.g. frame_%04d.geo): {e}",
+            file=sys.stderr,
+        )
+        return 1
+    for _, sec_pat in args.secondary:
+        try:
+            if sec_pat % 0 == sec_pat:
+                raise ValueError("no frame index substituted")
+        except (TypeError, ValueError) as e:
+            print(
+                f"error: --secondary PATTERN must contain exactly one "
+                f"integer format field (e.g. teeth_%04d.obj): {e}",
+                file=sys.stderr,
+            )
+            return 1
     times = StageTimes()
     with stage("load", times):
         mesh = load_mesh(args.mesh)
@@ -816,41 +849,11 @@ def _cmd_deform_seq(args) -> int:
             compute_tangent_frame(mesh)
 
     os.makedirs(args.outdir, exist_ok=True)
-    try:
-        probe = args.out_pattern % 0
-        if probe == args.out_pattern:
-            raise ValueError("no frame index substituted")
-    except (TypeError, ValueError) as e:
-        print(
-            f"error: --out-pattern must contain exactly one integer "
-            f"format field (e.g. frame_%04d.geo): {e}",
-            file=sys.stderr,
-        )
-        return 1
-    for _, sec_pat in args.secondary:
-        try:
-            if sec_pat % 0 == sec_pat:
-                raise ValueError("no frame index substituted")
-        except (TypeError, ValueError) as e:
-            print(
-                f"error: --secondary PATTERN must contain exactly one "
-                f"integer format field (e.g. teeth_%04d.obj): {e}",
-                file=sys.stderr,
-            )
-            return 1
     node = FaceDeformNode()
     warned: set = set()
     # --gltf / --save-shapes collect every frame's deformed positions for
-    # the morph-target export; None keeps long per-frame shots O(1) memory
-    if getattr(args, "save_shapes", None) and getattr(args, "gltf_rank", None) is None:
-        print("error: --save-shapes requires --gltf-rank", file=sys.stderr)
-        return 1
-    if (getattr(args, "gltf_rank", None) is not None
-            and not (getattr(args, "gltf", None)
-                     or getattr(args, "save_shapes", None))):
-        print("error: --gltf-rank needs --gltf and/or --save-shapes",
-              file=sys.stderr)
-        return 1
+    # the morph-target export (flags validated before the load stage);
+    # None keeps long per-frame shots O(1) memory
     want_frames = getattr(args, "gltf", None) or getattr(args, "save_shapes", None)
     glb_frames = [] if want_frames else None
 

@@ -168,7 +168,8 @@ def _mesh_primitive(bb: _BufferBuilder, mesh, extra_attrs=None) -> dict:
 
     `uv` (V, 2) or Houdini-style (V, 3) maps to TEXCOORD_0 with the V
     axis flipped (glTF's texture origin is top-left; Houdini/OBJ use
-    bottom-left) — load_glb_mesh flips back, so round trips are exact
+    bottom-left) — load_glb_mesh flips back, so round trips match to f32
+    roundoff (the fl(1 - v) double flip costs up to ~6e-8 for v < 0.5)
     and engines sample textures correctly.  `Cd` (V, 3) maps to COLOR_0.
     """
     attrs = {
@@ -599,9 +600,13 @@ def load_glb_mesh(path: str, mesh_index: int = 0):
                 gltf, blob, attrs["NORMAL"]
             ).astype(np.float32))
         if "TEXCOORD_0" in attrs:
+            acc = gltf["accessors"][attrs["TEXCOORD_0"]]
             st = read_accessor(
                 gltf, blob, attrs["TEXCOORD_0"]
             ).astype(np.float32)[:, :2].copy()
+            if acc.get("normalized"):
+                # quantized engine assets store normalized ubyte/ushort UVs
+                st /= float(np.iinfo(_CT_DTYPE[acc["componentType"]]).max)
             st[:, 1] = 1.0 - st[:, 1]  # back to bottom-left origin
             uvs.append(st)
         if "COLOR_0" in attrs:

@@ -1330,6 +1330,23 @@ class PUNodeDeformer:
     def report(self):
         return self.pud.report
 
+    def _plan_get(self, key):
+        """LRU hit: move the key to the end so it outlives colder plans."""
+        plan = self._plans.pop(key, None)
+        if plan is not None:
+            self._plans[key] = plan
+        return plan
+
+    def _plan_put(self, key, plan, cap: int = 8) -> None:
+        """Bounded LRU insert.  A cook serves the main mesh PLUS its
+        secondary accessories off one deformer (node.cook(secondary=...)),
+        so a clear-on-miss single slot would rebuild every mesh's host KD
+        plan each cook — keep the last `cap` plans, evict the oldest."""
+        self._plans.pop(key, None)
+        while len(self._plans) >= cap:
+            self._plans.pop(next(iter(self._plans)))
+        self._plans[key] = plan
+
     @classmethod
     def fit(cls, rest_ctrl, deformed_ctrl, cfg, params,
             mesh_devices=None, confidence=None) -> "PUNodeDeformer":
@@ -1366,15 +1383,14 @@ class PUNodeDeformer:
 
             n_dev = int(np.asarray(mesh_devices.devices).size)
             skey = None if plan_key is None else (plan_key, "sharded", n_dev)
-            splan = self._plans.get(skey) if skey is not None else None
+            splan = self._plan_get(skey) if skey is not None else None
             if splan is None:
                 from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
 
                 tplan = plan_eval_tiles(self.pud.patches, points_np)
                 splan = shard_tile_plan(tplan, n_dev)
                 if skey is not None:
-                    self._plans.clear()   # one mesh per node in practice
-                    self._plans[skey] = splan
+                    self._plan_put(skey, splan)
             disp = pu_displacement_sharded(
                 self.pud, points_np, mesh_devices, splan=splan
             )
@@ -1383,11 +1399,10 @@ class PUNodeDeformer:
             if plan_key is not None:
                 # node path: key the plan on the mesh's pos_id instead of
                 # re-hashing the full point buffer every cook/frame
-                plan = self._plans.get(plan_key)
+                plan = self._plan_get(plan_key)
                 if plan is None:
                     plan = self.pud.make_plan(points_np)
-                    self._plans.clear()   # one mesh per node in practice
-                    self._plans[plan_key] = plan
+                    self._plan_put(plan_key, plan)
             disp = self.pud.displacement(points_np, plan=plan)
         if self.cfg.tangent and frame is not None:
             disp = project_to_tangents(*frame, jnp.asarray(disp))

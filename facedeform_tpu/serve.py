@@ -524,6 +524,17 @@ class DeformServer:
                                  "runtime or via "
                                  "utils.checkpoint.load_skinning",
                     }
+                if ck == "shapes":
+                    # same story: a blendshape bake (fit_shapes output)
+                    # is an engine export, not a servable deformer
+                    return {
+                        "ok": False,
+                        "error": "shapes checkpoints are engine exports "
+                                 "(fit_shapes / --save-shapes output), "
+                                 "not servable deformers; replay them "
+                                 "via utils.checkpoint.load_blendshapes "
+                                 "+ ops.blendshapes.apply_blendshapes",
+                    }
                 if ck == "seq":
                     model, cfg, params, resid = checkpoint.load_seq(
                         req["path"]

@@ -319,3 +319,32 @@ def test_glb_color_normalized_ubyte(tmp_path, rng):
     np.testing.assert_allclose(
         back.attr("Cd"), c8.astype(np.float32) / 255.0, atol=1e-7
     )
+
+
+def test_glb_uv_normalized_ushort(tmp_path, rng):
+    """Quantized engine assets with normalized ushort TEXCOORD_0 load as
+    [0,1] uv (the COLOR_0 rescale rule applies to UVs too)."""
+    mesh = uv_sphere(5, 5)
+    path = str(tmp_path / "uv16.glb")
+    gltf_io.save_glb(path, mesh)
+    gltf, blob = gltf_io.load_glb(path)
+    v = mesh.num_points
+    st16 = (rng.random((v, 2)) * 65535).astype(np.uint16)
+    pad = (-st16.nbytes) % 4
+    buf = blob + st16.tobytes() + b"\0" * pad
+    gltf["bufferViews"].append({
+        "buffer": 0, "byteOffset": len(blob), "byteLength": st16.nbytes,
+    })
+    gltf["accessors"].append({
+        "bufferView": len(gltf["bufferViews"]) - 1, "componentType": 5123,
+        "count": v, "type": "VEC2", "normalized": True,
+    })
+    prim = gltf["meshes"][0]["primitives"][0]
+    prim["attributes"]["TEXCOORD_0"] = len(gltf["accessors"]) - 1
+    gltf["buffers"][0]["byteLength"] = len(buf)
+    gltf_io._write_glb(path, gltf, buf)
+
+    back = gltf_io.load_glb_mesh(path)
+    want = st16.astype(np.float32) / 65535.0
+    want[:, 1] = 1.0 - want[:, 1]
+    np.testing.assert_allclose(back.attr("uv"), want, atol=1e-7)

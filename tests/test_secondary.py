@@ -222,3 +222,31 @@ def test_cli_deform_seq_secondary(tmp_path, batch):
 
 
 _CROSS: dict = {}
+
+
+def test_secondary_pu_plan_cache_retained():
+    """Secondary accessories must not thrash the PU plan cache: after a
+    cook with one secondary, BOTH plans live (a second cook rebuilds
+    neither host KD plan)."""
+    from facedeform_tpu.config import PolyTerm, RBFKernel, RBFModelType
+
+    mesh = uv_sphere(12, 12)
+    rest_rig, posed_rig = _rig(60, seed=5)
+    sec_in = uv_sphere(6, 6)
+    cfg = DeformConfig(
+        model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+        term=PolyTerm.LINEAR, solver="pu",
+    )
+    node = FaceDeformNode()
+    node.cook(
+        [mesh, rest_rig, posed_rig], cfg, DeformParams(lam=0.01),
+        secondary=[sec_in],
+    )
+    assert len(node._deformer._plans) == 2
+    keys_after_first = list(node._deformer._plans)
+    # cache-hit cook: same inputs -> same plans, no eviction
+    node.cook(
+        [mesh, rest_rig, posed_rig], cfg, DeformParams(lam=0.01),
+        secondary=[sec_in],
+    )
+    assert list(node._deformer._plans) == keys_after_first

@@ -769,3 +769,22 @@ def test_serve_fit_shapes(server, tmp_path):
         "frames": serve_mod.encode_array(rest),
     })
     assert not r_err["ok"] and "frames" in r_err["error"]
+
+
+def test_serve_load_shapes_checkpoint_clean_error(server, tmp_path):
+    """Loading a blendshape bake as a deformer fails with wire-appropriate
+    guidance (no Python-API-only hint leaked)."""
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.ops import blendshapes
+    from facedeform_tpu.utils import checkpoint
+
+    mesh = uv_sphere(5, 5)
+    frames = np.repeat(mesh.points[None], 3, axis=0) * np.float32(1.1)
+    model, rep = blendshapes.fit_blendshapes(mesh.points, frames, rank=1)
+    ck = str(tmp_path / "bake.npz")
+    checkpoint.save_blendshapes(ck, model, rep)
+    r = _rpc(server, {"cmd": "load", "path": ck})
+    assert not r["ok"]
+    assert "engine export" in r["error"]
+    assert "load_blendshapes()" not in r["error"].replace(
+        "load_blendshapes +", "")
