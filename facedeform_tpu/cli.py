@@ -39,6 +39,13 @@ def _build_parser() -> argparse.ArgumentParser:
                         "fully (no capture gate — capture binds the main "
                         "mesh) and writes to OUT; repeatable, one fit "
                         "serves every mesh")
+    d.add_argument("--reduce-rig", type=int, default=None, metavar="K",
+                   help="decimate an over-sampled rig to its K most "
+                        "informative markers before fitting (greedy "
+                        "pivoted-Cholesky / RKHS farthest-point sampling, "
+                        "ops/decimate.py) — cuts both the solve and every "
+                        "per-frame eval ~N/K-fold; prints the measured "
+                        "field error at the dropped markers")
     _add_cook_flags(d)
 
     s = sub.add_parser(
@@ -112,6 +119,15 @@ def _build_parser() -> argparse.ArgumentParser:
                         "(no capture gate) every frame and writes to "
                         "outdir/PATTERN %% frame (e.g. teeth_%%04d.obj); "
                         "repeatable; rides the --batch dispatch too")
+    s.add_argument("--reduce-rig", type=int, default=None, metavar="K",
+                   help="decimate an over-sampled rig to its K most "
+                        "informative markers before fitting (greedy "
+                        "pivoted-Cholesky / RKHS farthest-point sampling; "
+                        "selection reads only the REST rig, so one index "
+                        "set slices every frame of the shot); prints the "
+                        "measured field error at the dropped markers on "
+                        "frame 0; runs before --temporal-smooth/"
+                        "--symmetrize")
     _add_cook_flags(s)
 
     inv = sub.add_parser(
@@ -496,6 +512,42 @@ def _maybe_autotune(args, cfg, params, rest_rig, deform_rig):
     return params, None
 
 
+def _apply_reduce_rig(args, rest_rig, rigs):
+    """--reduce-rig: decimate the rest rig + every posed rig with ONE
+    rest-only marker selection (ops/decimate.py; the selection is
+    frame-independent).  Returns (rest_rig, rigs, error string | None)."""
+    k = getattr(args, "reduce_rig", None)
+    if not k:
+        return rest_rig, rigs, None
+    if k < 1:
+        return rest_rig, rigs, "--reduce-rig K must be >= 1"
+    n = rest_rig.num_points
+    if any(r.num_points != n for r in rigs):
+        return rest_rig, rigs, (
+            f"--reduce-rig needs every posed rig to match the rest rig "
+            f"({n} markers)"
+        )
+    if k >= n:
+        print(
+            f"warning: --reduce-rig {k} >= rig size {n}; keeping all markers",
+            file=sys.stderr,
+        )
+        return rest_rig, rigs, None
+    from facedeform_tpu.ops import decimate
+
+    cfg, params = _cfg_params_from(args)
+    idx, rep = decimate.reduce_rig(
+        rest_rig.points, rigs[0].points, k, cfg, params
+    )
+    print(
+        f"info: reduce-rig: {n} -> {len(idx)} markers; field error at the "
+        f"{n - len(idx)} dropped markers max {rep.max_err:.3e} / rms "
+        f"{rep.rms_err:.3e} (frame-0 motion scale {rep.motion_scale:.3e})",
+        file=sys.stderr,
+    )
+    return rest_rig.subset(idx), [r.subset(idx) for r in rigs], None
+
+
 def _cmd_deform(args) -> int:
     from facedeform_tpu.geometry import load_mesh, save_mesh
     from facedeform_tpu.geometry.topology import compute_tangent_frame
@@ -524,6 +576,11 @@ def _cmd_deform(args) -> int:
     if psd_err:
         print(f"error: {psd_err}", file=sys.stderr)
         return 1
+    rest_rig, _drigs, red_err = _apply_reduce_rig(args, rest_rig, [deform_rig])
+    if red_err:
+        print(f"error: {red_err}", file=sys.stderr)
+        return 1
+    deform_rig = _drigs[0]
 
     cfg, params = _cfg_params_from(args)
     if getattr(args, "load_deformer", None):
@@ -735,6 +792,10 @@ def _cmd_deform_seq(args) -> int:
     psd_loaded, psd_err = _load_psd_arg(args, bool(examples))
     if psd_err:
         print(f"error: {psd_err}", file=sys.stderr)
+        return 1
+    rest_rig, rigs, red_err = _apply_reduce_rig(args, rest_rig, rigs)
+    if red_err:
+        print(f"error: {red_err}", file=sys.stderr)
         return 1
 
     needs_uniform = (getattr(args, "temporal_smooth", None)

@@ -210,6 +210,23 @@ class Mesh:
             attr_typeinfo=dict(self.attr_typeinfo),
         )
 
+    def subset(self, idx) -> "Mesh":
+        """Point subset as a new point-cloud Mesh (faces dropped).
+
+        Per-point attrs and groups are sliced with the same rows, so a
+        reduced rig keeps its confidence/class attrs aligned — the
+        rig-side helper behind ops/decimate.reduce_rig and the CLI
+        --reduce-rig flag."""
+        idx = np.asarray(idx)
+        return Mesh(
+            points=self.points[idx],
+            faces=None,
+            point_attrs={k: v[idx] for k, v in self.point_attrs.items()},
+            detail_attrs={k: np.copy(v) for k, v in self.detail_attrs.items()},
+            point_groups={k: v[idx] for k, v in self.point_groups.items()},
+            attr_typeinfo=dict(self.attr_typeinfo),
+        )
+
     def triangles(self) -> Optional[np.ndarray]:
         """Topology as triangles; quads are fanned, -1-padded entries dropped.
         None for point clouds."""

@@ -1,0 +1,174 @@
+"""Rig decimation: greedy pivoted-Cholesky marker selection + error report.
+
+Dense tracked/scan rigs are over-sampled: thousands of markers carry the
+same deformation a few hundred would.  Dropping markers cuts BOTH costs —
+the fit (O(N^3) dense / Krylov iterations) and every per-frame eval
+(O(V*N)) — so a 10x rig reduction is ~10x on the whole hot path.
+
+Selection = greedy pivoted Cholesky on the (ridge-regularized) kernel Gram
+matrix: at each step pick the marker whose basis function is worst
+approximated by the span of the already-selected ones (the residual
+diagonal of the Schur complement) — farthest-point sampling in the RKHS
+metric rather than euclidean space, so selection density follows the
+kernel's notion of information, and the residual trace is a certified
+bound on how much kernel mass the dropped markers still carry (lazy/
+pivoted-Cholesky <-> FPS equivalence: arXiv 2601.03706).  The reference
+has no counterpart — ALGLIB consumes whatever rig it is given
+(src/SOP_FaceDeform.cpp:268-287).
+
+TPU design: the selection is a `lax.fori_loop` of k steps, each one
+argmax + one fused kernel-column evaluation + one (N, k)x(k,) matvec on
+VPU/MXU — O(N k^2) total, no (N, N) matrix ever materialized, so a 50k
+rig selects 2k markers device-resident.  Selection always uses a GAUSSIAN
+surrogate (strictly PD, so the Cholesky diagonal stays nonnegative);
+growing kernels (TPS/MQ) are only conditionally PD and selection is a
+geometry-coverage problem, not a solve — the surrogate's picks serve
+every family (the error REPORT below is measured with the real fit).
+
+`reduce_rig` closes the loop with production truth: refit on the selected
+subset, evaluate at the DROPPED markers, and report the actual
+displacement error the reduction costs — not just the RKHS bound.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class SelectReport(NamedTuple):
+    """Diagnostics of a marker selection."""
+
+    residual_trace: float     # sum of the remaining Schur diagonal (>= 0)
+    residual_max: float       # worst single dropped-marker residual
+    eps: float                # gaussian surrogate radius used
+
+
+class ReduceReport(NamedTuple):
+    """Measured cost of fitting on the reduced rig (production truth)."""
+
+    max_err: float            # max |field(dropped) - target| over dropped
+    rms_err: float            # rms of the same
+    motion_scale: float       # max |deformed - rest| for context
+    select: SelectReport
+
+    @property
+    def relative_max_err(self) -> float:
+        return self.max_err / max(self.motion_scale, 1e-30)
+
+
+def select_markers(
+    rest_ctrl,
+    k: int,
+    eps: Optional[float] = None,
+    lam: float = 1e-6,
+) -> tuple[np.ndarray, SelectReport]:
+    """Pick the k most informative markers of a rest rig.
+
+    Returns (idx (k,) int32 in selection order, SelectReport).  `eps`
+    defaults to 2x the rig's median nearest-neighbor spacing (the PU auto
+    rule, ops/pu.py): small enough that selection resolves local clusters,
+    large enough that coverage stays global.  `lam` is a jitter ridge
+    keeping the f32 recursion stable; it only biases scores by +lam.
+    """
+    x = np.ascontiguousarray(np.asarray(rest_ctrl, np.float32))
+    if x.ndim != 2 or x.shape[1] != 3:
+        raise ValueError(f"rest_ctrl must be (N, 3), got {x.shape}")
+    n = x.shape[0]
+    k = int(k)
+    if not 1 <= k <= n:
+        raise ValueError(f"k={k} must be in [1, {n}]")
+    if eps is None:
+        from facedeform_tpu.ops.pu import _median_nn
+
+        eps = 2.0 * _median_nn(x)
+    eps = float(max(eps, 1e-9))
+
+    xj = jnp.asarray(x)
+    inv_e2 = jnp.float32(1.0 / (eps * eps))
+    diag0 = jnp.full((n,), 1.0 + lam, jnp.float32)
+
+    def body(i, state):
+        d, low, idx = state
+        p = jnp.argmax(d).astype(jnp.int32)
+        piv = jnp.maximum(d[p], 1e-30)
+        # fused gaussian column phi(|x - x_p|) — never an (N, N) matrix
+        diff = xj - xj[p]
+        col = jnp.exp(-jnp.sum(diff * diff, axis=1) * inv_e2)
+        col = col + lam * (jnp.arange(n) == p)
+        # subtract the span of the previous columns: low[:, i:] is still
+        # zero, so the full (N, k)x(k,) matvec is exact at every step
+        c = (col - low @ low[p]) * jax.lax.rsqrt(piv)
+        low = low.at[:, i].set(c)
+        d = jnp.maximum(d - c * c, 0.0)
+        d = d.at[p].set(-1.0)  # never re-pick (roundoff guard)
+        idx = idx.at[i].set(p)
+        return d, low, idx
+
+    d, _, idx = jax.lax.fori_loop(
+        0, k,
+        body,
+        (diag0, jnp.zeros((n, k), jnp.float32), jnp.zeros((k,), jnp.int32)),
+    )
+    resid = jnp.maximum(d, 0.0)
+    rep = SelectReport(
+        residual_trace=float(jnp.sum(resid)),
+        residual_max=float(jnp.max(resid)),
+        eps=eps,
+    )
+    return np.asarray(idx), rep
+
+
+def reduce_rig(
+    rest_ctrl,
+    deformed_ctrl,
+    k: int,
+    cfg=None,
+    params=None,
+    eps: Optional[float] = None,
+) -> tuple[np.ndarray, ReduceReport]:
+    """Select k markers AND measure what dropping the rest costs.
+
+    Fits the requested model family (cfg/params, defaults DeformConfig()/
+    DeformParams()) on the selected subset and evaluates the field at the
+    dropped markers against their true deformed positions — the actual
+    displacement error a reduced-rig cook pays, in the rig's units.
+
+    Returns (idx, ReduceReport).  Frame-independence: selection reads only
+    the REST rig, so one index set serves a whole tracked shot (slice
+    every frame's posed rig with the same idx).
+    """
+    from facedeform_tpu.config import DeformConfig, DeformParams
+    from facedeform_tpu.deformer import Deformer
+
+    cfg = cfg if cfg is not None else DeformConfig()
+    params = params if params is not None else DeformParams()
+    rest = np.ascontiguousarray(np.asarray(rest_ctrl, np.float32))
+    deformed = np.ascontiguousarray(np.asarray(deformed_ctrl, np.float32))
+    if rest.shape != deformed.shape:
+        raise ValueError(
+            f"rig shapes differ: {rest.shape} vs {deformed.shape}"
+        )
+    idx, sel = select_markers(rest, k, eps=eps)
+    motion = float(np.abs(deformed - rest).max())
+
+    if len(idx) == rest.shape[0]:
+        rep = ReduceReport(0.0, 0.0, motion, sel)
+        return idx, rep
+
+    keep = np.zeros(rest.shape[0], bool)
+    keep[idx] = True
+    d = Deformer.fit(rest[keep], deformed[keep], cfg, params)
+    pred, _ = d.apply(rest[~keep])
+    err = np.asarray(pred) - deformed[~keep]
+    enorm = np.linalg.norm(err, axis=1)
+    rep = ReduceReport(
+        max_err=float(enorm.max()),
+        rms_err=float(np.sqrt(np.mean(enorm**2))),
+        motion_scale=motion,
+        select=sel,
+    )
+    return idx, rep
