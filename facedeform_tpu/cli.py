@@ -46,6 +46,15 @@ def _build_parser() -> argparse.ArgumentParser:
                         "ops/decimate.py) — cuts both the solve and every "
                         "per-frame eval ~N/K-fold; prints the measured "
                         "field error at the dropped markers")
+    d.add_argument("--reduce-mode", choices=("subset", "regress"),
+                   default="subset",
+                   help="subset (default): fit only the K kept markers "
+                        "(interpolation).  regress: keep ALL N markers as "
+                        "observations of a K-center ridge least-squares "
+                        "model (decimate.fit_reduced) — on noisy tracker "
+                        "rigs this averages ~N/K observations per center "
+                        "instead of interpolating noise; KERNEL/QNN "
+                        "families only")
     _add_cook_flags(d)
 
     s = sub.add_parser(
@@ -128,6 +137,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         "measured field error at the dropped markers on "
                         "frame 0; runs before --temporal-smooth/"
                         "--symmetrize")
+    s.add_argument("--reduce-mode", choices=("subset",),
+                   default="subset",
+                   help="shots reduce by subset only (the regress mode's "
+                        "all-N observations change per frame; see "
+                        "`deform --reduce-mode regress` for single poses)")
     _add_cook_flags(s)
 
     inv = sub.add_parser(
@@ -576,11 +590,18 @@ def _cmd_deform(args) -> int:
     if psd_err:
         print(f"error: {psd_err}", file=sys.stderr)
         return 1
-    rest_rig, _drigs, red_err = _apply_reduce_rig(args, rest_rig, [deform_rig])
-    if red_err:
-        print(f"error: {red_err}", file=sys.stderr)
+    if getattr(args, "reduce_mode", "subset") == "subset":
+        rest_rig, _drigs, red_err = _apply_reduce_rig(
+            args, rest_rig, [deform_rig]
+        )
+        if red_err:
+            print(f"error: {red_err}", file=sys.stderr)
+            return 1
+        deform_rig = _drigs[0]
+    elif not getattr(args, "reduce_rig", None):
+        print("error: --reduce-mode regress requires --reduce-rig K",
+              file=sys.stderr)
         return 1
-    deform_rig = _drigs[0]
 
     cfg, params = _cfg_params_from(args)
     if getattr(args, "load_deformer", None):
@@ -628,6 +649,51 @@ def _cmd_deform(args) -> int:
                     "not deform", file=sys.stderr,
                 )
                 return 1
+
+    if (getattr(args, "reduce_rig", None)
+            and getattr(args, "reduce_mode", "subset") == "regress"):
+        # reduced-basis regression: ALL markers constrain K centers
+        # (decimate.fit_reduced); the result is a stock Deformer handed to
+        # the cook's external-deformer path, so eval/falloff/tangent
+        # compose unchanged
+        if ext_deformer is not None:
+            print(
+                "error: --reduce-mode regress conflicts with "
+                "--load-deformer (both supply the solve)",
+                file=sys.stderr,
+            )
+            return 1
+        if args.reduce_rig >= rest_rig.num_points:
+            print(
+                f"warning: --reduce-rig {args.reduce_rig} >= rig size "
+                f"{rest_rig.num_points}; fitting the full rig",
+                file=sys.stderr,
+            )
+        else:
+            from facedeform_tpu.deformer import Deformer as _Dfm
+            from facedeform_tpu.ops import decimate
+
+            try:
+                with stage("reduce_fit", times):
+                    r_model, r_report, r_info = decimate.fit_reduced(
+                        rest_rig.points, deform_rig.points,
+                        int(args.reduce_rig), cfg, params,
+                        confidence=rest_rig.attr("confidence"),
+                    )
+            except ValueError as e:
+                print(f"error: --reduce-mode regress: {e}", file=sys.stderr)
+                return 1
+            print(
+                f"info: reduce-rig (regress): {rest_rig.num_points} "
+                f"markers -> {len(r_info.idx)} centers; fit residual at "
+                f"all markers max {r_info.fit_max:.3e} / rms "
+                f"{r_info.fit_rms:.3e} (motion scale "
+                f"{r_info.motion_scale:.3e})",
+                file=sys.stderr,
+            )
+            ext_deformer = _Dfm(
+                model=r_model, cfg=cfg, params=params, report=r_report
+            )
 
     node = FaceDeformNode()
     with stage("cook", times):

@@ -172,3 +172,156 @@ def reduce_rig(
         select=sel,
     )
     return idx, rep
+
+
+class ReducedFitInfo(NamedTuple):
+    """Regression-quality diagnostics of a reduced-basis fit (distinct
+    from the SolveReport, which measures solver health on the normal
+    equations — a noisy rig legitimately has a large REGRESSION residual
+    while the solve itself is healthy)."""
+
+    idx: np.ndarray           # (k,) selected centers
+    fit_rms: float            # rms |field(marker) - target| over ALL N
+    fit_max: float            # max of the same
+    motion_scale: float
+
+
+def fit_reduced(
+    rest_ctrl,
+    deformed_ctrl,
+    k: int,
+    cfg=None,
+    params=None,
+    confidence=None,
+    eps_select: Optional[float] = None,
+    idx=None,
+):
+    """Reduced-basis REGRESSION fit: all N markers constrain K centers.
+
+    Where `reduce_rig` DROPS markers (subset interpolation), this keeps
+    every marker as an observation and solves the ridge least-squares
+
+        min_w,c  sum_i c_i |Phi_ik w + P_i c - delta_i|^2 + lam |w|^2
+
+    over the K selected basis centers — the Nystrom / inducing-point
+    formulation.  On noisy tracker rigs this AVERAGES the ~N/K
+    observations per degree of freedom instead of interpolating noise,
+    and the result is a bog-standard `RBFModel` (ctrl = the K centers),
+    so every downstream path — Pallas eval kernels, falloff, tangent,
+    sharding, checkpoints, `node.cook(deformer=...)` — consumes it
+    unchanged.  `confidence` ((N,) in (0, 1]) row-weights the
+    observations (sqrt(c_i) scaling) — the regression-native form of the
+    per-marker confidence ridge.
+
+    Single-layer families only (KERNEL, QNN-style adaptive radii);
+    MULTILAYER's coarse-to-fine residual layers are interpolation
+    machinery — use subset mode (`reduce_rig`) there.
+
+    TPU shape: the (N, K+m) design matrix assembles fused, the normal
+    equations are ONE (K+m, N)x(N, K+m) HIGHEST-precision MXU matmul,
+    and the (K+m)^2 solve + two iterative-refinement sweeps reuse the
+    dense-solve machinery's contract.  Returns (model, report, info).
+    """
+    from facedeform_tpu.config import DeformConfig, DeformParams, RBFModelType
+    from facedeform_tpu.ops import fit as fit_mod
+    from facedeform_tpu.ops.assemble import poly_basis
+    from facedeform_tpu.ops.kernels import apply_kernel, pairwise_sqdist
+    from facedeform_tpu.ops.solve import SolveReport
+
+    cfg = cfg if cfg is not None else DeformConfig()
+    params = (params if params is not None else DeformParams()).clamped()
+    if cfg.model == RBFModelType.MULTILAYER:
+        raise ValueError(
+            "fit_reduced is single-layer (KERNEL/QNN): MULTILAYER's "
+            "residual layers are interpolation machinery — use "
+            "reduce_rig (subset mode) for that family"
+        )
+    rest = np.ascontiguousarray(np.asarray(rest_ctrl, np.float32))
+    deformed = np.ascontiguousarray(np.asarray(deformed_ctrl, np.float32))
+    if rest.shape != deformed.shape:
+        raise ValueError(
+            f"rig shapes differ: {rest.shape} vs {deformed.shape}"
+        )
+    n = rest.shape[0]
+    if idx is None:
+        idx, _sel = select_markers(rest, k, eps=eps_select)
+    else:
+        idx = np.asarray(idx, np.int32)
+        if len(np.unique(idx)) != len(idx):
+            raise ValueError("idx has duplicate centers")
+    kk = len(idx)
+    centers = jnp.asarray(rest[idx])
+
+    kernel = fit_mod.effective_kernel(cfg)
+    # per-family radii on the CENTERS (QNN adaptive / global radius) —
+    # confidence is an observation weight here, not a ridge, so it does
+    # not flow into _family_radii (whose QNN branch would reject it)
+    eps_c, lam0 = fit_mod._family_radii(cfg, params, centers, None)
+    # QNN's structural lam=0 is an interpolation contract; the regression
+    # is overdetermined (N >= K) so a tiny ridge only conditions it
+    lam = jnp.maximum(jnp.max(jnp.asarray(lam0)), 1e-6)
+
+    x = jnp.asarray(rest)
+    delta = jnp.asarray(deformed - rest)
+    a_rbf = apply_kernel(kernel, pairwise_sqdist(x, centers), eps_c)
+    p_n = poly_basis(x, cfg.term)
+    a = jnp.concatenate([a_rbf, p_n], axis=1)          # (N, K+m)
+    if confidence is not None:
+        c = jnp.clip(jnp.asarray(confidence, jnp.float32).ravel(),
+                     1e-3, 1.0)
+        if c.shape[0] != n:
+            raise ValueError(
+                f"confidence has {c.shape[0]} entries for {n} markers"
+            )
+        sw = jnp.sqrt(c)[:, None]
+        a_w, delta_w = a * sw, delta * sw
+    else:
+        a_w, delta_w = a, delta
+
+    m = int(p_n.shape[1])
+    ridge = jnp.concatenate(
+        [jnp.full((kk,), lam, jnp.float32), jnp.zeros((m,), jnp.float32)]
+    )
+    _hp = jax.lax.Precision.HIGHEST
+    gram = jnp.dot(a_w.T, a_w, precision=_hp) + jnp.diag(ridge)
+    rhs = jnp.dot(a_w.T, delta_w, precision=_hp)
+
+    z = jnp.linalg.solve(gram, rhs)
+    for _ in range(2):  # f32 iterative refinement on the normal system
+        resid = rhs - jnp.dot(gram, z, precision=_hp)
+        z = z + jnp.linalg.solve(gram, resid)
+
+    # solver-health report: backward error of the NORMAL system (the
+    # regression misfit below is data, not a solve failure)
+    resid = rhs - jnp.dot(gram, z, precision=_hp)
+    report = SolveReport(
+        residual_norm=jnp.linalg.norm(resid),
+        rhs_norm=jnp.linalg.norm(rhs),
+        scale_norm=(
+            jnp.linalg.norm(gram) * jnp.linalg.norm(z)
+            + jnp.linalg.norm(rhs)
+        ),
+    )
+
+    w = z[:kk]
+    w_poly = z[kk:]
+    from facedeform_tpu.ops.fit import RBFModel
+
+    model = RBFModel(
+        ctrl=centers,
+        w_rbf=w[None],                    # (1, K, 3)
+        w_poly=w_poly.astype(jnp.float32),
+        eps=jnp.broadcast_to(
+            jnp.asarray(eps_c, jnp.float32), (kk,)
+        )[None],                          # (1, K)
+    )
+
+    pred = jnp.dot(a, z, precision=_hp)   # unweighted: true field at markers
+    err = jnp.linalg.norm(pred - delta, axis=1)
+    info = ReducedFitInfo(
+        idx=np.asarray(idx),
+        fit_rms=float(jnp.sqrt(jnp.mean(err**2))),
+        fit_max=float(jnp.max(err)),
+        motion_scale=float(jnp.max(jnp.abs(delta))),
+    )
+    return model, report, info

@@ -7,6 +7,7 @@ f64 greedy pivoted Cholesky of the same gaussian Gram matrix.
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from facedeform_tpu import DeformConfig, DeformParams, Mesh
@@ -163,3 +164,188 @@ def test_cli_reduce_rig(tmp_path):
         "deform", mesh_p, rest_p, posed_p, "-o", out, "--reduce-rig", "600",
     ])
     assert rc == 0
+
+
+def test_fit_reduced_recovers_true_centers(rng):
+    """Data generated from K centers + linear tail is recovered exactly
+    when the true centers are given: regression residual ~ f32 solve."""
+    from facedeform_tpu.config import PolyTerm, RBFKernel, RBFModelType
+    from facedeform_tpu.ops.decimate import fit_reduced
+    from facedeform_tpu.ops.evaluate import evaluate
+
+    rest = fibonacci_points(300)
+    ctr_idx = rng.choice(300, 24, replace=False)
+    cfg = DeformConfig(
+        model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+        term=PolyTerm.LINEAR,
+    )
+    params = DeformParams(radius=0.7, lam=0.01)
+    w_true = 0.05 * rng.standard_normal((24, 3)).astype(np.float32)
+    d2 = ((rest[:, None] - rest[ctr_idx][None]) ** 2).sum(-1)
+    field = np.exp(-d2 / 0.7**2) @ w_true + 0.01 * rest + 0.02
+    deformed = rest + field.astype(np.float32)
+
+    model, report, info = fit_reduced(
+        rest, deformed, 24, cfg, params, idx=ctr_idx
+    )
+    # fit residual at ALL markers tracks the ridge (lam 0.01 smooths a
+    # little); solver health is clean
+    assert info.fit_max <= 0.05 * info.motion_scale
+    assert float(report.backward_error()) < 1e-5
+    # the model is a standard RBFModel: the stock evaluator consumes it
+    pred = np.asarray(
+        evaluate(model, jnp.asarray(rest), RBFKernel.GAUSSIAN, cfg.term)
+    )
+    np.testing.assert_allclose(pred, field, atol=0.05 * np.abs(field).max())
+
+
+def test_fit_reduced_beats_subset_on_noise(rng):
+    """Noisy markers: regression averages ~N/K observations per dof;
+    subset interpolation reproduces the kept markers' noise verbatim."""
+    from facedeform_tpu.config import PolyTerm, RBFKernel, RBFModelType
+    from facedeform_tpu.ops.decimate import fit_reduced, select_markers
+    from facedeform_tpu.ops.evaluate import evaluate
+    from facedeform_tpu import Deformer
+
+    rest = fibonacci_points(400)
+    clean = 0.1 * np.sin(rest[:, [1, 2, 0]] * 2.0).astype(np.float32)
+    noise = 0.01 * rng.standard_normal(rest.shape).astype(np.float32)
+    deformed = rest + clean + noise
+
+    cfg = DeformConfig(
+        model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+        term=PolyTerm.LINEAR,
+    )
+    params = DeformParams(radius=0.8, lam=0.01)
+    k = 60
+    idx, _ = select_markers(rest, k)
+
+    model, _, _ = fit_reduced(rest, deformed, k, cfg, params, idx=idx)
+    pred_reg = np.asarray(
+        evaluate(model, jnp.asarray(rest), RBFKernel.GAUSSIAN, cfg.term)
+    )
+    err_reg = np.linalg.norm(pred_reg - clean, axis=1)
+
+    d_sub = Deformer.fit(rest[idx], deformed[idx], cfg, params)
+    pred_sub, _ = d_sub.apply(rest)
+    err_sub = np.linalg.norm(np.asarray(pred_sub) - rest - clean, axis=1)
+
+    # regression recovers the CLEAN field better than subset interpolation
+    assert np.sqrt((err_reg**2).mean()) < 0.8 * np.sqrt((err_sub**2).mean())
+
+
+def test_fit_reduced_confidence_downweights_glitch(rng):
+    from facedeform_tpu.config import PolyTerm, RBFKernel, RBFModelType
+    from facedeform_tpu.ops.decimate import fit_reduced
+    from facedeform_tpu.ops.evaluate import evaluate
+
+    rest = fibonacci_points(200)
+    clean = 0.05 * np.cos(rest[:, [2, 0, 1]] * 2.0).astype(np.float32)
+    deformed = rest + clean
+    glitch = 7
+    deformed[glitch] += np.float32([0.5, 0, 0])  # one wild tracker
+
+    cfg = DeformConfig(
+        model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+        term=PolyTerm.LINEAR,
+    )
+    params = DeformParams(radius=0.8, lam=0.01)
+    conf = np.ones(200, np.float32)
+    conf[glitch] = 1e-3
+
+    m_no, _, _ = fit_reduced(rest, deformed, 40, cfg, params)
+    m_c, _, _ = fit_reduced(rest, deformed, 40, cfg, params,
+                            confidence=conf)
+    q = rest[glitch][None]
+    e_no = np.abs(np.asarray(
+        evaluate(m_no, jnp.asarray(q), RBFKernel.GAUSSIAN, cfg.term)
+    ) - clean[glitch]).max()
+    e_c = np.abs(np.asarray(
+        evaluate(m_c, jnp.asarray(q), RBFKernel.GAUSSIAN, cfg.term)
+    ) - clean[glitch]).max()
+    assert e_c < 0.25 * e_no
+
+
+def test_fit_reduced_validation(rng):
+    from facedeform_tpu.config import RBFModelType
+    from facedeform_tpu.ops.decimate import fit_reduced
+
+    rest = fibonacci_points(50)
+    with pytest.raises(ValueError, match="MULTILAYER"):
+        fit_reduced(rest, rest, 10,
+                    DeformConfig(model=RBFModelType.MULTILAYER))
+    with pytest.raises(ValueError, match="duplicate"):
+        fit_reduced(rest, rest, 3, idx=np.array([1, 1, 2]))
+    with pytest.raises(ValueError, match="confidence"):
+        fit_reduced(rest, rest, 5, confidence=np.ones(7))
+
+
+def test_fit_reduced_plugs_into_node(rng):
+    """The regression model rides node.cook(deformer=...) — the external-
+    deformer path the checkpoints use."""
+    from facedeform_tpu import FaceDeformNode
+    from facedeform_tpu.config import PolyTerm, RBFKernel, RBFModelType
+    from facedeform_tpu.deformer import Deformer as Dfm
+    from facedeform_tpu.ops.decimate import fit_reduced
+
+    mesh = uv_sphere(12, 12)
+    rest = fibonacci_points(80) * 1.05
+    deformed = rest + np.float32([0, 0.05, 0])
+    cfg = DeformConfig(
+        model=RBFModelType.KERNEL, kernel=RBFKernel.GAUSSIAN,
+        term=PolyTerm.LINEAR,
+    )
+    params = DeformParams(radius=0.8, lam=0.01)
+    model, report, info = fit_reduced(rest, deformed, 20, cfg, params)
+    ext = Dfm(model=model, cfg=cfg, params=params, report=report)
+    node = FaceDeformNode()
+    res = node.cook(
+        [mesh, Mesh(points=rest), Mesh(points=deformed)], cfg, params,
+        deformer=ext,
+    )
+    # uniform translation field: the cook must move the mesh by ~it
+    moved = res.mesh.points - mesh.points
+    np.testing.assert_allclose(moved[:, 1], 0.05, atol=5e-3)
+
+
+def test_cli_reduce_mode_regress(tmp_path):
+    from facedeform_tpu import cli
+    from facedeform_tpu.geometry.obj_io import save_obj
+
+    mesh = uv_sphere(10, 10)
+    rest = fibonacci_points(80) * 1.05
+    posed = rest + np.float32([0, 0.05, 0])
+    mesh_p = str(tmp_path / "mesh.obj")
+    rest_p = str(tmp_path / "rest.obj")
+    posed_p = str(tmp_path / "posed.obj")
+    save_obj(mesh_p, mesh)
+    save_obj(rest_p, Mesh(points=rest))
+    save_obj(posed_p, Mesh(points=posed))
+    out = str(tmp_path / "out.obj")
+
+    rc = cli.main([
+        "deform", mesh_p, rest_p, posed_p, "-o", out,
+        "--model", "kernel", "--kernel", "gaussian", "--radius", "0.8",
+        "--reduce-rig", "20", "--reduce-mode", "regress",
+    ])
+    assert rc == 0
+    from facedeform_tpu.geometry import load_mesh
+
+    got = load_mesh(out)
+    # uniform translation: regression model reproduces it on the mesh
+    np.testing.assert_allclose(
+        (got.points - mesh.points)[:, 1], 0.05, atol=5e-3
+    )
+
+    # regress without K is an error; MULTILAYER family is rejected
+    rc = cli.main([
+        "deform", mesh_p, rest_p, posed_p, "-o", out,
+        "--reduce-mode", "regress",
+    ])
+    assert rc == 1
+    rc = cli.main([
+        "deform", mesh_p, rest_p, posed_p, "-o", out,
+        "--model", "multilayer",
+        "--reduce-rig", "20", "--reduce-mode", "regress",
+    ])
+    assert rc == 1
