@@ -779,12 +779,92 @@ def config14_blendshape_bake(rng, n_verts=500_000, n_frames=16, rank=8):
     }
 
 
+def config15_reduced_regression(rng, n=20_000, k=1000, n_frames=8):
+    """Reduced-basis regression over a tracked shot: one factorization.
+
+    A 20k-marker tracker shot reduced to 1k centers: all N markers stay
+    as observations (decimate.fit_reduced_frames, CLI `deform-seq
+    --reduce-mode regress`).  The design matrix depends only on the rest
+    rig, so the F frames are 3F RHS columns of ONE shared normal-system
+    factorization — measured against F independent single-pose
+    regressions over the same centers (which re-assemble the same Gram
+    per frame).  Parity between the two routes is exact math; the pass
+    criterion demands it plus a real speedup.  No reference counterpart
+    (ALGLIB refits whatever rig it is given per cook,
+    src/SOP_FaceDeform.cpp:330-368).
+    """
+    import time as _time
+
+    from facedeform_tpu import DeformConfig, DeformParams
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops import decimate
+
+    rest = fibonacci_points(n)
+    noise = 0.005
+    frames = np.stack([
+        rest + 0.1 * np.sin(rest[:, [1, 2, 0]] * (2.0 + 0.3 * f))
+        + noise * rng.standard_normal((n, 3))
+        for f in range(n_frames)
+    ]).astype(np.float32)
+    cfg, params = DeformConfig(), DeformParams()
+
+    # selection once (shared by both routes), then warm both programs
+    idx = decimate._resolve_centers(
+        np.asarray(rest, np.float32), k, None, None
+    )
+    m_all, rep, info = decimate.fit_reduced_frames(
+        rest, frames, k, cfg, params, idx=idx
+    )
+    _sync(m_all.w_rbf)
+    decimate.fit_reduced(rest, frames[0], k, cfg, params, idx=idx)
+
+    t0 = _time.time()
+    m_all, rep, info = decimate.fit_reduced_frames(
+        rest, frames, k, cfg, params, idx=idx
+    )
+    _sync(m_all.w_rbf)
+    shared_s = _time.time() - t0
+
+    t0 = _time.time()
+    per = [
+        decimate.fit_reduced(rest, frames[f], k, cfg, params, idx=idx)[0]
+        for f in range(n_frames)
+    ]
+    _sync(per[-1].w_rbf)
+    perframe_s = _time.time() - t0
+
+    import jax.numpy as jnp
+
+    werr = max(
+        float(jnp.max(jnp.abs(m_all.w_rbf[f, 0] - per[f].w_rbf[0]))
+              / jnp.maximum(jnp.max(jnp.abs(per[f].w_rbf)), 1e-30))
+        for f in range(n_frames)
+    )
+    return {
+        "config": "15: reduced-basis regression shot (shared factorization)",
+        "markers": n,
+        "centers": k,
+        "frames": n_frames,
+        "shared_fit_s": shared_s,
+        "perframe_fit_s": perframe_s,
+        "speedup": perframe_s / shared_s,
+        "weight_parity_relerr": werr,
+        "worst_frame_fit_rms": float(info.fit_rms.max()),
+        "noise_floor": noise,
+        "pass": bool(
+            werr < 1e-5
+            and perframe_s > shared_s
+            and info.fit_rms.max() < 4.0 * noise
+        ),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--only", type=int, default=None, metavar="N",
-                    choices=range(1, 15),
-                    help="run a single config (1-14) for iteration")
+                    choices=range(1, 16),
+                    help="run a single config (1-15) for iteration")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     results = []
@@ -793,7 +873,8 @@ def main():
                config7_growing_kernel_precision, config8_cpd_preconditioned,
                config9_pu_any_n, config10_pu_sequence,
                config11_normal_transport, config12_interactive_drag,
-               config13_skinning, config14_blendshape_bake)
+               config13_skinning, config14_blendshape_bake,
+               config15_reduced_regression)
     if args.only is not None:
         configs = (configs[args.only - 1],)
     for fn in configs:

@@ -137,11 +137,16 @@ def _build_parser() -> argparse.ArgumentParser:
                         "measured field error at the dropped markers on "
                         "frame 0; runs before --temporal-smooth/"
                         "--symmetrize")
-    s.add_argument("--reduce-mode", choices=("subset",),
+    s.add_argument("--reduce-mode", choices=("subset", "regress"),
                    default="subset",
-                   help="shots reduce by subset only (the regress mode's "
-                        "all-N observations change per frame; see "
-                        "`deform --reduce-mode regress` for single poses)")
+                   help="subset drops markers and refits (default); "
+                        "regress keeps ALL N markers as observations of a "
+                        "K-center ridge least-squares model "
+                        "(decimate.fit_reduced_frames) — the design "
+                        "matrix depends only on the rest rig, so the "
+                        "whole shot shares ONE factorization (3F RHS "
+                        "columns); on noisy tracker shots regression "
+                        "averages instead of interpolating the noise")
     _add_cook_flags(s)
 
     inv = sub.add_parser(
@@ -692,7 +697,8 @@ def _cmd_deform(args) -> int:
                 file=sys.stderr,
             )
             ext_deformer = _Dfm(
-                model=r_model, cfg=cfg, params=params, report=r_report
+                model=r_model, cfg=cfg, params=params, report=r_report,
+                reduced=True,
             )
 
     node = FaceDeformNode()
@@ -859,13 +865,20 @@ def _cmd_deform_seq(args) -> int:
     if psd_err:
         print(f"error: {psd_err}", file=sys.stderr)
         return 1
-    rest_rig, rigs, red_err = _apply_reduce_rig(args, rest_rig, rigs)
-    if red_err:
-        print(f"error: {red_err}", file=sys.stderr)
+    seq_regress = getattr(args, "reduce_mode", "subset") == "regress"
+    if not seq_regress:
+        rest_rig, rigs, red_err = _apply_reduce_rig(args, rest_rig, rigs)
+        if red_err:
+            print(f"error: {red_err}", file=sys.stderr)
+            return 1
+    elif not getattr(args, "reduce_rig", None):
+        print("error: --reduce-mode regress requires --reduce-rig K",
+              file=sys.stderr)
         return 1
 
     needs_uniform = (getattr(args, "temporal_smooth", None)
-                     or getattr(args, "symmetrize", None))
+                     or getattr(args, "symmetrize", None)
+                     or seq_regress)
     if needs_uniform and rigs:
         # both whole-shot transforms stack the rigs; validate once
         n0 = rest_rig.num_points
@@ -975,6 +988,62 @@ def _cmd_deform_seq(args) -> int:
         with stage("tangent_frame", times):
             compute_tangent_frame(mesh)
 
+    # --reduce-mode regress: fit the WHOLE shot's reduced-basis regression
+    # once (decimate.fit_reduced_frames — the design matrix depends only
+    # on the rest rig, frames are RHS columns of one factorization), then
+    # hand per-frame Deformer slices to the cooks / the batched eval.
+    red_seq = None          # (full-shot batched RBFModel, report, info)
+    if seq_regress and rigs:
+        if cfg.solver == "pu":
+            print(
+                "error: --reduce-mode regress conflicts with --solver pu "
+                "(both replace the dense route; the K-center regression "
+                "model is already any-N)", file=sys.stderr,
+            )
+            return 1
+        if args.reduce_rig >= rest_rig.num_points:
+            print(
+                f"warning: --reduce-rig {args.reduce_rig} >= rig size "
+                f"{rest_rig.num_points}; fitting the full rig",
+                file=sys.stderr,
+            )
+            seq_regress = False
+        else:
+            from facedeform_tpu.ops import decimate
+            from facedeform_tpu.utils import errors as err_mod
+
+            try:
+                with stage("reduce_fit", times):
+                    r_model, r_report, r_info = decimate.fit_reduced_frames(
+                        rest_rig.points,
+                        np.stack([r.points for r in rigs]).astype(np.float32),
+                        int(args.reduce_rig), cfg, params,
+                        confidence=rest_rig.attr("confidence"),
+                    )
+                err_mod.check_solve(r_report)
+            except (ValueError, err_mod.SolveFailedError) as e:
+                print(f"error: --reduce-mode regress: {e}", file=sys.stderr)
+                return 1
+            print(
+                f"info: reduce-rig (regress): {rest_rig.num_points} "
+                f"markers -> {len(r_info.idx)} centers, one shared "
+                f"factorization for {len(rigs)} frame(s); worst-frame fit "
+                f"residual at all markers max {r_info.fit_max.max():.3e} "
+                f"/ rms {r_info.fit_rms.max():.3e} (motion scale "
+                f"{r_info.motion_scale:.3e})",
+                file=sys.stderr,
+            )
+            red_seq = (r_model, r_report, r_info)
+
+    def _red_frame_deformer(f):
+        """Single-frame Deformer slice of the shot's regression model."""
+        from facedeform_tpu.deformer import Deformer as _Dfm
+        from facedeform_tpu.parallel.batched import _frame_model
+
+        r_model, r_report, _ = red_seq
+        return _Dfm(model=_frame_model(r_model, f), cfg=cfg, params=params,
+                    report=r_report, reduced=True)
+
     os.makedirs(args.outdir, exist_ok=True)
     node = FaceDeformNode()
     warned: set = set()
@@ -992,9 +1061,10 @@ def _cmd_deform_seq(args) -> int:
         blockers = []
         if args.picked:
             blockers.append("picked")
-        if cfg.solver == "pu":
-            pass  # any-N batch route: ops/pu.fit_pu_frames shares one
-            #       patch factorization across every frame
+        if cfg.solver == "pu" or red_seq is not None:
+            pass  # any-N batch routes: ops/pu.fit_pu_frames shares one
+            #       patch factorization across every frame; the reduced
+            #       regression model is K-center dense regardless of N
         elif cfg.solver == "krylov" or fit_mod.uses_krylov(cfg, n):
             blockers.append("krylov-size rig")
         if any(r.num_points != n for r in rigs):
@@ -1028,6 +1098,7 @@ def _cmd_deform_seq(args) -> int:
             res0 = node.cook(
                 [mesh, rest_rig, rigs[0]] + blends, cfg, params,
                 group=args.group, picked=args.picked,
+                deformer=_red_frame_deformer(0) if red_seq else None,
                 update_normals=args.update_normals,
                 transform_attrs=_split_attr_names(args.transform_attrs),
                 output_stretch=args.output_stretch,
@@ -1081,7 +1152,28 @@ def _cmd_deform_seq(args) -> int:
                     [r.points for r in rigs]
                 ).astype(np.float32)
             with stage("batch[1:]", times):
-                if cfg.solver == "pu":
+                if red_seq is not None:
+                    # reduced regression: the shot's model is already
+                    # fitted (one shared factorization over all frames);
+                    # slice to the frames this dispatch covers and eval.
+                    from facedeform_tpu.ops.fit import RBFModel as _RBFM
+
+                    r_model, _r_rep, r_info = red_seq
+                    model_all = r_model if fit_all else _RBFM(
+                        ctrl=r_model.ctrl, w_rbf=r_model.w_rbf[1:],
+                        w_poly=r_model.w_poly[1:], eps=r_model.eps,
+                    )
+                    out_frames, _ = batched.apply_frames(
+                        model_all, jnp.asarray(mesh.points),
+                        jnp.zeros(mesh.num_points, jnp.float32),
+                        jnp.asarray(gate), cfg, params, None, frame,
+                    )
+                    if fit_all:
+                        # the full-shot model (frame 0 included) is a
+                        # stock frames-stacked RBFModel: save_seq serves
+                        # apply_seq/deform-seq resume unchanged
+                        seq_ckpt = ("seq", (r_model, r_info.resid_norms))
+                elif cfg.solver == "pu":
                     # any-N route: one patch factorization for all frames
                     # (ops/pu.fit_pu_frames), one shared eval plan
                     from facedeform_tpu.ops.pu import (
@@ -1413,6 +1505,7 @@ def _cmd_deform_seq(args) -> int:
                 res = node.cook(
                     [mesh, rest_rig, rig] + blends, cfg, params,
                     group=args.group, picked=args.picked,
+                    deformer=_red_frame_deformer(f) if red_seq else None,
                     update_normals=args.update_normals,
                     transform_attrs=_split_attr_names(args.transform_attrs),
                     output_stretch=args.output_stretch,

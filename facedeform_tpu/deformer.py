@@ -81,6 +81,11 @@ class Deformer:
     cfg: DeformConfig
     params: DeformParams
     report: SolveReport
+    # True for reduced-basis regression fits (ops/decimate.fit_reduced):
+    # the model's ctrl are K selected centers of a larger rig, so the
+    # node's "deformer/rig control-count mismatch" safety warning is
+    # intentional there, not a stale-checkpoint symptom (node.py checks)
+    reduced: bool = False
 
     @classmethod
     def fit(

@@ -100,6 +100,12 @@ PARM_SPECS: List[Tuple[str, str, str, object, object]] = [
     # --save-psd or serve fit_psd + save) applied on top of the cook —
     # the file carries kernel/normalize/align, ops/psd.py
     ("psd_file", "PSD checkpoint", "string", "", None),
+    # rig decimation (ops/decimate.py): 0 = off.  Subset drops markers
+    # (pivoted-Cholesky selection, cached on the rest rig); Regress keeps
+    # all N markers as observations of K centers (fit_reduced, cached on
+    # the posed-rig data ids so marker drags refit but UI toggles don't)
+    ("reducerig", "Reduce rig to K", "int", 0, (0, 100000)),
+    ("reducemode", "Reduce mode", "menu", 0, ["Subset", "Regress"]),
 ]
 
 _SYMMETRIZE_NAMES = (None, "x", "y", "z")
@@ -365,6 +371,82 @@ def _input_mesh(state: dict, slot: int, input_node, warnings: List[str]) -> Mesh
     return mesh
 
 
+def _reduce_rig_for_cook(state, meshes, cfg, params, k, mode, warnings):
+    """Apply the `reducerig`/`reducemode` parms before the node cook.
+
+    Returns (meshes, external_deformer).  Subset mode replaces the rig
+    inputs with their K-marker decimation (the subset Mesh objects are
+    cached so their data ids stay stable across cooks and the node's
+    capture/solve caches keep holding); regress mode fits the
+    reduced-basis regression (ops/decimate.fit_reduced) and hands the
+    node a solved external deformer, cached on the posed-rig data ids —
+    a marker drag refits, an eval-toggle flip does not.
+    """
+    import hou
+
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.ops import decimate
+
+    rest_rig, def_rig = meshes[1], meshes[2]
+    n = rest_rig.num_points
+    if k >= n:
+        warnings.append(
+            f"reduce rig: K={k} >= rig size {n}; keeping all markers"
+        )
+        return meshes, None
+    if def_rig.num_points != n:
+        # let the node's own validation raise the reference error text
+        return meshes, None
+    if mode == 1:
+        # regress: all N markers constrain K centers
+        if cfg.solver == "pu":
+            raise hou.NodeError(
+                "Reduce mode 'Regress' conflicts with the "
+                "partition-of-unity solver (the K-center regression "
+                "model is already any-N)"
+            )
+        key = (rest_rig.pos_id, rest_rig.attr_id, def_rig.pos_id,
+               cfg.solve_view(), params.clamped(), k)
+        cached = state.get("reduce_fit")
+        if cached is not None and cached[0] == key:
+            return meshes, cached[1]
+        try:
+            model, report, info = decimate.fit_reduced(
+                rest_rig.points, def_rig.points, k, cfg, params,
+                confidence=rest_rig.attr("confidence"),
+            )
+        except ValueError as e:
+            raise hou.NodeError(str(e)) from e
+        d = Deformer(model=model, cfg=cfg, params=params, report=report,
+                     reduced=True)
+        state["reduce_fit"] = (key, d)
+        warnings.append(
+            f"reduce rig (regress): {n} markers -> {k} centers; fit "
+            f"residual rms {info.fit_rms:.3e} over all markers "
+            f"(motion scale {info.motion_scale:.3e})"
+        )
+        return meshes, d
+    # subset: selection reads only the rest rig; the subset meshes are
+    # cached by data id so repeated cooks hand the node IDENTICAL
+    # objects (stable pos/attr ids -> capture/solve caches hold)
+    key = (rest_rig.pos_id, rest_rig.attr_id, def_rig.pos_id,
+           def_rig.attr_id, k)
+    cached = state.get("reduce_subset")
+    if cached is not None and cached[0] == key:
+        sub_rest, sub_def = cached[1]
+    else:
+        sel = state.get("reduce_idx")
+        if sel is None or sel[0] != (rest_rig.pos_id, k):
+            idx, _rep = decimate.select_markers(rest_rig.points, k)
+            state["reduce_idx"] = ((rest_rig.pos_id, k), idx)
+        idx = state["reduce_idx"][1]
+        sub_rest, sub_def = rest_rig.subset(idx), def_rig.subset(idx)
+        state["reduce_subset"] = (key, (sub_rest, sub_def))
+    meshes = list(meshes)
+    meshes[1], meshes[2] = sub_rest, sub_def
+    return meshes, None
+
+
 def cook_sop(node) -> Optional[CookResult]:
     """Python SOP cook callback (the cookMySop analogue).
 
@@ -403,9 +485,17 @@ def cook_sop(node) -> Optional[CookResult]:
     sym_tol = float(_eval_parm(node, "symmetry_tol", 0.0))
     psd_path = str(_eval_parm(node, "psd_file", "")).strip()
     psd_model = _psd_from_path(state, psd_path) if psd_path else None
+    red_k = int(_eval_parm(node, "reducerig", 0))
+    ext_deformer = None
+    if red_k > 0:
+        meshes, ext_deformer = _reduce_rig_for_cook(
+            state, meshes, cfg, params, red_k,
+            int(_eval_parm(node, "reducemode", 0)), warnings,
+        )
     try:
         result = state["node"].cook(
             meshes, cfg, params, group=group or None,
+            deformer=ext_deformer,
             update_normals=bool(_eval_parm(node, "update_normals", 0)),
             transform_attrs=tuple(
                 s for s in (p.strip() for p in tr_attrs.split(",")) if s

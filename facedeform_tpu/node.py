@@ -603,6 +603,9 @@ class FaceDeformNode:
             if (
                 model is not None
                 and int(model.ctrl.shape[-2]) != rest_rig.num_points
+                # reduced-basis regressions (decimate.fit_reduced) choose
+                # K < N centers on purpose — not a stale checkpoint
+                and not getattr(deformer, "reduced", False)
             ):
                 warnings.append(
                     f"precomputed deformer was fitted on "

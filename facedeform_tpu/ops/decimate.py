@@ -186,6 +186,80 @@ class ReducedFitInfo(NamedTuple):
     motion_scale: float
 
 
+def _resolve_centers(rest, k, idx, eps_select):
+    """Shared idx resolution: select (or validate caller-supplied) centers."""
+    if idx is None:
+        idx, _sel = select_markers(rest, k, eps=eps_select)
+    else:
+        idx = np.asarray(idx, np.int32)
+        if len(np.unique(idx)) != len(idx):
+            raise ValueError("idx has duplicate centers")
+    return idx
+
+
+def _check_single_layer(cfg):
+    """fit_reduced's family contract; raised before any selection work."""
+    from facedeform_tpu.config import RBFModelType
+
+    if cfg.model == RBFModelType.MULTILAYER:
+        raise ValueError(
+            "fit_reduced is single-layer (KERNEL/QNN): MULTILAYER's "
+            "residual layers are interpolation machinery — use "
+            "reduce_rig (subset mode) for that family"
+        )
+
+
+def _reduced_design(cfg, params, rest, idx):
+    """Assemble the (N, K+m) reduced design matrix over K selected centers.
+
+    Returns (centers (K,3), a (N,K+m), eps_c, lam, m).  Radii follow the
+    model family on the CENTERS (QNN adaptive / global radius); QNN's
+    structural lam=0 is an interpolation contract — the regression is
+    overdetermined (N >= K) so a tiny ridge only conditions it."""
+    from facedeform_tpu.ops import fit as fit_mod
+    from facedeform_tpu.ops.assemble import poly_basis
+    from facedeform_tpu.ops.kernels import apply_kernel, pairwise_sqdist
+
+    _check_single_layer(cfg)
+    centers = jnp.asarray(rest[idx])
+    kernel = fit_mod.effective_kernel(cfg)
+    # confidence is an observation weight here, not a ridge, so it does
+    # not flow into _family_radii (whose QNN branch would reject it)
+    eps_c, lam0 = fit_mod._family_radii(cfg, params, centers, None)
+    lam = jnp.maximum(jnp.max(jnp.asarray(lam0)), 1e-6)
+    x = jnp.asarray(rest)
+    a_rbf = apply_kernel(kernel, pairwise_sqdist(x, centers), eps_c)
+    p_n = poly_basis(x, cfg.term)
+    a = jnp.concatenate([a_rbf, p_n], axis=1)          # (N, K+m)
+    return centers, a, eps_c, lam, int(p_n.shape[1])
+
+
+def _confidence_weights(confidence, n):
+    """(N, 1) sqrt-confidence observation weights, or None."""
+    if confidence is None:
+        return None
+    c = jnp.clip(jnp.asarray(confidence, jnp.float32).ravel(), 1e-3, 1.0)
+    if c.shape[0] != n:
+        raise ValueError(
+            f"confidence has {c.shape[0]} entries for {n} markers"
+        )
+    return jnp.sqrt(c)[:, None]
+
+
+def _ridge_normal_solve(a_w, b_w, ridge):
+    """Solve the ridge normal equations (A'A + diag(ridge)) Z = A'B with
+    two f32 iterative-refinement sweeps.  Returns (z, gram, rhs, resid)."""
+    _hp = jax.lax.Precision.HIGHEST
+    gram = jnp.dot(a_w.T, a_w, precision=_hp) + jnp.diag(ridge)
+    rhs = jnp.dot(a_w.T, b_w, precision=_hp)
+    z = jnp.linalg.solve(gram, rhs)
+    for _ in range(2):
+        r = rhs - jnp.dot(gram, z, precision=_hp)
+        z = z + jnp.linalg.solve(gram, r)
+    resid = rhs - jnp.dot(gram, z, precision=_hp)
+    return z, gram, rhs, resid
+
+
 def fit_reduced(
     rest_ctrl,
     deformed_ctrl,
@@ -222,20 +296,12 @@ def fit_reduced(
     and the (K+m)^2 solve + two iterative-refinement sweeps reuse the
     dense-solve machinery's contract.  Returns (model, report, info).
     """
-    from facedeform_tpu.config import DeformConfig, DeformParams, RBFModelType
-    from facedeform_tpu.ops import fit as fit_mod
-    from facedeform_tpu.ops.assemble import poly_basis
-    from facedeform_tpu.ops.kernels import apply_kernel, pairwise_sqdist
+    from facedeform_tpu.config import DeformConfig, DeformParams
     from facedeform_tpu.ops.solve import SolveReport
 
     cfg = cfg if cfg is not None else DeformConfig()
     params = (params if params is not None else DeformParams()).clamped()
-    if cfg.model == RBFModelType.MULTILAYER:
-        raise ValueError(
-            "fit_reduced is single-layer (KERNEL/QNN): MULTILAYER's "
-            "residual layers are interpolation machinery — use "
-            "reduce_rig (subset mode) for that family"
-        )
+    _check_single_layer(cfg)
     rest = np.ascontiguousarray(np.asarray(rest_ctrl, np.float32))
     deformed = np.ascontiguousarray(np.asarray(deformed_ctrl, np.float32))
     if rest.shape != deformed.shape:
@@ -243,57 +309,22 @@ def fit_reduced(
             f"rig shapes differ: {rest.shape} vs {deformed.shape}"
         )
     n = rest.shape[0]
-    if idx is None:
-        idx, _sel = select_markers(rest, k, eps=eps_select)
-    else:
-        idx = np.asarray(idx, np.int32)
-        if len(np.unique(idx)) != len(idx):
-            raise ValueError("idx has duplicate centers")
+    idx = _resolve_centers(rest, k, idx, eps_select)
     kk = len(idx)
-    centers = jnp.asarray(rest[idx])
+    centers, a, eps_c, lam, m = _reduced_design(cfg, params, rest, idx)
 
-    kernel = fit_mod.effective_kernel(cfg)
-    # per-family radii on the CENTERS (QNN adaptive / global radius) —
-    # confidence is an observation weight here, not a ridge, so it does
-    # not flow into _family_radii (whose QNN branch would reject it)
-    eps_c, lam0 = fit_mod._family_radii(cfg, params, centers, None)
-    # QNN's structural lam=0 is an interpolation contract; the regression
-    # is overdetermined (N >= K) so a tiny ridge only conditions it
-    lam = jnp.maximum(jnp.max(jnp.asarray(lam0)), 1e-6)
-
-    x = jnp.asarray(rest)
     delta = jnp.asarray(deformed - rest)
-    a_rbf = apply_kernel(kernel, pairwise_sqdist(x, centers), eps_c)
-    p_n = poly_basis(x, cfg.term)
-    a = jnp.concatenate([a_rbf, p_n], axis=1)          # (N, K+m)
-    if confidence is not None:
-        c = jnp.clip(jnp.asarray(confidence, jnp.float32).ravel(),
-                     1e-3, 1.0)
-        if c.shape[0] != n:
-            raise ValueError(
-                f"confidence has {c.shape[0]} entries for {n} markers"
-            )
-        sw = jnp.sqrt(c)[:, None]
-        a_w, delta_w = a * sw, delta * sw
-    else:
-        a_w, delta_w = a, delta
+    sw = _confidence_weights(confidence, n)
+    a_w, delta_w = (a, delta) if sw is None else (a * sw, delta * sw)
 
-    m = int(p_n.shape[1])
     ridge = jnp.concatenate(
         [jnp.full((kk,), lam, jnp.float32), jnp.zeros((m,), jnp.float32)]
     )
     _hp = jax.lax.Precision.HIGHEST
-    gram = jnp.dot(a_w.T, a_w, precision=_hp) + jnp.diag(ridge)
-    rhs = jnp.dot(a_w.T, delta_w, precision=_hp)
-
-    z = jnp.linalg.solve(gram, rhs)
-    for _ in range(2):  # f32 iterative refinement on the normal system
-        resid = rhs - jnp.dot(gram, z, precision=_hp)
-        z = z + jnp.linalg.solve(gram, resid)
+    z, gram, rhs, resid = _ridge_normal_solve(a_w, delta_w, ridge)
 
     # solver-health report: backward error of the NORMAL system (the
     # regression misfit below is data, not a solve failure)
-    resid = rhs - jnp.dot(gram, z, precision=_hp)
     report = SolveReport(
         residual_norm=jnp.linalg.norm(resid),
         rhs_norm=jnp.linalg.norm(rhs),
@@ -323,5 +354,112 @@ def fit_reduced(
         fit_rms=float(jnp.sqrt(jnp.mean(err**2))),
         fit_max=float(jnp.max(err)),
         motion_scale=float(jnp.max(jnp.abs(delta))),
+    )
+    return model, report, info
+
+
+class ReducedSeqFitInfo(NamedTuple):
+    """Per-frame regression diagnostics of a reduced-basis SHOT fit."""
+
+    idx: np.ndarray           # (k,) selected centers
+    fit_rms: np.ndarray       # (F,) rms |field(marker) - target| over ALL N
+    fit_max: np.ndarray       # (F,) max of the same
+    motion_scale: float
+    resid_norms: np.ndarray   # (F,) normal-system residual per frame
+
+
+def fit_reduced_frames(
+    rest_ctrl,
+    deformed_frames,
+    k: int,
+    cfg=None,
+    params=None,
+    confidence=None,
+    eps_select: Optional[float] = None,
+    idx=None,
+):
+    """Reduced-basis regression over a whole shot: ONE shared factorization.
+
+    The design matrix depends only on the REST rig and the selected
+    centers, so an F-frame tracked shot is just 3F right-hand-side columns
+    of the same ridge normal system: one (K+m, N)x(N, K+m) Gram assembly,
+    one factorization, all frames solved together (the reduced-regression
+    analogue of `fit_frames_dense` — the reference re-solves per cook,
+    src/SOP_FaceDeform.cpp:330-368).  Inputs (N, 3) rest and (F, N, 3)
+    deformed frames; `confidence` (N,) row-weights every frame alike.
+
+    Returns (model, report, info): `model` is a stock frames-stacked
+    RBFModel — ctrl (K, 3), w_rbf (F, 1, K, 3), w_poly (F, m, 3),
+    eps (1, K) — consumed unchanged by parallel/batched.apply_frames,
+    transport_frames, save_seq checkpoints and the sharded eval;
+    `report` is a single SolveReport over all 3F columns whose
+    col_backward exposes any single bad frame to errors.check_solve;
+    `info` carries per-frame regression misfits (data, not solve health).
+    """
+    from facedeform_tpu.config import DeformConfig, DeformParams
+    from facedeform_tpu.ops.fit import RBFModel
+    from facedeform_tpu.ops.solve import SolveReport
+
+    cfg = cfg if cfg is not None else DeformConfig()
+    params = (params if params is not None else DeformParams()).clamped()
+    _check_single_layer(cfg)
+    rest = np.ascontiguousarray(np.asarray(rest_ctrl, np.float32))
+    frames = np.ascontiguousarray(np.asarray(deformed_frames, np.float32))
+    if frames.ndim != 3 or frames.shape[1:] != rest.shape:
+        raise ValueError(
+            f"deformed_frames must be (F, N, 3) matching rest "
+            f"{rest.shape}, got {frames.shape}"
+        )
+    n, f = rest.shape[0], frames.shape[0]
+    idx = _resolve_centers(rest, k, idx, eps_select)
+    kk = len(idx)
+    centers, a, eps_c, lam, m = _reduced_design(cfg, params, rest, idx)
+
+    delta = jnp.asarray(frames) - jnp.asarray(rest)[None]      # (F, N, 3)
+    # pack frames as RHS columns: (N, 3F), frame-major [f0 xyz, f1 xyz, …]
+    delta_cols = jnp.transpose(delta, (1, 0, 2)).reshape(n, 3 * f)
+    sw = _confidence_weights(confidence, n)
+    a_w, d_w = (a, delta_cols) if sw is None else (a * sw, delta_cols * sw)
+
+    ridge = jnp.concatenate(
+        [jnp.full((kk,), lam, jnp.float32), jnp.zeros((m,), jnp.float32)]
+    )
+    _hp = jax.lax.Precision.HIGHEST
+    z, gram, rhs, resid = _ridge_normal_solve(a_w, d_w, ridge)
+
+    # one report over all 3F columns; per-column backward errors let
+    # errors.check_solve catch a single degenerate frame/axis
+    gnorm = jnp.linalg.norm(gram)
+    col_back = jnp.linalg.norm(resid, axis=0) / jnp.maximum(
+        gnorm * jnp.linalg.norm(z, axis=0)
+        + jnp.linalg.norm(rhs, axis=0), 1e-30
+    )
+    report = SolveReport(
+        residual_norm=jnp.linalg.norm(resid),
+        rhs_norm=jnp.linalg.norm(rhs),
+        scale_norm=gnorm * jnp.linalg.norm(z) + jnp.linalg.norm(rhs),
+        col_backward=col_back,
+    )
+
+    zf = jnp.transpose(z.reshape(kk + m, f, 3), (1, 0, 2))     # (F, K+m, 3)
+    model = RBFModel(
+        ctrl=centers,
+        w_rbf=zf[:, None, :kk, :],                             # (F, 1, K, 3)
+        w_poly=zf[:, kk:, :].astype(jnp.float32),              # (F, m, 3)
+        eps=jnp.broadcast_to(
+            jnp.asarray(eps_c, jnp.float32), (kk,)
+        )[None],                                               # (1, K)
+    )
+
+    pred = jnp.dot(a, z, precision=_hp).reshape(n, f, 3)
+    err = jnp.linalg.norm(jnp.transpose(pred, (1, 0, 2)) - delta, axis=2)
+    info = ReducedSeqFitInfo(
+        idx=np.asarray(idx),
+        fit_rms=np.asarray(jnp.sqrt(jnp.mean(err**2, axis=1))),
+        fit_max=np.asarray(jnp.max(err, axis=1)),
+        motion_scale=float(jnp.max(jnp.abs(delta))),
+        resid_norms=np.asarray(
+            jnp.linalg.norm(resid.reshape(kk + m, f, 3), axis=(0, 2))
+        ),
     )
     return model, report, info

@@ -19,7 +19,9 @@ Protocol (one JSON object per line, response per line):
   {"cmd": "info"}                                -> backend, deformer list
   {"cmd": "shutdown"}                            -> stops the server
 
-plus fit_seq/apply_seq (animated shots), fit_dbse/morph (blendshapes),
+plus fit_seq/apply_seq (animated shots; both fit cmds take an optional
+"reduce_k": K for the reduced-basis regression — all N markers constrain
+K selected centers, ops/decimate.py), fit_dbse/morph (blendshapes),
 fit_rig (inverse rigging), fit_psd/psd_delta (pose-space sculpt
 corrections), refit (interactive drags), transport (attrs through the
 deformation Jacobian), fit_skin (LBS bake: posed frames in, bones +
@@ -168,9 +170,13 @@ class Client:
         return resp, out
 
     def fit(self, rest_ctrl, deformed_ctrl, cfg: Optional[dict] = None,
-            params: Optional[dict] = None, confidence=None) -> str:
+            params: Optional[dict] = None, confidence=None,
+            reduce_k: Optional[int] = None) -> str:
+        """`reduce_k` switches to the reduced-basis regression (all N
+        markers constrain K selected centers, decimate.fit_reduced)."""
         resp, _ = self.request(
-            {"cmd": "fit", "cfg": cfg or {}, "params": params or {}},
+            {"cmd": "fit", "cfg": cfg or {}, "params": params or {},
+             **({"reduce_k": int(reduce_k)} if reduce_k else {})},
             {
                 "rest_ctrl": np.asarray(rest_ctrl, np.float32),
                 "deformed_ctrl": np.asarray(deformed_ctrl, np.float32),
@@ -311,15 +317,21 @@ class Client:
     def fit_seq(self, rest_ctrl, deformed_frames, cfg: Optional[dict] = None,
                 params: Optional[dict] = None, confidence=None,
                 temporal_smooth: Optional[int] = None,
-                temporal_order: int = 2) -> str:
+                temporal_order: int = 2,
+                reduce_k: Optional[int] = None) -> str:
         """One batched solve for an (F, N, 3) animated rig sequence.
         temporal_smooth=WINDOW (odd) Savitzky-Golay-filters the rig
-        trajectories server-side before the fit (ops/temporal.py)."""
+        trajectories server-side before the fit (ops/temporal.py).
+        reduce_k=K switches to the reduced-basis regression shot fit
+        (decimate.fit_reduced_frames: all N markers constrain K centers,
+        one shared factorization for every frame; composes with
+        temporal_smooth, which runs first)."""
         resp, out = self.request(
             {"cmd": "fit_seq", "cfg": cfg or {}, "params": params or {},
              **({"temporal_smooth": int(temporal_smooth),
                  "temporal_order": int(temporal_order)}
-                if temporal_smooth else {})},
+                if temporal_smooth else {}),
+             **({"reduce_k": int(reduce_k)} if reduce_k else {})},
             {
                 "rest_ctrl": np.asarray(rest_ctrl, np.float32),
                 "deformed_frames": np.asarray(deformed_frames, np.float32),
@@ -467,6 +479,34 @@ class DeformServer:
                     if "confidence" in req else None
                 )
                 plan = None
+                if req.get("reduce_k"):
+                    # reduced-basis regression: all N markers constrain
+                    # K pivoted-Cholesky-selected centers
+                    # (decimate.fit_reduced); a stock Deformer results
+                    if cfg.solver == "pu":
+                        return {
+                            "ok": False,
+                            "error": "reduce_k conflicts with solver='pu' "
+                                     "(the K-center regression model is "
+                                     "already any-N)",
+                        }
+                    from facedeform_tpu.ops import decimate
+
+                    r_model, r_report, r_info = decimate.fit_reduced(
+                        rest, deformed, int(req["reduce_k"]), cfg, params,
+                        confidence=conf,
+                    )
+                    d = Deformer(model=r_model, cfg=cfg, params=params,
+                                 report=r_report, reduced=True)
+                    did = self._new_id()
+                    self._deformers[did] = d
+                    return {
+                        "ok": True, "deformer": did, "plan": False,
+                        "residual": float(r_report.residual_norm),
+                        "centers": int(len(r_info.idx)),
+                        "fit_rms": float(r_info.fit_rms),
+                        "fit_max": float(r_info.fit_max),
+                    }
                 if cfg.solver == "pu":
                     # partition-of-unity route: the adapter exposes the
                     # same apply() contract, so downstream cmds just work
@@ -1078,6 +1118,36 @@ class DeformServer:
                         frames, window=int(req["temporal_smooth"]),
                         order=int(req.get("temporal_order", 2)),
                     )
+                if req.get("reduce_k"):
+                    # reduced-basis regression shot: the design matrix
+                    # reads only the rest rig, so all F frames share ONE
+                    # factorization (decimate.fit_reduced_frames); the
+                    # result is a stock frames-stacked model for apply_seq
+                    if cfg.solver == "pu":
+                        return {
+                            "ok": False,
+                            "error": "reduce_k conflicts with solver='pu' "
+                                     "(the K-center regression model is "
+                                     "already any-N)",
+                        }
+                    from facedeform_tpu.ops import decimate
+
+                    r_model, r_report, r_info = decimate.fit_reduced_frames(
+                        rest, frames, int(req["reduce_k"]), cfg, params,
+                        confidence=conf,
+                    )
+                    errors.check_solve(r_report)
+                    did = self._new_id()
+                    self._deformers[did] = (
+                        "seq", r_model, cfg, params, r_info.resid_norms
+                    )
+                    return {
+                        "ok": True, "deformer": did,
+                        "frames": int(frames.shape[0]),
+                        "centers": int(len(r_info.idx)),
+                        "residuals": enc(r_info.resid_norms),
+                        "fit_rms": enc(r_info.fit_rms),
+                    }
                 if cfg.solver == "pu":
                     # any-N sequence: all frames share one patch
                     # factorization (ops/pu.fit_pu_frames) and one eval

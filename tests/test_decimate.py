@@ -349,3 +349,128 @@ def test_cli_reduce_mode_regress(tmp_path):
         "--reduce-rig", "20", "--reduce-mode", "regress",
     ])
     assert rc == 1
+
+
+def test_fit_reduced_frames_matches_per_frame(rng):
+    """One shared factorization (3F RHS columns) is bit-compatible with F
+    independent single-pose regressions over the same centers, and the
+    stacked model rides parallel/batched.apply_frames unchanged."""
+    from facedeform_tpu.ops.decimate import fit_reduced, fit_reduced_frames
+    from facedeform_tpu.parallel import batched
+    from facedeform_tpu.utils import errors
+
+    n, f, k = 250, 4, 50
+    rest = rng.standard_normal((n, 3)).astype(np.float32)
+    frames = (
+        rest[None] + 0.1 * rng.standard_normal((f, n, 3))
+    ).astype(np.float32)
+    conf = rng.uniform(0.2, 1.0, n).astype(np.float32)
+    cfg, params = DeformConfig(), DeformParams()
+
+    m_all, rep, info = fit_reduced_frames(
+        rest, frames, k, cfg, params, confidence=conf
+    )
+    errors.check_solve(rep)        # one report, per-column backward errors
+    assert rep.col_backward.shape == (3 * f,)
+    assert m_all.w_rbf.shape == (f, 1, k, 3)
+    assert m_all.w_poly.shape[0] == f and m_all.ctrl.shape == (k, 3)
+    assert info.fit_rms.shape == (f,) and info.resid_norms.shape == (f,)
+
+    for fi in range(f):
+        m1, _, i1 = fit_reduced(
+            rest, frames[fi], k, cfg, params, confidence=conf, idx=info.idx
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_all.w_rbf[fi, 0]), np.asarray(m1.w_rbf[0]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m_all.w_poly[fi]), np.asarray(m1.w_poly), atol=1e-6
+        )
+        assert info.fit_rms[fi] == pytest.approx(i1.fit_rms, rel=1e-3)
+
+    # the stacked model is a stock frames model: apply_frames consumes it
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    out, _ = batched.apply_frames(
+        m_all, jnp.asarray(pts), jnp.zeros(300, jnp.float32),
+        jnp.ones(300, jnp.float32), cfg, params, None, None,
+    )
+    assert out.shape == (f, 300, 3)
+
+    # the fit sees kept AND dropped markers: prediction error at a marker
+    # OUTSIDE the centers stays bounded by the reported misfit
+    pred, _w = batched.apply_frames(
+        m_all, jnp.asarray(rest), jnp.zeros(n, jnp.float32),
+        jnp.ones(n, jnp.float32), cfg, params, None, None,
+    )
+    err = np.linalg.norm(np.asarray(pred) - frames, axis=2)
+    assert err.max() <= 1.5 * info.fit_max.max() + 1e-5
+
+
+def test_fit_reduced_frames_validation(rng):
+    from facedeform_tpu.config import RBFModelType
+    from facedeform_tpu.ops.decimate import fit_reduced_frames
+
+    rest = fibonacci_points(30)
+    frames = np.stack([rest, rest * 1.01])
+    with pytest.raises(ValueError):           # (F, N, 3) shape contract
+        fit_reduced_frames(rest, frames[:, :20], 5)
+    with pytest.raises(ValueError):           # MULTILAYER is interpolation
+        fit_reduced_frames(
+            rest, frames, 5, DeformConfig(model=RBFModelType.MULTILAYER)
+        )
+    with pytest.raises(ValueError):           # duplicate caller idx
+        fit_reduced_frames(rest, frames, 3, idx=np.array([1, 1, 2]))
+
+
+def test_cli_seq_regress(tmp_path):
+    """deform-seq --reduce-mode regress: the batch and per-frame paths
+    share the ONE shot factorization and agree; the checkpoint is a stock
+    sequence checkpoint."""
+    from facedeform_tpu import cli
+    from facedeform_tpu.geometry import load_mesh
+    from facedeform_tpu.geometry.obj_io import save_obj
+    from facedeform_tpu.utils import checkpoint
+
+    mesh = uv_sphere(10, 10)
+    rest = fibonacci_points(60) * 1.05
+    mesh_p = str(tmp_path / "mesh.obj")
+    rest_p = str(tmp_path / "rest.obj")
+    save_obj(mesh_p, mesh)
+    save_obj(rest_p, Mesh(points=rest))
+    rig_frames = []
+    for f in range(3):
+        p = str(tmp_path / f"posed{f}.obj")
+        save_obj(p, Mesh(points=rest + np.float32([0, 0.02 * (f + 1), 0])))
+        rig_frames.append(p)
+
+    base = ["deform-seq", mesh_p, rest_p, *rig_frames,
+            "--out-pattern", "f_%02d.obj",
+            "--model", "kernel", "--kernel", "gaussian", "--radius", "0.8",
+            "--reduce-rig", "16", "--reduce-mode", "regress"]
+    ck = str(tmp_path / "shot.npz")
+    assert cli.main(base + ["-o", str(tmp_path / "ref")]) == 0
+    assert cli.main(base + ["-o", str(tmp_path / "bat"), "--batch",
+                            "--save-deformer", ck]) == 0
+    for f in range(3):
+        ref = load_mesh(str(tmp_path / "ref" / f"f_{f:02d}.obj"))
+        got = load_mesh(str(tmp_path / "bat" / f"f_{f:02d}.obj"))
+        np.testing.assert_allclose(got.points, ref.points, atol=2e-5,
+                                   err_msg=f"frame {f}")
+        # the translation itself came through
+        np.testing.assert_allclose(
+            (got.points - mesh.points)[:, 1], 0.02 * (f + 1), atol=5e-3
+        )
+
+    # the checkpoint is a stock dense sequence checkpoint (frame 0
+    # included), sized by the K centers
+    model, _cfg, _params, resid = checkpoint.load_seq(ck)
+    assert model.w_rbf.shape[0] == 3 and model.ctrl.shape == (16, 3)
+    assert resid is not None and np.asarray(resid).shape == (3,)
+
+    # conflicts: regress + pu is an error; regress without K is an error
+    assert cli.main(base + ["-o", str(tmp_path / "x"),
+                            "--solver", "pu"]) == 1
+    assert cli.main(["deform-seq", mesh_p, rest_p, *rig_frames,
+                     "-o", str(tmp_path / "y"),
+                     "--reduce-mode", "regress"]) == 1

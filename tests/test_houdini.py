@@ -297,3 +297,75 @@ def test_cook_sop_psd_checkpoint(rng, tmp_path):
     node._parms["psd_file"] = str(tmp_path / "missing.npz")
     with pytest.raises(mock_hou.NodeError, match="PSD checkpoint"):
         hadapt.cook_sop(node)
+
+
+def test_cook_sop_reduce_rig(rng):
+    """`reducerig`/`reducemode` parms: subset decimation keeps the node
+    caches warm across cooks (stable subset-mesh data ids); regress hands
+    the cook an external reduced-basis deformer that matches the direct
+    decimate.fit_reduced route; conflicts raise pointed node errors."""
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.ops import decimate
+
+    # -- subset mode: output matches a direct cook on the sliced rigs
+    node, meshes = _scene(rng, n_ctrl=40)
+    node._parms["reducerig"] = 12
+    res = hadapt.cook_sop(node)
+    idx, _ = decimate.select_markers(meshes[1].points, 12)
+    want = FaceDeformNode().cook(
+        [meshes[0], meshes[1].subset(idx), meshes[2].subset(idx)],
+        DeformConfig(), DeformParams(),
+    )
+    np.testing.assert_allclose(res.mesh.points, want.mesh.points, atol=1e-6)
+
+    # repeated cook reuses the cached subset meshes AND the node solve
+    state = hadapt._NODE_STATE[node.path()]
+    deformer = state["node"]._deformer
+    sub_key = state["reduce_subset"][0]
+    hadapt.cook_sop(node)
+    assert state["node"]._deformer is deformer
+    assert state["reduce_subset"][0] == sub_key
+
+    # -- regress mode: external deformer == direct fit_reduced.  The fit
+    # info line surfaces as the adapter's one NodeWarning AFTER the
+    # geometry is written (cook_sop contract), so read it off the node.
+    node2, meshes2 = _scene(rng, n_ctrl=40)
+    node2._parms.update({"reducerig": 12, "reducemode": 1})
+    with pytest.raises(mock_hou.NodeWarning, match="regress"):
+        hadapt.cook_sop(node2)
+    got2 = np.asarray(
+        node2.geometry().pointFloatAttribValues("P"), np.float32
+    ).reshape(-1, 3)
+    m_ref, rep_ref, _ = decimate.fit_reduced(
+        meshes2[1].points, meshes2[2].points, 12
+    )
+    want2 = FaceDeformNode().cook(
+        meshes2, DeformConfig(), DeformParams(),
+        deformer=Deformer(model=m_ref, cfg=DeformConfig(),
+                          params=DeformParams(), report=rep_ref),
+    )
+    np.testing.assert_allclose(got2, want2.mesh.points, atol=1e-6)
+    # the regress fit is cached on the posed-rig ids: a cache-hit cook is
+    # silent (no refit warning) and reuses the deformer object; a rig
+    # drag (cook-count bump) refits
+    d_cached = hadapt._NODE_STATE[node2.path()]["reduce_fit"][1]
+    hadapt.cook_sop(node2)
+    assert hadapt._NODE_STATE[node2.path()]["reduce_fit"][1] is d_cached
+    node2.inputs()[2]._cook_count += 1
+    with pytest.raises(mock_hou.NodeWarning, match="regress"):
+        hadapt.cook_sop(node2)
+    assert (
+        hadapt._NODE_STATE[node2.path()]["reduce_fit"][1] is not d_cached
+    )
+
+    # -- K >= N warns and keeps the full rig
+    node3, _ = _scene(rng, n_ctrl=20)
+    node3._parms["reducerig"] = 50
+    with pytest.raises(mock_hou.NodeWarning, match="keeping all markers"):
+        hadapt.cook_sop(node3)
+
+    # -- regress + PU solver is a pointed error
+    node4, _ = _scene(rng, n_ctrl=40)
+    node4._parms.update({"reducerig": 12, "reducemode": 1, "solver": 3})
+    with pytest.raises(mock_hou.NodeError, match="partition-of-unity"):
+        hadapt.cook_sop(node4)

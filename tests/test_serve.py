@@ -788,3 +788,51 @@ def test_serve_load_shapes_checkpoint_clean_error(server, tmp_path):
     assert "engine export" in r["error"]
     assert "load_blendshapes()" not in r["error"].replace(
         "load_blendshapes +", "")
+
+
+def test_serve_reduced_regression(server, rng):
+    """reduce_k on fit and fit_seq: the served reduced-basis regression
+    matches the in-process decimate fits (same centers, same math), and
+    the conflicts are pointed errors."""
+    from facedeform_tpu import DeformConfig, DeformParams
+    from facedeform_tpu.ops import decimate
+
+    n, f, k = 120, 3, 24
+    rest = fibonacci_points(n)
+    frames = np.stack([
+        rest + 0.05 * rng.standard_normal((n, 3)).astype(np.float32)
+        for _ in range(f)
+    ])
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    c = serve_mod.Client(*server)
+
+    # single pose: served result == in-process fit_reduced model applied
+    resp, _ = c.request(
+        {"cmd": "fit", "cfg": {}, "params": {}, "reduce_k": k},
+        {"rest_ctrl": rest, "deformed_ctrl": frames[0]},
+    )
+    assert resp["centers"] == k and "fit_rms" in resp
+    got, _ = c.apply(resp["deformer"], pts)
+    from facedeform_tpu.deformer import Deformer
+
+    m1, rep1, _ = decimate.fit_reduced(rest, frames[0], k)
+    want, _ = Deformer(
+        model=m1, cfg=DeformConfig(), params=DeformParams(), report=rep1
+    ).apply(pts)
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+
+    # shot: one shared factorization server-side; per-frame parity with
+    # the served single-pose route over the same centers
+    sid = c.fit_seq(rest, frames, reduce_k=k)
+    out, _ = c.apply_seq(sid, pts)
+    assert out.shape == (f, 300, 3)
+    np.testing.assert_allclose(out[0], got, atol=2e-5)
+
+    # conflicts surface as pointed errors, not crashes
+    with pytest.raises(RuntimeError, match="reduce_k"):
+        c.fit(rest, frames[0], cfg={"solver": "pu"}, reduce_k=k)
+    with pytest.raises(RuntimeError, match="reduce_k"):
+        c.fit_seq(rest, frames, cfg={"solver": "pu"}, reduce_k=k)
+    with pytest.raises(RuntimeError, match="single-layer"):
+        c.fit_seq(rest, frames, cfg={"model": 1}, reduce_k=k)  # MULTILAYER
+    c.close()
