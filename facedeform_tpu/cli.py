@@ -531,6 +531,42 @@ def _maybe_autotune(args, cfg, params, rest_rig, deform_rig):
     return params, None
 
 
+def _symmetrize_pose(args, rest_rig, deform_rig):
+    """Mirror-close a single pose at CLI level (the deform-seq pattern).
+
+    Returns symmetrized (rest_rig, deform_rig) Meshes with class /
+    confidence carried through the closure.  Used when an external
+    deformer (reduce-mode regress) skips the node's fit stage — the
+    closure must land on the rigs BEFORE that fit reads them."""
+    from facedeform_tpu.geometry.mesh import Mesh as _Mesh
+    from facedeform_tpu.ops import symmetry as sym_ops
+
+    r2, frames2, cls2, conf2, rep = sym_ops.symmetrize_frames(
+        rest_rig.points, np.stack([deform_rig.points]),
+        args.symmetrize, tol=args.symmetry_tol,
+        classes=rest_rig.attr("class"),
+        confidence=rest_rig.attr("confidence"),
+    )
+    rest_sym = _Mesh(points=r2)
+    if cls2 is not None:
+        rest_sym.set_attr("class", cls2)
+    if conf2 is not None:
+        rest_sym.set_attr("confidence", conf2)
+    print(
+        f"info: symmetrize: {rep.n_paired} paired, {rep.n_on_plane} "
+        f"on-plane, {rep.n_appended} mirrored in (pair tol {rep.tol:.3g})",
+        file=sys.stderr,
+    )
+    if rep.n_skipped:
+        print(
+            f"warning: symmetrize: {rep.n_skipped} marker(s) not "
+            "mirrored in (near-duplicate control point); the "
+            "deformation is not exactly symmetric around them.",
+            file=sys.stderr,
+        )
+    return rest_sym, _Mesh(points=frames2[0])
+
+
 def _apply_reduce_rig(args, rest_rig, rigs):
     """--reduce-rig: decimate the rest rig + every posed rig with ONE
     rest-only marker selection (ops/decimate.py; the selection is
@@ -655,6 +691,7 @@ def _cmd_deform(args) -> int:
                 )
                 return 1
 
+    pre_symmetrized = False   # regress mode mirror-closes at CLI level
     if (getattr(args, "reduce_rig", None)
             and getattr(args, "reduce_mode", "subset") == "regress"):
         # reduced-basis regression: ALL markers constrain K centers
@@ -668,6 +705,13 @@ def _cmd_deform(args) -> int:
                 file=sys.stderr,
             )
             return 1
+        if cfg.solver == "pu":
+            print(
+                "error: --reduce-mode regress conflicts with --solver pu "
+                "(both replace the dense route; the K-center regression "
+                "model is already any-N)", file=sys.stderr,
+            )
+            return 1
         if args.reduce_rig >= rest_rig.num_points:
             print(
                 f"warning: --reduce-rig {args.reduce_rig} >= rig size "
@@ -677,7 +721,17 @@ def _cmd_deform(args) -> int:
         else:
             from facedeform_tpu.deformer import Deformer as _Dfm
             from facedeform_tpu.ops import decimate
+            from facedeform_tpu.utils import errors as err_mod
 
+            if args.symmetrize:
+                # the regress fit reads the rigs directly, so the mirror
+                # closure must land BEFORE it (the node's symmetrize only
+                # covers the fit stage this external deformer skips);
+                # same pairing pass as the deform-seq path
+                rest_rig, deform_rig = _symmetrize_pose(
+                    args, rest_rig, deform_rig
+                )
+                pre_symmetrized = True
             try:
                 with stage("reduce_fit", times):
                     r_model, r_report, r_info = decimate.fit_reduced(
@@ -685,7 +739,8 @@ def _cmd_deform(args) -> int:
                         int(args.reduce_rig), cfg, params,
                         confidence=rest_rig.attr("confidence"),
                     )
-            except ValueError as e:
+                err_mod.check_solve(r_report)
+            except (ValueError, err_mod.SolveFailedError) as e:
                 print(f"error: --reduce-mode regress: {e}", file=sys.stderr)
                 return 1
             print(
@@ -710,7 +765,8 @@ def _cmd_deform(args) -> int:
             transform_attrs=_split_attr_names(args.transform_attrs),
             output_stretch=args.output_stretch,
             recompute_normals=args.recompute_normals,
-            symmetrize=args.symmetrize, symmetry_tol=args.symmetry_tol,
+            symmetrize=None if pre_symmetrized else args.symmetrize,
+            symmetry_tol=args.symmetry_tol,
             examples=examples, psd_lam=args.psd_lambda,
             psd_eps=args.psd_eps, psd_normalize=args.psd_normalize,
             psd_align=args.psd_align, psd=psd_loaded,
@@ -1126,9 +1182,13 @@ def _cmd_deform_seq(args) -> int:
             gate = np.asarray(
                 res0.mesh.point_attrs["fd_falloff"], np.float32
             )
-            frames_arr = np.stack(
-                [r.points for r in rigs[1:]]
-            ).astype(np.float32)
+            frames_arr = None
+            if red_seq is None:
+                # the regress route's model is already fitted on the
+                # whole shot; only the fit-here branches stack the rigs
+                frames_arr = np.stack(
+                    [r.points for r in rigs[1:]]
+                ).astype(np.float32)
             # frames 1+ solve with the same per-marker confidence the
             # frame-0 node cook consumed (rest-rig `confidence` attr);
             # the cook already warned where the attr is inapplicable
@@ -1147,7 +1207,7 @@ def _cmd_deform_seq(args) -> int:
             # shot (save_seq/save_pu_seq), so the fit must cover frame 0
             # too; output for frame 0 still comes from the full node cook.
             fit_all = bool(args.save_deformer)
-            if fit_all:
+            if fit_all and red_seq is None:
                 frames_arr = np.stack(
                     [r.points for r in rigs]
                 ).astype(np.float32)

@@ -410,12 +410,16 @@ def _reduce_rig_for_cook(state, meshes, cfg, params, k, mode, warnings):
         cached = state.get("reduce_fit")
         if cached is not None and cached[0] == key:
             return meshes, cached[1]
+        from facedeform_tpu.utils import errors as err_mod
+
         try:
             model, report, info = decimate.fit_reduced(
                 rest_rig.points, def_rig.points, k, cfg, params,
                 confidence=rest_rig.attr("confidence"),
             )
-        except ValueError as e:
+            # a blown-up normal solve is a cook error, not NaN geometry
+            err_mod.check_solve(report)
+        except (ValueError, err_mod.SolveFailedError) as e:
             raise hou.NodeError(str(e)) from e
         d = Deformer(model=model, cfg=cfg, params=params, report=report,
                      reduced=True)

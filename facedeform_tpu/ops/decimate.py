@@ -100,8 +100,12 @@ def select_markers(
         col = jnp.exp(-jnp.sum(diff * diff, axis=1) * inv_e2)
         col = col + lam * (jnp.arange(n) == p)
         # subtract the span of the previous columns: low[:, i:] is still
-        # zero, so the full (N, k)x(k,) matvec is exact at every step
-        c = (col - low @ low[p]) * jax.lax.rsqrt(piv)
+        # zero, so the full (N, k)x(k,) matvec is exact at every step.
+        # HIGHEST: a bf16 MXU pass (~8e-3 rel) would compound over the k
+        # sequential steps and corrupt pivot order + the residual bound
+        c = (
+            col - jnp.dot(low, low[p], precision=jax.lax.Precision.HIGHEST)
+        ) * jax.lax.rsqrt(piv)
         low = low.at[:, i].set(c)
         d = jnp.maximum(d - c * c, 0.0)
         d = d.at[p].set(-1.0)  # never re-pick (roundoff guard)
@@ -161,6 +165,14 @@ def reduce_rig(
 
     keep = np.zeros(rest.shape[0], bool)
     keep[idx] = True
+    if getattr(cfg, "solver", None) == "pu":
+        # the error REPORT fit goes through Deformer, which refuses the
+        # PU route (a different artifact class); the interpolation error
+        # at the dropped markers is a kernel-family property, so measure
+        # it with the auto-routed dense/Krylov solver of the same family
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, solver="auto")
     d = Deformer.fit(rest[keep], deformed[keep], cfg, params)
     pred, _ = d.apply(rest[~keep])
     err = np.asarray(pred) - deformed[~keep]
@@ -238,19 +250,26 @@ def _confidence_weights(confidence, n):
     """(N, 1) sqrt-confidence observation weights, or None."""
     if confidence is None:
         return None
-    c = jnp.clip(jnp.asarray(confidence, jnp.float32).ravel(), 1e-3, 1.0)
-    if c.shape[0] != n:
-        raise ValueError(
-            f"confidence has {c.shape[0]} entries for {n} markers"
-        )
-    return jnp.sqrt(c)[:, None]
+    from facedeform_tpu.ops.fit import confidence_clipped
+
+    # THE per-marker-confidence contract (clip + shape check, raising the
+    # same ShapeMismatchError as every other route)
+    return jnp.sqrt(confidence_clipped(confidence, n))[:, None]
 
 
 def _ridge_normal_solve(a_w, b_w, ridge):
     """Solve the ridge normal equations (A'A + diag(ridge)) Z = A'B with
-    two f32 iterative-refinement sweeps.  Returns (z, gram, rhs, resid)."""
+    two f32 iterative-refinement sweeps.  Returns (z, gram, rhs, resid).
+
+    Zero-ridge columns (the polynomial tail) get a tiny RELATIVE ridge
+    (1e-6 of their own gram diagonal): a coplanar rig makes the tail
+    columns linearly dependent and the normal matrix exactly singular —
+    the SPD analogue of the dense solver's quasi-definite tail
+    regularization (ops/assemble.py; CLAUDE.md 'coplanar rigs solve')."""
     _hp = jax.lax.Precision.HIGHEST
-    gram = jnp.dot(a_w.T, a_w, precision=_hp) + jnp.diag(ridge)
+    gram = jnp.dot(a_w.T, a_w, precision=_hp)
+    ridge = jnp.where(ridge > 0, ridge, 1e-6 * jnp.diag(gram))
+    gram = gram + jnp.diag(ridge)
     rhs = jnp.dot(a_w.T, b_w, precision=_hp)
     z = jnp.linalg.solve(gram, rhs)
     for _ in range(2):

@@ -496,6 +496,9 @@ class DeformServer:
                         rest, deformed, int(req["reduce_k"]), cfg, params,
                         confidence=conf,
                     )
+                    # a blown-up normal solve must be an error response,
+                    # not a NaN deformer shipped with ok=true
+                    errors.check_solve(r_report)
                     d = Deformer(model=r_model, cfg=cfg, params=params,
                                  report=r_report, reduced=True)
                     did = self._new_id()

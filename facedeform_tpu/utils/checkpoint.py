@@ -60,6 +60,9 @@ def save(path: str, deformer: Deformer) -> None:
         eps=np.asarray(deformer.model.eps),
         residual_norm=float(deformer.report.residual_norm),
         rhs_norm=float(deformer.report.rhs_norm),
+        # reduced-basis regression marker (decimate.fit_reduced): keeps
+        # the node's control-count-mismatch warning suppressed on resume
+        reduced=int(getattr(deformer, "reduced", False)),
         **extra,
     )
 
@@ -125,7 +128,9 @@ def load(path: str) -> Deformer:
         residual_norm=jnp.asarray(float(data["residual_norm"])),
         rhs_norm=jnp.asarray(float(data["rhs_norm"])),
     )
-    return Deformer(model=model, cfg=cfg, params=params, report=report)
+    return Deformer(model=model, cfg=cfg, params=params, report=report,
+                    reduced=bool(data["reduced"]) if "reduced" in data
+                    else False)
 
 
 def save_orbax(path: str, deformer: Deformer) -> None:
@@ -146,6 +151,7 @@ def save_orbax(path: str, deformer: Deformer) -> None:
         "maxedges": int(deformer.params.maxedges),
         "residual_norm": float(deformer.report.residual_norm),
         "rhs_norm": float(deformer.report.rhs_norm),
+        "reduced": bool(getattr(deformer, "reduced", False)),
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -173,7 +179,8 @@ def load_orbax(path: str) -> Deformer:
         rhs_norm=jnp.asarray(meta["rhs_norm"]),
     )
     return Deformer(
-        model=model, cfg=_cfg_from_json(meta["cfg"]), params=params, report=report
+        model=model, cfg=_cfg_from_json(meta["cfg"]), params=params,
+        report=report, reduced=bool(meta.get("reduced", False)),
     )
 
 

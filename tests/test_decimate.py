@@ -276,7 +276,11 @@ def test_fit_reduced_validation(rng):
                     DeformConfig(model=RBFModelType.MULTILAYER))
     with pytest.raises(ValueError, match="duplicate"):
         fit_reduced(rest, rest, 3, idx=np.array([1, 1, 2]))
-    with pytest.raises(ValueError, match="confidence"):
+    # wrong-length confidence goes through THE shared contract
+    # (ops/fit.confidence_clipped) and raises its ShapeMismatchError
+    from facedeform_tpu.utils import errors
+
+    with pytest.raises(errors.ShapeMismatchError, match="confidence"):
         fit_reduced(rest, rest, 5, confidence=np.ones(7))
 
 

@@ -185,3 +185,131 @@ def test_transport_rejects_dbse_with_accurate_error(dbse_served, rng):
     }, raw=True)
     assert not r["ok"]
     assert "dbse" in r["error"] and "fit_seq" not in r["error"]
+
+
+# ---- reduced-regression review fixes (round-3, decimation work) --------
+
+def test_fit_reduced_coplanar_rig_solves(rng):
+    """A coplanar rig makes the polynomial-tail columns of the normal
+    equations linearly dependent; the relative tail ridge must keep the
+    gram solvable (the SPD analogue of the dense quasi-definite tail)."""
+    from facedeform_tpu.ops.decimate import fit_reduced, fit_reduced_frames
+    from facedeform_tpu.utils import errors
+
+    n = 120
+    rest = rng.standard_normal((n, 3)).astype(np.float32)
+    rest[:, 2] = 0.25                      # exactly planar: [1, z] dependent
+    deformed = rest + np.float32([0, 0.05, 0])
+    m, rep, info = fit_reduced(rest, deformed, 20)
+    errors.check_solve(rep)                # must not raise
+    assert np.isfinite(np.asarray(m.w_rbf)).all()
+    assert info.fit_max < 5e-3             # translation reproduced
+
+    frames = np.stack([deformed, rest + np.float32([0, 0.08, 0])])
+    m2, rep2, _ = fit_reduced_frames(rest, frames, 20)
+    errors.check_solve(rep2)
+    assert np.isfinite(np.asarray(m2.w_rbf)).all()
+
+
+def test_reduced_flag_survives_checkpoints(tmp_path, rng):
+    """The `reduced` marker must round-trip through save/load so a
+    resumed K-center model doesn't re-trigger the control-count-mismatch
+    checkpoint warning it exists to suppress."""
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import (
+        fibonacci_points, uv_sphere,
+    )
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.ops.decimate import fit_reduced
+    from facedeform_tpu.utils import checkpoint
+
+    rest = fibonacci_points(60)
+    model, rep, _ = fit_reduced(rest, rest * 1.02, 15)
+    d = Deformer(model=model, cfg=DeformConfig(), params=DeformParams(),
+                 report=rep, reduced=True)
+    p = str(tmp_path / "red.npz")
+    checkpoint.save(p, d)
+    d2 = checkpoint.load(p)
+    assert d2.reduced is True
+
+    res = FaceDeformNode().cook(
+        [uv_sphere(8, 8), Mesh(points=rest), Mesh(points=rest * 1.02)],
+        DeformConfig(), DeformParams(), deformer=d2,
+    )
+    assert not any("precomputed deformer" in w for w in res.warnings)
+    # a genuinely foreign checkpoint still warns
+    d3 = checkpoint.load(p)
+    assert d3.reduced  # sanity
+    import dataclasses
+    d_foreign = dataclasses.replace(d3, reduced=False)
+    res2 = FaceDeformNode().cook(
+        [uv_sphere(8, 8), Mesh(points=rest), Mesh(points=rest * 1.02)],
+        DeformConfig(), DeformParams(), deformer=d_foreign,
+    )
+    assert any("precomputed deformer" in w for w in res2.warnings)
+
+
+def test_reduce_rig_subset_supports_pu_cfg(rng):
+    """reduce_rig must not crash under solver='pu' (the report fit
+    reroutes through the auto dense/Krylov solver of the same family)."""
+    import dataclasses
+
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops.decimate import reduce_rig
+
+    rest = fibonacci_points(80)
+    cfg = dataclasses.replace(DeformConfig(), solver="pu")
+    idx, rep = reduce_rig(rest, rest * 1.03, 20, cfg, DeformParams())
+    assert len(idx) == 20 and np.isfinite(rep.max_err)
+
+
+def test_cli_deform_regress_symmetrize_composes(tmp_path, rng):
+    """--symmetrize with --reduce-mode regress must close the rig BEFORE
+    the regression fit: the output field has to be mirror-symmetric."""
+    from facedeform_tpu import cli
+    from facedeform_tpu.geometry import load_mesh
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.obj_io import save_obj
+    from facedeform_tpu.geometry.primitives import uv_sphere
+
+    mesh = uv_sphere(12, 12)
+    # one-sided rig: 40 markers all at x > 0.1
+    pts = rng.standard_normal((40, 3)).astype(np.float32)
+    pts[:, 0] = 0.15 + np.abs(pts[:, 0])
+    pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-6)
+    pts[:, 0] = np.maximum(pts[:, 0], 0.15)
+    posed = pts + np.float32([0, 0.05, 0])
+    mesh_p = str(tmp_path / "mesh.obj")
+    rest_p = str(tmp_path / "rest.obj")
+    posed_p = str(tmp_path / "posed.obj")
+    save_obj(mesh_p, mesh)
+    save_obj(rest_p, Mesh(points=pts))
+    save_obj(posed_p, Mesh(points=posed))
+    out = str(tmp_path / "out.obj")
+    rc = cli.main([
+        "deform", mesh_p, rest_p, posed_p, "-o", out,
+        "--model", "kernel", "--kernel", "gaussian", "--radius", "1.2",
+        "--reduce-rig", "24", "--reduce-mode", "regress",
+        "--symmetrize", "x",
+    ])
+    assert rc == 0
+    got = load_mesh(out)
+    disp = got.points - mesh.points
+    # mirror pairs of the output sphere: x -> -x maps the uv grid onto
+    # itself only approximately; instead check the FIELD at mirrored
+    # probes directly through the saved displacement
+    from scipy.spatial import cKDTree
+
+    mirrored = mesh.points * np.float32([-1, 1, 1])
+    j = cKDTree(mesh.points).query(mirrored)[1]
+    ok = np.linalg.norm(mesh.points[j] - mirrored, axis=1) < 1e-4
+    asym = np.abs(disp[j][ok] - disp[ok] * np.float32([-1, 1, 1])).max()
+    assert asym < 1e-4
+
+    # and regress + pu conflicts cleanly on the single-pose CLI too
+    rc = cli.main([
+        "deform", mesh_p, rest_p, posed_p, "-o", out,
+        "--solver", "pu", "--reduce-rig", "24", "--reduce-mode", "regress",
+    ])
+    assert rc == 1
