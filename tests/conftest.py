@@ -40,6 +40,44 @@ def rng():
     return np.random.default_rng(42)
 
 
+# --- smoke lane -------------------------------------------------------------
+# One representative test per major route (dense / krylov / PU / DBSE /
+# capture / sharded / pallas / serve / CLI / IO / skinning / blendshapes /
+# PSD), curated so `pytest -m smoke` stays under 5 minutes on this 1-core
+# box while the full 600+-test suite remains the nightly gate.  Keyed by
+# "file::name" so parametrized variants of a listed test are all included.
+_SMOKE = {
+    "test_node.py::test_cook_basic",
+    "test_node.py::test_cook_caches_solve_and_capture",
+    "test_solve.py::test_lu_refined_close_to_f64",
+    "test_krylov.py::test_fit_krylov_matches_direct",
+    "test_pu.py::test_pu_exact_interpolation_and_global_parity",
+    "test_pu.py::test_node_cook_with_pu_solver",
+    "test_dbse.py::test_lstsq_recovers_known_weights",
+    "test_dbse.py::test_parity_weights_match_reference_recipe",
+    "test_capture.py::test_end_to_end_with_capture",
+    "test_sharding.py::test_sharded_apply_matches_single_device",
+    "test_sharding.py::test_fit_sharded_matches_single_device",
+    "test_serve.py::test_serve_fit_apply_roundtrip",
+    "test_cli.py::test_cli_deform_roundtrip",
+    "test_pallas.py::test_pallas_gate_freezes",
+    "test_pallas.py::test_pallas_radius_skip",
+    "test_gltf_io.py::test_save_glb_static_roundtrip",
+    "test_skinning.py::test_two_rigid_clusters_recover_exactly",
+    "test_blendshapes.py::test_full_rank_reconstructs_exactly",
+    "test_geo_io.py::test_geo_roundtrip_full",
+    "test_grouppattern.py::test_plain_name_matches_group_mask",
+    "test_psd.py::test_exact_reproduction_at_examples",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("/")[-1].split("[")[0]
+        if base in _SMOKE:
+            item.add_marker(pytest.mark.smoke)
+
+
 # Every XLA:CPU JIT-compiled executable holds ~15 mmap'd code/data regions
 # (measured); the full suite compiles thousands of programs (interpret-mode
 # Pallas, shard_map variants, eager micro-ops), which can exhaust the
