@@ -85,6 +85,71 @@ def test_empty_pattern_raises(mesh):
         mesh.select_points("   ")
 
 
+@pytest.fixture
+def amesh(mesh):
+    mesh.set_attr("class", np.repeat(np.arange(4), 5).astype(np.int32))
+    mesh.set_attr("id", np.arange(20, dtype=np.int64))
+    mesh.set_attr(
+        "name", np.array([f"pt_{i % 3}" for i in range(20)])
+    )
+    return mesh
+
+
+def test_attr_equality_numeric(amesh):
+    assert _idx(amesh.select_points("@class=1")) == list(range(5, 10))
+    assert _idx(amesh.select_points("@class==1")) == list(range(5, 10))
+    # comma list = any-of
+    assert _idx(amesh.select_points("@class=0,3")) == list(range(5)) + list(
+        range(15, 20)
+    )
+
+
+def test_attr_inequality_and_ordered(amesh):
+    assert _idx(amesh.select_points("@class!=0")) == list(range(5, 20))
+    assert _idx(amesh.select_points("@id<4")) == [0, 1, 2, 3]
+    assert _idx(amesh.select_points("@id<=4")) == [0, 1, 2, 3, 4]
+    assert _idx(amesh.select_points("@id>17")) == [18, 19]
+    assert _idx(amesh.select_points("@id>=17")) == [17, 18, 19]
+
+
+def test_attr_string_match_and_glob(amesh):
+    assert _idx(amesh.select_points("@name=pt_0")) == list(range(0, 20, 3))
+    # glob on string values and comma any-of
+    assert _idx(amesh.select_points("@name=pt_*")) == list(range(20))
+    assert _idx(amesh.select_points("@name=pt_0,pt_1")) == sorted(
+        set(range(0, 20, 3)) | set(range(1, 20, 3))
+    )
+
+
+def test_attr_vector_component(amesh):
+    # P is a (V, 3) point attribute on every Mesh
+    amesh.set_attr("P", np.asarray(amesh.points))
+    got = _idx(amesh.select_points("@P.y>0"))
+    assert got == _idx(np.asarray(amesh.points)[:, 1] > 0)
+    # numeric component index spelling
+    assert _idx(amesh.select_points("@P.1>0")) == got
+
+
+def test_attr_composes_with_grammar(amesh):
+    # the Houdini idiom: everything in a class except a named group
+    assert _idx(amesh.select_points("@class=0,1 ^hand_l")) == list(range(5))
+    assert _idx(amesh.select_points("!@class=0")) == list(range(5, 20))
+
+
+def test_attr_errors(amesh):
+    with pytest.raises(KeyError, match="class"):
+        amesh.select_points("@missing=1")
+    with pytest.raises(ValueError, match="missing value"):
+        amesh.select_points("@class=")
+    with pytest.raises(ValueError, match="string attribute"):
+        amesh.select_points("@name<3")
+    amesh.set_attr("P", np.asarray(amesh.points))
+    with pytest.raises(ValueError, match="component"):
+        amesh.select_points("@P>0")
+    with pytest.raises(ValueError, match="out of range"):
+        amesh.select_points("@P.w>0")
+
+
 def test_node_cook_accepts_pattern(rng):
     from facedeform_tpu import DeformConfig, DeformParams, FaceDeformNode
 
