@@ -25,7 +25,7 @@ Houdini idiom `* ^fixed`).  A pattern of only `^`/`!` tokens starts from
 the empty set, matching GOP's semantics.
 
 Out of scope (documented, not planned): backtick hscript expressions
-(`\`ch(..)\``, need a live Houdini session), ad-hoc group ops from other
+(``ch(..)`` interpolation, needs a live Houdini session), ad-hoc group ops from other
 geometry streams (`opinput:` bindings), and primitive/edge/vertex group
 classes — this is a *point*-group parameter in the reference
 (src/SOP_FaceDeform.cpp:156: cookInputPointGroups).
