@@ -763,6 +763,25 @@ def config14_blendshape_bake(rng, n_verts=500_000, n_frames=16, rank=8):
     model, rep = blendshapes.fit_blendshapes(rest, frames, rank=rank)
     fit_s = _time.time() - t0
 
+    # Sharded route (parallel/blendshapes_sharded): on the single-chip
+    # bench box the mesh is 1-device, so this measures the shard_map
+    # wrapping overhead and proves route parity on-chip; multi-chip hosts
+    # report their real sharded timing through the same field.
+    import jax as _jax
+
+    from facedeform_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh()
+    blendshapes.fit_blendshapes(rest, frames, rank=rank, mesh=mesh)
+    t0 = _time.time()
+    model_s, rep_s = blendshapes.fit_blendshapes(
+        rest, frames, rank=rank, mesh=mesh
+    )
+    sharded_s = _time.time() - t0
+    shard_err = float(
+        jnp.max(jnp.abs(model_s.targets - model.targets))
+    )
+
     scale = float(jnp.max(jnp.abs(frames - rest[None])))
     return {
         "config": "14: PCA blendshape bake (compressed morph export)",
@@ -771,11 +790,17 @@ def config14_blendshape_bake(rng, n_verts=500_000, n_frames=16, rank=8):
         "rank": rank,
         "targets": model.n_targets,
         "warm_bake_s": fit_s,
+        "warm_sharded_bake_s": sharded_s,
+        "sharded_devices": len(_jax.devices()),
+        "sharded_target_err": shard_err,
         "rmse": rep.rmse,
         "rel_max_err": rep.max_err / scale,
         "energy": rep.energy,
         "compression_vs_lossless": n_frames / float(model.n_targets),
-        "pass": bool(rep.max_err / scale < 1e-4 and rep.energy > 0.999),
+        "pass": bool(
+            rep.max_err / scale < 1e-4 and rep.energy > 0.999
+            and shard_err / max(scale, 1e-30) < 1e-4
+        ),
     }
 
 

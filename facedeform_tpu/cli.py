@@ -1628,9 +1628,19 @@ def _cmd_deform_seq(args) -> int:
         if rank is not None:
             from facedeform_tpu.ops.blendshapes import fit_blendshapes
 
+            # Multi-chip hosts shard the (F, 3V) slab over the vertex
+            # axis automatically (one Gram psum, row-local basis matmul —
+            # parallel/blendshapes_sharded); single-chip is unchanged.
+            import jax as _jax
+
+            bs_mesh = None
+            if len(_jax.devices()) > 1:
+                from facedeform_tpu.parallel.sharding import make_mesh
+
+                bs_mesh = make_mesh()
             with stage("bake_shapes", times):
                 bs_model, bs_report = fit_blendshapes(
-                    mesh.points, np.stack(glb_frames), rank
+                    mesh.points, np.stack(glb_frames), rank, mesh=bs_mesh
                 )
             print(
                 f"info: blendshape bake: {bs_model.n_targets} targets over "

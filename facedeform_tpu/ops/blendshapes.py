@@ -106,6 +106,7 @@ def fit_blendshapes(
     frame_points,
     rank: int,
     center: bool = True,
+    mesh=None,
 ) -> tuple[BlendshapeModel, BlendshapeReport]:
     """Bake a shot to a rank-`rank` morph-target basis.
 
@@ -118,6 +119,9 @@ def fit_blendshapes(
                    spends the rank budget on *variation* rather than the
                    shot's average offset.  The returned model then has
                    rank+1 targets (unless the mean is exactly zero).
+    mesh:          optional jax.sharding.Mesh — shards the (F, 3V) slab
+                   over the vertex axis (one Gram psum, row-local basis
+                   matmul; parallel/blendshapes_sharded.py).
 
     Returns (BlendshapeModel, BlendshapeReport).  Everything heavy runs as
     two HIGHEST-precision device matmuls (see module docstring).
@@ -135,19 +139,33 @@ def fit_blendshapes(
         raise ValueError("need at least one frame")
     rank = max(1, min(int(rank), f_n))
 
+    if mesh is not None:
+        from facedeform_tpu.parallel.blendshapes_sharded import (
+            fit_blendshapes_sharded,
+        )
+
+        return fit_blendshapes_sharded(rest, frames, rank, mesh, center)
+
     deltas = frames - rest[None]              # (F, V, 3)
     d_flat = deltas.reshape(f_n, 3 * v)       # (F, 3V)
 
-    mean_target = None
+    mean_flat = None
+    mean_max = None
     if center:
+        # Centering by an exactly-zero mean is a no-op, so ALWAYS subtract
+        # and decide whether to emit the mean target after the Gram pull —
+        # the max rides the same host sync instead of blocking mid-fit.
         mean_flat = jnp.mean(d_flat, axis=0)  # (3V,)
-        # An exactly-zero mean (e.g. symmetric oscillation around rest)
-        # would add a useless all-zero target; skip it then.
-        if float(jnp.max(jnp.abs(mean_flat))) > 0.0:
-            mean_target = mean_flat
-            d_flat = d_flat - mean_flat[None]
+        mean_max = jnp.max(jnp.abs(mean_flat))
+        d_flat = d_flat - mean_flat[None]
 
     s, u = _gram_eigh(d_flat)                 # s (F,), u (F, F) f64 host
+    # An exactly-zero mean (e.g. symmetric oscillation around rest) would
+    # add a useless all-zero target; skip it then.  mean_max finished with
+    # the Gram dispatch, so this float() costs nothing extra.
+    mean_target = (
+        mean_flat if center and float(mean_max) > 0.0 else None
+    )
 
     # Dead-mode guard: a converged/constant shot has trailing singular
     # values at roundoff; dividing the basis by them would blow up.  Keep

@@ -1059,10 +1059,20 @@ class DeformServer:
                         f"frames {frames.shape} must be "
                         f"(F,) + rest_points {rest_pts.shape}"
                     )
+                # Multi-chip servers shard the bake over the vertex axis
+                # (parallel/blendshapes_sharded); single-chip unchanged.
+                import jax as _jax
+
+                bs_mesh = None
+                if len(_jax.devices()) > 1:
+                    from facedeform_tpu.parallel.sharding import make_mesh
+
+                    bs_mesh = make_mesh()
                 model, rep = blendshapes.fit_blendshapes(
                     rest_pts, frames,
                     rank=int(req.get("rank", 4)),
                     center=bool(req.get("center", True)),
+                    mesh=bs_mesh,
                 )
                 if req.get("path"):
                     checkpoint.save_blendshapes(req["path"], model, rep)

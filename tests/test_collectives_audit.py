@@ -168,6 +168,37 @@ def test_whole_shot_and_transport_and_pu_are_collective_free(rng):
     assert set(counts) == {"all-gather"}, counts
 
 
+def test_blendshape_bake_collective_budget(rng):
+    """Sharded PCA bake: stage 1 is exactly the Gram psum (+ the mean-max
+    pmax riding it); stage 2's basis matmul is row-local — its only
+    collectives are the report's error psum/pmax.  all-reduce only, no
+    resharding of the (F, 3V) slab."""
+    from facedeform_tpu.parallel import blendshapes_sharded as bss
+
+    mesh = sharding.make_mesh()
+    f_n, v, k = 5, 64, 3
+    deltas = jnp.asarray(rng.standard_normal((f_n, v, 3)).astype(np.float32))
+
+    txt1 = (
+        bss.stage1_gram(mesh, f_n, True)
+        .lower(deltas).compile().as_text()
+    )
+    counts1 = _collective_counts(txt1)
+    assert set(counts1) <= {"all-reduce"}, counts1
+    assert counts1.get("all-reduce", 0) >= 1, counts1
+
+    u_sc = jnp.asarray(rng.standard_normal((f_n, k)).astype(np.float32))
+    w_all = jnp.asarray(
+        rng.standard_normal((f_n, k + 1)).astype(np.float32)
+    )
+    txt2 = (
+        bss.stage2_basis(mesh, f_n, True, k, True)
+        .lower(deltas, u_sc, w_all).compile().as_text()
+    )
+    counts2 = _collective_counts(txt2)
+    assert set(counts2) <= {"all-reduce"}, counts2
+
+
 def test_dbse_sharded_collective_budget(rng):
     """Plain sharded DBSE: Gram/RHS psums only.  Robust DBSE adds the
     all-gathered residual norms for the global MAD median — exactly
