@@ -122,6 +122,11 @@ class FaceDeformNode:
         # model pull the (K, V, 3) tensor through the tunnel only once
         self._psd_ext = None
         self._psd_ext_corr: Optional[np.ndarray] = None
+        # device-resident corrections for the large-K·V route (psd.
+        # psd_apply_on_host False): placed once per (psd, mesh) pair —
+        # sharded over mesh_devices' vertex axis when a mesh is given
+        self._psd_dev_key: Optional[tuple] = None
+        self._psd_dev_corr = None
 
     # ---------------------------------------------------------- symmetrize
     def _symmetrized_rigs(self, rest_rig, deform_rig, plane, tol):
@@ -286,8 +291,43 @@ class FaceDeformNode:
                 align=bool(psd_align),
             )
         self._psd_key, self._psd_deformer = key, psd
-        self._psd_corr_host = np.stack(corr)
+        # Large K·V skips the persistent host cache: the apply pass then
+        # contracts on device against model.corrections (one (V, 3) pull
+        # per cook) instead of holding a second full-tensor host copy.
+        self._psd_corr_host = (
+            np.stack(corr)
+            if psd_ops.psd_apply_on_host(len(corr), mesh_in.num_points)
+            else None
+        )
         return psd
+
+    def _psd_corrections_device(self, psd, mesh_devices):
+        """(K, V, 3) corrections placed on the device mesh, sharded over
+        the vertex axis (GSPMD handles non-divisible V).  The contraction
+        w @ corr is row-local over vertices, so the sharded apply emits
+        zero collectives; placement is cached per (psd, mesh) pair so the
+        reshard happens once, not per cook."""
+        key = (id(psd), id(mesh_devices))
+        if self._psd_dev_key != key:
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from facedeform_tpu.parallel.sharding import VERTEX_AXIS
+
+            corr = psd.model.corrections
+            n_dev = mesh_devices.shape[VERTEX_AXIS]
+            pad = (-int(corr.shape[1])) % n_dev
+            if pad:
+                # device_put needs divisible dims; padded vertices carry
+                # zero corrections and the apply pass slices them off
+                corr = jnp.pad(corr, ((0, 0), (0, pad), (0, 0)))
+            self._psd_dev_corr = jax.device_put(
+                corr,
+                NamedSharding(mesh_devices, P(None, VERTEX_AXIS, None)),
+            )
+            self._psd_dev_key = key
+        return self._psd_dev_corr
 
     # -------------------------------------------------------------- backend
     def _choose_backend(
@@ -1037,8 +1077,12 @@ class FaceDeformNode:
                 corr_host = None
             else:
                 if self._psd_ext is not psd:
-                    self._psd_ext_corr = np.asarray(
-                        psd.model.corrections, np.float32
+                    from facedeform_tpu.ops import psd as psd_ops
+
+                    self._psd_ext_corr = (
+                        np.asarray(psd.model.corrections, np.float32)
+                        if psd_ops.psd_apply_on_host(kk, v_corr)
+                        else None
                     )
                     self._psd_ext = psd
                 corr_host = self._psd_ext_corr
@@ -1052,19 +1096,40 @@ class FaceDeformNode:
                     feat, r_q = psd_ops.pose_feature(
                         inputs[1].points, inputs[2].points, psd.align
                     )
-                    # weights on device (K scalars through the tunnel);
-                    # the (K) x (K, 3V) contraction on HOST against the
-                    # cached host corrections — pulling a (V, 3) field per
-                    # cook would cost ~1 s/1M verts on a tunneled runtime
+                    # weights on device (K scalars through the tunnel)
                     w_psd = np.asarray(
                         psd_ops.psd_weights(
                             psd.model, feat, psd.kernel, psd.normalize
                         ),
                         np.float32,
                     )
-                    delta = np.tensordot(
-                        w_psd, corr_host, axes=1
-                    ).astype(np.float32)
+                    if corr_host is not None:
+                        # small K·V (psd.psd_apply_on_host): the (K) x
+                        # (K, 3V) contraction on HOST against the cached
+                        # host corrections — pulling a (V, 3) field per
+                        # cook would cost ~1 s/1M verts on a tunneled
+                        # runtime
+                        delta = np.tensordot(
+                            w_psd, corr_host, axes=1
+                        ).astype(np.float32)
+                    else:
+                        # large K·V: corrections stay device-resident
+                        # (sharded over mesh_devices' vertex axis when a
+                        # mesh is given) — on-device contraction, ONE
+                        # (V, 3) pull, no second full-tensor host copy
+                        model = psd.model
+                        if mesh_devices is not None:
+                            model = model._replace(
+                                corrections=self._psd_corrections_device(
+                                    psd, mesh_devices
+                                )
+                            )
+                        delta = np.asarray(
+                            psd_ops.psd_delta(
+                                model, feat, psd.kernel, psd.normalize
+                            ),
+                            np.float32,
+                        )[: new_pts.shape[0]]
                     if r_q is not None:
                         # rest-frame corrections ride the query pose's
                         # rigid rotation back to world (rigid equivariance)

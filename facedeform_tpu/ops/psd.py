@@ -52,6 +52,20 @@ from facedeform_tpu.ops.solve import SolveReport, lu_solve_refined
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# Host-vs-device apply routing for node cooks.  The host route caches a
+# (K, V, 3) host copy of the corrections and contracts with host BLAS —
+# per-cook it beats the device route on a tunneled runtime (K scalars up
+# vs a ~12 MB/1M-vert (V, 3) pull at the tunnel's ~8-17 MB/s ≈ 1 s), but
+# the cache duplicates the whole tensor in host RAM (192 MB at 1M × 16).
+# Above this budget the node keeps corrections device-resident (sharded
+# over mesh_devices when given) and pays the one (V, 3) pull per cook.
+PSD_HOST_BYTES_MAX = 128 * 2**20
+
+
+def psd_apply_on_host(n_examples: int, n_verts: int) -> bool:
+    """True when the (K, V, 3) f32 host corrections cache fits the budget."""
+    return n_examples * n_verts * 3 * 4 <= PSD_HOST_BYTES_MAX
+
 
 def pairwise_sqdist_nd(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """(A, D), (B, D) -> (A, B) exact-difference squared distances.

@@ -291,6 +291,77 @@ def test_node_loaded_psd_matches_fit(tmp_path):
     assert any("checkpoint was fitted for" in w for w in res_bad.warnings)
 
 
+def test_node_device_route_matches_host(monkeypatch):
+    """Large-K·V routing (ops/psd.psd_apply_on_host False): corrections
+    stay device-resident, the contraction runs on device, and the cook
+    output matches the host-BLAS route exactly — with and without a
+    device mesh (sharded placement, cached per (psd, mesh) pair)."""
+    from facedeform_tpu.ops import psd as psd_ops
+    from facedeform_tpu.parallel.sharding import make_mesh
+
+    mesh, rest = _node_inputs()
+    pose_a = _posed(rest, 1.10)
+    ex_a = _make_example((mesh, rest), pose_a)
+    ex_b = _make_example((mesh, rest), _posed(rest, 0.92), bump=-0.1)
+
+    res_host = FaceDeformNode().cook(
+        [mesh, rest, pose_a], examples=[ex_a, ex_b], psd_align=True
+    )
+
+    monkeypatch.setattr(psd_ops, "PSD_HOST_BYTES_MAX", 0)
+    node_dev = FaceDeformNode()
+    res_dev = node_dev.cook(
+        [mesh, rest, pose_a], examples=[ex_a, ex_b], psd_align=True
+    )
+    assert node_dev._psd_corr_host is None          # no host cache
+    np.testing.assert_allclose(
+        res_dev.mesh.points, res_host.mesh.points, atol=1e-5
+    )
+
+    dmesh = make_mesh()
+    node_sh = FaceDeformNode()
+    res_sh = node_sh.cook(
+        [mesh, rest, pose_a], examples=[ex_a, ex_b], psd_align=True,
+        mesh_devices=dmesh,
+    )
+    np.testing.assert_allclose(
+        res_sh.mesh.points, res_host.mesh.points, atol=1e-5
+    )
+    # sharded placement cached across cooks of the same (psd, mesh) pair
+    placed = node_sh._psd_dev_corr
+    assert placed is not None
+    node_sh.cook(
+        [mesh, rest, _posed(rest, 1.05)], examples=[ex_a, ex_b],
+        psd_align=True, mesh_devices=dmesh,
+    )
+    assert node_sh._psd_dev_corr is placed
+
+
+def test_node_loaded_psd_device_route(tmp_path, monkeypatch):
+    """Checkpoint-loaded PSD over the size threshold: no host corrections
+    copy is materialized, output parity holds."""
+    from facedeform_tpu.ops import psd as psd_ops
+    from facedeform_tpu.utils import checkpoint
+
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    ex = _make_example((mesh, rest), pose)
+    node = FaceDeformNode()
+    res_fit = node.cook([mesh, rest, pose], examples=[ex])
+    fitted, _ = node.psd_state()
+    path = str(tmp_path / "psd.npz")
+    checkpoint.save_psd(path, fitted)
+    loaded = checkpoint.load_psd(path)
+
+    monkeypatch.setattr(psd_ops, "PSD_HOST_BYTES_MAX", 0)
+    node2 = FaceDeformNode()
+    res_load = node2.cook([mesh, rest, pose], psd=loaded)
+    assert node2._psd_ext_corr is None
+    np.testing.assert_allclose(
+        res_load.mesh.points, res_fit.mesh.points, atol=1e-6
+    )
+
+
 # ------------------------------------------------------------------- cli
 
 
