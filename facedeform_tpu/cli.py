@@ -228,6 +228,17 @@ def _build_parser() -> argparse.ArgumentParser:
     bs.add_argument("--gltf-fps", type=float, default=24.0,
                     help="keyframe rate for the .glb pose animation "
                          "(default 24)")
+    bs.add_argument("--flat-bones", action="store_true",
+                    help="export the .glb with B parentless joints under "
+                         "one armature node (identity inverse binds) "
+                         "instead of the default proximity-MST joint "
+                         "tree rooted near the bone-centroid mean")
+    bs.add_argument("--smooth-weights", type=float, default=0.0,
+                    metavar="LAMBDA",
+                    help="Laplacian weight-smoothness regularization over "
+                         "the mesh edges (unitless; 0.03-0.3 useful, "
+                         "0.1 measured to cut boundary roughness ~3.7x "
+                         "for +15%% RMSE on a noisy sweep); needs faces")
     _add_cook_flags(bs)
 
     b = sub.add_parser("bench", help="run the headline benchmark")
@@ -1970,18 +1981,33 @@ def _cmd_bake_skin(args) -> int:
                 cooked.append(np.asarray(res.mesh.points, np.float32))
         frames = np.stack(cooked)
 
+    edges = None
+    if mesh.faces is not None and len(mesh.faces):
+        from facedeform_tpu.geometry.topology import unique_edges
+
+        edges = unique_edges(mesh.faces)
+    if args.smooth_weights > 0.0 and edges is None:
+        print(
+            "warning: --smooth-weights needs mesh faces (edges); the "
+            "input is a point cloud — smoothing skipped", file=sys.stderr,
+        )
     with stage("fit_skinning", times):
         model, report = skinning.fit_skinning(
             mesh.points, frames, n_bones=args.bones,
             max_influences=args.max_influences,
             outer_iters=args.skin_iters, seed=args.seed,
+            edges=edges, smooth_lambda=args.smooth_weights,
         )
     checkpoint.save_skinning(args.output, model, report)
+    rough = (
+        "" if report.weight_roughness is None
+        else f", boundary roughness {report.weight_roughness:.4g}"
+    )
     print(
         f"info: skinning: {args.bones} bones, <= {args.max_influences} "
         f"influences/vertex over {frames.shape[0]} poses; reconstruction "
         f"rmse {report.rmse:.4g} ({report.relative_rmse:.2%} of bbox), "
-        f"max {report.max_err:.4g}", file=sys.stderr,
+        f"max {report.max_err:.4g}{rough}", file=sys.stderr,
     )
     if report.relative_rmse > 0.01:
         print(
@@ -1994,10 +2020,13 @@ def _cmd_bake_skin(args) -> int:
     if args.gltf:
         from facedeform_tpu.geometry.gltf_io import save_glb_skinned
 
-        save_glb_skinned(args.gltf, mesh, model, fps=args.gltf_fps)
+        save_glb_skinned(args.gltf, mesh, model, fps=args.gltf_fps,
+                         hierarchy=not args.flat_bones)
         print(
             f"info: wrote glTF binary {args.gltf} (skinned mesh + "
-            f"{frames.shape[0]}-pose animation)", file=sys.stderr,
+            f"{frames.shape[0]}-pose animation, "
+            f"{'flat bones' if args.flat_bones else 'joint tree'})",
+            file=sys.stderr,
         )
 
     if args.write_frames:

@@ -243,14 +243,58 @@ def save_glb(path: str, mesh) -> None:
     _write_glb(path, gltf, bb.blob)
 
 
+def _bone_centroids(w: np.ndarray, rest: np.ndarray) -> np.ndarray:
+    """(B, 3) weight-averaged rest positions; zero-weight bones fall back
+    to the mesh centroid (they bind SOMEWHERE sensible)."""
+    sw = w.sum(0)                                          # (B,)
+    cent = (w.T @ rest) / np.maximum(sw, 1e-12)[:, None]
+    return np.where(sw[:, None] > 1e-12, cent, rest.mean(0)[None])
+
+
+def _bone_mst_parents(cent: np.ndarray, root: int) -> np.ndarray:
+    """Prim MST over bone centroids (Euclidean), rooted at `root`.
+
+    Returns (B,) parent indices with parent[root] = -1 — the proximity
+    heuristic retarget/ragdoll tooling expects when no authored skeleton
+    exists (nearest bones are articulation neighbors on a face/body).
+    """
+    b = cent.shape[0]
+    parent = np.full(b, -1, np.int64)
+    in_tree = np.zeros(b, bool)
+    in_tree[root] = True
+    d2 = ((cent - cent[root]) ** 2).sum(-1)
+    best = np.full(b, root, np.int64)
+    for _ in range(b - 1):
+        cand = np.where(in_tree, np.inf, d2)
+        j = int(np.argmin(cand))
+        in_tree[j] = True
+        parent[j] = best[j]
+        nd = ((cent - cent[j]) ** 2).sum(-1)
+        closer = ~in_tree & (nd < d2)
+        d2[closer] = nd[closer]
+        best[closer] = j
+    return parent
+
+
 def save_glb_skinned(path: str, mesh, model, fps: float = 24.0,
-                     animate: bool = True) -> None:
+                     animate: bool = True, hierarchy: bool = True,
+                     root: int | None = None) -> None:
     """Write a baked SkinningModel as a skinned, animated .glb.
 
     mesh supplies topology (+ optional normals) and must match the
     model's rest vertex count; the model supplies weights and per-pose
     bone transforms.  With `animate`, poses become keyframes at `fps`
     (STEP interpolation: training poses are samples, not a smooth arc).
+
+    With `hierarchy` (default), joints form a proximity-MST tree over
+    bone centroids rooted at `root` (default: the bone nearest the
+    centroid mean): each joint's bind pose sits AT its centroid (inverse
+    bind matrices translate by -centroid) and node TRS/animation are
+    parent-LOCAL — what retarget/ragdoll tooling expects.  The skinning
+    matrices world(joint) @ IBM reproduce lbs_apply exactly either way
+    (tests/test_gltf_io.py decodes and checks).  `hierarchy=False` keeps
+    the flat layout: B parentless joints under one armature node,
+    identity IBMs, world-space TRS.
     """
     w = np.asarray(model.weights, np.float32)             # (V, B)
     rot = np.asarray(model.rotations, np.float32)         # (F, B, 3, 3)
@@ -284,23 +328,56 @@ def save_glb_skinned(path: str, mesh, model, fps: float = 24.0,
         "WEIGHTS_0": bb.add(weights4, _F32, "VEC4", target=_ARRAY_BUFFER),
     })
 
-    # identity inverse bind matrices (column-major == row-major for I)
-    ibm = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
-    ibm_acc = bb.add(ibm.reshape(b, 16), _F32, "MAT4")
+    if hierarchy:
+        rest = np.asarray(model.rest, np.float32)
+        cent = _bone_centroids(w, rest)
+        if root is None:
+            root = int(np.argmin(((cent - cent.mean(0)) ** 2).sum(-1)))
+        if not 0 <= int(root) < b:
+            raise ValueError(f"root={root} out of range [0, {b})")
+        parent = _bone_mst_parents(cent, int(root))
+        # world joint transforms: bind pose = T(centroid), so the skin
+        # matrix world(joint) @ T(-centroid) equals the LBS [R | t]
+        tw = np.einsum("fbij,bj->fbi", rot, cent) + tra    # (F, B, 3)
+        psafe = np.where(parent < 0, 0, parent)
+        rp = rot[:, psafe]                                 # (F, B, 3, 3)
+        loc_rot = np.einsum("fbji,fbjk->fbik", rp, rot)    # Rp^T Rj
+        loc_tra = np.einsum("fbji,fbj->fbi", rp, tw - tw[:, psafe])
+        is_root = parent < 0
+        loc_rot[:, is_root] = rot[:, is_root]
+        loc_tra[:, is_root] = tw[:, is_root]
+        ibm = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+        ibm[:, :3, 3] = -cent
+        children: list = [[] for _ in range(b)]
+        for j in range(b):
+            if parent[j] >= 0:
+                children[parent[j]].append(2 + j)
+        armature_children = [2 + int(root)]
+    else:
+        parent = np.full(b, -1, np.int64)
+        loc_rot, loc_tra = rot, tra
+        ibm = np.tile(np.eye(4, dtype=np.float32)[None], (b, 1, 1))
+        children = [[] for _ in range(b)]
+        armature_children = list(range(2, 2 + b))
+    # glTF MAT4 accessors are column-major
+    ibm_acc = bb.add(ibm.transpose(0, 2, 1).reshape(b, 16), _F32, "MAT4")
 
     # nodes: 0 = skinned mesh, 1 = armature root, 2.. = joints (frame-0
     # pose as the static TRS so an animation-less viewer shows pose 0)
-    quats = _rot_to_quat(rot)                              # (F, B, 4)
+    quats = _rot_to_quat(loc_rot)                          # (F, B, 4)
     nodes = [
         {"mesh": 0, "skin": 0, "name": "facedeform_skin"},
-        {"name": "armature", "children": list(range(2, 2 + b))},
+        {"name": "armature", "children": armature_children},
     ]
     for j in range(b):
-        nodes.append({
+        node = {
             "name": f"bone_{j:03d}",
             "rotation": [float(x) for x in quats[0, j]],
-            "translation": [float(x) for x in tra[0, j]],
-        })
+            "translation": [float(x) for x in loc_tra[0, j]],
+        }
+        if children[j]:
+            node["children"] = children[j]
+        nodes.append(node)
 
     gltf = _base_gltf(bb)
     gltf.update({
@@ -330,7 +407,7 @@ def save_glb_skinned(path: str, mesh, model, fps: float = 24.0,
                 "sampler": len(samplers) - 1,
                 "target": {"node": 2 + j, "path": "rotation"},
             })
-            tr_acc = bb.add(tra[:, j], _F32, "VEC3")
+            tr_acc = bb.add(loc_tra[:, j], _F32, "VEC3")
             samplers.append({"input": t_acc, "output": tr_acc,
                              "interpolation": "STEP"})
             channels.append({

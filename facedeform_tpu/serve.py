@@ -346,13 +346,17 @@ class Client:
     def fit_skin(self, rest_points, frames, bones: int = 16,
                  max_influences: int = 4, iters: int = 8, seed: int = 0,
                  faces=None, path: Optional[str] = None,
-                 gltf: Optional[str] = None, gltf_fps: float = 24.0):
+                 gltf: Optional[str] = None, gltf_fps: float = 24.0,
+                 smooth_lambda: float = 0.0, flat_bones: bool = False):
         """Skinning-as-a-service: decompose (F, V, 3) posed frames into
         LBS bones (ops/skinning.py — the bake-skin core).  Returns
         (weights (V, B), rotations (F, B, 3, 3), translations (F, B, 3),
         relative_rmse).  path= checkpoints server-side (.npz, kind
         "skin"); gltf= writes a skinned .glb server-side (pass faces=
-        (T, 3) for a viewable surface)."""
+        (T, 3) for a viewable surface; default is the proximity-MST
+        joint tree, flat_bones=True for the flat layout).
+        smooth_lambda= adds Laplacian weight smoothing over the faces'
+        edges (needs faces=)."""
         arrays = {
             "rest_points": np.asarray(rest_points, np.float32),
             "frames": np.asarray(frames, np.float32),
@@ -361,7 +365,9 @@ class Client:
             arrays["faces"] = np.asarray(faces, np.int32)
         req = {"cmd": "fit_skin", "bones": int(bones),
                "max_influences": int(max_influences), "iters": int(iters),
-               "seed": int(seed)}
+               "seed": int(seed),
+               "smooth_lambda": float(smooth_lambda),
+               "flat_bones": bool(flat_bones)}
         if path:
             req["path"] = path
         if gltf:
@@ -1008,12 +1014,23 @@ class DeformServer:
                         f"frames {frames.shape} must be "
                         f"(F,) + rest_points {rest_pts.shape}"
                     )
+                skin_edges = None
+                if "faces" in req:
+                    from facedeform_tpu.geometry.topology import (
+                        unique_edges,
+                    )
+
+                    skin_edges = unique_edges(
+                        decode_array(req["faces"]).astype(np.int32)
+                    )
                 model, rep = skinning.fit_skinning(
                     rest_pts, frames,
                     n_bones=int(req.get("bones", 16)),
                     max_influences=int(req.get("max_influences", 4)),
                     outer_iters=int(req.get("iters", 8)),
                     seed=int(req.get("seed", 0)),
+                    edges=skin_edges,
+                    smooth_lambda=float(req.get("smooth_lambda", 0.0)),
                 )
                 if req.get("path"):
                     checkpoint.save_skinning(req["path"], model, rep)
@@ -1030,6 +1047,7 @@ class DeformServer:
                     save_glb_skinned(
                         req["gltf"], Mesh(points=rest_pts, faces=faces),
                         model, fps=float(req.get("gltf_fps", 24.0)),
+                        hierarchy=not bool(req.get("flat_bones", False)),
                     )
                 return {
                     "ok": True,
@@ -1042,6 +1060,8 @@ class DeformServer:
                     ),
                     "rmse": float(rep.rmse),
                     "relative_rmse": float(rep.relative_rmse),
+                    **({"weight_roughness": float(rep.weight_roughness)}
+                       if rep.weight_roughness is not None else {}),
                 }
             if cmd == "fit_shapes":
                 # blendshape-bake-as-a-service (ops/blendshapes.py, the

@@ -501,6 +501,8 @@ def save_skinning(path: str, model, report=None) -> None:
         extra["rmse"] = float(report.rmse)
         extra["max_err"] = float(report.max_err)
         extra["bbox_diag"] = float(report.bbox_diag)
+        if report.weight_roughness is not None:
+            extra["weight_roughness"] = float(report.weight_roughness)
     np.savez(
         path,
         format_version=_FORMAT_VERSION,
@@ -538,6 +540,10 @@ def load_skinning(path: str):
             rmse=float(data["rmse"]),
             max_err=float(data["max_err"]),
             bbox_diag=float(data["bbox_diag"]),
+            weight_roughness=(
+                float(data["weight_roughness"])
+                if "weight_roughness" in data else None
+            ),
         )
     return model, report
 

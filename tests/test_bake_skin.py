@@ -79,6 +79,39 @@ def test_cli_bake_skin_gltf_export(tmp_path, capsys):
     np.testing.assert_allclose(times, [0.0, 1.0 / 12.0], atol=1e-7)
 
 
+def test_cli_bake_skin_smooth_weights_and_tree(tmp_path, capsys):
+    """--smooth-weights reports boundary roughness (and persists it in
+    the checkpoint); the default .glb carries the joint tree while
+    --flat-bones restores the flat layout."""
+    from facedeform_tpu.geometry import gltf_io
+
+    mesh, rig_paths = _write_sweep(tmp_path)
+    out = str(tmp_path / "skin.npz")
+    glb = str(tmp_path / "skin.glb")
+    rc = main([
+        "bake-skin", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        *rig_paths, "-o", out, "--bones", "6", "--max-influences", "4",
+        "--smooth-weights", "0.1", "--gltf", glb,
+    ])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "boundary roughness" in err
+    assert "joint tree" in err
+    _, report = checkpoint.load_skinning(out)
+    assert report is not None and report.weight_roughness is not None
+    gltf, _ = gltf_io.load_glb(glb)
+    assert len(gltf["nodes"][1]["children"]) == 1      # single tree root
+
+    rc = main([
+        "bake-skin", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        *rig_paths, "-o", out, "--bones", "6", "--max-influences", "4",
+        "--gltf", glb, "--flat-bones",
+    ])
+    assert rc == 0
+    gltf, _ = gltf_io.load_glb(glb)
+    assert len(gltf["nodes"][1]["children"]) == 6      # flat joint list
+
+
 def test_cli_bake_skin_from_meshes(tmp_path):
     """--from-meshes bypasses the deformer: decompose given posed meshes."""
     mesh = uv_sphere(16, 16)

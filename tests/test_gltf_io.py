@@ -101,7 +101,7 @@ def test_save_glb_skinned_lbs_parity(tmp_path):
 
     mesh = Mesh(points=pts)
     path = str(tmp_path / "skin.glb")
-    gltf_io.save_glb_skinned(path, mesh, model, fps=10.0)
+    gltf_io.save_glb_skinned(path, mesh, model, fps=10.0, hierarchy=False)
     gltf, blob = gltf_io.load_glb(path)
 
     prim = gltf["meshes"][0]["primitives"][0]
@@ -145,6 +145,107 @@ def test_save_glb_skinned_lbs_parity(tmp_path):
         gltf, blob, anim["samplers"][0]["input"]
     )
     np.testing.assert_allclose(times, [0.0, 0.1], atol=1e-7)
+
+
+def test_save_glb_skinned_hierarchy_roundtrip(tmp_path):
+    """Default (hierarchy) export: load the .glb back, verify the joint
+    TREE (one root under the armature, every joint reachable), then
+    evaluate glTF skinning THE SPEC WAY — world(joint) through the node
+    hierarchy from the animation's parent-local TRS, times the inverse
+    bind matrices — and require parity with skinning.lbs_apply."""
+    pts = fibonacci_points(300) * np.float32([2.0, 1.0, 1.0])
+    bands = (pts[:, 0] > -0.7).astype(int) + (pts[:, 0] > 0.7).astype(int)
+    frames = []
+    for ang in (0.3, -0.4):
+        moved = pts.copy()
+        for band, s in ((1, 0.5), (2, 1.0)):
+            sel = bands == band
+            r = _rotation([0, 0, 1], s * ang).astype(np.float32)
+            moved[sel] = pts[sel] @ r.T + np.float32([0, 0.1, 0]) * s * ang
+        frames.append(moved)
+    frames = np.stack(frames)
+    model, report = skinning.fit_skinning(
+        pts, frames, n_bones=3, max_influences=2, seed=5
+    )
+    assert report.rmse < 2e-2
+
+    path = str(tmp_path / "tree.glb")
+    gltf_io.save_glb_skinned(path, Mesh(points=pts), model, fps=10.0)
+    gltf, blob = gltf_io.load_glb(path)
+
+    skin = gltf["skins"][0]
+    joints = skin["joints"]
+    b = len(joints)
+    assert b == 3
+    # tree structure: armature has ONE child (the root joint); every
+    # joint is reachable from it through children lists
+    armature = gltf["nodes"][1]
+    assert len(armature["children"]) == 1
+    seen = set()
+    stack = list(armature["children"])
+    parent_of = {}
+    while stack:
+        n = stack.pop()
+        seen.add(n)
+        for c in gltf["nodes"][n].get("children", []):
+            parent_of[c] = n
+            stack.append(c)
+    assert seen == set(joints)
+
+    ibm = gltf_io.read_accessor(gltf, blob, skin["inverseBindMatrices"])
+    ibm = ibm.reshape(b, 4, 4).transpose(0, 2, 1)     # column-major -> row
+    # IBMs are pure -centroid translations, not identity
+    assert np.abs(ibm[:, :3, 3]).max() > 1e-3
+
+    prim = gltf["meshes"][0]["primitives"][0]
+    jj = gltf_io.read_accessor(gltf, blob, prim["attributes"]["JOINTS_0"])
+    ww = gltf_io.read_accessor(gltf, blob, prim["attributes"]["WEIGHTS_0"])
+
+    anim = gltf["animations"][0]
+    for f in range(model.n_frames):
+        # parent-LOCAL TRS per joint from the animation channels
+        loc = {}
+        for ch in anim["channels"]:
+            sampler = anim["samplers"][ch["sampler"]]
+            out = gltf_io.read_accessor(gltf, blob, sampler["output"])
+            node = ch["target"]["node"]
+            m = loc.setdefault(node, np.eye(4))
+            if ch["target"]["path"] == "rotation":
+                m[:3, :3] = _quat_to_mat_np(out[f])
+            else:
+                m[:3, 3] = out[f]
+        # world transforms by walking the tree (armature is identity)
+        world = {}
+
+        def world_of(n):
+            if n not in world:
+                m = loc[n]
+                p = parent_of.get(n)
+                world[n] = m if p is None else world_of(p) @ m
+            return world[n]
+
+        skin_mats = np.stack(
+            [world_of(n) @ ibm[j] for j, n in enumerate(joints)]
+        )                                               # (B, 4, 4)
+        hpts = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], -1)
+        posed = np.einsum("vbij,vj->vbi", skin_mats[jj], hpts)[..., :3]
+        got = np.einsum("vb,vbi->vi", ww.astype(np.float64), posed)
+        want = np.asarray(skinning.lbs_apply(
+            model.weights, model.rest,
+            model.rotations[f], model.translations[f],
+        ))
+        assert np.abs(got - want).max() < 1e-3, f
+
+    # explicit root is honored; bad root raises
+    gltf_io.save_glb_skinned(
+        str(tmp_path / "r0.glb"), Mesh(points=pts), model, root=0
+    )
+    g2, _ = gltf_io.load_glb(str(tmp_path / "r0.glb"))
+    assert g2["nodes"][1]["children"] == [2]
+    with pytest.raises(ValueError, match="root"):
+        gltf_io.save_glb_skinned(
+            str(tmp_path / "bad.glb"), Mesh(points=pts), model, root=99
+        )
 
 
 def test_save_glb_morph_roundtrip(tmp_path):
