@@ -241,7 +241,7 @@ class Deformer:
         )
 
     def transform_attrs(self, points, attrs, weight, frame=None, kinds=None,
-                        want_stretch=False):
+                        want_stretch=False, f_map=None):
         """Transport point attributes through the applied map's deformation
         gradient — one shared Jacobian for the whole batch.
 
@@ -264,10 +264,10 @@ class Deformer:
 
         return transport_attrs(
             self.jacobian(points), attrs, weight, self.cfg, frame, kinds,
-            want_stretch=want_stretch,
+            want_stretch=want_stretch, f_map=f_map,
         )
 
-    def principal_stretches(self, points, weight, frame=None):
+    def principal_stretches(self, points, weight, frame=None, f_map=None):
         """Per-vertex singular values of the applied map's deformation
         gradient, descending; (V, 3).  sigma_max > 1 = local stretch,
         sigma_min < 1 = compression, rigid regions give (1, 1, 1) —
@@ -276,9 +276,10 @@ class Deformer:
             _applied_gradient, principal_stretches,
         )
 
-        return principal_stretches(_applied_gradient(
-            self.jacobian(points), weight, self.cfg, frame
-        ))
+        f = _applied_gradient(self.jacobian(points), weight, self.cfg, frame)
+        if f_map is not None:
+            f = f_map(f)
+        return principal_stretches(f)
 
     def apply(
         self,

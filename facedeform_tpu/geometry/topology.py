@@ -41,6 +41,35 @@ def adjacency_csr(num_points: int, edges: np.ndarray) -> Tuple[np.ndarray, np.nd
     return indptr, dst.astype(np.int32)
 
 
+def padded_neighbors(
+    num_points: int, edges: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fixed-degree neighbor table for TPU gathers: (V, Dmax) int32
+    indices SELF-PADDED (slot j of an under-degree vertex points at the
+    vertex itself, so differences like w[nbr] - w[:, None] vanish there
+    with no validity mask), plus the real (V,) float32 degrees.
+
+    Shared by the skinning weight-smoothness Laplacian (ops/skinning.py)
+    and the morphspace transport gradient (ops/jacobian.
+    mesh_field_gradient) — both want one static-shape gather per use.
+    """
+    e = np.asarray(edges, np.int64)
+    if e.size == 0:
+        return (
+            np.tile(np.arange(num_points, dtype=np.int32)[:, None], (1, 1)),
+            np.zeros(num_points, np.float32),
+        )
+    src = np.concatenate([e[:, 0], e[:, 1]])
+    dst = np.concatenate([e[:, 1], e[:, 0]])
+    counts = np.bincount(src, minlength=num_points)
+    dmax = int(counts.max())
+    nbr = np.tile(np.arange(num_points, dtype=np.int32)[:, None], (1, dmax))
+    order = np.argsort(src, kind="stable")
+    slot = np.concatenate([np.arange(c) for c in counts])
+    nbr[src[order], slot] = dst[order].astype(np.int32)
+    return nbr, counts.astype(np.float32)
+
+
 def mesh_adjacency(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
     if mesh.faces is None or len(mesh.faces) == 0:
         return np.zeros(mesh.num_points + 1, np.int64), np.zeros(0, np.int32)

@@ -127,6 +127,10 @@ class FaceDeformNode:
         # sharded over mesh_devices' vertex axis when a mesh is given
         self._psd_dev_key: Optional[tuple] = None
         self._psd_dev_corr = None
+        # 1-ring neighbor table for the morphspace transport gradient
+        # (ops/jacobian.mesh_field_gradient), cached on mesh topology
+        self._nbr_key: Optional[int] = None
+        self._nbr_table = None
 
     # ---------------------------------------------------------- symmetrize
     def _symmetrized_rigs(self, rest_rig, deform_rig, plane, tol):
@@ -328,6 +332,22 @@ class FaceDeformNode:
             )
             self._psd_dev_key = key
         return self._psd_dev_corr
+
+    def _transport_neighbors(self, mesh: Mesh):
+        """Self-padded 1-ring table for ops/jacobian.mesh_field_gradient,
+        cached on mesh topology (top_id) — one device upload per topology,
+        not per cook."""
+        if self._nbr_key != mesh.top_id:
+            from facedeform_tpu.geometry.topology import (
+                padded_neighbors, unique_edges,
+            )
+
+            nbr, _ = padded_neighbors(
+                mesh.num_points, unique_edges(mesh.faces)
+            )
+            self._nbr_table = jnp.asarray(nbr)
+            self._nbr_key = mesh.top_id
+        return self._nbr_table
 
     # -------------------------------------------------------------- backend
     def _choose_backend(
@@ -836,6 +856,80 @@ class FaceDeformNode:
             new_pts = np.asarray(new_pts)
         out.set_attr("fd_falloff", np.asarray(falloff, np.float32))
 
+        if picked:
+            # Eval-pass falloff viz: the reference maps falloff onto an HSV
+            # 200..250 hue when the node is selected ("picked",
+            # src/SOP_FaceDeform.cpp:426-436 — intent FIXME'd out there;
+            # this is the working version), white otherwise.
+            from facedeform_tpu.capture.capture import _hsv_to_rgb
+
+            f = np.clip(np.asarray(falloff, np.float32), 0.0, 1.0)
+            out.set_attr("Cd", _hsv_to_rgb(200.0 + f * 50.0))
+        elif capture is not None:
+            out.set_attr("Cd", capture.color)
+
+        # ------------------------------------------------------ morph pass
+        weights_out = None
+        rbf_pts = new_pts  # RBF-pass output, kept for the morph Jacobian
+        if dbse_model is not None:
+          with stage("morph", times):
+            rest_attr = jnp.asarray(self._rest_attr)
+            cur = jnp.asarray(new_pts)
+            if cfg.dbse_robust and not cfg.dbse_lstsq:
+                warnings.append(
+                    "dbse_robust requires the least-squares weight path "
+                    "(dbse_lstsq=True); ignoring it for the parity recipe."
+                )
+            if cfg.dbse_lstsq and mesh_devices is not None:
+                if cfg.dbse_robust:
+                    from facedeform_tpu.parallel.dbse_sharded import (
+                        weights_robust_sharded as _w_sharded,
+                    )
+                else:
+                    from facedeform_tpu.parallel.dbse_sharded import (
+                        weights_lstsq_sharded as _w_sharded,
+                    )
+
+                w, w_report = _w_sharded(
+                    dbse_model.deltas, cur, rest_attr, mesh_devices
+                )
+                # Same Gram-solve health check as the single-device path:
+                # an ill-conditioned blend basis must trip the warning on
+                # both (src/SOP_FaceDeform.cpp:363-368's terminationtype).
+                try:
+                    errors.check_solve(w_report)
+                    ok = True
+                except errors.SolveFailedError:
+                    ok = False
+            elif cfg.dbse_lstsq:
+                if cfg.dbse_robust:
+                    w, w_report = dbse_ops.weights_robust(
+                        dbse_model, cur, rest_attr
+                    )
+                else:
+                    w, w_report = dbse_ops.weights_lstsq(
+                        dbse_model, cur, rest_attr
+                    )
+                try:
+                    errors.check_solve(w_report)
+                    ok = True
+                except errors.SolveFailedError:
+                    ok = False
+            else:
+                w = dbse_ops.weights_parity(dbse_model, cur, rest_attr)
+                ok = bool(np.isfinite(np.asarray(w)).all())
+            if not ok:
+                warnings.append(
+                    "Can't compute weights for morphspace deformation. Ignoring it."
+                )
+            else:
+                morphed = dbse_ops.morph_apply(
+                    dbse_model, cur, rest_attr, w, cfg, params
+                )
+                new_pts = np.asarray(morphed)
+                weights_out = np.asarray(w)
+                out.detail_attrs["weights"] = weights_out
+
         # ---------------------------------------------- attribute transport
         # Extension over the reference: cookMySop writes positions only
         # (src/SOP_FaceDeform.cpp:438), leaving rest-pose N/v/orient frames
@@ -897,14 +991,62 @@ class FaceDeformNode:
                 break
             to_transport[name] = vals
             transport_kinds[name] = kind
+        # Morphspace composition: after a successful morph pass, the
+        # realized map is m(x) = x + d(x) + gamma*(P(x) - x), where d is
+        # the reconstructed blend displacement (EFFECTIVE — clamps and the
+        # parity x3 already applied), P the RBF pass, and gamma the
+        # dofalloff-gated falloffradius residual (ops/dbse.morph_pass).
+        # The morph weights are global constants of the map, so its
+        # spatial deformation gradient is F_m = I + grad(d) + gamma*(F_P
+        # - I): grad(d) comes from a 1-ring least-squares fit over the
+        # mesh edges (ops/jacobian.mesh_field_gradient — exact on the
+        # tangent plane, which is all the cofactor normal rule consumes),
+        # and F_P is the deformer's closed-form Jacobian.  Replaces the
+        # round-3 "transport reflects the RBF pass" warning.
+        f_map = None
+        if weights_out is not None and (
+            update_normals or transform_attrs or output_stretch
+        ):
+            if out.faces is None or len(out.faces) == 0:
+                warnings.append(
+                    "morphspace attribute transport needs mesh faces for "
+                    "the blend-displacement gradient; transported attrs / "
+                    "stretch reflect the RBF pass only"
+                )
+            else:
+                from facedeform_tpu.ops.jacobian import mesh_field_gradient
+
+                nbr = self._transport_neighbors(out)
+                gamma = (
+                    float(params.falloffradius)
+                    if cfg.dofalloff and float(params.falloffradius) != 0.0
+                    else 0.0
+                )
+                d_field = (
+                    new_pts - self._rest_attr
+                    - gamma * (rbf_pts - self._rest_attr)
+                ).astype(np.float32)
+                g_blend = mesh_field_gradient(
+                    jnp.asarray(self._rest_attr), jnp.asarray(d_field),
+                    nbr,
+                )
+                eye3 = jnp.eye(3, dtype=jnp.float32)
+                gm = jnp.float32(gamma)
+
+                def f_map(f, _g=g_blend, _gm=gm, _eye=eye3):
+                    return _eye[None] + _g + _gm * (f - _eye[None])
+
         # Sharded cooks on the global families ride the vertex-sharded
         # Jacobian pass (parallel/sharding.sharded_transport) — transport
         # and stretch computed together, one pass, zero collectives.  PU
-        # keeps the single-device Jacobian (its plan gathers don't shard).
+        # keeps the single-device Jacobian (its plan gathers don't shard),
+        # and morphspace cooks compose F_m single-device (the 1-ring
+        # gradient gathers cross shard boundaries; transport is ms-scale).
         use_sharded_jac = (
             mesh_devices is not None
             and not isinstance(deformer, _PUND)
             and hasattr(deformer, "model")
+            and f_map is None
         )
         stretch_sig = None
         transported_names: List[str] = []
@@ -931,11 +1073,12 @@ class FaceDeformNode:
                     moved, stretch_sig = deformer.transform_attrs(
                         out.points, to_transport, w_arr, frame=frame,
                         kinds=transport_kinds, want_stretch=True,
+                        f_map=f_map,
                     )
                 else:
                     moved = deformer.transform_attrs(
                         out.points, to_transport, w_arr, frame=frame,
-                        kinds=transport_kinds,
+                        kinds=transport_kinds, f_map=f_map,
                     )
                 for name, arr in moved.items():
                     out.set_attr(name, np.asarray(arr, np.float32))
@@ -964,91 +1107,12 @@ class FaceDeformNode:
                     elif stretch_sig is None:
                         stretch_sig = deformer.principal_stretches(
                             out.points, np.asarray(falloff, np.float32),
-                            frame=frame,
+                            frame=frame, f_map=f_map,
                         )
                     sig = np.asarray(stretch_sig, np.float32)
                 out.set_attr("fd_stretch", sig[:, 0])
                 out.set_attr("fd_compress", sig[:, 2])
                 transported_names += ["fd_stretch", "fd_compress"]
-        if transported_names and dbse_model is not None:
-            warnings.append(
-                "attribute transport / output_stretch reflect the RBF "
-                "pass; the morphspace reconstruction does not transport "
-                "attributes"
-            )
-        if picked:
-            # Eval-pass falloff viz: the reference maps falloff onto an HSV
-            # 200..250 hue when the node is selected ("picked",
-            # src/SOP_FaceDeform.cpp:426-436 — intent FIXME'd out there;
-            # this is the working version), white otherwise.
-            from facedeform_tpu.capture.capture import _hsv_to_rgb
-
-            f = np.clip(np.asarray(falloff, np.float32), 0.0, 1.0)
-            out.set_attr("Cd", _hsv_to_rgb(200.0 + f * 50.0))
-        elif capture is not None:
-            out.set_attr("Cd", capture.color)
-
-        # ------------------------------------------------------ morph pass
-        weights_out = None
-        if dbse_model is not None:
-          with stage("morph", times):
-            rest_attr = jnp.asarray(self._rest_attr)
-            cur = jnp.asarray(new_pts)
-            if cfg.dbse_robust and not cfg.dbse_lstsq:
-                warnings.append(
-                    "dbse_robust requires the least-squares weight path "
-                    "(dbse_lstsq=True); ignoring it for the parity recipe."
-                )
-            if cfg.dbse_lstsq and mesh_devices is not None:
-                if cfg.dbse_robust:
-                    from facedeform_tpu.parallel.dbse_sharded import (
-                        weights_robust_sharded as _w_sharded,
-                    )
-                else:
-                    from facedeform_tpu.parallel.dbse_sharded import (
-                        weights_lstsq_sharded as _w_sharded,
-                    )
-
-                w, w_report = _w_sharded(
-                    dbse_model.deltas, cur, rest_attr, mesh_devices
-                )
-                # Same Gram-solve health check as the single-device path:
-                # an ill-conditioned blend basis must trip the warning on
-                # both (src/SOP_FaceDeform.cpp:363-368's terminationtype).
-                try:
-                    errors.check_solve(w_report)
-                    ok = True
-                except errors.SolveFailedError:
-                    ok = False
-            elif cfg.dbse_lstsq:
-                if cfg.dbse_robust:
-                    w, w_report = dbse_ops.weights_robust(
-                        dbse_model, cur, rest_attr
-                    )
-                else:
-                    w, w_report = dbse_ops.weights_lstsq(
-                        dbse_model, cur, rest_attr
-                    )
-                try:
-                    errors.check_solve(w_report)
-                    ok = True
-                except errors.SolveFailedError:
-                    ok = False
-            else:
-                w = dbse_ops.weights_parity(dbse_model, cur, rest_attr)
-                ok = bool(np.isfinite(np.asarray(w)).all())
-            if not ok:
-                warnings.append(
-                    "Can't compute weights for morphspace deformation. Ignoring it."
-                )
-            else:
-                morphed = dbse_ops.morph_apply(
-                    dbse_model, cur, rest_attr, w, cfg, params
-                )
-                new_pts = np.asarray(morphed)
-                weights_out = np.asarray(w)
-                out.detail_attrs["weights"] = weights_out
-
         # -------------------------------------------------------- psd pass
         # Pose-space sculpt corrections (ops/psd.py) layered on top of the
         # full pipeline output; at an example pose the cook reproduces the

@@ -97,6 +97,38 @@ def displacement_jacobian(
     return out.reshape(-1, 3, 3)[:v]
 
 
+@jax.jit
+def mesh_field_gradient(
+    points: jnp.ndarray, values: jnp.ndarray, nbr: jnp.ndarray
+) -> jnp.ndarray:
+    """(V, 3, 3) least-squares spatial gradient of a discrete vector
+    field over mesh 1-rings: G_v minimizes sum_j |G (x_j - x_v) -
+    (u_j - u_v)|^2 over the neighbors in `nbr` (self-padded table from
+    geometry.topology.padded_neighbors — padded slots contribute exact
+    zeros).
+
+    Surface 1-rings are near-planar, so the edge Gram E E^T is rank-2:
+    the relative Tikhonov ridge leaves the along-normal derivative ~0,
+    which is exactly right for the cofactor normal rule downstream —
+    cof(F)(t1 x t2) = F t1 x F t2 depends only on F's TANGENTIAL action,
+    where the 1-ring fit is exact for affine fields.  One (V, Dmax)
+    gather per field; everything else is batched 3x3 work.
+
+    Used by the morphspace transport composition (node.cook): the
+    reconstructed blend displacement is discrete data, so unlike the RBF
+    pass it has no closed-form Jacobian.
+    """
+    e = points[nbr] - points[:, None, :]                  # (V, D, 3)
+    u = values[nbr] - values[:, None, :]                  # (V, D, 3)
+    a = jnp.einsum("vdi,vdj->vij", e, e, **_HP)           # E E^T (V, 3, 3)
+    b = jnp.einsum("vdi,vdj->vij", u, e, **_HP)           # U E^T
+    tr = a[:, 0, 0] + a[:, 1, 1] + a[:, 2, 2]
+    ridge = (1e-4 * tr + 1e-20)[:, None, None] * jnp.eye(3, dtype=a.dtype)
+    # G A = B with A symmetric: solve(A, B^T) gives G^T; transpose back
+    return jnp.swapaxes(jnp.linalg.solve(a + ridge, jnp.swapaxes(b, 1, 2)),
+                        1, 2)
+
+
 def deformation_gradient(
     jac: jnp.ndarray, weight: jnp.ndarray, proj: jnp.ndarray | None = None
 ) -> jnp.ndarray:
@@ -358,6 +390,7 @@ def transport_attrs(
     frame=None,
     kinds: dict | None = None,
     want_stretch: bool = False,
+    f_map=None,
 ):
     """Transport a batch of point attributes through ONE shared F.
 
@@ -372,11 +405,16 @@ def transport_attrs(
       want_stretch: also return principal_stretches(F) — the Jacobian and
         F are the dominant cost, so a cook wanting both attrs and the
         stretch QC pays for them once.
+      f_map: optional (V, 3, 3) -> (V, 3, 3) post-composition of the
+        deformation gradient — node.cook's morphspace pass rewrites
+        F to I + grad(blend disp) + gamma (F - I) through this hook.
 
     Returns {name: transported array} in input order; with want_stretch,
     the tuple ({name: ...}, (V, 3) singular values).
     """
     f = _applied_gradient(jac, weight, cfg, frame)
+    if f_map is not None:
+        f = f_map(f)
     rules = {
         "vector": transform_vectors,
         "normal": transform_normals,

@@ -1430,7 +1430,7 @@ class PUNodeDeformer:
         )
 
     def transform_attrs(self, points, attrs, weight, frame=None, kinds=None,
-                        want_stretch=False):
+                        want_stretch=False, f_map=None):
         """Batch attribute transport through the PU Jacobian; same contract
         as Deformer.transform_attrs (one Jacobian shared by all attrs,
         and by the stretches when want_stretch)."""
@@ -1438,16 +1438,17 @@ class PUNodeDeformer:
 
         return transport_attrs(
             self.pud.jacobian(points), attrs, weight, self.cfg, frame, kinds,
-            want_stretch=want_stretch,
+            want_stretch=want_stretch, f_map=f_map,
         )
 
-    def principal_stretches(self, points, weight, frame=None):
+    def principal_stretches(self, points, weight, frame=None, f_map=None):
         """Singular values of the applied PU map's deformation gradient;
         same contract as Deformer.principal_stretches."""
         from facedeform_tpu.ops.jacobian import (
             _applied_gradient, principal_stretches,
         )
 
-        return principal_stretches(_applied_gradient(
-            self.pud.jacobian(points), weight, self.cfg, frame
-        ))
+        f = _applied_gradient(self.pud.jacobian(points), weight, self.cfg, frame)
+        if f_map is not None:
+            f = f_map(f)
+        return principal_stretches(f)

@@ -553,17 +553,11 @@ def fit_skinning(
         if float(smooth_lambda) > 0.0 and e.size:
             # padded fixed-degree neighbor table, self-padded so padded
             # slots drop out of L w exactly
-            src = np.concatenate([e[:, 0], e[:, 1]])
-            dst = np.concatenate([e[:, 1], e[:, 0]])
-            counts = np.bincount(src, minlength=v)
-            dmax = int(counts.max())
-            nbr_np = np.tile(np.arange(v, dtype=np.int32)[:, None], (1, dmax))
-            order = np.argsort(src, kind="stable")
-            slot = np.concatenate([np.arange(c) for c in counts]) \
-                if counts.size else np.zeros(0, np.int64)
-            nbr_np[src[order], slot] = dst[order].astype(np.int32)
+            from facedeform_tpu.geometry.topology import padded_neighbors
+
+            nbr_np, deg_np = padded_neighbors(v, e)
             nbr = jnp.asarray(nbr_np)
-            deg = jnp.asarray(counts.astype(np.float32))
+            deg = jnp.asarray(deg_np)
             # unitless knob: scale by the data term's natural magnitude
             # (mean squared displacement summed over frames)
             disp2 = float(np.mean((p - x[None]) ** 2) * 3.0) * p.shape[0]

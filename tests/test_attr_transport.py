@@ -404,3 +404,186 @@ def test_vertex_normals_bincount_matches_add_at(rng):
     want = np.where(norm > 1e-20, n / np.maximum(norm, 1e-20),
                     [0.0, 0.0, 1.0]).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+# -------------------------------------------- morphspace transport (round 4)
+
+
+def _analytic_blend(pts, amp=0.25):
+    """Smooth analytic delta field + its exact spatial gradient.
+
+    delta(x) = amp * [sin(2y) * zhat + 0.5 * x*x * xhat]; grad is
+    closed-form so the cook's 1-ring estimate has a true oracle.
+    """
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    delta = np.stack([
+        0.5 * amp * x * x,
+        np.zeros_like(x),
+        amp * np.sin(2.0 * y),
+    ], -1).astype(np.float32)
+    grad = np.zeros((len(pts), 3, 3), np.float64)
+    grad[:, 0, 0] = amp * x          # d(delta_x)/dx
+    grad[:, 2, 1] = 2.0 * amp * np.cos(2.0 * y)   # d(delta_z)/dy
+    return delta, grad
+
+
+def _cof_transform(f, n):
+    """Cofactor (inverse-transpose) normal rule, f64 oracle."""
+    cof = np.linalg.det(f)[:, None, None] * np.linalg.inv(
+        f
+    ).transpose(0, 2, 1)
+    out = np.einsum("vij,vj->vi", cof, n)
+    return out / np.linalg.norm(out, axis=1, keepdims=True)
+
+
+def test_morphspace_normal_transport_analytic_oracle(rng):
+    """Morph cook with update_normals: transported N must follow the
+    COMPOSED map m(x) = x + w0*delta(x) + gamma*(P(x)-x), checked against
+    the analytic grad(delta) + the deformer's closed-form F_P — the
+    round-3 'reflects the RBF pass' warning is gone.  Runs both gamma=0
+    (pure blend projection) and gamma!=0 (dofalloff falloffradius
+    residual)."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.ops.jacobian import _applied_gradient
+
+    mesh = uv_sphere(28, 28)
+    pts = mesh.points
+    n0 = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    mesh.set_attr("N", n0.astype(np.float32))
+
+    # Drive the rig with the SAME analytic field the blendshape carries,
+    # so the morph projection finds a substantial weight (an orthogonal
+    # pair would project to w0 ~ 0 and the composition would be a no-op)
+    rig0 = Mesh(points=fibonacci_points(30))
+    rig_delta, _ = _analytic_blend(rig0.points)
+    rig1 = Mesh(points=(rig0.points + rig_delta).astype(np.float32))
+    delta, grad_true = _analytic_blend(pts)
+    blend = Mesh(points=(pts + delta).astype(np.float32))
+
+    for gamma_cfg in (
+        DeformConfig(morphspace=True),
+        DeformConfig(morphspace=True, dofalloff=True),
+    ):
+        params = DeformParams(radius=2.0, falloffradius=0.35)
+        node = FaceDeformNode()
+        res = node.cook(
+            [mesh, rig0, rig1, blend], gamma_cfg, params,
+            update_normals=True,
+        )
+        assert not any("reflect the RBF" in w for w in res.warnings)
+        assert res.weights is not None and res.weights.shape == (1,)
+        w0 = float(res.weights[0])
+        assert w0 > 0.5, w0      # the projection really engaged
+        gamma = 0.35 if gamma_cfg.dofalloff else 0.0
+
+        # oracle F: analytic blend gradient + the deformer's own F_P
+        falloff = res.mesh.point_attrs["fd_falloff"].astype(np.float32)
+        f_p = np.asarray(_applied_gradient(
+            node._deformer.jacobian(jnp.asarray(pts)), falloff,
+        ), np.float64)
+        eye = np.eye(3)[None]
+        f_true = eye + w0 * grad_true + gamma * (f_p - eye)
+        n_true = _cof_transform(f_true, n0.astype(np.float64))
+
+        got = res.mesh.point_attrs["N"].astype(np.float64)
+        got = got / np.linalg.norm(got, axis=1, keepdims=True)
+        # error budget: the 1-ring LSQ gradient of the analytic field on
+        # a 28x28 sphere (mesh-resolution-limited); pole rings are the
+        # coarsest, so check the 99th percentile AND a loose max
+        ang = np.degrees(np.arccos(np.clip((got * n_true).sum(-1), -1, 1)))
+        assert np.percentile(ang, 99) < 2.0, (
+            gamma, np.percentile(ang, 99),
+        )
+        assert ang.max() < 8.0, (gamma, ang.max())
+
+    # Distinguishing case: an RBF pass ORTHOGONAL to the blend basis
+    # (w0 ~ 0) with the dofalloff residual on.  The composed map is then
+    # I + gamma*(F_P - I) — NOT F_P — and since the blend term vanishes
+    # there is no 1-ring discretization error, so the check is tight.
+    # anisotropic scale: an isotropic F_P would map normal DIRECTIONS
+    # identically through cof at any gamma, hiding the composition
+    rig_scale = Mesh(
+        points=(rig0.points * np.float32([1.0, 1.4, 1.0])).astype(np.float32)
+    )
+    node = FaceDeformNode()
+    res = node.cook(
+        [mesh, rig0, rig_scale, blend],
+        DeformConfig(morphspace=True, dofalloff=True),
+        DeformParams(radius=2.0, falloffradius=0.35),
+        update_normals=True,
+    )
+    w0 = float(res.weights[0])
+    falloff = res.mesh.point_attrs["fd_falloff"].astype(np.float32)
+    f_p = np.asarray(_applied_gradient(
+        node._deformer.jacobian(jnp.asarray(pts)), falloff,
+    ), np.float64)
+    eye = np.eye(3)[None]
+    f_true = eye + w0 * grad_true + 0.35 * (f_p - eye)
+    got = res.mesh.point_attrs["N"].astype(np.float64)
+    got = got / np.linalg.norm(got, axis=1, keepdims=True)
+    n_true = _cof_transform(f_true, n0.astype(np.float64))
+    ang = np.degrees(np.arccos(np.clip((got * n_true).sum(-1), -1, 1)))
+    assert np.percentile(ang, 99) < 1.0, np.percentile(ang, 99)
+    # the old (round-3) route transported through F_P itself — measure
+    # how far THAT is from what the cook now produces
+    n_old = _cof_transform(f_p, n0.astype(np.float64))
+    ang_old = np.degrees(np.arccos(np.clip((got * n_old).sum(-1), -1, 1)))
+    assert ang_old.max() > 0.5, ang_old.max()
+
+
+def test_morphspace_transport_point_cloud_warns(rng):
+    """No faces -> no blend-displacement gradient: the cook says so and
+    falls back to the RBF-pass F (round-3 behavior)."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    sphere = uv_sphere(10, 10)
+    cloud = Mesh(points=sphere.points.copy())
+    n0 = cloud.points / np.linalg.norm(cloud.points, axis=1, keepdims=True)
+    cloud.set_attr("N", n0.astype(np.float32))
+    rig0 = Mesh(points=fibonacci_points(30))
+    rig1 = Mesh(points=(1.1 * rig0.points).astype(np.float32))
+    blend = Mesh(points=(cloud.points * 1.05).astype(np.float32))
+    res = FaceDeformNode().cook(
+        [cloud, rig0, rig1, blend], DeformConfig(morphspace=True),
+        DeformParams(radius=2.0), update_normals=True,
+    )
+    assert any(
+        "morphspace attribute transport needs mesh faces" in w
+        for w in res.warnings
+    )
+    assert "N" in res.transported
+
+
+def test_morphspace_stretch_reflects_morph(rng):
+    """output_stretch on a morph cook reads the COMPOSED F: a pure blend
+    map (gamma=0) with a known uniform-scale delta has analytic
+    stretches."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+
+    mesh = uv_sphere(16, 16)
+    pts = mesh.points
+    # rig displacement = 0.3 x matches the blend delta, so w0 ~ 1
+    rig0 = Mesh(points=fibonacci_points(30))
+    rig1 = Mesh(points=(1.3 * rig0.points).astype(np.float32))
+    # blend delta = 0.3 * x: grad = 0.3 I, so the morph map with weight
+    # w0 is (1 + 0.3 w0) I — all three stretches equal that scalar
+    blend = Mesh(points=(1.3 * pts).astype(np.float32))
+    node = FaceDeformNode()
+    res = node.cook(
+        [mesh, rig0, rig1, blend], DeformConfig(morphspace=True),
+        DeformParams(radius=2.0), output_stretch=True,
+    )
+    w0 = float(res.weights[0])
+    want = 1.0 + 0.3 * w0
+    sig_max = res.mesh.point_attrs["fd_stretch"].astype(np.float64)
+    sig_min = res.mesh.point_attrs["fd_compress"].astype(np.float64)
+    # interior vertices recover the uniform scale; pole 1-rings are the
+    # coarsest so use percentiles
+    assert abs(np.median(sig_max) - want) < 0.02, (np.median(sig_max), want)
+    assert abs(np.median(sig_min) - want) < 0.02
