@@ -30,10 +30,26 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and not _os.environ.get(
 ):
     try:
         _plat = _jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "")
-        if _jax.config.jax_compilation_cache_dir is None and "cpu" not in str(_plat):
+        # Only the PRIMARY platform matters: "axon,cpu" (the sitecustomize
+        # pin plus CPU fallback) still runs on the TPU — a substring test
+        # for "cpu" silently disabled the cache on exactly that string.
+        # An empty string (platform auto-detect) keeps the cache ON: that
+        # is the common non-axon TPU deployment.
+        _primary = str(_plat).split(",")[0].strip().lower()
+        if (
+            _jax.config.jax_compilation_cache_dir is None
+            and _primary != "cpu"
+        ):
             _jax.config.update(
                 "jax_compilation_cache_dir",
                 _os.path.expanduser("~/.cache/facedeform_tpu/jax"),
+            )
+            # Default min-compile-time (1 s) assumes local compiles are
+            # cheap; on a remote-compile runtime even sub-second-to-
+            # compile programs cost a full service round trip (tens of
+            # seconds under load), so cache everything.
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.0
             )
     except Exception:  # noqa: BLE001 — cache is an optimization, never fatal
         pass

@@ -244,6 +244,22 @@ def _build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="run the headline benchmark")
     b.add_argument("--verts", type=int, default=1_000_000)
     b.add_argument("--controls", type=int, default=1000)
+
+    wm = sub.add_parser(
+        "warm",
+        help="precompile the common program set at your session's shapes "
+             "into the persistent compile cache (facedeform_tpu/warmup.py)"
+             " — first-session cold compiles cost 10-240s/program on the "
+             "remote-compile TPU runtime; run this once per shape set",
+    )
+    wm.add_argument("--verts", type=int, default=1_000_000,
+                    help="mesh vertex count to warm for (default 1M)")
+    wm.add_argument("--controls", type=int, default=1000,
+                    help="control-rig size to warm for (default 1000)")
+    wm.add_argument("--frames", type=int, default=0,
+                    help="also warm the animated-sequence programs at "
+                         "this frame count (default off)")
+    _add_model_flags(wm)
     return p
 
 
@@ -1888,6 +1904,27 @@ def _cmd_doctor(args) -> int:
     return 1 if rep.errors else 0
 
 
+def _cmd_warm(args) -> int:
+    """Precompile the session's program set (facedeform_tpu/warmup.py)."""
+    from facedeform_tpu.warmup import warm_programs
+
+    cfg, params = _cfg_params_from(args)
+    print(
+        f"info: warming programs for {args.verts} verts x {args.controls} "
+        f"controls" + (f" x {args.frames} frames" if args.frames else "")
+        + " (first run pays the remote compiles; later processes at these "
+          "shapes start warm)",
+        file=sys.stderr,
+    )
+    timings = warm_programs(
+        verts=args.verts, controls=args.controls, frames=args.frames,
+        cfg=cfg, params=params,
+        progress=lambda s: print(f"info: {s}", file=sys.stderr),
+    )
+    print(json.dumps({k: round(v, 3) for k, v in timings.items()}))
+    return 0
+
+
 def _cmd_bake_skin(args) -> int:
     """Cook a pose sweep through the node, decompose it to LBS, save.
 
@@ -1986,17 +2023,19 @@ def _cmd_bake_skin(args) -> int:
         from facedeform_tpu.geometry.topology import unique_edges
 
         edges = unique_edges(mesh.faces)
-    if args.smooth_weights > 0.0 and edges is None:
+    smooth_lam = float(args.smooth_weights)
+    if smooth_lam > 0.0 and edges is None:
         print(
             "warning: --smooth-weights needs mesh faces (edges); the "
             "input is a point cloud — smoothing skipped", file=sys.stderr,
         )
+        smooth_lam = 0.0
     with stage("fit_skinning", times):
         model, report = skinning.fit_skinning(
             mesh.points, frames, n_bones=args.bones,
             max_influences=args.max_influences,
             outer_iters=args.skin_iters, seed=args.seed,
-            edges=edges, smooth_lambda=args.smooth_weights,
+            edges=edges, smooth_lambda=smooth_lam,
         )
     checkpoint.save_skinning(args.output, model, report)
     rough = (
@@ -2079,6 +2118,8 @@ def main(argv=None) -> int:
             return _cmd_bake_skin(args)
         if args.cmd == "bench":
             return _cmd_bench(args)
+        if args.cmd == "warm":
+            return _cmd_warm(args)
     except (FileNotFoundError, KeyError, ValueError) as e:
         # KeyError: unknown --group name (message lists the known groups);
         # ValueError: malformed/classic .geo input (geo_io diagnosis)

@@ -53,6 +53,10 @@ _COMP_INDEX = {"x": 0, "y": 1, "z": 2, "w": 3}
 def _attr_column(mesh, name: str, comp: str | None) -> np.ndarray:
     """Resolve @name[.comp] to a (V,) column of the point attribute."""
     arr = mesh.point_attrs.get(name)
+    if arr is None and name == "P":
+        # Positions live in mesh.points, not point_attrs (geo_io routes
+        # the P attribute there on load) — @P.y>0 must still work.
+        arr = mesh.points
     if arr is None:
         raise KeyError(
             f"point attribute {name!r} not found; have "
@@ -105,8 +109,13 @@ def _attr_mask(tok: str, mesh) -> np.ndarray:
                     )
                 else:
                     mask |= sv == v
+            elif col.dtype.kind in "iub":
+                # integer attrs compare EXACTLY (np.isclose's relative
+                # tolerance would match id 999991..1000009 for @id=1e6)
+                mask |= col == int(float(v))
             else:
-                mask |= np.isclose(col.astype(np.float64), float(v))
+                # floats: absolute closeness only — no value-scaled slop
+                mask |= np.abs(col.astype(np.float64) - float(v)) <= 1e-6
         return ~mask if op == "!=" else mask
     # Ordered comparisons are numeric-only, matching Houdini.
     if is_string:

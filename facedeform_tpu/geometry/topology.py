@@ -65,7 +65,11 @@ def padded_neighbors(
     dmax = int(counts.max())
     nbr = np.tile(np.arange(num_points, dtype=np.int32)[:, None], (1, dmax))
     order = np.argsort(src, kind="stable")
-    slot = np.concatenate([np.arange(c) for c in counts])
+    # slot j for the j-th occurrence of each sorted source vertex —
+    # vectorized (a per-vertex arange loop costs seconds at 1M verts)
+    starts = np.zeros(num_points, np.int64)
+    starts[1:] = np.cumsum(counts)[:-1]
+    slot = np.arange(src.size, dtype=np.int64) - starts[src[order]]
     nbr[src[order], slot] = dst[order].astype(np.int32)
     return nbr, counts.astype(np.float32)
 

@@ -1016,7 +1016,9 @@ class FaceDeformNode:
             else:
                 from facedeform_tpu.ops.jacobian import mesh_field_gradient
 
-                nbr = self._transport_neighbors(out)
+                # keyed on the INPUT mesh: `out` is a copy with fresh
+                # data ids, so keying on it would rebuild every cook
+                nbr = self._transport_neighbors(mesh_in)
                 gamma = (
                     float(params.falloffradius)
                     if cfg.dofalloff and float(params.falloffradius) != 0.0

@@ -544,6 +544,15 @@ def fit_skinning(
 
     nbr = deg = None
     lam_eff = 0.0
+    if float(smooth_lambda) > 0.0 and (
+        edges is None or np.asarray(edges).size == 0
+    ):
+        # Guard here so ALL entry points (API, CLI, serve) agree — a
+        # silently dropped regularizer is worse than an error.
+        raise ValueError(
+            "smooth_lambda > 0 needs mesh edges (pass edges= from "
+            "geometry.topology.unique_edges; point clouds have none)"
+        )
     if edges is not None:
         e = np.asarray(edges, np.int64)
         if e.ndim != 2 or e.shape[1] != 2:

@@ -28,6 +28,8 @@ parallel/skinning_sharded.py.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,13 +40,16 @@ from facedeform_tpu.parallel.sharding import VERTEX_AXIS
 _HIGHEST = jax.lax.Precision.HIGHEST
 
 
-def stage1_gram(mesh, f_n: int, center: bool):
+@functools.partial(jax.jit, static_argnames=("mesh", "center"))
+def stage1_gram(dp, mesh, center: bool):
     """Jitted stage-1 program: local centered Gram + ONE psum (+ the
-    mean-max pmax riding the same dispatch).  Exposed at module level so
-    tests/test_collectives_audit.py lowers the REAL program."""
+    mean-max pmax riding the same dispatch).  Module-level jit with the
+    mesh static so repeated bakes hit the trace cache instead of
+    re-lowering two shard_map programs per call (the dbse_sharded.py
+    pattern); tests/test_collectives_audit.py lowers the REAL program."""
 
     def stage1(d_l):
-        d_flat = d_l.reshape(f_n, -1)                     # (F, 3·Vl)
+        d_flat = d_l.reshape(d_l.shape[0], -1)            # (F, 3·Vl)
         if center:
             mean_l = jnp.mean(d_flat, axis=0)
             d_flat = d_flat - mean_l[None]
@@ -54,20 +59,23 @@ def stage1_gram(mesh, f_n: int, center: bool):
         gram_l = jnp.dot(d_flat, d_flat.T, precision=_HIGHEST)
         return jax.lax.psum(gram_l, VERTEX_AXIS), mmax
 
-    return jax.jit(jax.shard_map(
+    return jax.shard_map(
         stage1, mesh=mesh,
         in_specs=P(None, VERTEX_AXIS),
         out_specs=(P(), P()),
-    ))
+    )(dp)
 
 
-def stage2_basis(mesh, f_n: int, center: bool, k: int, use_mean: bool):
+@functools.partial(jax.jit, static_argnames=("mesh", "center", "use_mean"))
+def stage2_basis(dp, u_scaled, w_all, mesh, center: bool, use_mean: bool):
     """Jitted stage-2 program: row-local basis matmul (targets come back
-    vertex-sharded, zero collectives) + the report's error psum/pmax."""
+    vertex-sharded, zero collectives) + the report's error psum/pmax.
+    Module-level jit, same caching rationale as stage1_gram."""
 
-    def stage2(d_l, u_sc, w_all):
-        d_flat = d_l.reshape(f_n, -1)                     # (F, 3·Vl)
+    def stage2(d_l, u_sc, w_full):
+        d_flat = d_l.reshape(d_l.shape[0], -1)            # (F, 3·Vl)
         v_l = d_l.shape[1]
+        k = u_sc.shape[1]
         if center:
             mean_l = jnp.mean(d_flat, axis=0)
             d_c = d_flat - mean_l[None]
@@ -82,7 +90,7 @@ def stage2_basis(mesh, f_n: int, center: bool, k: int, use_mean: bool):
         # Quality report rides the same dispatch: padded vertices have
         # zero deltas AND zero targets, so their error is exactly zero.
         recon = jnp.dot(
-            w_all, targets_l.reshape(targets_l.shape[0], -1),
+            w_full, targets_l.reshape(targets_l.shape[0], -1),
             precision=_HIGHEST,
         )
         err = recon - d_flat
@@ -90,11 +98,11 @@ def stage2_basis(mesh, f_n: int, center: bool, k: int, use_mean: bool):
         emax = jax.lax.pmax(jnp.max(jnp.abs(err)), VERTEX_AXIS)
         return targets_l, err2, emax
 
-    return jax.jit(jax.shard_map(
+    return jax.shard_map(
         stage2, mesh=mesh,
         in_specs=(P(None, VERTEX_AXIS), P(), P()),
         out_specs=(P(None, VERTEX_AXIS), P(), P()),
-    ))
+    )(dp, u_scaled, w_all)
 
 
 def fit_blendshapes_sharded(rest, frame_points, rank, mesh, center=True):
@@ -121,7 +129,7 @@ def fit_blendshapes_sharded(rest, frame_points, rank, mesh, center=True):
         jnp.pad(deltas, ((0, 0), (0, pad), (0, 0))) if pad else deltas
     )
 
-    gram, mmax = stage1_gram(mesh, f_n, center)(dp)
+    gram, mmax = stage1_gram(dp, mesh, center)
 
     g64 = np.asarray(gram, np.float64)       # the one fit-time host pull
     use_mean = center and float(mmax) > 0.0
@@ -150,8 +158,8 @@ def fit_blendshapes_sharded(rest, frame_points, rank, mesh, center=True):
         )
     w_dev = jnp.asarray(weights)
 
-    targets, err2, emax = stage2_basis(mesh, f_n, center, k, use_mean)(
-        dp, u_scaled, w_dev
+    targets, err2, emax = stage2_basis(
+        dp, u_scaled, w_dev, mesh, center, use_mean
     )
     if pad:
         targets = targets[:, :v]

@@ -589,3 +589,20 @@ def test_cli_deform_seq_gltf_export(tmp_path):
                 rest + delta, want, atol=1e-6,
                 err_msg=f"{tag} frame {f}",
             )
+
+
+def test_cli_warm_precompiles(capsys):
+    """`warm` runs the fit + both eval kernels (+ frames) at the given
+    shapes and prints one JSON timing line."""
+    import json as _json
+
+    rc = main([
+        "warm", "--verts", "256", "--controls", "12", "--frames", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    timings = _json.loads(out.out.strip().splitlines()[-1])
+    # on the CPU test platform the eval warms the dense XLA path
+    for k in ("fit", "eval_dense", "frames", "total"):
+        assert k in timings and timings[k] >= 0.0
+    assert "warming programs" in out.err

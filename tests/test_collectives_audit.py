@@ -180,8 +180,8 @@ def test_blendshape_bake_collective_budget(rng):
     deltas = jnp.asarray(rng.standard_normal((f_n, v, 3)).astype(np.float32))
 
     txt1 = (
-        bss.stage1_gram(mesh, f_n, True)
-        .lower(deltas).compile().as_text()
+        bss.stage1_gram
+        .lower(deltas, mesh, True).compile().as_text()
     )
     counts1 = _collective_counts(txt1)
     assert set(counts1) <= {"all-reduce"}, counts1
@@ -192,8 +192,9 @@ def test_blendshape_bake_collective_budget(rng):
         rng.standard_normal((f_n, k + 1)).astype(np.float32)
     )
     txt2 = (
-        bss.stage2_basis(mesh, f_n, True, k, True)
-        .lower(deltas, u_sc, w_all).compile().as_text()
+        bss.stage2_basis
+        .lower(deltas, u_sc, w_all, mesh, True, True)
+        .compile().as_text()
     )
     counts2 = _collective_counts(txt2)
     assert set(counts2) <= {"all-reduce"}, counts2

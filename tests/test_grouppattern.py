@@ -122,12 +122,21 @@ def test_attr_string_match_and_glob(amesh):
 
 
 def test_attr_vector_component(amesh):
-    # P is a (V, 3) point attribute on every Mesh
-    amesh.set_attr("P", np.asarray(amesh.points))
+    # @P resolves through mesh.points (geo_io strips P from point_attrs
+    # on load, so there is no P attr to find) — no set_attr needed
     got = _idx(amesh.select_points("@P.y>0"))
     assert got == _idx(np.asarray(amesh.points)[:, 1] > 0)
     # numeric component index spelling
     assert _idx(amesh.select_points("@P.1>0")) == got
+
+
+def test_attr_int_equality_is_exact(amesh):
+    # large integer ids: rtol-based closeness would match a RANGE
+    amesh.set_attr("bigid", (np.arange(20, dtype=np.int64) + 1_000_000))
+    assert _idx(amesh.select_points("@bigid=1000005")) == [5]
+    assert _idx(amesh.select_points("@bigid!=1000005")) == [
+        i for i in range(20) if i != 5
+    ]
 
 
 def test_attr_composes_with_grammar(amesh):
@@ -143,7 +152,6 @@ def test_attr_errors(amesh):
         amesh.select_points("@class=")
     with pytest.raises(ValueError, match="string attribute"):
         amesh.select_points("@name<3")
-    amesh.set_attr("P", np.asarray(amesh.points))
     with pytest.raises(ValueError, match="component"):
         amesh.select_points("@P>0")
     with pytest.raises(ValueError, match="out of range"):

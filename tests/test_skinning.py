@@ -221,6 +221,11 @@ def test_edges_without_lambda_only_report(rng):
 def test_smooth_lambda_bad_edges_raise(rng):
     pts = fibonacci_points(20)
     frames = (pts + np.float32([0, 0.1, 0]))[None]
+    # lambda without edges is an error at the API level (all entry
+    # points agree; the CLI warns and zeroes it before calling)
+    with pytest.raises(ValueError, match="needs mesh edges"):
+        skinning.fit_skinning(pts, frames, n_bones=2, max_influences=2,
+                              smooth_lambda=0.1)
     with pytest.raises(ValueError, match=r"\(E, 2\)"):
         skinning.fit_skinning(pts, frames, n_bones=2, max_influences=2,
                               edges=np.zeros((3, 3), np.int64))
