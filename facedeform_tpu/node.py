@@ -930,192 +930,8 @@ class FaceDeformNode:
                 weights_out = np.asarray(w)
                 out.detail_attrs["weights"] = weights_out
 
-        # ---------------------------------------------- attribute transport
-        # Extension over the reference: cookMySop writes positions only
-        # (src/SOP_FaceDeform.cpp:438), leaving rest-pose N/v/orient frames
-        # on the deformed surface.  The displacement field's closed-form
-        # Jacobian transports them through the applied map (ops/jacobian.py)
-        # — ONE Jacobian pass shared by N and every requested attribute.
-        from facedeform_tpu.ops.jacobian import infer_attr_kind
-
-        to_transport: Dict[str, np.ndarray] = {}
-        transport_kinds: Dict[str, str] = {}
-        # When the geometric recompute will run (faces present), it
-        # overwrites any analytically transported N — skip the Jacobian
-        # N transport rather than paying for output that is discarded.
-        recompute_wins = bool(
-            recompute_normals and out.faces is not None and len(out.faces)
-        )
-        if update_normals and recompute_wins:
-            pass  # N comes from the geometric recompute below
-        elif update_normals:
-            if "N" not in out.point_attrs:
-                warnings.append(
-                    "update_normals: mesh has no N point attribute; skipping"
-                )
-            elif not hasattr(deformer, "transform_attrs"):
-                warnings.append(
-                    "update_normals: not available for this model family; "
-                    "skipping"
-                )
-            else:
-                to_transport["N"] = out.attr("N")
-                transport_kinds["N"] = "normal"
-        for name in transform_attrs or ():
-            if name in to_transport:
-                continue
-            if name == "N" and recompute_wins:
-                continue  # superseded by the geometric recompute
-            vals = out.attr(name)
-            if vals is None:
-                warnings.append(
-                    f"transform_attrs: mesh has no {name!r} point attribute;"
-                    " skipping"
-                )
-                continue
-            kind = infer_attr_kind(
-                name, vals, out.attr_typeinfo.get(name)
-            )
-            if kind is None:
-                warnings.append(
-                    f"transform_attrs: {name!r} has shape "
-                    f"{tuple(vals.shape)} — only (V, 3) vectors/normals and"
-                    " (V, 4) quaternions transport; skipping"
-                )
-                continue
-            if not hasattr(deformer, "transform_attrs"):
-                warnings.append(
-                    "transform_attrs: not available for this model family; "
-                    "skipping"
-                )
-                break
-            to_transport[name] = vals
-            transport_kinds[name] = kind
-        # Morphspace composition: after a successful morph pass, the
-        # realized map is m(x) = x + d(x) + gamma*(P(x) - x), where d is
-        # the reconstructed blend displacement (EFFECTIVE — clamps and the
-        # parity x3 already applied), P the RBF pass, and gamma the
-        # dofalloff-gated falloffradius residual (ops/dbse.morph_pass).
-        # The morph weights are global constants of the map, so its
-        # spatial deformation gradient is F_m = I + grad(d) + gamma*(F_P
-        # - I): grad(d) comes from a 1-ring least-squares fit over the
-        # mesh edges (ops/jacobian.mesh_field_gradient — exact on the
-        # tangent plane, which is all the cofactor normal rule consumes),
-        # and F_P is the deformer's closed-form Jacobian.  Replaces the
-        # round-3 "transport reflects the RBF pass" warning.
-        f_map = None
-        if weights_out is not None and (
-            update_normals or transform_attrs or output_stretch
-        ):
-            if out.faces is None or len(out.faces) == 0:
-                warnings.append(
-                    "morphspace attribute transport needs mesh faces for "
-                    "the blend-displacement gradient; transported attrs / "
-                    "stretch reflect the RBF pass only"
-                )
-            else:
-                from facedeform_tpu.ops.jacobian import mesh_field_gradient
-
-                # keyed on the INPUT mesh: `out` is a copy with fresh
-                # data ids, so keying on it would rebuild every cook
-                nbr = self._transport_neighbors(mesh_in)
-                gamma = (
-                    float(params.falloffradius)
-                    if cfg.dofalloff and float(params.falloffradius) != 0.0
-                    else 0.0
-                )
-                d_field = (
-                    new_pts - self._rest_attr
-                    - gamma * (rbf_pts - self._rest_attr)
-                ).astype(np.float32)
-                g_blend = mesh_field_gradient(
-                    jnp.asarray(self._rest_attr), jnp.asarray(d_field),
-                    nbr,
-                )
-                eye3 = jnp.eye(3, dtype=jnp.float32)
-                gm = jnp.float32(gamma)
-
-                def f_map(f, _g=g_blend, _gm=gm, _eye=eye3):
-                    return _eye[None] + _g + _gm * (f - _eye[None])
-
-        # Sharded cooks on the global families ride the vertex-sharded
-        # Jacobian pass (parallel/sharding.sharded_transport) — transport
-        # and stretch computed together, one pass, zero collectives.  PU
-        # keeps the single-device Jacobian (its plan gathers don't shard),
-        # and morphspace cooks compose F_m single-device (the 1-ring
-        # gradient gathers cross shard boundaries; transport is ms-scale).
-        use_sharded_jac = (
-            mesh_devices is not None
-            and not isinstance(deformer, _PUND)
-            and hasattr(deformer, "model")
-            and f_map is None
-        )
-        stretch_sig = None
-        transported_names: List[str] = []
-        if to_transport:
-            with stage("normals", times):
-                # Query at the REST positions (where the map acted);
-                # `falloff` is the per-vertex multiplier apply used
-                # (incl. group gating), treated locally constant.
-                w_arr = np.asarray(falloff, np.float32)
-                if use_sharded_jac:
-                    from facedeform_tpu.parallel.sharding import (
-                        sharded_transport,
-                    )
-
-                    moved, stretch_sig = sharded_transport(
-                        deformer.model, out.points, to_transport, w_arr,
-                        deformer.cfg, mesh_devices, frame=frame,
-                        kinds=transport_kinds,
-                        want_stretch=output_stretch,
-                    )
-                elif output_stretch:
-                    # one Jacobian/F pass covers the attrs AND the
-                    # stretch QC (the Jacobian is the dominant cost)
-                    moved, stretch_sig = deformer.transform_attrs(
-                        out.points, to_transport, w_arr, frame=frame,
-                        kinds=transport_kinds, want_stretch=True,
-                        f_map=f_map,
-                    )
-                else:
-                    moved = deformer.transform_attrs(
-                        out.points, to_transport, w_arr, frame=frame,
-                        kinds=transport_kinds, f_map=f_map,
-                    )
-                for name, arr in moved.items():
-                    out.set_attr(name, np.asarray(arr, np.float32))
-                    transported_names.append(name)
-        if output_stretch:
-            if stretch_sig is None and not hasattr(
-                deformer, "principal_stretches"
-            ):
-                warnings.append(
-                    "output_stretch: not available for this model family; "
-                    "skipping"
-                )
-            else:
-                with stage("stretch", times):
-                    if stretch_sig is None and use_sharded_jac:
-                        from facedeform_tpu.parallel.sharding import (
-                            sharded_transport,
-                        )
-
-                        _, stretch_sig = sharded_transport(
-                            deformer.model, out.points, {},
-                            np.asarray(falloff, np.float32),
-                            deformer.cfg, mesh_devices, frame=frame,
-                            want_stretch=True,
-                        )
-                    elif stretch_sig is None:
-                        stretch_sig = deformer.principal_stretches(
-                            out.points, np.asarray(falloff, np.float32),
-                            frame=frame, f_map=f_map,
-                        )
-                    sig = np.asarray(stretch_sig, np.float32)
-                out.set_attr("fd_stretch", sig[:, 0])
-                out.set_attr("fd_compress", sig[:, 2])
-                transported_names += ["fd_stretch", "fd_compress"]
         # -------------------------------------------------------- psd pass
+        psd_applied = False
         # Pose-space sculpt corrections (ops/psd.py) layered on top of the
         # full pipeline output; at an example pose the cook reproduces the
         # artist's sculpt exactly (the corrections were derived against
@@ -1201,12 +1017,208 @@ class FaceDeformNode:
                         # rigid rotation back to world (rigid equivariance)
                         delta = delta @ r_q.T
                     new_pts = new_pts + delta
+                    psd_applied = True
                 out.detail_attrs["psd_weights"] = w_psd
                 messages.append(
                     f"psd: {psd.model.features.shape[0]} example pose(s), "
                     f"max |w| {float(np.abs(w_psd).max()):.3f}"
                 )
 
+        # ---------------------------------------------- attribute transport
+        # Extension over the reference: cookMySop writes positions only
+        # (src/SOP_FaceDeform.cpp:438), leaving rest-pose N/v/orient frames
+        # on the deformed surface.  The displacement field's closed-form
+        # Jacobian transports them through the applied map (ops/jacobian.py)
+        # — ONE Jacobian pass shared by N and every requested attribute.
+        from facedeform_tpu.ops.jacobian import infer_attr_kind
+
+        to_transport: Dict[str, np.ndarray] = {}
+        transport_kinds: Dict[str, str] = {}
+        # When the geometric recompute will run (faces present), it
+        # overwrites any analytically transported N — skip the Jacobian
+        # N transport rather than paying for output that is discarded.
+        recompute_wins = bool(
+            recompute_normals and out.faces is not None and len(out.faces)
+        )
+        if update_normals and recompute_wins:
+            pass  # N comes from the geometric recompute below
+        elif update_normals:
+            if "N" not in out.point_attrs:
+                warnings.append(
+                    "update_normals: mesh has no N point attribute; skipping"
+                )
+            elif not hasattr(deformer, "transform_attrs"):
+                warnings.append(
+                    "update_normals: not available for this model family; "
+                    "skipping"
+                )
+            else:
+                to_transport["N"] = out.attr("N")
+                transport_kinds["N"] = "normal"
+        for name in transform_attrs or ():
+            if name in to_transport:
+                continue
+            if name == "N" and recompute_wins:
+                continue  # superseded by the geometric recompute
+            vals = out.attr(name)
+            if vals is None:
+                warnings.append(
+                    f"transform_attrs: mesh has no {name!r} point attribute;"
+                    " skipping"
+                )
+                continue
+            kind = infer_attr_kind(
+                name, vals, out.attr_typeinfo.get(name)
+            )
+            if kind is None:
+                warnings.append(
+                    f"transform_attrs: {name!r} has shape "
+                    f"{tuple(vals.shape)} — only (V, 3) vectors/normals and"
+                    " (V, 4) quaternions transport; skipping"
+                )
+                continue
+            if not hasattr(deformer, "transform_attrs"):
+                warnings.append(
+                    "transform_attrs: not available for this model family; "
+                    "skipping"
+                )
+                break
+            to_transport[name] = vals
+            transport_kinds[name] = kind
+        # Whole-map composition: after the morph and/or PSD passes, the
+        # realized map is m(x) = x + d(x) + gamma*(P(x) - x), where P is
+        # the RBF pass, gamma scales how much of the analytic RBF
+        # Jacobian survives (the dofalloff-gated falloffradius residual
+        # after a morph, ops/dbse.morph_pass; 1 when only PSD ran on top
+        # of the full RBF output), and d is everything DISCRETE layered
+        # on top — the reconstructed blend displacement (EFFECTIVE:
+        # clamps and the parity x3 already applied) plus the blended PSD
+        # sculpt correction.  Morph weights and PSD pose weights are
+        # global constants of the map, so its spatial deformation
+        # gradient is F = I + grad(d) + gamma*(F_P - I): grad(d) from ONE
+        # 1-ring least-squares fit over the mesh edges
+        # (ops/jacobian.mesh_field_gradient — exact on the tangent plane,
+        # which is all the cofactor normal rule consumes; G is linear, so
+        # blend + PSD fold into a single gradient), and F_P the
+        # deformer's closed-form Jacobian.  Replaces the round-3
+        # "transport reflects the RBF pass" warning.
+        f_map = None
+        if (weights_out is not None or psd_applied) and (
+            update_normals or transform_attrs or output_stretch
+        ):
+            if out.faces is None or len(out.faces) == 0:
+                warnings.append(
+                    "morph/psd attribute transport needs mesh faces for "
+                    "the discrete-displacement gradient; transported "
+                    "attrs / stretch reflect the RBF pass only"
+                )
+            else:
+                from facedeform_tpu.ops.jacobian import mesh_field_gradient
+
+                # keyed on the INPUT mesh: `out` is a copy with fresh
+                # data ids, so keying on it would rebuild every cook
+                nbr = self._transport_neighbors(mesh_in)
+                if weights_out is None:
+                    gamma = 1.0        # PSD on top of the full RBF pass
+                else:
+                    gamma = (
+                        float(params.falloffradius)
+                        if cfg.dofalloff
+                        and float(params.falloffradius) != 0.0
+                        else 0.0
+                    )
+                # rest positions: _rest_attr only exists on morphspace
+                # cooks; the input mesh carries the same points always
+                rest_pts = np.asarray(mesh_in.points, np.float32)
+                d_field = (
+                    new_pts - rest_pts - gamma * (rbf_pts - rest_pts)
+                ).astype(np.float32)
+                g_blend = mesh_field_gradient(
+                    jnp.asarray(rest_pts), jnp.asarray(d_field), nbr,
+                )
+                eye3 = jnp.eye(3, dtype=jnp.float32)
+                gm = jnp.float32(gamma)
+
+                def f_map(f, _g=g_blend, _gm=gm, _eye=eye3):
+                    return _eye[None] + _g + _gm * (f - _eye[None])
+
+        # Sharded cooks on the global families ride the vertex-sharded
+        # Jacobian pass (parallel/sharding.sharded_transport) — transport
+        # and stretch computed together, one pass, zero collectives.  PU
+        # keeps the single-device Jacobian (its plan gathers don't shard),
+        # and morphspace cooks compose F_m single-device (the 1-ring
+        # gradient gathers cross shard boundaries; transport is ms-scale).
+        use_sharded_jac = (
+            mesh_devices is not None
+            and not isinstance(deformer, _PUND)
+            and hasattr(deformer, "model")
+            and f_map is None
+        )
+        stretch_sig = None
+        transported_names: List[str] = []
+        if to_transport:
+            with stage("normals", times):
+                # Query at the REST positions (where the map acted);
+                # `falloff` is the per-vertex multiplier apply used
+                # (incl. group gating), treated locally constant.
+                w_arr = np.asarray(falloff, np.float32)
+                if use_sharded_jac:
+                    from facedeform_tpu.parallel.sharding import (
+                        sharded_transport,
+                    )
+
+                    moved, stretch_sig = sharded_transport(
+                        deformer.model, out.points, to_transport, w_arr,
+                        deformer.cfg, mesh_devices, frame=frame,
+                        kinds=transport_kinds,
+                        want_stretch=output_stretch,
+                    )
+                elif output_stretch:
+                    # one Jacobian/F pass covers the attrs AND the
+                    # stretch QC (the Jacobian is the dominant cost)
+                    moved, stretch_sig = deformer.transform_attrs(
+                        out.points, to_transport, w_arr, frame=frame,
+                        kinds=transport_kinds, want_stretch=True,
+                        f_map=f_map,
+                    )
+                else:
+                    moved = deformer.transform_attrs(
+                        out.points, to_transport, w_arr, frame=frame,
+                        kinds=transport_kinds, f_map=f_map,
+                    )
+                for name, arr in moved.items():
+                    out.set_attr(name, np.asarray(arr, np.float32))
+                    transported_names.append(name)
+        if output_stretch:
+            if stretch_sig is None and not hasattr(
+                deformer, "principal_stretches"
+            ):
+                warnings.append(
+                    "output_stretch: not available for this model family; "
+                    "skipping"
+                )
+            else:
+                with stage("stretch", times):
+                    if stretch_sig is None and use_sharded_jac:
+                        from facedeform_tpu.parallel.sharding import (
+                            sharded_transport,
+                        )
+
+                        _, stretch_sig = sharded_transport(
+                            deformer.model, out.points, {},
+                            np.asarray(falloff, np.float32),
+                            deformer.cfg, mesh_devices, frame=frame,
+                            want_stretch=True,
+                        )
+                    elif stretch_sig is None:
+                        stretch_sig = deformer.principal_stretches(
+                            out.points, np.asarray(falloff, np.float32),
+                            frame=frame, f_map=f_map,
+                        )
+                    sig = np.asarray(stretch_sig, np.float32)
+                out.set_attr("fd_stretch", sig[:, 0])
+                out.set_attr("fd_compress", sig[:, 2])
+                transported_names += ["fd_stretch", "fd_compress"]
         out.set_points(new_pts)
         # ------------------------------------------- geometric normals
         # Runs on the FINAL positions (after the morph pass), so unlike

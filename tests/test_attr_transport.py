@@ -552,7 +552,7 @@ def test_morphspace_transport_point_cloud_warns(rng):
         DeformParams(radius=2.0), update_normals=True,
     )
     assert any(
-        "morphspace attribute transport needs mesh faces" in w
+        "attribute transport needs mesh faces" in w
         for w in res.warnings
     )
     assert "N" in res.transported
@@ -587,3 +587,62 @@ def test_morphspace_stretch_reflects_morph(rng):
     # coarsest so use percentiles
     assert abs(np.median(sig_max) - want) < 0.02, (np.median(sig_max), want)
     assert abs(np.median(sig_min) - want) < 0.02
+
+
+
+def test_psd_transport_analytic_oracle(rng):
+    """PSD corrections applied after the RBF pass must show up in the
+    transported normals: at an example pose the correction field equals
+    the sculpt's analytic delta exactly (corrections absorb the base
+    pipeline), so F = F_P + grad(delta) has a closed-form oracle."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.node import FaceDeformNode
+    from facedeform_tpu.ops.jacobian import _applied_gradient
+
+    mesh = uv_sphere(28, 28)
+    pts = mesh.points
+    n0 = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    mesh.set_attr("N", n0.astype(np.float32))
+    rig0 = Mesh(points=fibonacci_points(30))
+    pose = Mesh(points=(rig0.points * np.float32([1.0, 1.3, 1.0])))
+
+    base = FaceDeformNode().cook(
+        [mesh, rig0, pose], DeformConfig(), DeformParams(radius=2.0)
+    ).mesh
+    delta, grad_true = _analytic_blend(np.asarray(base.points))
+    sculpt = Mesh(points=(np.asarray(base.points) + delta))
+
+    node = FaceDeformNode()
+    res = node.cook(
+        [mesh, rig0, pose], DeformConfig(), DeformParams(radius=2.0),
+        examples=[(pose, sculpt)], update_normals=True,
+    )
+    w_psd = res.mesh.detail_attrs["psd_weights"]
+    np.testing.assert_allclose(w_psd, [1.0], atol=1e-4)
+
+    falloff = res.mesh.point_attrs["fd_falloff"].astype(np.float32)
+    f_p = np.asarray(_applied_gradient(
+        node._deformer.jacobian(jnp.asarray(pts)), falloff,
+    ), np.float64)
+    # NOTE: delta/grad were built at the DEFORMED positions (the sculpt
+    # edits the cooked surface); the map composition x -> P(x) ->
+    # P(x) + delta(P(x)) has gradient (I + grad_delta(P)) F_P
+    f_true = np.einsum("vij,vjk->vik", np.eye(3)[None] + grad_true, f_p)
+    n_true = _cof_transform(f_true, n0.astype(np.float64))
+
+    got = res.mesh.point_attrs["N"].astype(np.float64)
+    got = got / np.linalg.norm(got, axis=1, keepdims=True)
+    ang = np.degrees(np.arccos(np.clip((got * n_true).sum(-1), -1, 1)))
+    # the cook composes ADDITIVELY (F_P + G(delta at rest indices)) while
+    # the exact chain is multiplicative through P; at this deformation
+    # scale they agree to first order — mesh-resolution tolerance
+    assert np.percentile(ang, 99) < 3.0, np.percentile(ang, 99)
+    # and it must clearly beat the old F_P-only route
+    n_old = _cof_transform(f_p, n0.astype(np.float64))
+    ang_old = np.degrees(np.arccos(np.clip(
+        (n_old * n_true).sum(-1), -1, 1
+    )))
+    assert np.percentile(ang, 99) < 0.5 * np.percentile(ang_old, 99), (
+        np.percentile(ang, 99), np.percentile(ang_old, 99),
+    )
