@@ -68,6 +68,10 @@ _SMOKE = {
     "test_geo_io.py::test_geo_roundtrip_full",
     "test_grouppattern.py::test_plain_name_matches_group_mask",
     "test_psd.py::test_exact_reproduction_at_examples",
+    # round-4 routes
+    "test_blendshapes_sharded.py::test_sharded_matches_single_device",
+    "test_psd.py::test_node_device_route_matches_host",
+    "test_skinning.py::test_edges_without_lambda_only_report",
 }
 
 
