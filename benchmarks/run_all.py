@@ -38,6 +38,28 @@ def _sync(x):
     float(jnp.sum(jnp.ravel(x)[:1]))
 
 
+def _timed_rounds(run, rounds=3):
+    """Time `run()` best-of-`rounds`; returns (best_s, median_s, spread).
+
+    spread = (max - best) / best is the contention indicator: the shared
+    chip measured config 5 at 30.9 ms and 7.2 ms an hour apart on
+    identical code (round-4 verdict), so every committed artifact carries
+    the spread next to the best — a future reader can tell contention
+    from regression without re-running.  main() re-runs a config once
+    when its reported spread exceeds _SPREAD_FLAG.
+    """
+    times = []
+    for _ in range(rounds):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    best = min(times)
+    return best, float(np.median(times)), (max(times) - best) / max(best, 1e-12)
+
+
+_SPREAD_FLAG = 0.5
+
+
 def config1_gaussian_sphere(rng):
     import oracle
     from facedeform_tpu import DeformConfig, DeformParams, Deformer
@@ -168,19 +190,22 @@ def config5_animated(rng, n_verts=1_000_000, n_ctrl=1000, n_frames=8):
     out, _ = batched.deform_frames(rest_d, frames, pts, d2, gate,
                                    cfg, params, mesh)
     _sync(out)
-    per_frame = None
-    for _ in range(3):
-        t0 = time.time()
+
+    def run():
+        nonlocal out
         out, _ = batched.deform_frames(rest_d, frames, pts, d2, gate,
                                        cfg, params, mesh)
         _sync(out)
-        dt = (time.time() - t0) / n_frames
-        per_frame = dt if per_frame is None else min(per_frame, dt)
+
+    best, med, spread = _timed_rounds(run, rounds=3)
+    per_frame = best / n_frames
     return {
         "config": "5: animated sequence (solve+eval per frame)",
         "verts": n_verts, "ctrl": n_ctrl, "frames": n_frames,
         "devices": int(np.prod(list(mesh.shape.values()))),
         "ms_per_frame": per_frame * 1e3,
+        "ms_per_frame_median": med / n_frames * 1e3,
+        "spread": spread,
         "gevals_per_sec": n_verts * n_ctrl / per_frame / 1e9,
         "pass": bool(np.isfinite(np.asarray(out)).all()),
     }
@@ -204,10 +229,15 @@ def config6_large_n(rng, n=25000):
     cfg, params = DeformConfig(), DeformParams()
     model, report = fit_mod.fit(rest, rest + delta, cfg.solve_view(), params)
     float(report.residual_norm)
-    t0 = _time.time()
-    model, report = fit_mod.fit(rest, rest + delta, cfg.solve_view(), params)
-    float(report.residual_norm)
-    warm_s = _time.time() - t0
+
+    def run():
+        nonlocal model, report
+        model, report = fit_mod.fit(
+            rest, rest + delta, cfg.solve_view(), params
+        )
+        float(report.residual_norm)
+
+    warm_s, warm_med, spread = _timed_rounds(run, rounds=3)
     # exact-interpolation self check at the controls
     disp = np.asarray(evaluate(model, rest[:2048], effective_kernel(cfg), cfg.term))
     interp_err = float(np.abs(disp - np.asarray(delta[:2048])).max())
@@ -216,6 +246,8 @@ def config6_large_n(rng, n=25000):
         "config": "6: QNN large-N fit (GMRES, matrix-free)",
         "controls": n,
         "warm_solve_s": warm_s,
+        "warm_solve_s_median": warm_med,
+        "spread": spread,
         "backward_error": back,
         "interp_err_at_controls": interp_err,
         "pass": bool(back < 1e-6 and interp_err < 5e-5),
@@ -276,10 +308,13 @@ def config8_cpd_preconditioned(rng, n=16384):
     # production fit (auto -> krylov above 8192): warm time + health
     d = Deformer.fit(rest, deformed, cfg, params)
     float(d.report.residual_norm)
-    t0 = _time.time()
-    d = Deformer.fit(rest, deformed, cfg, params)
-    float(d.report.residual_norm)
-    warm_s = _time.time() - t0
+
+    def run():
+        nonlocal d
+        d = Deformer.fit(rest, deformed, cfg, params)
+        float(d.report.residual_norm)
+
+    warm_s, warm_med, spread = _timed_rounds(run, rounds=3)
     back = float(d.report.backward_error())
 
     # fixed-budget preconditioner evidence (128 iterations each)
@@ -299,6 +334,8 @@ def config8_cpd_preconditioned(rng, n=16384):
         "config": "8: TPS large-N fit (|.|-block-Jacobi PMINRES)",
         "controls": n,
         "warm_fit_s": warm_s,
+        "warm_fit_s_median": warm_med,
+        "spread": spread,
         "backward_error": back,
         "resid_plain_minres_128it": r_m,
         "resid_precond_128it": r_p,
@@ -328,12 +365,17 @@ def config9_pu_any_n(rng, n=30000, n_query=200000):
 
     d = PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE, lam=1e-5)
     float(_jnp.sum(d.model.w_hi))
-    t0 = _time.time()
-    d = PUDeformer.fit(rest, rest + disp, kernel=RBFKernel.THIN_PLATE, lam=1e-5)
-    # the device-resident fit returns without materializing: fence via a
-    # scalar pull (block_until_ready does not fence the axon tunnel)
-    float(_jnp.sum(d.model.w_hi))
-    warm_fit_s = _time.time() - t0
+
+    def run_fit():
+        nonlocal d
+        d = PUDeformer.fit(
+            rest, rest + disp, kernel=RBFKernel.THIN_PLATE, lam=1e-5
+        )
+        # the device-resident fit returns without materializing: fence via
+        # a scalar pull (block_until_ready does not fence the axon tunnel)
+        float(_jnp.sum(d.model.w_hi))
+
+    warm_fit_s, fit_med, fit_spread = _timed_rounds(run_fit, rounds=3)
     got = np.asarray(d.displacement(rest))
     interp_err = float(np.abs(got - disp).max())
     q = (fibonacci_points(n_query) * 1.01).astype(np.float32)
@@ -350,19 +392,19 @@ def config9_pu_any_n(rng, n=30000, n_query=200000):
     from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
 
     tiles_ms = None
+    tiles_spread = 0.0
     if jax.default_backend() == "tpu":
         tplan = plan_eval_tiles(d.patches, q)
         q_dev = jnp.asarray(q)
         float(jnp.sum(q_dev))
         o = d.displacement(q_dev, plan=tplan)
         float(jnp.sum(o))
-        best = None
-        for _ in range(5):
-            t0 = _time.time()
+
+        def run_tiles():
             o = d.displacement(q_dev, plan=tplan)
             float(jnp.sum(o))
-            dt = _time.time() - t0
-            best = dt if best is None else min(best, dt)
+
+        best, _, tiles_spread = _timed_rounds(run_tiles, rounds=5)
         tiles_ms = best * 1e3
     return {
         "config": "9: PU any-N TPS (dense df per patch)",
@@ -370,6 +412,8 @@ def config9_pu_any_n(rng, n=30000, n_query=200000):
         "patches": int(d.patches.idx.shape[0]),
         "patch_width": int(d.patches.idx.shape[1]),
         "warm_fit_s": warm_fit_s,
+        "warm_fit_s_median": fit_med,
+        "spread": max(fit_spread, tiles_spread),
         "interp_err_at_controls": interp_err,
         "query_points": n_query,
         "warm_eval_s": eval_s,
@@ -417,20 +461,27 @@ def config10_pu_sequence(rng, n=20000, n_frames=8, n_query=100000):
     m1, _ = pu.fit_pu(rest, frames[0], kernel=RBFKernel.THIN_PLATE,
                       lam=1e-5, patches=patches)
     fence(m1.w_hi)
-    t0 = _time.time()
-    m1, _ = pu.fit_pu(rest, frames[0], kernel=RBFKernel.THIN_PLATE,
-                      lam=1e-5, patches=patches)
-    fence(m1.w_hi)
-    single_s = _time.time() - t0
+
+    def run_single():
+        m1, _ = pu.fit_pu(rest, frames[0], kernel=RBFKernel.THIN_PLATE,
+                          lam=1e-5, patches=patches)
+        fence(m1.w_hi)
+
+    single_s, _, single_spread = _timed_rounds(run_single, rounds=2)
 
     models, _ = pu.fit_pu_frames(rest, frames, kernel=RBFKernel.THIN_PLATE,
                                  lam=1e-5, patches=patches)
     fence(models[0].w_hi)
-    t0 = _time.time()
-    models, _ = pu.fit_pu_frames(rest, frames, kernel=RBFKernel.THIN_PLATE,
-                                 lam=1e-5, patches=patches)
-    fence(models[0].w_hi)
-    seq_s = _time.time() - t0
+
+    def run_seq_fit():
+        nonlocal models
+        models, _ = pu.fit_pu_frames(
+            rest, frames, kernel=RBFKernel.THIN_PLATE,
+            lam=1e-5, patches=patches,
+        )
+        fence(models[0].w_hi)
+
+    seq_s, _, seq_spread = _timed_rounds(run_seq_fit, rounds=2)
 
     seq = pu.PUSeqDeformer(models, patches, RBFKernel.THIN_PLATE,
                            pu.PolyTerm.LINEAR)
@@ -469,18 +520,21 @@ def config10_pu_sequence(rng, n=20000, n_frames=8, n_query=100000):
             )
 
         o = run(); float(jnp.sum(o))
-        best = None
-        for _ in range(5):
-            t0 = _time.time()
-            o = run(); float(jnp.sum(o))
-            dt = _time.time() - t0
-            best = dt if best is None else min(best, dt)
+
+        def run_tiles():
+            o = run()
+            float(jnp.sum(o))
+
+        best, _, tiles_spread = _timed_rounds(run_tiles, rounds=5)
         tiles_frames_ms = best / n_frames * 1e3
+    else:
+        tiles_spread = 0.0
     return {
         "config": "10: PU animated sequence (shared patch factorization)",
         "controls": n, "frames": n_frames,
         "warm_single_fit_s": single_s,
         "warm_seq_fit_s": seq_s,
+        "spread": max(single_spread, seq_spread, tiles_spread),
         "seq_fit_vs_single": seq_s / max(single_s, 1e-9),
         "seq_fit_vs_per_frame_loop": seq_s / max(n_frames * single_s, 1e-9),
         "interp_err_at_controls": interp_err,
@@ -540,13 +594,13 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
 
     out = d.deformed_normals(pts, n_dev, w)   # compile + warm
     _sync(out)
-    best = None
-    for _ in range(3):
-        t0 = _time.time()
+
+    def run_normals():
+        nonlocal out
         out = d.deformed_normals(pts, n_dev, w)
         _sync(out)
-        dt = _time.time() - t0
-        best = dt if best is None else min(best, dt)
+
+    best, _, n_spread = _timed_rounds(run_normals, rounds=3)
     got = np.asarray(out)
     err = float(np.abs(got - normals @ r_mat.T).max())
     unit_err = float(np.abs(np.linalg.norm(got, axis=1) - 1.0).max())
@@ -570,15 +624,88 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
     run_seq = lambda: batched.transport_frames(  # noqa: E731
         mf, pts, (n_dev,), w, d.cfg, ("normal",)
     )[0]
-    _sync(run_seq())  # compile + warm
-    best_seq = None
-    for _ in range(3):
-        t0 = _time.time()
+    outs = run_seq()
+    _sync(outs)  # compile + warm
+
+    def run_seq_timed():
+        nonlocal outs
         outs = run_seq()
         _sync(outs)
-        dt = _time.time() - t0
-        best_seq = dt if best_seq is None else min(best_seq, dt)
+
+    best_seq, _, seq_spread = _timed_rounds(run_seq_timed, rounds=3)
     seq0_err = float(np.abs(np.asarray(outs[0]) - got).max())
+
+    # Morph/PSD-composed transport (node.cook's f_map path, round-4
+    # feature measured here for the first time — round-4 verdict weak
+    # #4): the realized map is m(x) = x + d(x) + gamma (P(x) - x) with d
+    # DISCRETE (blend reconstruction + PSD corrections), so F composes as
+    # I + grad(d) + gamma (F_P - I) with grad(d) one 1-ring least-squares
+    # fit (ops/jacobian.mesh_field_gradient: a (V, Dmax) neighbor gather
+    # + batched 3x3 solves).  Measured cost at 1M x 1k on v5e rides in
+    # BENCH_DETAIL so the "transport is ms-scale" claim is a number.
+    from facedeform_tpu.geometry.topology import padded_neighbors, unique_edges
+    from facedeform_tpu.ops.jacobian import mesh_field_gradient
+
+    nbr = jnp.asarray(
+        padded_neighbors(n_verts, unique_edges(mesh.faces))[0]
+    )
+    # synthetic smooth discrete layer standing in for the blend + PSD
+    # reconstruction (content is irrelevant to the timing)
+    d_field = jnp.asarray(
+        0.02 * np.sin(3.0 * mesh.points[:, [1, 2, 0]]), jnp.float32
+    )
+    gamma = jnp.float32(0.25)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    def run_composed():
+        g_blend = mesh_field_gradient(pts, d_field, nbr)
+
+        def f_map(f):
+            return eye3[None] + g_blend + gamma * (f - eye3[None])
+
+        return d.transform_attrs(
+            pts, {"N": n_dev}, w, kinds={"N": "normal"}, f_map=f_map
+        )["N"]
+
+    _sync(run_composed())  # compile + warm
+
+    def run_composed_timed():
+        _sync(run_composed())
+
+    best_comp, _, comp_spread = _timed_rounds(run_composed_timed, rounds=3)
+
+    # gradient-only split so the gather cost is attributable
+    _sync(mesh_field_gradient(pts, d_field, nbr))
+
+    def run_grad():
+        _sync(mesh_field_gradient(pts, d_field, nbr))
+
+    best_grad, _, _ = _timed_rounds(run_grad, rounds=3)
+
+    # correctness anchor: an affine discrete layer d(x) = A x + b over
+    # gamma = 0 must transport normals by cof(I + A) (the 1-ring LS
+    # gradient is exact for affine fields on the tangent plane; the
+    # residual is the sphere's quadratic off-plane deviation, ~h^2 —
+    # measured 2.5e-4 at the 10k CPU sizing, smaller at 1M)
+    a_mat = jnp.asarray(
+        [[0.02, 0.015, 0.0], [-0.01, -0.03, 0.005], [0.0, 0.02, 0.01]],
+        jnp.float32,
+    )
+    d_aff = pts @ a_mat.T + jnp.float32([0.01, -0.02, 0.005])
+    g_aff = mesh_field_gradient(pts, d_aff, nbr)
+
+    def f_map_aff(f):
+        return eye3[None] + g_aff + 0.0 * (f - eye3[None])
+
+    got_aff = np.asarray(d.transform_attrs(
+        pts, {"N": n_dev}, w, kinds={"N": "normal"}, f_map=f_map_aff
+    )["N"])
+    from facedeform_tpu.ops.jacobian import transform_normals
+
+    want_aff = np.asarray(transform_normals(
+        n_dev, jnp.broadcast_to(eye3 + a_mat, (n_verts, 3, 3))
+    ))
+    comp_err = float(np.abs(got_aff - want_aff).max())
 
     return {
         "config": "11: deformed-normal transport (analytic Jacobian)",
@@ -589,7 +716,14 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
         "seq_frames": n_frames,
         "seq_transport_ms_per_frame": best_seq * 1e3 / n_frames,
         "seq_frame0_vs_single_err": seq0_err,
-        "pass": bool(err < 1e-2 and unit_err < 1e-5 and seq0_err < 1e-5),
+        "morph_composed_transport_ms": best_comp * 1e3,
+        "morph_field_gradient_ms": best_grad * 1e3,
+        "morph_composed_affine_err": comp_err,
+        "spread": max(n_spread, seq_spread, comp_spread),
+        "pass": bool(
+            err < 1e-2 and unit_err < 1e-5 and seq0_err < 1e-5
+            and comp_err < 1e-3
+        ),
     }
 
 
@@ -627,23 +761,27 @@ def config12_interactive_drag(rng, n_ctrl=4096, drags=8):
     _sync(plan.refit(pose(1)).model.w_rbf)
     _sync(Deformer.fit(rest, pose(1), cfg, params).model.w_rbf)
 
-    best_fit = None
+    fit_times = []
     for i in range(3):
         p = jnp.asarray(pose(2 + i))
         t0 = _time.time()
         _sync(Deformer.fit(rest, p, cfg, params).model.w_rbf)
-        dt = _time.time() - t0
-        best_fit = dt if best_fit is None else min(best_fit, dt)
+        fit_times.append(_time.time() - t0)
+    best_fit = min(fit_times)
 
-    best_refit = None
+    refit_times = []
     last = None
     for i in range(drags):
         p = jnp.asarray(pose(2 + i))
         t0 = _time.time()
         last = plan.refit(p)
         _sync(last.model.w_rbf)
-        dt = _time.time() - t0
-        best_refit = dt if best_refit is None else min(best_refit, dt)
+        refit_times.append(_time.time() - t0)
+    best_refit = min(refit_times)
+    spread = max(
+        (max(fit_times) - best_fit) / best_fit,
+        (max(refit_times) - best_refit) / best_refit,
+    )
 
     # Refit must reproduce the from-scratch fit of the same pose exactly.
     ref = Deformer.fit(rest, pose(2 + drags - 1), cfg, params)
@@ -656,6 +794,8 @@ def config12_interactive_drag(rng, n_ctrl=4096, drags=8):
         "controls": n_ctrl,
         "full_fit_ms": best_fit * 1e3,
         "refit_ms": best_refit * 1e3,
+        "refit_ms_median": float(np.median(refit_times)) * 1e3,
+        "spread": spread,
         "speedup": best_fit / best_refit,
         "refit_vs_fit_weight_relerr": werr,
         "pass": bool(werr < 1e-6 and best_refit < best_fit),
@@ -693,11 +833,15 @@ def config13_skinning(rng, n_verts=50_000, n_bones=16, n_frames=4):
     _m, _ = skinning.fit_skinning(
         pts, frames, n_bones=n_bones, max_influences=4, seed=0
     )
-    t0 = _time.time()
-    m, rep = skinning.fit_skinning(
-        pts, frames, n_bones=n_bones, max_influences=4, seed=1
-    )
-    fit_s = _time.time() - t0
+    m = rep = None
+
+    def run_fit():
+        nonlocal m, rep
+        m, rep = skinning.fit_skinning(
+            pts, frames, n_bones=n_bones, max_influences=4, seed=1
+        )
+
+    fit_s, _, spread = _timed_rounds(run_fit, rounds=2)
 
     q = skinning.lbs_apply(
         m.weights, m.rest, m.rotations[0], m.translations[0]
@@ -718,6 +862,7 @@ def config13_skinning(rng, n_verts=50_000, n_bones=16, n_frames=4):
         "bones": n_bones,
         "frames": n_frames,
         "warm_fit_s": fit_s,
+        "spread": spread,
         "relative_rmse": rep.relative_rmse,
         "lbs_apply_ms": apply_ms,
         "influence_cap_ok": cap_ok,
@@ -759,9 +904,13 @@ def config14_blendshape_bake(rng, n_verts=500_000, n_frames=16, rank=8):
 
     # first bake pays the remote compile; measure the warm re-bake
     blendshapes.fit_blendshapes(rest, frames, rank=rank)
-    t0 = _time.time()
-    model, rep = blendshapes.fit_blendshapes(rest, frames, rank=rank)
-    fit_s = _time.time() - t0
+    model = rep = None
+
+    def run_bake():
+        nonlocal model, rep
+        model, rep = blendshapes.fit_blendshapes(rest, frames, rank=rank)
+
+    fit_s, _, spread = _timed_rounds(run_bake, rounds=2)
 
     # Sharded route (parallel/blendshapes_sharded): on the single-chip
     # bench box the mesh is 1-device, so this measures the shard_map
@@ -773,11 +922,16 @@ def config14_blendshape_bake(rng, n_verts=500_000, n_frames=16, rank=8):
 
     mesh = make_mesh()
     blendshapes.fit_blendshapes(rest, frames, rank=rank, mesh=mesh)
-    t0 = _time.time()
-    model_s, rep_s = blendshapes.fit_blendshapes(
-        rest, frames, rank=rank, mesh=mesh
-    )
-    sharded_s = _time.time() - t0
+    model_s = rep_s = None
+
+    def run_sharded():
+        nonlocal model_s, rep_s
+        model_s, rep_s = blendshapes.fit_blendshapes(
+            rest, frames, rank=rank, mesh=mesh
+        )
+
+    sharded_s, _, sh_spread = _timed_rounds(run_sharded, rounds=2)
+    spread = max(spread, sh_spread)
     shard_err = float(
         jnp.max(jnp.abs(model_s.targets - model.targets))
     )
@@ -791,6 +945,7 @@ def config14_blendshape_bake(rng, n_verts=500_000, n_frames=16, rank=8):
         "targets": model.n_targets,
         "warm_bake_s": fit_s,
         "warm_sharded_bake_s": sharded_s,
+        "spread": spread,
         "sharded_devices": len(_jax.devices()),
         "sharded_target_err": shard_err,
         "rmse": rep.rmse,
@@ -851,20 +1006,27 @@ def config15_reduced_regression(rng, n=20_000, k=1000, n_frames=8):
     _sync(m_all.w_rbf)
     decimate.fit_reduced(rest, frames[0], k, cfg, params, idx=idx)
 
-    t0 = _time.time()
-    m_all, rep, info = decimate.fit_reduced_frames(
-        rest, frames, k, cfg, params, idx=idx
-    )
-    _sync(m_all.w_rbf)
-    shared_s = _time.time() - t0
+    def run_shared():
+        nonlocal m_all, rep, info
+        m_all, rep, info = decimate.fit_reduced_frames(
+            rest, frames, k, cfg, params, idx=idx
+        )
+        _sync(m_all.w_rbf)
 
-    t0 = _time.time()
-    per = [
-        decimate.fit_reduced(rest, frames[f], k, cfg, params, idx=idx)[0]
-        for f in range(n_frames)
-    ]
-    _sync(per[-1].w_rbf)
-    perframe_s = _time.time() - t0
+    shared_s, _, spread = _timed_rounds(run_shared, rounds=2)
+
+    per = None
+
+    def run_perframe():
+        nonlocal per
+        per = [
+            decimate.fit_reduced(rest, frames[f], k, cfg, params, idx=idx)[0]
+            for f in range(n_frames)
+        ]
+        _sync(per[-1].w_rbf)
+
+    perframe_s, _, pf_spread = _timed_rounds(run_perframe, rounds=2)
+    spread = max(spread, pf_spread)
 
     import jax.numpy as jnp
 
@@ -895,6 +1057,7 @@ def config15_reduced_regression(rng, n=20_000, k=1000, n_frames=8):
         "frames": n_frames,
         "shared_fit_s": shared_s,
         "perframe_fit_s": perframe_s,
+        "spread": spread,
         "speedup": perframe_s / shared_s,
         "field_parity_relerr": ferr,
         "weight_parity_relerr": werr,
@@ -930,6 +1093,21 @@ def main():
         t0 = time.time()
         r = fn(rng)
         r["bench_wall_s"] = round(time.time() - t0, 2)
+        # Contention guard: a spread past _SPREAD_FLAG means another
+        # tenant touched the shared chip mid-config — rerun once and
+        # keep the calmer run, recording that it happened.
+        if r.get("spread", 0.0) > _SPREAD_FLAG:
+            print(
+                f"[RERUN] {r['config']}: spread "
+                f"{r['spread'] * 100:.0f}% > {_SPREAD_FLAG * 100:.0f}% "
+                "(shared-chip contention suspected)"
+            )
+            t0 = time.time()
+            r2 = fn(rng)
+            r2["bench_wall_s"] = round(time.time() - t0, 2)
+            pick = r2 if r2.get("spread", 0.0) <= r.get("spread", 0.0) else r
+            pick["rerun_spreads"] = [r.get("spread"), r2.get("spread")]
+            r = pick
         results.append(r)
         status = "PASS" if r.get("pass") else "FAIL"
         print(f"[{status}] {r['config']}  ({r['bench_wall_s']}s)")

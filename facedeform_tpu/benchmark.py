@@ -44,13 +44,29 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
     # ~470 ms instead of the true ~8 ms (measured)
     model, report = fit_mod.fit(rest_dev, deformed_dev, cfg, params)
     float(report.residual_norm)
-    t0 = time.time()
-    reps = 10
-    for _ in range(reps):
-        model, report = fit_mod.fit(rest_dev, deformed_dev, cfg, params)
-    float(report.residual_norm)  # single sync through the queue
-    solve_ms = (time.time() - t0) / reps * 1e3
-    print(f"# solve @ {n_ctrl} ctrl pts: {solve_ms:.1f} ms (on-device)", file=sys.stderr)
+    # Best-of-rounds with variance, same discipline as the eval below:
+    # the shared chip's contention drifts on a seconds scale, and a
+    # single timed rep-block let BENCH_r04 commit a 20.3 ms outlier vs
+    # the 7-8 ms the solve actually costs (round-4 verdict).  The best
+    # round is the headline; median + spread ride along so a future
+    # reader can tell contention from regression without re-running.
+    solve_rounds = []
+    for _ in range(5):
+        t0 = time.time()
+        reps = 10
+        for _ in range(reps):
+            model, report = fit_mod.fit(rest_dev, deformed_dev, cfg, params)
+        float(report.residual_norm)  # single sync through the queue
+        solve_rounds.append((time.time() - t0) / reps * 1e3)
+    solve_ms = min(solve_rounds)
+    solve_median = float(np.median(solve_rounds))
+    solve_spread = (max(solve_rounds) - solve_ms) / solve_ms
+    print(
+        f"# solve @ {n_ctrl} ctrl pts: {solve_ms:.1f} ms best-of-5 "
+        f"(median {solve_median:.1f}, spread {solve_spread * 100:.0f}%, "
+        "on-device)",
+        file=sys.stderr,
+    )
 
     # --- eval throughput (headline) ---------------------------------------
     # A 1M-vertex sphere in its natural (row-major, spatially coherent)
@@ -69,27 +85,32 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
     def measure(deformer, backends, rounds=5, iters=10):
         """Best sustained round per backend, INTERLEAVED: the shared chip's
         contention drifts on a seconds scale, so A/B comparisons must
-        sample the same windows or the ratio is noise.  Returns a dict
-        backend -> best seconds/frame."""
+        sample the same windows or the ratio is noise.  Returns
+        (best, rounds_by_backend): best seconds/frame per backend plus
+        the raw per-round times for variance reporting."""
         for b in backends:
             out = deformer.apply(pts, dist2=dist2, backend=b)
             float(jnp.sum(out[0]))  # warm-up + sync
-        best = {b: float("inf") for b in backends}
+        times = {b: [] for b in backends}
         for _ in range(rounds):
             for b in backends:
                 t0 = time.time()
                 for _ in range(iters):
                     out = deformer.apply(pts, dist2=dist2, backend=b)
                 float(jnp.sum(out[0]))  # sync through the queue
-                best[b] = min(best[b], (time.time() - t0) / iters)
-        return best
+                times[b].append((time.time() - t0) / iters)
+        return {b: min(t) for b, t in times.items()}, times
 
     backend = "pallas" if use_pallas else "dense"
     if use_pallas:
-        both = measure(d, (backend, "pallas_culled"))
+        both, round_times = measure(d, (backend, "pallas_culled"))
         dense_dt = both[backend]
     else:
-        dense_dt = measure(d, (backend,))[backend]
+        both, round_times = measure(d, (backend,))
+        dense_dt = both[backend]
+    dense_rounds = round_times[backend]
+    dense_median = float(np.median(dense_rounds))
+    dense_spread = (max(dense_rounds) - dense_dt) / dense_dt
     dense_rate = n_verts * n_ctrl / dense_dt
     print(
         f"# eval: {dense_dt * 1e3:.2f} ms/frame ({backend}, best of 5), "
@@ -122,7 +143,7 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
         cap = fibonacci_points(n_loc) * 0.15 + np.float32([0, 0.98, 0])
         cap_def = cap + 0.01 * rng.standard_normal((n_loc, 3)).astype(np.float32)
         d_loc = Deformer.fit(cap, cap_def, cfg, params)
-        loc_both = measure(d_loc, (backend, "pallas_culled"))
+        loc_both, _ = measure(d_loc, (backend, "pallas_culled"))
         loc_dense_dt = loc_both[backend]
         loc_culled_dt = loc_both["pallas_culled"]
         loc = {
@@ -212,6 +233,13 @@ def run_headline(n_ctrl: int = 1000, n_verts: int = 1_000_000) -> dict:
         "unit": "evals/s",
         "vs_baseline": evals_per_sec / 1e9,
         "dense_gevals_per_sec": dense_rate / 1e9,
+        # Variance fields (round-4 verdict): best is the headline; a
+        # large spread means shared-chip contention touched this run.
+        "dense_ms_median": dense_median * 1e3,
+        "dense_spread": dense_spread,
+        "solve_ms_best": solve_ms,
+        "solve_ms_median": solve_median,
+        "solve_spread": solve_spread,
     }
     if culled_rate is not None:
         record["culled_gevals_per_sec"] = culled_rate / 1e9
