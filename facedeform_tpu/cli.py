@@ -259,6 +259,33 @@ def _build_parser() -> argparse.ArgumentParser:
     wm.add_argument("--frames", type=int, default=0,
                     help="also warm the animated-sequence programs at "
                          "this frame count (default off)")
+    wm.add_argument("--solver", choices=["dense", "pu"], default="dense",
+                    help="dense warms fit + Pallas evals (default); pu "
+                         "warms the partition-of-unity route (fit_pu + "
+                         "Mosaic tile eval; the worst cold compile — "
+                         "307 s measured at a fresh 200k patch width)")
+    wm.add_argument("--queries", type=int, default=500_000,
+                    help="PU eval query-point count (--solver pu)")
+    wm.add_argument("--patch-size", type=int, default=192,
+                    help="PU patch size (--solver pu; match your fit)")
+    wm.add_argument("--overlap", type=float, default=1.3,
+                    help="PU patch overlap (--solver pu)")
+    wm.add_argument("--transport", action="store_true",
+                    help="also warm attribute-transport programs (normal "
+                         "transport, frames transport at --frames, and "
+                         "the morph/PSD-composed 1-ring gradient path)")
+    wm.add_argument("--skin", action="store_true",
+                    help="also warm the skinning decomposition (98 s cold "
+                         "at 100k x 24 x 8 measured) + lbs_apply")
+    wm.add_argument("--bones", type=int, default=24,
+                    help="skinning bone count (--skin)")
+    wm.add_argument("--poses", type=int, default=8,
+                    help="skinning pose-sweep length (--skin)")
+    wm.add_argument("--dbse", action="store_true",
+                    help="also warm the morphspace (DBSE) programs at "
+                         "--verts with --shapes blendshapes")
+    wm.add_argument("--shapes", type=int, default=8,
+                    help="blendshape count (--dbse)")
     _add_model_flags(wm)
     return p
 
@@ -1906,9 +1933,10 @@ def _cmd_doctor(args) -> int:
 
 def _cmd_warm(args) -> int:
     """Precompile the session's program set (facedeform_tpu/warmup.py)."""
-    from facedeform_tpu.warmup import warm_programs
+    from facedeform_tpu import warmup
 
     cfg, params = _cfg_params_from(args)
+    say = lambda s: print(f"info: {s}", file=sys.stderr)  # noqa: E731
     print(
         f"info: warming programs for {args.verts} verts x {args.controls} "
         f"controls" + (f" x {args.frames} frames" if args.frames else "")
@@ -1916,11 +1944,37 @@ def _cmd_warm(args) -> int:
           "shapes start warm)",
         file=sys.stderr,
     )
-    timings = warm_programs(
-        verts=args.verts, controls=args.controls, frames=args.frames,
-        cfg=cfg, params=params,
-        progress=lambda s: print(f"info: {s}", file=sys.stderr),
-    )
+    if args.solver == "pu":
+        timings = warmup.warm_pu(
+            controls=args.controls, queries=args.queries,
+            frames=args.frames, patch_size=args.patch_size,
+            overlap=args.overlap, progress=say,
+        )
+    else:
+        timings = warmup.warm_programs(
+            verts=args.verts, controls=args.controls, frames=args.frames,
+            cfg=cfg, params=params, progress=say,
+        )
+    if args.transport:
+        t = warmup.warm_transport(
+            verts=args.verts, controls=args.controls, frames=args.frames,
+            cfg=cfg, params=params, progress=say,
+        )
+        timings.update({k: v for k, v in t.items() if k != "total"})
+        timings["total"] += t["total"]
+    if args.skin:
+        t = warmup.warm_skinning(
+            verts=min(args.verts, 100_000), bones=args.bones,
+            poses=args.poses, progress=say,
+        )
+        timings.update({k: v for k, v in t.items() if k != "total"})
+        timings["total"] += t["total"]
+    if args.dbse:
+        t = warmup.warm_dbse(
+            verts=args.verts, shapes=args.shapes, progress=say,
+        )
+        timings.update({k: v for k, v in t.items() if k != "total"})
+        timings["total"] += t["total"]
     print(json.dumps({k: round(v, 3) for k, v in timings.items()}))
     return 0
 

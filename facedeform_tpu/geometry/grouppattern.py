@@ -114,8 +114,15 @@ def _attr_mask(tok: str, mesh) -> np.ndarray:
                 # tolerance would match id 999991..1000009 for @id=1e6)
                 mask |= col == int(float(v))
             else:
-                # floats: absolute closeness only — no value-scaled slop
-                mask |= np.abs(col.astype(np.float64) - float(v)) <= 1e-6
+                # floats: the column is f32, so a fixed 1e-6 absolute
+                # tolerance breaks both ways — above |v| ~ 16 one f32 ULP
+                # already exceeds it (@P.x=123.456 would match nothing),
+                # while near zero it conflates distinct tiny values.
+                # Scale with magnitude: a few ULPs relative, floored at
+                # 1e-6 absolute for values around zero.
+                fv = float(v)
+                tol = max(1e-6, 4.0 * abs(fv) * np.finfo(np.float32).eps)
+                mask |= np.abs(col.astype(np.float64) - fv) <= tol
         return ~mask if op == "!=" else mask
     # Ordered comparisons are numeric-only, matching Houdini.
     if is_string:

@@ -127,6 +127,7 @@ class FaceDeformNode:
         # sharded over mesh_devices' vertex axis when a mesh is given
         self._psd_dev_key: Optional[tuple] = None
         self._psd_dev_corr = None
+        self._psd_dev_pin = None
         # 1-ring neighbor table for the morphspace transport gradient
         # (ops/jacobian.mesh_field_gradient), cached on mesh topology
         self._nbr_key: Optional[int] = None
@@ -310,8 +311,19 @@ class FaceDeformNode:
         the vertex axis (GSPMD handles non-divisible V).  The contraction
         w @ corr is row-local over vertices, so the sharded apply emits
         zero collectives; placement is cached per (psd, mesh) pair so the
-        reshard happens once, not per cook."""
-        key = (id(psd), id(mesh_devices))
+        reshard happens once, not per cook.
+
+        The mesh half of the key is the mesh's CONTENT (device tuple +
+        axis names), not id(): callers that rebuild an identical Mesh
+        per cook must still hit the cache (advisor r4 — an id() key
+        silently re-paid the full (K, V, 3) sharded placement every
+        cook).  The psd half stays id(), which is safe because the
+        cached entry pins `psd` itself (no GC-reuse aliasing)."""
+        key = (
+            id(psd),
+            tuple(np.asarray(mesh_devices.devices).reshape(-1).tolist()),
+            mesh_devices.axis_names,
+        )
         if self._psd_dev_key != key:
             import jax
             import jax.numpy as jnp
@@ -331,6 +343,9 @@ class FaceDeformNode:
                 NamedSharding(mesh_devices, P(None, VERTEX_AXIS, None)),
             )
             self._psd_dev_key = key
+            # pin the keyed psd object so its id() cannot be recycled
+            # while this cache entry is alive
+            self._psd_dev_pin = psd
         return self._psd_dev_corr
 
     def _transport_neighbors(self, mesh: Mesh):

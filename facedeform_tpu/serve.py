@@ -1023,6 +1023,20 @@ class DeformServer:
                     skin_edges = unique_edges(
                         decode_array(req["faces"]).astype(np.int32)
                     )
+                smooth_lam = float(req.get("smooth_lambda", 0.0))
+                skin_warnings = []
+                if smooth_lam > 0.0 and skin_edges is None:
+                    # mirror the CLI bake-skin behavior (advisor r4: the
+                    # two entry points disagreed — the CLI warned and
+                    # proceeded unsmoothed while this handler let
+                    # fit_skinning's ValueError surface as a generic
+                    # protocol error): warn in the response, skip the
+                    # smoothing term.
+                    skin_warnings.append(
+                        "smooth_lambda needs faces= (mesh edges); the "
+                        "request is a point cloud — smoothing skipped"
+                    )
+                    smooth_lam = 0.0
                 model, rep = skinning.fit_skinning(
                     rest_pts, frames,
                     n_bones=int(req.get("bones", 16)),
@@ -1030,7 +1044,7 @@ class DeformServer:
                     outer_iters=int(req.get("iters", 8)),
                     seed=int(req.get("seed", 0)),
                     edges=skin_edges,
-                    smooth_lambda=float(req.get("smooth_lambda", 0.0)),
+                    smooth_lambda=smooth_lam,
                 )
                 if req.get("path"):
                     checkpoint.save_skinning(req["path"], model, rep)
@@ -1062,6 +1076,8 @@ class DeformServer:
                     "relative_rmse": float(rep.relative_rmse),
                     **({"weight_roughness": float(rep.weight_roughness)}
                        if rep.weight_roughness is not None else {}),
+                    **({"warnings": skin_warnings} if skin_warnings
+                       else {}),
                 }
             if cmd == "fit_shapes":
                 # blendshape-bake-as-a-service (ops/blendshapes.py, the

@@ -121,3 +121,278 @@ def warm_programs(
 
     timings["total"] = sum(timings.values())
     return timings
+
+
+def warm_pu(
+    controls: int = 30_000,
+    queries: int = 500_000,
+    frames: int = 0,
+    kernel=None,
+    term=None,
+    lam: float = 1e-5,
+    patch_size: int = 192,
+    overlap: float = 1.3,
+    progress: Optional[Callable[[str], None]] = None,
+) -> dict:
+    """Precompile the partition-of-unity route — the worst cold-compile
+    cost in the codebase (a fresh patch width measured 307 s at 200k
+    controls; CLAUDE.md).
+
+    Covers fit_pu (df assembly + batched LU + refinement), the Mosaic
+    tile eval at `queries` points, and with frames > 0 the shared-
+    factorization sequence fit + the frames tile kernel.
+
+    Shape-key note: PU fit/eval programs specialize on the BUCKETED
+    patch width (build_patches rounds it up to a multiple of 64 exactly
+    so nearby-width rigs share programs) and on the chunked patch/item
+    counts — warm at your rig's control count and density and later rigs
+    whose widths land in the same bucket start warm.  The returned dict
+    includes `patch_width` so you can check what bucket got warmed.
+    """
+    from facedeform_tpu.config import PolyTerm, RBFKernel
+    from facedeform_tpu.ops import pu
+    from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
+
+    say = progress or (lambda s: None)
+    kernel = RBFKernel.THIN_PLATE if kernel is None else kernel
+    term = PolyTerm.LINEAR if term is None else term
+    rng = np.random.default_rng(0)
+    rest = fibonacci_points(controls)
+    disp = (0.02 * rng.standard_normal(rest.shape)).astype(np.float32)
+    timings: dict = {}
+
+    patches = pu.build_patches(rest, patch_size, overlap)
+    width = int(patches.idx.shape[1])
+    say(f"pu patches: {patches.idx.shape[0]} x width {width}")
+
+    t0 = time.time()
+    model, _ = pu.fit_pu(
+        rest, rest + disp, kernel=kernel, term=term, lam=lam,
+        patches=patches,
+    )
+    _sync(model.w_hi)
+    timings["pu_fit"] = time.time() - t0
+    say(f"pu fit @ {controls} controls: {timings['pu_fit']:.1f}s")
+
+    d = pu.PUDeformer(model, patches, kernel, term)
+    q = _synth_points(queries)
+    t0 = time.time()
+    tplan = plan_eval_tiles(patches, np.asarray(q))
+    out = d.displacement(q, plan=tplan)
+    _sync(out)
+    timings["pu_eval"] = time.time() - t0
+    say(f"pu eval @ {queries} queries: {timings['pu_eval']:.1f}s")
+
+    if frames > 0:
+        rigs = np.stack([
+            rest + (0.02 * rng.standard_normal(rest.shape)).astype(np.float32)
+            for _ in range(frames)
+        ])
+        t0 = time.time()
+        models, _ = pu.fit_pu_frames(
+            rest, rigs, kernel=kernel, term=term, lam=lam, patches=patches
+        )
+        _sync(models[0].w_hi)
+        timings["pu_seq_fit"] = time.time() - t0
+        say(f"pu sequence fit @ {frames} frames: {timings['pu_seq_fit']:.1f}s")
+
+        seq = pu.PUSeqDeformer(models, patches, kernel, term)
+        t0 = time.time()
+        outs = seq.displacement_frames(np.asarray(q))
+        _sync(outs)
+        timings["pu_seq_eval"] = time.time() - t0
+        say(f"pu sequence eval: {timings['pu_seq_eval']:.1f}s")
+
+    timings["patch_width"] = width
+    timings["total"] = sum(
+        v for k, v in timings.items() if k != "patch_width"
+    )
+    return timings
+
+
+def warm_transport(
+    verts: int = 1_000_000,
+    controls: int = 1000,
+    frames: int = 0,
+    morph: bool = True,
+    cfg: Optional[DeformConfig] = None,
+    params: Optional[DeformParams] = None,
+    progress: Optional[Callable[[str], None]] = None,
+) -> dict:
+    """Precompile the attribute-transport programs: the analytic-Jacobian
+    normal transport (ops/pallas_jacobian via Deformer.deformed_normals),
+    the frames-packed whole-shot transport, and (morph=True) the 1-ring
+    field gradient + composed-F path node.cook uses after a morph/PSD
+    pass.
+
+    The field-gradient program specializes on the neighbor table's max
+    degree Dmax; this warms the regular-grid Dmax the uv-sphere topology
+    produces (6 — typical of quad/tri production meshes).  A mesh with a
+    different Dmax pays its own (small) compile.
+    """
+    import jax.numpy as jnp
+
+    say = progress or (lambda s: None)
+    cfg = cfg or DeformConfig()
+    params = params or DeformParams()
+    rng = np.random.default_rng(0)
+    rest = fibonacci_points(controls)
+    deformed = (
+        rest + 0.05 * rng.standard_normal(rest.shape)
+    ).astype(np.float32)
+    timings: dict = {}
+
+    from facedeform_tpu.geometry.primitives import uv_sphere
+
+    res = max(int(np.sqrt(max(verts - 2, 4))), 2)
+    mesh = uv_sphere(res, res)
+    verts = mesh.num_points
+    pts = jnp.asarray(mesh.points)
+    nrm = jnp.asarray(
+        mesh.points
+        / np.linalg.norm(mesh.points, axis=1, keepdims=True).astype(np.float32)
+    )
+    w = jnp.ones(verts, jnp.float32)
+
+    d = Deformer.fit(rest, deformed, cfg, params)
+    t0 = time.time()
+    out = d.deformed_normals(pts, nrm, w)
+    _sync(out)
+    timings["transport_normals"] = time.time() - t0
+    say(f"normal transport @ {verts} verts: "
+        f"{timings['transport_normals']:.1f}s")
+
+    if morph:
+        from facedeform_tpu.geometry.topology import (
+            padded_neighbors, unique_edges,
+        )
+        from facedeform_tpu.ops.jacobian import mesh_field_gradient
+
+        nbr = jnp.asarray(
+            padded_neighbors(verts, unique_edges(mesh.faces))[0]
+        )
+        d_field = jnp.asarray(
+            0.02 * np.sin(3.0 * mesh.points[:, [1, 2, 0]]), jnp.float32
+        )
+        eye3 = jnp.eye(3, dtype=jnp.float32)
+        t0 = time.time()
+        g_blend = mesh_field_gradient(pts, d_field, nbr)
+
+        def f_map(f):
+            return eye3[None] + g_blend + jnp.float32(0.25) * (f - eye3[None])
+
+        moved = d.transform_attrs(
+            pts, {"N": nrm}, w, kinds={"N": "normal"}, f_map=f_map
+        )
+        _sync(moved["N"])
+        timings["transport_morph_composed"] = time.time() - t0
+        say("morph-composed transport: "
+            f"{timings['transport_morph_composed']:.1f}s")
+
+    if frames > 0:
+        from facedeform_tpu.ops.fit import RBFModel
+        from facedeform_tpu.parallel import batched
+
+        mf = RBFModel(
+            ctrl=d.model.ctrl,
+            w_rbf=jnp.stack(
+                [d.model.w_rbf * (1.0 + 0.1 * f) for f in range(frames)]
+            ),
+            w_poly=jnp.stack(
+                [d.model.w_poly * (1.0 + 0.1 * f) for f in range(frames)]
+            ),
+            eps=d.model.eps,
+        )
+        t0 = time.time()
+        outs = batched.transport_frames(
+            mf, pts, (nrm,), w, d.cfg, ("normal",)
+        )[0]
+        _sync(outs)
+        timings["transport_frames"] = time.time() - t0
+        say(f"frames transport @ {frames} frames: "
+            f"{timings['transport_frames']:.1f}s")
+
+    timings["total"] = sum(timings.values())
+    return timings
+
+
+def warm_skinning(
+    verts: int = 100_000,
+    bones: int = 24,
+    poses: int = 8,
+    progress: Optional[Callable[[str], None]] = None,
+) -> dict:
+    """Precompile the skinning decomposition (one big jit program —
+    measured 98 s cold / 8.3 s warm at 100k x 24 x 8) plus lbs_apply."""
+    say = progress or (lambda s: None)
+    rng = np.random.default_rng(0)
+    from facedeform_tpu.ops import skinning
+
+    pts = rng.standard_normal((verts, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    frames = []
+    for t in np.linspace(0.3, 1.0, poses):
+        ang = t * 0.8 * (pts[:, 1] + 1.0)
+        ca, sa = np.cos(ang), np.sin(ang)
+        frames.append(np.stack(
+            [ca * pts[:, 0] - sa * pts[:, 2], pts[:, 1],
+             sa * pts[:, 0] + ca * pts[:, 2]], -1,
+        ))
+    frames = np.stack(frames).astype(np.float32)
+    timings: dict = {}
+    t0 = time.time()
+    m, _ = skinning.fit_skinning(
+        pts, frames, n_bones=bones, max_influences=min(4, bones), seed=0
+    )
+    timings["skin_fit"] = time.time() - t0
+    say(f"skinning fit @ {verts} x {bones} x {poses}: "
+        f"{timings['skin_fit']:.1f}s")
+    t0 = time.time()
+    q = skinning.lbs_apply(
+        m.weights, m.rest, m.rotations[0], m.translations[0]
+    )
+    _sync(q)
+    timings["skin_apply"] = time.time() - t0
+    say(f"lbs apply: {timings['skin_apply']:.1f}s")
+    timings["total"] = sum(timings.values())
+    return timings
+
+
+def warm_dbse(
+    verts: int = 100_000,
+    shapes: int = 8,
+    progress: Optional[Callable[[str], None]] = None,
+) -> dict:
+    """Precompile the morphspace (DBSE) programs: blendshape model build
+    (QR), the least-squares weight fit, and the clamped morph pass."""
+    import jax.numpy as jnp
+
+    say = progress or (lambda s: None)
+    rng = np.random.default_rng(0)
+    from facedeform_tpu.ops import dbse
+
+    rest = rng.standard_normal((verts, 3)).astype(np.float32)
+    blends = [
+        rest + 0.1 * rng.standard_normal((verts, 3)).astype(np.float32)
+        for _ in range(shapes)
+    ]
+    timings: dict = {}
+    t0 = time.time()
+    model = dbse.build_model(rest, blends)
+    _sync(model.deltas)
+    timings["dbse_build"] = time.time() - t0
+    say(f"dbse build @ {verts} x {shapes}: {timings['dbse_build']:.1f}s")
+    posed = rest + 0.05 * rng.standard_normal((verts, 3)).astype(np.float32)
+    rest_dev = jnp.asarray(rest)
+    t0 = time.time()
+    w, _rep = dbse.weights_lstsq(model, jnp.asarray(posed), rest_dev)
+    _sync(w)
+    timings["dbse_weights"] = time.time() - t0
+    say(f"dbse weights: {timings['dbse_weights']:.1f}s")
+    t0 = time.time()
+    out = dbse.reconstruct(model, w, None, False)
+    _sync(out)
+    timings["dbse_reconstruct"] = time.time() - t0
+    say(f"dbse reconstruct: {timings['dbse_reconstruct']:.1f}s")
+    timings["total"] = sum(timings.values())
+    return timings

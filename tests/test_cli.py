@@ -606,3 +606,40 @@ def test_cli_warm_precompiles(capsys):
     for k in ("fit", "eval_dense", "frames", "total"):
         assert k in timings and timings[k] >= 0.0
     assert "warming programs" in out.err
+
+
+def test_cli_warm_pu_route(capsys):
+    """`warm --solver pu` precompiles the PU fit + tile eval (+ the
+    sequence programs with --frames) and reports the warmed patch-width
+    bucket (round-4 verdict: the 307 s PU cold compile was unwarmable)."""
+    import json as _json
+
+    rc = main([
+        "warm", "--solver", "pu", "--controls", "300", "--queries", "800",
+        "--frames", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    timings = _json.loads(out.out.strip().splitlines()[-1])
+    for k in ("pu_fit", "pu_eval", "pu_seq_fit", "pu_seq_eval",
+              "patch_width", "total"):
+        assert k in timings, k
+    assert timings["patch_width"] % 64 == 0  # bucketed width
+
+
+def test_cli_warm_aux_programs(capsys):
+    """--transport / --skin / --dbse warm the transport, skinning and
+    morphspace program sets on top of the dense core."""
+    import json as _json
+
+    rc = main([
+        "warm", "--verts", "300", "--controls", "12", "--transport",
+        "--skin", "--bones", "3", "--poses", "2", "--dbse", "--shapes", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr()
+    timings = _json.loads(out.out.strip().splitlines()[-1])
+    for k in ("fit", "transport_normals", "transport_morph_composed",
+              "skin_fit", "skin_apply", "dbse_build", "dbse_weights",
+              "dbse_reconstruct", "total"):
+        assert k in timings, k

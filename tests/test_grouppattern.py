@@ -139,6 +139,20 @@ def test_attr_int_equality_is_exact(amesh):
     ]
 
 
+def test_attr_float_equality_ulp_scaled(amesh):
+    """f32 columns: the equality tolerance scales with the value's
+    magnitude (advisor r4) — a vertex stored at exactly 123.456 f32 must
+    match @attr=123.456 even though one ULP there (~7.6e-6) exceeds the
+    old fixed 1e-6 window, while distinct tiny values must NOT conflate."""
+    vals = np.zeros(20, np.float32)
+    vals[7] = np.float32(123.456)
+    vals[3] = np.float32(2e-6)       # distinct near-zero pair
+    vals[4] = np.float32(4e-6)
+    amesh.set_attr("fv", vals)
+    assert _idx(amesh.select_points("@fv=123.456")) == [7]
+    assert _idx(amesh.select_points("@fv=0.000004")) == [4]  # not [3, 4]
+
+
 def test_attr_composes_with_grammar(amesh):
     # the Houdini idiom: everything in a class except a named group
     assert _idx(amesh.select_points("@class=0,1 ^hand_l")) == list(range(5))

@@ -712,6 +712,19 @@ def test_serve_fit_skin(server, tmp_path):
     })
     assert not r_err["ok"] and "frames" in r_err["error"]
 
+    # smooth_lambda without faces mirrors the CLI: warn in the response
+    # and proceed unsmoothed (advisor r4 — it used to surface
+    # fit_skinning's ValueError as a generic protocol error)
+    r_ns = _rpc(server, {
+        "cmd": "fit_skin",
+        "rest_points": serve_mod.encode_array(rest),
+        "frames": serve_mod.encode_array(frames),
+        "bones": 2, "max_influences": 2, "seed": 1,
+        "smooth_lambda": 0.1,
+    })
+    assert r_ns["ok"]
+    assert any("smoothing skipped" in w for w in r_ns["warnings"])
+
 
 def test_serve_fit_shapes(server, tmp_path):
     """Blendshape-bake-as-a-service: PCA bake over the wire matches a
