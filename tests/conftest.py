@@ -72,6 +72,8 @@ _SMOKE = {
     "test_blendshapes_sharded.py::test_sharded_matches_single_device",
     "test_psd.py::test_node_device_route_matches_host",
     "test_skinning.py::test_edges_without_lambda_only_report",
+    # round-5 routes
+    "test_multihost_2proc.py::test_two_process_sharded_eval_parity",
 }
 
 

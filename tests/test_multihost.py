@@ -1,9 +1,10 @@
-"""Multi-host helpers exercised single-process over the 8-CPU-device mesh.
+"""Multi-host helpers: fast single-process coverage over the 8-CPU mesh.
 
-jax.make_array_from_process_local_data is process-count-agnostic: with one
-process the local slab is the whole axis, so the full global-array flow
-(host_slice -> global_vertex_array -> sharded_apply) runs end to end and
-must match the unsharded path exactly.
+These tests run in-process (one process, 8 forced CPU devices) for
+speed; the REAL process-boundary semantics — two OS processes under
+jax.distributed, each materializing only its own slab, ragged V through
+the pre-pad contract — are covered by test_multihost_2proc.py, which
+spawns a genuine 2-process run with a localhost coordinator.
 """
 
 import numpy as np
