@@ -558,6 +558,36 @@ def _print_load_warnings(paths, meshes) -> None:
             print(f"warning: {path}: {w}", file=sys.stderr)
 
 
+def _load_blends(paths):
+    """--blend arguments -> (expanded_paths, meshes).
+
+    A .glb that carries morph targets expands into one blendshape Mesh
+    per target (rest + delta; geometry/gltf_io.load_glb_blendshapes), so
+    an engine asset feeds the morphspace pass directly instead of being
+    pre-split into per-shape files.  Every other input (OBJ/.geo/plain
+    .glb) loads as one mesh, as before.
+    """
+    from facedeform_tpu.geometry import load_mesh
+
+    out_paths, out_meshes = [], []
+    for b in paths:
+        if b.lower().endswith(".glb"):
+            from facedeform_tpu.geometry.gltf_io import load_glb_blendshapes
+
+            _rest, shapes, names, _w = load_glb_blendshapes(b)
+            if shapes:
+                print(
+                    f"info: {b}: expanded {len(shapes)} morph targets "
+                    "as blendshapes", file=sys.stderr,
+                )
+                out_paths.extend(f"{b}#{n}" for n in names)
+                out_meshes.extend(shapes)
+                continue
+        out_paths.append(b)
+        out_meshes.append(load_mesh(b))
+    return out_paths, out_meshes
+
+
 def _maybe_autotune(args, cfg, params, rest_rig, deform_rig):
     """--autotune: LOOCV-select radius (and optionally ridge) from the rig
     pair before fitting.  Returns (params, error_message_or_None)."""
@@ -669,7 +699,7 @@ def _cmd_deform(args) -> int:
         mesh = load_mesh(args.mesh)
         rest_rig = load_mesh(args.rest_rig)
         deform_rig = load_mesh(args.deform_rig)
-        blends = [load_mesh(b) for b in args.blend]
+        blend_paths, blends = _load_blends(args.blend)
         examples = [
             (load_mesh(p), load_mesh(s)) for p, s in args.example
         ]
@@ -678,7 +708,7 @@ def _cmd_deform(args) -> int:
     ex_meshes = [m for pair in examples for m in pair]
     _print_load_warnings(
         [args.mesh, args.rest_rig, args.deform_rig]
-        + list(args.blend) + ex_paths + [p for p, _ in args.secondary],
+        + blend_paths + ex_paths + [p for p, _ in args.secondary],
         [mesh, rest_rig, deform_rig] + blends + ex_meshes + sec_meshes,
     )
     psd_loaded, psd_err = _load_psd_arg(args, bool(examples))
@@ -959,14 +989,14 @@ def _cmd_deform_seq(args) -> int:
         mesh = load_mesh(args.mesh)
         rest_rig = load_mesh(args.rest_rig)
         rigs = [load_mesh(p) for p in args.deform_rigs]
-        blends = [load_mesh(b) for b in args.blend]
+        blend_paths, blends = _load_blends(args.blend)
         examples = [
             (load_mesh(p), load_mesh(s)) for p, s in args.example
         ]
         sec_meshes = [load_mesh(p) for p, _ in args.secondary]
     _print_load_warnings(
         [args.mesh, args.rest_rig] + list(args.deform_rigs)
-        + list(args.blend) + [p for pair in args.example for p in pair]
+        + blend_paths + [p for pair in args.example for p in pair]
         + [p for p, _ in args.secondary],
         [mesh, rest_rig] + rigs + blends
         + [m for pair in examples for m in pair] + sec_meshes,

@@ -53,6 +53,42 @@ def test_cli_deform_morphspace_and_flags(tmp_path, rng):
     assert "weights" in out.detail_attrs
 
 
+def test_cli_blend_glb_expands_morph_targets(tmp_path, rng, capsys):
+    """One --blend .glb carrying K morph targets expands into K
+    blendshapes and cooks identically to K separate --blend OBJs."""
+    from facedeform_tpu.geometry.gltf_io import save_glb_morph
+
+    mesh = _write_inputs(tmp_path, rng)
+    shapes = np.stack([
+        mesh.points + 0.05 * rng.standard_normal(
+            (mesh.num_points, 3)).astype(np.float32)
+        for _ in range(2)
+    ])
+    save_glb_morph(str(tmp_path / "blends.glb"), mesh, shapes,
+                   animate=False)
+    for k in range(2):
+        save_obj(str(tmp_path / f"b{k}.obj"), Mesh(points=shapes[k]))
+
+    common = [
+        "deform", str(tmp_path / "mesh.obj"), str(tmp_path / "rig.obj"),
+        str(tmp_path / "drig.obj"), "--morphspace",
+    ]
+    rc = main(common + ["-o", str(tmp_path / "via_glb.obj"),
+                        "--blend", str(tmp_path / "blends.glb")])
+    assert rc == 0
+    assert "expanded 2 morph targets" in capsys.readouterr().err
+    rc = main(common + ["-o", str(tmp_path / "via_obj.obj"),
+                        "--blend", str(tmp_path / "b0.obj"),
+                        "--blend", str(tmp_path / "b1.obj")])
+    assert rc == 0
+    a = load_obj(str(tmp_path / "via_glb.obj"))
+    b = load_obj(str(tmp_path / "via_obj.obj"))
+    np.testing.assert_allclose(a.points, b.points, atol=1e-6)
+    np.testing.assert_allclose(
+        a.detail_attrs["weights"], b.detail_attrs["weights"], atol=1e-6
+    )
+
+
 def test_cli_deform_seq_batch_matches_per_frame(tmp_path):
     """--batch (one dispatch for frames 1+) must write the same frames as
     the per-frame node loop, and must fall back cleanly when the config
