@@ -91,6 +91,129 @@ def make_saddle_matvec(
     return matvec
 
 
+def make_saddle_matvec_df(
+    ctrl: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    eps: jnp.ndarray,
+    lam: jnp.ndarray,
+    tail_reg: float = 1e-8,
+    chunk: int = 512,
+    ctrl_block: int = 512,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Double-float (compensated) saddle matvec: same system as
+    make_saddle_matvec, with phi computed in df arithmetic and the
+    contraction's main products error-free (Dekker split + compensated
+    tree sum), rounded to f32 on return.
+
+    Why it exists: the f32 Krylov path for the CPD/growing kernels
+    (TPS/MQ/linear/cubic) stalls at a ~1e-3 backward-error floor — the
+    eps*kappa noise of the MATVEC, dominated for these kernels by phi's
+    evaluation error (f32 pairwise d2 cancellation feeding log/sqrt).
+    df-IR *around* f32 inner solves cannot pass that floor (measured,
+    round 3): classic IR needs kappa * eps_solve < 1.  Lowering the
+    matvec's own error attacks the floor directly (Greenbaum: the
+    attainable residual of a Krylov recurrence tracks the error of
+    applying A, not the factorization error there is none of).  The
+    remaining f32 terms are the recurrence axpys and the x storage —
+    O(eps) level, far below 1e-3.
+
+    Structure mirrors ops/precise_eval.evaluate_precise (df distances ->
+    df phi -> exact main products + f32 cross terms), specialized to
+    query points == control points and a runtime (N + m, k) operand.
+    ~10x the VPU ops of the f32 matvec; used for refinement sweeps, not
+    the whole iteration (ops/fit routes: f32 sweeps first, df last).
+
+    eps must be uniform (symmetry), like make_saddle_matvec.
+    """
+    from facedeform_tpu.ops.dfloat import (
+        _df_sum_axis0, _phi_df, _sqdist_df, _two_prod, df, df_add,
+        df_mul, df_recip,
+    )
+
+    n = ctrl.shape[0]
+    p = poly_basis(ctrl, term)  # (N, m)
+    m = p.shape[1]
+    lam = jnp.asarray(lam, jnp.float32)
+    lam = lam[:, None] if lam.ndim == 1 else lam
+
+    n_pad = (-n) % ctrl_block
+    ctrl_pad = jnp.pad(ctrl.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    nb = ctrl_pad.shape[0] // ctrl_block
+    eps_v = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (n,))
+    eps_pad = jnp.pad(eps_v, (0, n_pad), constant_values=1.0)
+    e2 = _two_prod(eps_pad, eps_pad)
+    inv_e2 = df_recip(e2)
+
+    v_pad = (-n) % chunk
+    pts_pad = jnp.pad(ctrl.astype(jnp.float32), ((0, v_pad), (0, 0)))
+    row_chunks = pts_pad.reshape(-1, chunk, 3)
+
+    hp = dict(
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    def matvec(x: jnp.ndarray) -> jnp.ndarray:  # (N + m, k)
+        x = x.astype(jnp.float32)
+        k = x.shape[1]
+        xw, xc = x[:n], x[n:]
+        xw_pad = jnp.pad(xw, ((0, n_pad), (0, 0)))  # padded cols multiply 0
+
+        def row_chunk(pts):
+            c = pts.shape[0]
+
+            def block_body(b, acc):
+                acc_hi, acc_lo = acc
+                lo_idx = b * ctrl_block
+                cblk = jax.lax.dynamic_slice(
+                    ctrl_pad, (lo_idx, 0), (ctrl_block, 3)
+                )
+                ie_hi = jax.lax.dynamic_slice(
+                    inv_e2[0], (lo_idx,), (ctrl_block,)
+                )[None, :]
+                ie_lo = jax.lax.dynamic_slice(
+                    inv_e2[1], (lo_idx,), (ctrl_block,)
+                )[None, :]
+                xb = jax.lax.dynamic_slice(
+                    xw_pad, (lo_idx, 0), (ctrl_block, k)
+                )
+                d2 = _sqdist_df(pts, cblk)                    # df (c, B)
+                s = df_mul(d2, (ie_hi, ie_lo))
+                phi = _phi_df(kernel, s)                      # df (c, B)
+                # padded control columns: phi(s of a real row vs the
+                # origin-padded control) is junk — mask to exact zero
+                valid = (
+                    jnp.arange(ctrl_block) + lo_idx < n
+                )[None, :]
+                phi = (jnp.where(valid, phi[0], 0.0),
+                       jnp.where(valid, phi[1], 0.0))
+                # exact main products phi_hi * x, tree-summed over B
+                pm, em = _two_prod(
+                    phi[0].T[:, :, None], xb[:, None, :]
+                )                                             # (B, c, k)
+                s_hi, s_lo = _df_sum_axis0(pm, em)
+                cross = jnp.dot(phi[1], xb, **hp)             # <= u relative
+                return df_add((acc_hi, acc_lo),
+                              df_add((s_hi, s_lo), df(cross)))
+
+            zero = jnp.zeros((c, k), jnp.float32)
+            out_hi, out_lo = jax.lax.fori_loop(
+                0, nb, block_body, (zero, zero)
+            )
+            return out_hi + out_lo
+
+        y_top = jax.lax.map(row_chunk, row_chunks).reshape(-1, k)[:n]
+        y_top = y_top + lam * xw
+        if m:
+            y_top = y_top + jnp.dot(p, xc, **hp)
+            y_bot = jnp.dot(p.T, xw, **hp) - tail_reg * xc
+            return jnp.concatenate([y_top, y_bot], axis=0)
+        return y_top
+
+    return matvec
+
+
 # ------------------------------------------------------------ block-Jacobi
 def make_block_jacobi(
     ctrl: jnp.ndarray,
@@ -353,6 +476,289 @@ def pminres(
         cond_est=None,
         col_backward=jnp.linalg.norm(r_final, axis=0)
         / jnp.maximum(col_scale, 1e-30),
+    )
+    return x, report
+
+
+# ---------------------------------------------------------- df-MINRES
+def make_saddle_matvec_df_pair(
+    ctrl: jnp.ndarray,
+    kernel: RBFKernel,
+    term: PolyTerm,
+    eps: jnp.ndarray,
+    lam: jnp.ndarray,
+    tail_reg: float = 1e-8,
+    chunk: int = 512,
+    ctrl_block: int = 512,
+):
+    """Double-float matvec over a DF OPERAND, returning a df pair.
+
+    y = A (x_hi + x_lo) with A x_hi computed by the compensated sweep
+    (make_saddle_matvec_df) kept as (hi, lo) before the final rounding,
+    and A x_lo added through the plain f32 sweep (x_lo is already at
+    eps relative of x_hi, so f32 accuracy there is below the df tail).
+    This is the pminres_df workhorse: one df + one f32 kernel sweep per
+    iteration.
+    """
+    from facedeform_tpu.ops.dfloat import (
+        _df_sum_axis0, _phi_df, _sqdist_df, _two_prod, df, df_add,
+        df_mul, df_recip,
+    )
+
+    n = ctrl.shape[0]
+    p = poly_basis(ctrl, term)  # (N, m)
+    m = p.shape[1]
+    lam = jnp.asarray(lam, jnp.float32)
+    lam = lam[:, None] if lam.ndim == 1 else lam
+
+    n_pad = (-n) % ctrl_block
+    ctrl_pad = jnp.pad(ctrl.astype(jnp.float32), ((0, n_pad), (0, 0)))
+    nb = ctrl_pad.shape[0] // ctrl_block
+    eps_v = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (n,))
+    eps_pad = jnp.pad(eps_v, (0, n_pad), constant_values=1.0)
+    e2 = _two_prod(eps_pad, eps_pad)
+    inv_e2 = df_recip(e2)
+
+    v_pad = (-n) % chunk
+    pts_pad = jnp.pad(ctrl.astype(jnp.float32), ((0, v_pad), (0, 0)))
+    row_chunks = pts_pad.reshape(-1, chunk, 3)
+    f32_mv = make_saddle_matvec(ctrl, kernel, term, eps_v, lam, tail_reg,
+                                chunk=2048)
+
+    hp = dict(
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    def matvec(x):
+        x_hi, x_lo = x
+        k = x_hi.shape[1]
+        xw = x_hi[:n]
+        xc = x_hi[n:]
+        xw_pad = jnp.pad(xw, ((0, n_pad), (0, 0)))
+
+        def row_chunk(pts):
+            c = pts.shape[0]
+
+            def block_body(bk, acc):
+                acc_hi, acc_lo = acc
+                lo_idx = bk * ctrl_block
+                cblk = jax.lax.dynamic_slice(
+                    ctrl_pad, (lo_idx, 0), (ctrl_block, 3)
+                )
+                ie_hi = jax.lax.dynamic_slice(
+                    inv_e2[0], (lo_idx,), (ctrl_block,)
+                )[None, :]
+                ie_lo = jax.lax.dynamic_slice(
+                    inv_e2[1], (lo_idx,), (ctrl_block,)
+                )[None, :]
+                xb = jax.lax.dynamic_slice(
+                    xw_pad, (lo_idx, 0), (ctrl_block, k)
+                )
+                d2 = _sqdist_df(pts, cblk)
+                s = df_mul(d2, (ie_hi, ie_lo))
+                phi = _phi_df(kernel, s)
+                valid = (jnp.arange(ctrl_block) + lo_idx < n)[None, :]
+                phi = (jnp.where(valid, phi[0], 0.0),
+                       jnp.where(valid, phi[1], 0.0))
+                pm, em = _two_prod(phi[0].T[:, :, None], xb[:, None, :])
+                s_hi, s_lo = _df_sum_axis0(pm, em)
+                cross = jnp.dot(phi[1], xb, **hp)
+                return df_add((acc_hi, acc_lo),
+                              df_add((s_hi, s_lo), df(cross)))
+
+            zero = jnp.zeros((c, k), jnp.float32)
+            hi, lo = jax.lax.fori_loop(0, nb, block_body, (zero, zero))
+            return jnp.stack([hi, lo])
+
+        y = jax.lax.map(row_chunk, row_chunks)          # (nc, 2, chunk, k)
+        y_hi = y[:, 0].reshape(-1, k)[:n]
+        y_lo = y[:, 1].reshape(-1, k)[:n]
+        # ridge + polynomial coupling on the hi part, in df
+        lam_prod = _two_prod(jnp.broadcast_to(lam, xw.shape), xw)
+        top = df_add((y_hi, y_lo), lam_prod)
+        if m:
+            pxc = jnp.dot(p, xc, **hp)
+            top = df_add(top, df(pxc))
+            bot_hi = jnp.dot(p.T, xw, **hp) - tail_reg * xc
+            out_hi = jnp.concatenate([top[0], bot_hi], axis=0)
+            out_lo = jnp.concatenate(
+                [top[1], jnp.zeros_like(bot_hi)], axis=0
+            )
+        else:
+            out_hi, out_lo = top
+        # + A x_lo through the f32 sweep (x_lo ~ eps * x_hi)
+        alo = f32_mv(x_lo)
+        return df_add((out_hi, out_lo), df(alo))
+
+    return matvec
+
+
+@functools.partial(jax.jit, static_argnames=("matvec_df", "msolve", "maxiter"))
+def pminres_df(
+    matvec_df: Callable,
+    b: jnp.ndarray,
+    msolve: Callable[[jnp.ndarray], jnp.ndarray],
+    tol: float = 1e-11,
+    maxiter: int = 256,
+    x0: jnp.ndarray | None = None,
+) -> tuple[tuple[jnp.ndarray, jnp.ndarray], SolveReport]:
+    """Preconditioned MINRES carried ENTIRELY in double-float vectors.
+
+    Why: f32 PMINRES on the growing (CPD) kernels stalls at a true
+    relative residual of eps32 * ||A|| * ||x|| / ||b|| — measured ~5e-2
+    at 16k TPS controls, where ||x|| ~ 1e2 ||b|| and kappa ~ 1e7 (the
+    1e-3 BACKWARD-error health floor maps to percent-level interpolation
+    residual there).  Upgrading only the matvec moved 5.4e-2 -> 4.4e-2
+    (measured): the f32 STORAGE of the iterate and Lanczos basis pins
+    the same floor (Greenbaum: attainable residual tracks the precision
+    of the recurrence, not just of A).  Here every vector — x, the
+    Lanczos pair v/v_prev, the update directions w/w_prev, z = M^-1 v —
+    is an (hi, lo) pair updated with compensated axpys, and A applies
+    through make_saddle_matvec_df_pair (df sweep on hi + f32 sweep on
+    lo).  Per-iteration cost stays dominated by the one df kernel sweep;
+    the elementwise df vector work is O(N k).
+
+    The preconditioner stays f32 (it only shapes convergence, not the
+    attainable accuracy); scalars (Lanczos/Givens coefficients) are f32
+    from df dot products — their rounding perturbs the ITERATION, which
+    preconditioned MINRES absorbs, not the floor.
+
+    Returns ((x_hi, x_lo), report); the report's residual is evaluated
+    through the df matvec — a truthful ruler (the f32 self-evaluation
+    cannot see below its own noise floor).
+    """
+    from facedeform_tpu.ops.dfloat import (
+        _df_sum_axis0, _two_prod, df, df_add,
+    )
+
+    def df_scale(x, c):
+        """(hi, lo) * (k,) f32 row-broadcast scalar, compensated."""
+        p, e = _two_prod(x[0], jnp.broadcast_to(c, x[0].shape))
+        return p, e + x[1] * c
+
+    def df_dot(x, y):
+        """sum_i x_i y_i over axis 0 -> (k,) f32 (df-accurate sum)."""
+        p, e = _two_prod(x[0], y[0])
+        cross = x[0] * y[1] + x[1] * y[0]
+        hi, lo = _df_sum_axis0(p, e + cross)
+        return hi + lo
+
+    b = b.astype(jnp.float32)
+    n, k = b.shape
+    bd = df(b)
+    if x0 is not None:
+        x0d = (x0[0].astype(jnp.float32), x0[1].astype(jnp.float32)) \
+            if isinstance(x0, tuple) else df(x0.astype(jnp.float32))
+        ax0 = matvec_df(x0d)
+        rd = df_add(bd, (-ax0[0], -ax0[1]))
+    else:
+        x0d = None
+        rd = bd
+    z0 = msolve(rd[0] + rd[1])
+    zd = df(z0)
+    zr = df_dot(zd, rd)
+    alive0 = zr > 1e-30
+    gamma1 = jnp.where(alive0, jnp.sqrt(jnp.maximum(zr, 1e-30)), 1.0)
+    eta0 = jnp.where(alive0, gamma1, 0.0)
+    bnorm = jnp.linalg.norm(b, axis=0)
+    zero = df(jnp.zeros_like(b))
+
+    state = dict(
+        x=zero,
+        v=rd, v_prev=zero,
+        z=zd,
+        gamma=gamma1, gamma_prev=jnp.ones((k,), jnp.float32),
+        eta=eta0,
+        c1=jnp.ones((k,), jnp.float32), c0=jnp.ones((k,), jnp.float32),
+        s1=jnp.zeros((k,), jnp.float32), s0=jnp.zeros((k,), jnp.float32),
+        w=zero, w_prev=zero,
+        it=jnp.asarray(0, jnp.int32),
+        resid=eta0,
+        anorm=jnp.zeros((k,), jnp.float32),
+    )
+
+    def cond(st):
+        return jnp.logical_and(
+            st["it"] < maxiter,
+            jnp.any(st["resid"] > tol * jnp.maximum(bnorm, 1e-30)),
+        )
+
+    def body(st):
+        gamma, gamma_prev = st["gamma"], st["gamma_prev"]
+        inv_g = 1.0 / gamma
+        zj = df_scale(st["z"], inv_g)
+        azj = matvec_df(zj)
+        delta = df_dot(zj, azj)
+        v_new = df_add(
+            azj,
+            df_add(
+                df_scale(st["v"], -delta * inv_g),
+                df_scale(st["v_prev"], -gamma / gamma_prev),
+            ),
+        )
+        z_new = df(msolve(v_new[0] + v_new[1]))
+        gamma_new = jnp.sqrt(
+            jnp.maximum(df_dot(z_new, v_new), 1e-30)
+        )
+
+        c1, c0, s1, s0 = st["c1"], st["c0"], st["s1"], st["s0"]
+        alpha0 = c1 * delta - c0 * s1 * gamma
+        alpha1 = jnp.maximum(
+            jnp.sqrt(alpha0 * alpha0 + gamma_new * gamma_new), 1e-30
+        )
+        alpha2 = s1 * delta + c0 * c1 * gamma
+        alpha3 = s0 * gamma
+        c1n = alpha0 / alpha1
+        s1n = gamma_new / alpha1
+        w_new = df_scale(
+            df_add(
+                zj,
+                df_add(
+                    df_scale(st["w_prev"], -alpha3),
+                    df_scale(st["w"], -alpha2),
+                ),
+            ),
+            1.0 / alpha1,
+        )
+        x = df_add(st["x"], df_scale(w_new, c1n * st["eta"]))
+        eta = -s1n * st["eta"]
+
+        return dict(
+            x=x, v=v_new, v_prev=st["v"], z=z_new,
+            gamma=gamma_new, gamma_prev=gamma,
+            eta=eta, c1=c1n, c0=c1, s1=s1n, s0=s1,
+            w=w_new, w_prev=st["w"],
+            it=st["it"] + 1,
+            resid=jnp.abs(eta),
+            anorm=jnp.maximum(
+                st["anorm"],
+                jnp.sqrt(delta * delta + gamma * gamma
+                         + gamma_new * gamma_new),
+            ),
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    x = st["x"] if x0d is None else df_add(st["x"], x0d)
+    ax = matvec_df(x)
+    r_hi, r_lo = df_add(bd, (-ax[0], -ax[1]))
+    r_norm = jnp.sqrt(jnp.maximum(
+        jnp.sum(df_dot((r_hi, r_lo), (r_hi, r_lo))), 0.0
+    ))
+    anorm = jnp.max(st["anorm"])
+    x_f = x[0] + x[1]
+    col_r = jnp.sqrt(jnp.maximum(
+        df_dot((r_hi, r_lo), (r_hi, r_lo)), 0.0
+    ))
+    col_scale = anorm * jnp.linalg.norm(x_f, axis=0) + jnp.linalg.norm(
+        b, axis=0
+    )
+    report = SolveReport(
+        residual_norm=r_norm,
+        rhs_norm=jnp.linalg.norm(b),
+        scale_norm=anorm * jnp.linalg.norm(x_f) + jnp.linalg.norm(b),
+        cond_est=None,
+        col_backward=col_r / jnp.maximum(col_scale, 1e-30),
     )
     return x, report
 

@@ -262,3 +262,70 @@ def test_pminres_zero_column_converges_immediately(rng):
     # live columns still solved
     r = np.asarray(mv(jnp.asarray(x))) - b
     assert np.abs(r[:, :2]).max() < 1e-2 * np.abs(b).max()
+
+
+def test_df_saddle_matvec_beats_f32(rng):
+    """make_saddle_matvec_df: same saddle system, phi + main products in
+    double-float.  On CPU the EFTs lose ~1 ulp to fusion rematerialization
+    (CLAUDE.md) so the bar here is 'strictly more accurate than f32 and
+    within a few f32 ulps of f64'; exactness holds on the TPU target
+    (verified on-chip: 1.1e-7 vs f64 at 4k — the f32 output rounding)."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops.krylov import make_saddle_matvec_df
+
+    n = 600
+    ctrl = fibonacci_points(n)
+    x = rng.standard_normal((n + 4, 3)).astype(np.float32)
+    eps = jnp.ones((n,), jnp.float32)
+    lam = jnp.float32(0.01)
+    mv32 = make_saddle_matvec(
+        jnp.asarray(ctrl), RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam
+    )
+    mvdf = make_saddle_matvec_df(
+        jnp.asarray(ctrl), RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam
+    )
+    y32 = np.asarray(mv32(jnp.asarray(x)), np.float64)
+    ydf = np.asarray(mvdf(jnp.asarray(x)), np.float64)
+
+    c = ctrl.astype(np.float64)
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    phi = np.where(d2 <= 1e-30, 0.0,
+                   0.5 * d2 * np.log(np.maximum(d2, 1e-30)))
+    p = np.concatenate([np.ones((n, 1)), c], 1)
+    xw, xc = x[:n].astype(np.float64), x[n:].astype(np.float64)
+    yref = np.concatenate(
+        [phi @ xw + 0.01 * xw + p @ xc, p.T @ xw - 1e-8 * xc]
+    )
+    sc = np.abs(yref).max()
+    err32 = np.abs(y32 - yref).max() / sc
+    errdf = np.abs(ydf - yref).max() / sc
+    assert errdf < err32, (errdf, err32)
+    assert errdf < 1e-6
+
+
+def test_df_saddle_matvec_per_marker_lam(rng):
+    """The (N,) per-marker ridge broadcasts identically on both matvecs."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.ops.krylov import make_saddle_matvec_df
+
+    n = 300
+    ctrl = fibonacci_points(n)
+    x = rng.standard_normal((n + 4, 3)).astype(np.float32)
+    eps = jnp.ones((n,), jnp.float32)
+    lam_v = jnp.asarray(
+        0.01 / np.linspace(0.2, 1.0, n), jnp.float32
+    )
+    mv32 = make_saddle_matvec(
+        jnp.asarray(ctrl), RBFKernel.GAUSSIAN, PolyTerm.LINEAR, eps, lam_v
+    )
+    mvdf = make_saddle_matvec_df(
+        jnp.asarray(ctrl), RBFKernel.GAUSSIAN, PolyTerm.LINEAR, eps, lam_v
+    )
+    np.testing.assert_allclose(
+        np.asarray(mvdf(jnp.asarray(x))), np.asarray(mv32(jnp.asarray(x))),
+        atol=5e-5,
+    )
