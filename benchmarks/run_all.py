@@ -644,10 +644,15 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
     # + batched 3x3 solves).  Measured cost at 1M x 1k on v5e rides in
     # BENCH_DETAIL so the "transport is ms-scale" claim is a number.
     from facedeform_tpu.geometry.topology import padded_neighbors, unique_edges
-    from facedeform_tpu.ops.jacobian import mesh_field_gradient
+    from facedeform_tpu.ops.jacobian import (
+        TRANSPORT_MAX_DEGREE, apply_field_gradient, field_gradient_plan,
+    )
 
+    # degree-capped: uncapped, the uv-sphere poles (degree ~ n_verts/1000)
+    # pad the (V, Dmax, 3) gather temps to ~12 GB at 1M — HBM OOM, measured
     nbr = jnp.asarray(
-        padded_neighbors(n_verts, unique_edges(mesh.faces))[0]
+        padded_neighbors(n_verts, unique_edges(mesh.faces),
+                         max_degree=TRANSPORT_MAX_DEGREE)[0]
     )
     # synthetic smooth discrete layer standing in for the blend + PSD
     # reconstruction (content is irrelevant to the timing)
@@ -656,9 +661,18 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
     )
     gamma = jnp.float32(0.25)
     eye3 = jnp.eye(3, dtype=jnp.float32)
+    # the geometry half is cached per rest mesh by node.cook
+    # (_transport_grad_plan); per-cook cost is the apply + transport
+    grad_coeff = field_gradient_plan(pts, nbr)
+    _sync(grad_coeff)
+
+    def run_plan():
+        _sync(field_gradient_plan(pts, nbr))
+
+    best_plan, _, _ = _timed_rounds(run_plan, rounds=3)
 
     def run_composed():
-        g_blend = mesh_field_gradient(pts, d_field, nbr)
+        g_blend = apply_field_gradient(d_field, nbr, grad_coeff)
 
         def f_map(f):
             return eye3[None] + g_blend + gamma * (f - eye3[None])
@@ -674,25 +688,32 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
 
     best_comp, _, comp_spread = _timed_rounds(run_composed_timed, rounds=3)
 
-    # gradient-only split so the gather cost is attributable
-    _sync(mesh_field_gradient(pts, d_field, nbr))
+    # gradient-apply split so the gather cost is attributable
+    _sync(apply_field_gradient(d_field, nbr, grad_coeff))
 
     def run_grad():
-        _sync(mesh_field_gradient(pts, d_field, nbr))
+        _sync(apply_field_gradient(d_field, nbr, grad_coeff))
 
     best_grad, _, _ = _timed_rounds(run_grad, rounds=3)
 
     # correctness anchor: an affine discrete layer d(x) = A x + b over
     # gamma = 0 must transport normals by cof(I + A) (the 1-ring LS
-    # gradient is exact for affine fields on the tangent plane; the
-    # residual is the sphere's quadratic off-plane deviation, ~h^2 —
-    # measured 2.5e-4 at the 10k CPU sizing, smaller at 1M)
+    # gradient is exact for affine fields regardless of ring anisotropy
+    # since the 3e-7 relative ridge sits below the pole cells' smallest
+    # tangential Gram eigenvalue).  The field is built HOST-side in f64:
+    # a device pts @ A matmul runs on the MXU in bf16 (~8e-3 relative),
+    # which swamps the ~2e-5 azimuthal edge differences at the poles and
+    # read as a bogus 0.026 transport error (measured)
     a_mat = jnp.asarray(
         [[0.02, 0.015, 0.0], [-0.01, -0.03, 0.005], [0.0, 0.02, 0.01]],
         jnp.float32,
     )
-    d_aff = pts @ a_mat.T + jnp.float32([0.01, -0.02, 0.005])
-    g_aff = mesh_field_gradient(pts, d_aff, nbr)
+    d_aff = jnp.asarray(
+        mesh.points.astype(np.float64) @ np.asarray(a_mat, np.float64).T
+        + [0.01, -0.02, 0.005],
+        jnp.float32,
+    )
+    g_aff = apply_field_gradient(d_aff, nbr, grad_coeff)
 
     def f_map_aff(f):
         return eye3[None] + g_aff + 0.0 * (f - eye3[None])
@@ -718,6 +739,7 @@ def config11_normal_transport(rng, n_verts=1_000_000, n_ctrl=1000):
         "seq_frame0_vs_single_err": seq0_err,
         "morph_composed_transport_ms": best_comp * 1e3,
         "morph_field_gradient_ms": best_grad * 1e3,
+        "morph_gradient_plan_ms": best_plan * 1e3,
         "morph_composed_affine_err": comp_err,
         "spread": max(n_spread, seq_spread, comp_spread),
         "pass": bool(

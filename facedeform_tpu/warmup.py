@@ -266,10 +266,13 @@ def warm_transport(
         from facedeform_tpu.geometry.topology import (
             padded_neighbors, unique_edges,
         )
-        from facedeform_tpu.ops.jacobian import mesh_field_gradient
+        from facedeform_tpu.ops.jacobian import (
+            TRANSPORT_MAX_DEGREE, mesh_field_gradient,
+        )
 
         nbr = jnp.asarray(
-            padded_neighbors(verts, unique_edges(mesh.faces))[0]
+            padded_neighbors(verts, unique_edges(mesh.faces),
+                             max_degree=TRANSPORT_MAX_DEGREE)[0]
         )
         d_field = jnp.asarray(
             0.02 * np.sin(3.0 * mesh.points[:, [1, 2, 0]]), jnp.float32

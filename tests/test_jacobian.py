@@ -271,3 +271,68 @@ def test_deformation_gradient_zero_weight_is_identity(rng):
         jnp.asarray(jac), jnp.zeros(7, jnp.float32)
     ))
     np.testing.assert_allclose(f, np.broadcast_to(np.eye(3), (7, 3, 3)))
+
+
+def test_padded_neighbors_degree_cap_stride_spread():
+    """max_degree caps the table width via STRIDE subsampling: a fan
+    vertex's kept neighbors stay angularly spread around the ring (a
+    contiguous-arc truncation would leave near-collinear edge vectors
+    that wreck the LSQ gradient), uncapped vertices are untouched, and
+    the returned degrees are the effective slot counts."""
+    from facedeform_tpu.geometry.topology import padded_neighbors
+
+    # vertex 0 = hub of a 100-spoke fan; vertices 1..100 on a ring, each
+    # also chained to its ring successor (degree 3 each)
+    ring = np.arange(1, 101)
+    edges = np.concatenate([
+        np.stack([np.zeros(100, np.int64), ring], axis=1),
+        np.stack([ring, np.roll(ring, -1)], axis=1),
+    ])
+    nbr, deg = padded_neighbors(101, edges, max_degree=16)
+    assert nbr.shape == (101, 16)
+    assert deg[0] == 16.0 and np.all(deg[1:] == 3.0)
+    hub = nbr[0][nbr[0] != 0]
+    assert len(set(hub.tolist())) == 16
+    # ring positions of the kept neighbors: stride sampling spreads them
+    # over the full circle (max angular gap ~ 2x the mean, not an arc)
+    ang = np.sort(2.0 * np.pi * (hub - 1) / 100.0)
+    gaps = np.diff(np.concatenate([ang, [ang[0] + 2.0 * np.pi]]))
+    assert gaps.max() < 3.0 * (2.0 * np.pi / 16.0)
+    # low-degree rows keep self-padding semantics
+    assert np.all(nbr[1, 3:] == 1)
+    # uncapped call unchanged apart from width
+    full, degf = padded_neighbors(101, edges)
+    assert full.shape == (101, 100) and degf[0] == 100.0
+
+
+def test_mesh_field_gradient_capped_table_affine_exact(rng):
+    """The 1-ring LSQ gradient stays exact for affine fields through a
+    degree-capped table (any tangent-spanning neighbor subset suffices) —
+    the property the TRANSPORT_MAX_DEGREE cap relies on."""
+    from facedeform_tpu.geometry.primitives import uv_sphere
+    from facedeform_tpu.geometry.topology import padded_neighbors, unique_edges
+    from facedeform_tpu.ops.jacobian import (
+        TRANSPORT_MAX_DEGREE, mesh_field_gradient,
+    )
+
+    mesh = uv_sphere(24, 24)  # poles have degree 24 > cap
+    pts = mesh.points.astype(np.float32)
+    a_mat = np.asarray(
+        [[0.02, 0.015, 0.0], [-0.01, -0.03, 0.005], [0.0, 0.02, 0.01]],
+        np.float32,
+    )
+    field = pts @ a_mat.T
+    nbr, _ = padded_neighbors(
+        mesh.num_points, unique_edges(mesh.faces),
+        max_degree=TRANSPORT_MAX_DEGREE,
+    )
+    assert nbr.shape[1] <= TRANSPORT_MAX_DEGREE
+    g = np.asarray(mesh_field_gradient(
+        jnp.asarray(pts), jnp.asarray(field), jnp.asarray(nbr)
+    ))
+    # tangential action exact (the normal column is ridge-damped by
+    # design); compare G e against A e for the capped ring's own edges
+    e = pts[nbr] - pts[:, None, :]
+    want = np.einsum("ab,vdb->vda", a_mat, e)
+    got = np.einsum("vab,vdb->vda", g, e)
+    assert np.abs(got - want).max() < 1e-4
