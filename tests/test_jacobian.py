@@ -336,3 +336,41 @@ def test_mesh_field_gradient_capped_table_affine_exact(rng):
     want = np.einsum("ab,vdb->vda", a_mat, e)
     got = np.einsum("vab,vdb->vda", g, e)
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_padded_neighbors_cap_property_random_degrees():
+    """Property check of the stride-subsample bookkeeping across degree
+    regimes (c < cap, c == cap, c == cap+1, c >> cap): every vertex's
+    capped row holds exactly min(deg, cap) distinct TRUE neighbors (a
+    subset of its full ring), the rest self-padding, and the returned
+    effective degrees match."""
+    from facedeform_tpu.geometry.topology import padded_neighbors
+
+    rng = np.random.default_rng(7)
+    hub_degrees = [1, 3, 15, 16, 17, 31, 40, 97]
+    edges, nxt = [], len(hub_degrees)
+    rings = []
+    for hub, degv in enumerate(hub_degrees):
+        ring = np.arange(nxt, nxt + degv)
+        nxt += degv
+        rings.append(set(ring.tolist()))
+        for r in ring:
+            edges.append((hub, r))
+    edges = np.asarray(edges, np.int64)
+    cap = 16
+    nbr, deg = padded_neighbors(nxt, edges, max_degree=cap)
+    assert nbr.shape == (nxt, cap)
+    for hub, degv in enumerate(hub_degrees):
+        eff = min(degv, cap)
+        assert deg[hub] == float(eff)
+        row = nbr[hub]
+        real = row[row != hub]
+        assert len(real) == eff
+        assert len(set(real.tolist())) == eff
+        assert set(real.tolist()) <= rings[hub]
+    # spoke endpoints: degree 1, their single neighbor is their hub
+    for hub, degv in enumerate(hub_degrees):
+        for r in rings[hub]:
+            row = nbr[r]
+            real = row[row != r]
+            assert list(real) == [hub] and deg[r] == 1.0
