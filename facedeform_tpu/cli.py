@@ -259,7 +259,12 @@ def _build_parser() -> argparse.ArgumentParser:
     wm.add_argument("--frames", type=int, default=0,
                     help="also warm the animated-sequence programs at "
                          "this frame count (default off)")
-    wm.add_argument("--solver", choices=["dense", "pu"], default="dense",
+    # dest differs from the cook-level `solver` that _add_model_flags
+    # pins to "auto" via set_defaults: sharing the dest let set_defaults
+    # override this default AND made an explicit `--solver dense` reach
+    # DeformConfig, which rejects "dense" (review finding, round 5)
+    wm.add_argument("--solver", dest="warm_solver",
+                    choices=["dense", "pu"], default="dense",
                     help="dense warms fit + Pallas evals (default); pu "
                          "warms the partition-of-unity route (fit_pu + "
                          "Mosaic tile eval; the worst cold compile — "
@@ -574,7 +579,7 @@ def _load_blends(paths):
         if b.lower().endswith(".glb"):
             from facedeform_tpu.geometry.gltf_io import load_glb_blendshapes
 
-            _rest, shapes, names, _w = load_glb_blendshapes(b)
+            rest, shapes, names, _w = load_glb_blendshapes(b)
             if shapes:
                 print(
                     f"info: {b}: expanded {len(shapes)} morph targets "
@@ -582,7 +587,12 @@ def _load_blends(paths):
                 )
                 out_paths.extend(f"{b}#{n}" for n in names)
                 out_meshes.extend(shapes)
-                continue
+            else:
+                # no targets: the rest Mesh is already fully decoded —
+                # re-parsing through load_mesh would double the GLB cost
+                out_paths.append(b)
+                out_meshes.append(rest)
+            continue
         out_paths.append(b)
         out_meshes.append(load_mesh(b))
     return out_paths, out_meshes
@@ -1974,10 +1984,18 @@ def _cmd_warm(args) -> int:
           "shapes start warm)",
         file=sys.stderr,
     )
-    if args.solver == "pu":
+    if args.warm_solver == "pu":
+        from facedeform_tpu.config import PolyTerm, RBFKernel
+
+        # kernel/term/lam are static jit keys: warming the default
+        # THIN_PLATE programs does nothing for a gaussian session, so
+        # the model flags must reach warm_pu (review finding, round 5)
         timings = warmup.warm_pu(
             controls=args.controls, queries=args.queries,
-            frames=args.frames, patch_size=args.patch_size,
+            frames=args.frames,
+            kernel=RBFKernel[args.kernel.upper()],
+            term=PolyTerm[args.term.upper()], lam=args.lam,
+            patch_size=args.patch_size,
             overlap=args.overlap, progress=say,
         )
     else:
@@ -2047,11 +2065,13 @@ def _cmd_bake_skin(args) -> int:
         mesh = load_mesh(args.mesh)
         rest_rig = load_mesh(args.rest_rig)
         inputs = [load_mesh(p) for p in args.deform_rigs]
-        blends = [load_mesh(b) for b in args.blend]
+        # same expansion as deform/deform-seq: a morph-target .glb
+        # becomes K blendshapes, not one rest mesh (review finding)
+        blend_paths, blends = _load_blends(args.blend)
         examples = [(load_mesh(p), load_mesh(s)) for p, s in args.example]
     _print_load_warnings(
         [args.mesh, args.rest_rig] + list(args.deform_rigs)
-        + list(args.blend) + [p for pair in args.example for p in pair],
+        + list(blend_paths) + [p for pair in args.example for p in pair],
         [mesh, rest_rig] + inputs + blends
         + [m for pair in examples for m in pair],
     )
@@ -2140,6 +2160,13 @@ def _cmd_bake_skin(args) -> int:
             file=sys.stderr,
         )
 
+    if args.output.lower().endswith((".glb", ".gltf")) and not args.gltf:
+        print(
+            "warning: -o/--output is the SkinningModel CHECKPOINT "
+            f"(written as {args.output}.npz); for a glTF binary use "
+            "--gltf PATH",
+            file=sys.stderr,
+        )
     if args.gltf:
         from facedeform_tpu.geometry.gltf_io import save_glb_skinned
 

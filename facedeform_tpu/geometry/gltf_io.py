@@ -797,10 +797,15 @@ def load_glb_blendshapes(path: str, mesh_index: int = 0):
             tgt = ch.get("target", {})
             if tgt.get("path") == "weights" and tgt.get("node") in mesh_nodes:
                 sampler = anim["samplers"][ch["sampler"]]
-                flat = read_accessor(gltf, blob, sampler["output"])
-                anim_weights = np.asarray(
-                    flat, np.float32
+                flat = np.asarray(
+                    read_accessor(gltf, blob, sampler["output"]), np.float32
                 ).reshape(-1, k_n)
+                if sampler.get("interpolation") == "CUBICSPLINE":
+                    # output triples (in-tangent, value, out-tangent)
+                    # per keyframe: keep the value rows only, same as
+                    # _sample_channel does for the skin TRS channels
+                    flat = flat.reshape(-1, 3, k_n)[:, 1, :]
+                anim_weights = flat
                 break
         if anim_weights is not None:
             break
@@ -938,9 +943,19 @@ def load_glb_skin(path: str, skin_index: int = 0):
             parent[c] = i
 
     # keyframe times: union of the joint channels' inputs (one shared
-    # input accessor in files this package writes)
+    # input accessor in files this package writes).  Animated NON-joint
+    # ancestors count too: a DCC armature root (parent of every joint,
+    # itself outside skin.joints) carrying object-level/root-motion
+    # animation flows into every joint's world transform through the
+    # parent chain — skipping it froze the root at its static TRS
+    # (review finding, round 5).
     anims = gltf.get("animations") or []
     joint_set = set(joints)
+    for j in joints:
+        p = int(parent[j])
+        while p >= 0 and p not in joint_set:
+            joint_set.add(p)
+            p = int(parent[p])
     channels = []  # (node, path, times, out, interpolation)
     for anim in anims:
         for ch in anim.get("channels", ()):

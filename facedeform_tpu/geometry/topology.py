@@ -62,6 +62,14 @@ def padded_neighbors(
     gradient's conditioning; striding keeps the ring's angular spread.
     The returned degrees are the effective (possibly capped) slot counts
     so Laplacian-style normalizations stay consistent with the table.
+
+    When capped, the table WIDTH buckets up to a multiple of 8 (still
+    <= max_degree): the width is a static jit key for every consumer, so
+    without bucketing a quad mesh (degree 4), a tri mesh (degree ~6) and
+    a capped pole mesh (16) would each compile their own gradient
+    programs — with it, every mesh lands on width 8 or 16 and
+    `warm --transport` can precompile the full set (round-5 review
+    finding; the extra columns are inert self-pads).
     """
     e = np.asarray(edges, np.int64)
     if e.size == 0:
@@ -73,8 +81,12 @@ def padded_neighbors(
     dst = np.concatenate([e[:, 1], e[:, 0]])
     counts = np.bincount(src, minlength=num_points)
     dmax = int(counts.max())
-    cap = dmax if max_degree is None else max(1, min(dmax, int(max_degree)))
-    nbr = np.tile(np.arange(num_points, dtype=np.int32)[:, None], (1, cap))
+    if max_degree is None:
+        cap = width = dmax
+    else:
+        cap = max(1, min(dmax, int(max_degree)))
+        width = min(int(max_degree), ((cap + 7) // 8) * 8)
+    nbr = np.tile(np.arange(num_points, dtype=np.int32)[:, None], (1, width))
     order = np.argsort(src, kind="stable")
     # slot j for the j-th occurrence of each sorted source vertex —
     # vectorized (a per-vertex arange loop costs seconds at 1M verts)

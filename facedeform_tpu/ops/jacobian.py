@@ -130,7 +130,15 @@ def field_gradient_plan(points: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
     the ring's off-plane curvature supports; the cofactor normal rule
     downstream never consumes it — cof(F)(t1 x t2) = F t1 x F t2 depends
     only on F's TANGENTIAL action, where the 1-ring fit is exact for
-    affine fields.
+    affine fields.  For the OTHER f_map consumers (vector transport,
+    principal stretches) the small ridge trades the old hard-zeroed
+    normal column for a curvature-supported estimate: on rings whose
+    normal Gram eigenvalue sits in [3e-7, 1e-4]·tr the estimate can
+    amplify per-vertex field noise by the inverse of that eigenvalue,
+    but the amplified term is bounded by ~eps·|field|·|ring|/lambda_n
+    — about 1e-4 absolute in F for f32-rounded smooth fields (blend
+    reconstructions and PSD corrections are RBF-smooth), i.e. a 1e-4
+    perturbation of stretch singular values against a unit diagonal.
 
     Solved by closed-form 3x3 Cholesky on the trace-normalized Gram
     (backward-stable for PD matrices with no pivoting; clamped pivots

@@ -121,8 +121,14 @@ def make_saddle_matvec_df(
     Structure mirrors ops/precise_eval.evaluate_precise (df distances ->
     df phi -> exact main products + f32 cross terms), specialized to
     query points == control points and a runtime (N + m, k) operand.
-    ~10x the VPU ops of the f32 matvec; used for refinement sweeps, not
-    the whole iteration (ops/fit routes: f32 sweeps first, df last).
+    ~10x the VPU ops of the f32 matvec.  NOT on the default fit route:
+    production CPD fits stay f32 (health-checked at the documented
+    backward-error floor) with PU as the full-precision escape; this
+    matvec is the building block of the OPT-IN df path — standalone
+    residual sweeps, and make_saddle_matvec_df_pair inside pminres_df
+    (see docs/PERFORMANCE.md's round-5 experiment table for why it is
+    not the default: block-Jacobi convergence RATE, not precision, is
+    the practical wall at scale).
 
     eps must be uniform (symmetry), like make_saddle_matvec.
     """

@@ -225,10 +225,11 @@ def warm_transport(
     field gradient + composed-F path node.cook uses after a morph/PSD
     pass.
 
-    The field-gradient program specializes on the neighbor table's max
-    degree Dmax; this warms the regular-grid Dmax the uv-sphere topology
-    produces (6 — typical of quad/tri production meshes).  A mesh with a
-    different Dmax pays its own (small) compile.
+    The field-gradient programs specialize on the neighbor-table WIDTH,
+    which padded_neighbors buckets to {8, 16} under the transport degree
+    cap — this warms BOTH widths (one apply/plan pair each), so any
+    production mesh (quad degree 4, tri ~6, capped pole rings 16) finds
+    its program precompiled.
     """
     import jax.numpy as jnp
 
@@ -270,15 +271,21 @@ def warm_transport(
             TRANSPORT_MAX_DEGREE, mesh_field_gradient,
         )
 
+        edges = unique_edges(mesh.faces)
+        # uv-sphere poles produce the width-16 table; max_degree=8 forces
+        # the width-8 variant quad/tri production meshes land on
         nbr = jnp.asarray(
-            padded_neighbors(verts, unique_edges(mesh.faces),
+            padded_neighbors(verts, edges,
                              max_degree=TRANSPORT_MAX_DEGREE)[0]
         )
+        nbr8 = jnp.asarray(padded_neighbors(verts, edges, max_degree=8)[0])
         d_field = jnp.asarray(
             0.02 * np.sin(3.0 * mesh.points[:, [1, 2, 0]]), jnp.float32
         )
         eye3 = jnp.eye(3, dtype=jnp.float32)
         t0 = time.time()
+        if nbr8.shape[1] != nbr.shape[1]:
+            _sync(mesh_field_gradient(pts, d_field, nbr8))
         g_blend = mesh_field_gradient(pts, d_field, nbr)
 
         def f_map(f):

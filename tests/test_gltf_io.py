@@ -599,3 +599,125 @@ def test_load_glb_skin_static_pose(tmp_path):
         loaded.rotations[0], loaded.translations[0],
     ))
     assert np.abs(got - want).max() < 2e-4
+
+
+def _append_accessor(gltf, blob, arr, acc_type):
+    """Append `arr` (f32) to the GLB blob as a new accessor; returns
+    (new_blob, accessor_index).  Minimal test-side buffer surgery."""
+    data = np.ascontiguousarray(arr, np.float32).tobytes()
+    pad = (-len(blob)) % 4
+    blob = blob + b"\x00" * pad
+    gltf.setdefault("bufferViews", []).append({
+        "buffer": 0, "byteOffset": len(blob), "byteLength": len(data),
+    })
+    comp_count = int(np.prod(arr.shape[1:])) if np.ndim(arr) > 1 else 1
+    gltf.setdefault("accessors", []).append({
+        "bufferView": len(gltf["bufferViews"]) - 1,
+        "componentType": 5126,
+        "count": int(np.shape(arr)[0]),
+        "type": acc_type,
+        "min": np.asarray(arr, np.float64).reshape(-1, comp_count)
+            .min(0).tolist(),
+        "max": np.asarray(arr, np.float64).reshape(-1, comp_count)
+            .max(0).tolist(),
+    })
+    blob = blob + data
+    gltf["buffers"][0]["byteLength"] = len(blob)
+    return blob, len(gltf["accessors"]) - 1
+
+
+def test_load_glb_skin_animated_nonjoint_root(tmp_path):
+    """An animated NON-joint ancestor (a DCC 'Armature' root carrying
+    root motion, itself outside skin.joints) must flow into every
+    joint's world transform — the loader used to freeze it at its
+    static TRS (round-5 review finding)."""
+    rng = np.random.default_rng(11)
+    v, b, f_n = 100, 2, 2
+    pts = fibonacci_points(v)
+    w = np.abs(rng.standard_normal((v, b))).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    rot = np.stack([
+        np.stack([_rotation([0, 1, 0], 0.15 * f + 0.1 * j)
+                  for j in range(b)])
+        for f in range(f_n)
+    ]).astype(np.float32)
+    tra = 0.1 * rng.standard_normal((f_n, b, 3)).astype(np.float32)
+    model = skinning.SkinningModel(
+        weights=w, rotations=rot, translations=tra, rest=pts
+    )
+    path = str(tmp_path / "rootmotion.glb")
+    gltf_io.save_glb_skinned(
+        path, Mesh(points=pts), model, fps=10.0, hierarchy=False
+    )
+
+    gltf, blob = gltf_io.load_glb(path)
+    joints = gltf["skins"][0]["joints"]
+    # new non-joint root parenting every (previously parentless) joint
+    root_idx = len(gltf["nodes"])
+    gltf["nodes"].append({"name": "Armature", "children": list(joints)})
+    scene_nodes = gltf["scenes"][0]["nodes"]
+    gltf["scenes"][0]["nodes"] = [
+        n for n in scene_nodes if n not in set(joints)
+    ] + [root_idx]
+    # animated root translation, same keyframe times as the joints
+    root_t = np.asarray([[0.0, 0.0, 0.0], [0.3, -0.2, 0.5]], np.float32)
+    anim = gltf["animations"][0]
+    in_acc = anim["samplers"][0]["input"]
+    blob, out_acc = _append_accessor(gltf, blob, root_t, "VEC3")
+    anim["samplers"].append({
+        "input": in_acc, "output": out_acc, "interpolation": "STEP",
+    })
+    anim["channels"].append({
+        "sampler": len(anim["samplers"]) - 1,
+        "target": {"node": root_idx, "path": "translation"},
+    })
+    gltf_io._write_glb(path, gltf, blob)
+
+    loaded, times = gltf_io.load_glb_skin(path)
+    assert loaded.n_frames == f_n
+    for f in range(f_n):
+        # a pure-translation root composes linearly: rotations unchanged,
+        # every joint translation shifted by the root track
+        np.testing.assert_allclose(
+            loaded.rotations[f], rot[f], atol=2e-4
+        )
+        np.testing.assert_allclose(
+            loaded.translations[f], tra[f] + root_t[f][None, :], atol=2e-4
+        )
+
+
+def test_load_glb_blendshapes_cubicspline_weights(tmp_path):
+    """A CUBICSPLINE morph-weights sampler stores (in-tangent, value,
+    out-tangent) triples per keyframe — the loader must return the value
+    rows only (round-5 review finding)."""
+    mesh = Mesh(points=fibonacci_points(60))
+    targets = np.stack([
+        0.1 * np.sin(3.0 * mesh.points),
+        0.05 * np.cos(2.0 * mesh.points[:, ::-1]),
+    ]).astype(np.float32)
+    weights = np.asarray([[0.2, 0.8], [0.7, 0.1], [1.0, 0.0]], np.float32)
+    path = str(tmp_path / "cubic.glb")
+    gltf_io.save_glb_targets(path, mesh, targets, weights)
+
+    gltf, blob = gltf_io.load_glb(path)
+    anim = gltf["animations"][0]
+    sampler = anim["samplers"][0]
+    f_n, k_n = weights.shape
+    triples = np.zeros((f_n, 3, k_n), np.float32)
+    triples[:, 0] = 99.0      # in-tangents: junk that must be dropped
+    triples[:, 1] = weights
+    triples[:, 2] = -99.0     # out-tangents
+    blob, out_acc = _append_accessor(
+        gltf, blob, triples.reshape(-1, k_n), "SCALAR"
+    )
+    # glTF stores weights output as flat SCALAR count = 3*F*K
+    gltf["accessors"][out_acc]["count"] = 3 * f_n * k_n
+    gltf["accessors"][out_acc]["type"] = "SCALAR"
+    del gltf["accessors"][out_acc]["min"], gltf["accessors"][out_acc]["max"]
+    sampler["output"] = out_acc
+    sampler["interpolation"] = "CUBICSPLINE"
+    gltf_io._write_glb(path, gltf, blob)
+
+    _, shapes, _, anim_w = gltf_io.load_glb_blendshapes(path)
+    assert len(shapes) == 2
+    np.testing.assert_allclose(anim_w, weights, atol=1e-6)

@@ -374,3 +374,28 @@ def test_padded_neighbors_cap_property_random_degrees():
             row = nbr[r]
             real = row[row != r]
             assert list(real) == [hub] and deg[r] == 1.0
+
+
+def test_padded_neighbors_width_buckets_to_8():
+    """Capped tables bucket their width to multiples of 8 (quad degree 4
+    and tri degree ~6 share the width-8 gradient program; pole-capped
+    meshes use 16) so warm --transport can precompile the whole set;
+    uncapped callers (skinning Laplacian) keep the exact Dmax."""
+    from facedeform_tpu.geometry.topology import padded_neighbors
+
+    e = []
+    n = 5
+    for r in range(n):
+        for c in range(n):
+            i = r * n + c
+            if c + 1 < n:
+                e.append((i, i + 1))
+            if r + 1 < n:
+                e.append((i, i + n))
+    e = np.asarray(e, np.int64)
+    nbr, deg = padded_neighbors(n * n, e, max_degree=16)
+    assert nbr.shape[1] == 8 and deg.max() == 4.0
+    # the extra columns are inert self-pads
+    interior = n * n // 2
+    assert np.sum(nbr[interior] != interior) == 4
+    assert padded_neighbors(n * n, e)[0].shape[1] == 4  # uncapped: exact

@@ -329,3 +329,60 @@ def test_df_saddle_matvec_per_marker_lam(rng):
         np.asarray(mvdf(jnp.asarray(x))), np.asarray(mv32(jnp.asarray(x))),
         atol=5e-5,
     )
+
+
+def test_pminres_df_beats_f32_floor(rng):
+    """pminres_df (df vectors + df matvec) must land a strictly lower TRUE
+    residual than f32 pminres at the same iteration budget on an
+    ill-conditioned TPS saddle system — the property the opt-in API
+    exists for (on chip at 800 ctrl: 5.6e-4 vs 3.5e-5; the CPU bar here
+    is a 2x margin since XLA:CPU costs the EFTs ~1 ulp, CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.ops.krylov import (
+        make_abs_block_jacobi, make_saddle_matvec, make_saddle_matvec_df_pair,
+        pminres, pminres_df,
+    )
+
+    n = 400
+    ctrl = fibonacci_points(n)
+    eps = jnp.ones((n,), jnp.float32)
+    lam = jnp.float32(1e-4)
+    mv32 = make_saddle_matvec(
+        jnp.asarray(ctrl), RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam
+    )
+    mvdf = make_saddle_matvec_df_pair(
+        jnp.asarray(ctrl), RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam
+    )
+    msolve = make_abs_block_jacobi(
+        ctrl, RBFKernel.THIN_PLATE, PolyTerm.LINEAR, eps, lam, block=128
+    )
+    b = assemble_rhs(
+        jnp.asarray(0.05 * rng.standard_normal((n, 3)).astype(np.float32)),
+        PolyTerm.LINEAR,
+    )
+
+    x32, _ = pminres(mv32, b, msolve, tol=0.0, maxiter=512)
+    (xh, xl), rep = pminres_df(mvdf, b, msolve, tol=0.0, maxiter=512)
+    xdf = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+
+    # truthful f64 ruler: dense TPS saddle system assembled in numpy
+    c = ctrl.astype(np.float64)
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    phi = np.where(d2 <= 1e-30, 0.0,
+                   0.5 * d2 * np.log(np.maximum(d2, 1e-30)))
+    p = np.concatenate([np.ones((n, 1)), c], 1)
+    a = np.zeros((n + 4, n + 4))
+    a[:n, :n] = phi + float(lam) * np.eye(n)
+    a[:n, n:] = p
+    a[n:, :n] = p.T
+    a[n:, n:] = -1e-8 * np.eye(4)
+    bb = np.asarray(b, np.float64)
+
+    def rel_res(x):
+        return np.abs(a @ x - bb).max() / np.abs(bb).max()
+
+    r32 = rel_res(np.asarray(x32, np.float64))
+    rdf = rel_res(xdf)
+    assert np.isfinite(rdf) and np.isfinite(r32)
+    assert rdf < 0.5 * r32, (r32, rdf)
