@@ -1985,18 +1985,21 @@ def _cmd_warm(args) -> int:
         file=sys.stderr,
     )
     if args.warm_solver == "pu":
-        from facedeform_tpu.config import PolyTerm, RBFKernel
+        from facedeform_tpu.ops.pu import node_fit_kwargs
 
-        # kernel/term/lam are static jit keys: warming the default
-        # THIN_PLATE programs does nothing for a gaussian session, so
-        # the model flags must reach warm_pu (review finding, round 5)
+        # kernel/term are static jit keys: warming the default
+        # THIN_PLATE programs does nothing for a gaussian session, so the
+        # model flags must reach warm_pu — through node_fit_kwargs, the
+        # SAME cfg->kernel/term/lam mapping every PU fit route uses
+        # (effective_kernel for qnn/multilayer, QNN lam=0, clamped
+        # ridge), so the warmed programs are the session's programs
+        # (review findings, round 5)
         timings = warmup.warm_pu(
             controls=args.controls, queries=args.queries,
             frames=args.frames,
-            kernel=RBFKernel[args.kernel.upper()],
-            term=PolyTerm[args.term.upper()], lam=args.lam,
             patch_size=args.patch_size,
             overlap=args.overlap, progress=say,
+            **node_fit_kwargs(cfg, params),
         )
     else:
         timings = warmup.warm_programs(

@@ -950,21 +950,23 @@ def load_glb_skin(path: str, skin_index: int = 0):
     # parent chain — skipping it froze the root at its static TRS
     # (review finding, round 5).
     anims = gltf.get("animations") or []
-    joint_set = set(joints)
+    true_joints = set(joints)
+    track_set = set(joints)  # joints + their non-joint ancestors
     for j in joints:
         p = int(parent[j])
-        while p >= 0 and p not in joint_set:
-            joint_set.add(p)
+        while p >= 0 and p not in track_set:
+            track_set.add(p)
             p = int(parent[p])
     channels = []  # (node, path, times, out, interpolation)
     for anim in anims:
+        cand, has_joint = [], False
         for ch in anim.get("channels", ()):
             tgt = ch.get("target", {})
-            if tgt.get("node") in joint_set and tgt.get("path") in (
+            if tgt.get("node") in track_set and tgt.get("path") in (
                 "rotation", "translation", "scale"
             ):
                 s = anim["samplers"][ch["sampler"]]
-                channels.append((
+                cand.append((
                     tgt["node"], tgt["path"],
                     np.asarray(read_accessor(gltf, blob, s["input"]),
                                np.float64).reshape(-1),
@@ -972,8 +974,14 @@ def load_glb_skin(path: str, skin_index: int = 0):
                                np.float64),
                     s.get("interpolation", "LINEAR"),
                 ))
-        if channels:
-            break  # one animation (the first with joint channels)
+                has_joint = has_joint or tgt["node"] in true_joints
+        # the selected clip must animate at least one ACTUAL joint:
+        # accepting an ancestor-only clip (a turntable/root-motion track)
+        # would shadow a later clip carrying the real joint channels and
+        # freeze the skeleton (round-5 review finding)
+        if has_joint:
+            channels = cand
+            break
     if channels:
         times = np.unique(np.concatenate([c[2] for c in channels]))
     else:

@@ -721,3 +721,59 @@ def test_load_glb_blendshapes_cubicspline_weights(tmp_path):
     _, shapes, _, anim_w = gltf_io.load_glb_blendshapes(path)
     assert len(shapes) == 2
     np.testing.assert_allclose(anim_w, weights, atol=1e-6)
+
+
+def test_load_glb_skin_ancestor_only_clip_skipped(tmp_path):
+    """A clip animating ONLY a non-joint ancestor (turntable/root-motion
+    track) must not shadow a later clip carrying the real joint channels
+    (round-5 review finding on the ancestor-widening fix)."""
+    rng = np.random.default_rng(13)
+    v, b, f_n = 90, 2, 2
+    pts = fibonacci_points(v)
+    w = np.abs(rng.standard_normal((v, b))).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    rot = np.stack([
+        np.stack([_rotation([0, 0, 1], 0.2 * f + 0.05 * j)
+                  for j in range(b)])
+        for f in range(f_n)
+    ]).astype(np.float32)
+    tra = 0.1 * rng.standard_normal((f_n, b, 3)).astype(np.float32)
+    model = skinning.SkinningModel(
+        weights=w, rotations=rot, translations=tra, rest=pts
+    )
+    path = str(tmp_path / "multiclip.glb")
+    gltf_io.save_glb_skinned(
+        path, Mesh(points=pts), model, fps=10.0, hierarchy=False
+    )
+
+    gltf, blob = gltf_io.load_glb(path)
+    joints = gltf["skins"][0]["joints"]
+    root_idx = len(gltf["nodes"])
+    gltf["nodes"].append({"name": "Armature", "children": list(joints)})
+    gltf["scenes"][0]["nodes"] = [
+        n for n in gltf["scenes"][0]["nodes"] if n not in set(joints)
+    ] + [root_idx]
+    # clip 0: ancestor-only (must be skipped); the real joint clip stays
+    # at index 1
+    t_in = np.asarray([0.0, 0.1], np.float32)
+    blob, in_acc = _append_accessor(gltf, blob, t_in[:, None], "SCALAR")
+    gltf["accessors"][in_acc]["type"] = "SCALAR"
+    root_t = np.asarray([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0]], np.float32)
+    blob, out_acc = _append_accessor(gltf, blob, root_t, "VEC3")
+    gltf["animations"] = [{
+        "name": "turntable",
+        "samplers": [{"input": in_acc, "output": out_acc,
+                      "interpolation": "STEP"}],
+        "channels": [{"sampler": 0,
+                      "target": {"node": root_idx,
+                                 "path": "translation"}}],
+    }] + gltf["animations"]
+    gltf_io._write_glb(path, gltf, blob)
+
+    loaded, times = gltf_io.load_glb_skin(path)
+    assert loaded.n_frames == f_n
+    for f in range(f_n):
+        # the 5.0-shift turntable clip must NOT appear; clip 1's joint
+        # animation must load intact (static root contributes nothing)
+        np.testing.assert_allclose(loaded.rotations[f], rot[f], atol=2e-4)
+        np.testing.assert_allclose(loaded.translations[f], tra[f], atol=2e-4)

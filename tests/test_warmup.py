@@ -22,8 +22,11 @@ def test_warm_transport_tiny_shapes():
     from facedeform_tpu import warmup
 
     msgs = []
+    # 777 is deliberately non-square: the programs key on the EXACT V, so
+    # warm must honor the requested count (an earlier uv-sphere-based
+    # version silently warmed res^2+2 instead)
     t = warmup.warm_transport(
-        verts=800, controls=40, frames=2, progress=msgs.append
+        verts=777, controls=40, frames=2, progress=msgs.append
     )
     assert {"transport_normals", "transport_morph_composed",
             "transport_frames", "total"} <= set(t)
