@@ -957,31 +957,44 @@ def load_glb_skin(path: str, skin_index: int = 0):
         while p >= 0 and p not in track_set:
             track_set.add(p)
             p = int(parent[p])
-    channels = []  # (node, path, times, out, interpolation)
+    # Clip selection: prefer the first clip animating at least one
+    # ACTUAL joint — an ancestor-only clip (a turntable/root-motion
+    # track) must not shadow a later clip carrying the real joint
+    # channels and freeze the skeleton.  But when NO clip touches a true
+    # joint, an ancestor-only clip is the animation (static pose + baked
+    # object motion), so it is the fallback rather than dropped.
+    # Accessor decode happens only for the selected clip (clips are
+    # screened on channel targets alone).
+    chosen = fallback = None
     for anim in anims:
-        cand, has_joint = [], False
-        for ch in anim.get("channels", ()):
-            tgt = ch.get("target", {})
-            if tgt.get("node") in track_set and tgt.get("path") in (
+        tracked = [
+            ch for ch in anim.get("channels", ())
+            if ch.get("target", {}).get("node") in track_set
+            and ch.get("target", {}).get("path") in (
                 "rotation", "translation", "scale"
-            ):
-                s = anim["samplers"][ch["sampler"]]
-                cand.append((
-                    tgt["node"], tgt["path"],
-                    np.asarray(read_accessor(gltf, blob, s["input"]),
-                               np.float64).reshape(-1),
-                    np.asarray(read_accessor(gltf, blob, s["output"]),
-                               np.float64),
-                    s.get("interpolation", "LINEAR"),
-                ))
-                has_joint = has_joint or tgt["node"] in true_joints
-        # the selected clip must animate at least one ACTUAL joint:
-        # accepting an ancestor-only clip (a turntable/root-motion track)
-        # would shadow a later clip carrying the real joint channels and
-        # freeze the skeleton (round-5 review finding)
-        if has_joint:
-            channels = cand
+            )
+        ]
+        if not tracked:
+            continue
+        if any(ch["target"]["node"] in true_joints for ch in tracked):
+            chosen = (anim, tracked)
             break
+        if fallback is None:
+            fallback = (anim, tracked)
+    sel = chosen or fallback
+    channels = []  # (node, path, times, out, interpolation)
+    if sel is not None:
+        anim, tracked = sel
+        for ch in tracked:
+            s = anim["samplers"][ch["sampler"]]
+            channels.append((
+                ch["target"]["node"], ch["target"]["path"],
+                np.asarray(read_accessor(gltf, blob, s["input"]),
+                           np.float64).reshape(-1),
+                np.asarray(read_accessor(gltf, blob, s["output"]),
+                           np.float64),
+                s.get("interpolation", "LINEAR"),
+            ))
     if channels:
         times = np.unique(np.concatenate([c[2] for c in channels]))
     else:

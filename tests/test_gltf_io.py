@@ -757,7 +757,6 @@ def test_load_glb_skin_ancestor_only_clip_skipped(tmp_path):
     # at index 1
     t_in = np.asarray([0.0, 0.1], np.float32)
     blob, in_acc = _append_accessor(gltf, blob, t_in[:, None], "SCALAR")
-    gltf["accessors"][in_acc]["type"] = "SCALAR"
     root_t = np.asarray([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0]], np.float32)
     blob, out_acc = _append_accessor(gltf, blob, root_t, "VEC3")
     gltf["animations"] = [{
@@ -777,3 +776,54 @@ def test_load_glb_skin_ancestor_only_clip_skipped(tmp_path):
         # animation must load intact (static root contributes nothing)
         np.testing.assert_allclose(loaded.rotations[f], rot[f], atol=2e-4)
         np.testing.assert_allclose(loaded.translations[f], tra[f], atol=2e-4)
+
+
+def test_load_glb_skin_ancestor_only_clip_is_fallback(tmp_path):
+    """When NO clip animates a true joint, an ancestor-only clip IS the
+    animation (static pose + baked object motion) and must apply — the
+    shadowing guard is a preference, not a drop (round-5 review)."""
+    rng = np.random.default_rng(17)
+    v, b = 70, 2
+    pts = fibonacci_points(v)
+    w = np.abs(rng.standard_normal((v, b))).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    rot = np.stack([
+        np.stack([_rotation([1, 0, 0], 0.2 * (j + 1)) for j in range(b)])
+    ]).astype(np.float32)
+    tra = 0.05 * rng.standard_normal((1, b, 3)).astype(np.float32)
+    model = skinning.SkinningModel(
+        weights=w, rotations=rot, translations=tra, rest=pts
+    )
+    path = str(tmp_path / "rootonly.glb")
+    gltf_io.save_glb_skinned(
+        path, Mesh(points=pts), model, animate=False, hierarchy=False
+    )
+
+    gltf, blob = gltf_io.load_glb(path)
+    joints = gltf["skins"][0]["joints"]
+    root_idx = len(gltf["nodes"])
+    gltf["nodes"].append({"name": "Armature", "children": list(joints)})
+    gltf["scenes"][0]["nodes"] = [
+        n for n in gltf["scenes"][0]["nodes"] if n not in set(joints)
+    ] + [root_idx]
+    t_in = np.asarray([0.0, 0.1], np.float32)
+    blob, in_acc = _append_accessor(gltf, blob, t_in[:, None], "SCALAR")
+    root_t = np.asarray([[0.0, 0.0, 0.0], [0.4, -0.1, 0.2]], np.float32)
+    blob, out_acc = _append_accessor(gltf, blob, root_t, "VEC3")
+    gltf["animations"] = [{
+        "name": "rootmotion",
+        "samplers": [{"input": in_acc, "output": out_acc,
+                      "interpolation": "STEP"}],
+        "channels": [{"sampler": 0,
+                      "target": {"node": root_idx,
+                                 "path": "translation"}}],
+    }]
+    gltf_io._write_glb(path, gltf, blob)
+
+    loaded, times = gltf_io.load_glb_skin(path)
+    assert loaded.n_frames == 2
+    for f in range(2):
+        np.testing.assert_allclose(loaded.rotations[f], rot[0], atol=2e-4)
+        np.testing.assert_allclose(
+            loaded.translations[f], tra[0] + root_t[f][None, :], atol=2e-4
+        )
