@@ -69,3 +69,42 @@ def test_newest_bench_solve_matches_docs_claim():
         "claim — contention or a real regression; re-measure before "
         "shipping the docs"
     )
+
+
+def test_doc_code_references_resolve():
+    """Every `pkg.module.symbol` / pkg/module.symbol reference in the doc
+    set must resolve against the package — the round-5
+    mesh_field_gradient -> field_gradient_plan/apply split is exactly the
+    kind of rename that silently rots prose references."""
+    import importlib
+
+    pkgs = "ops|geometry|parallel|utils|capture"
+    pat_slash = re.compile(
+        rf"\b({pkgs})/([a-z_][a-z0-9_]*)\.([a-zA-Z_][a-zA-Z0-9_]*)\b"
+    )
+    pat_dot = re.compile(
+        rf"`({pkgs})\.([a-z_][a-z0-9_]*)\.([a-zA-Z_][a-zA-Z0-9_]*)`"
+    )
+    bad = []
+    for rel in DOCS + ["docs/API.md"]:
+        text = (REPO / rel).read_text()
+        refs = set()
+        for m in pat_slash.finditer(text):
+            if m.group(3) != "py":
+                refs.add((m.group(1), m.group(2), m.group(3), m.start()))
+        for m in pat_dot.finditer(text):
+            refs.add((m.group(1), m.group(2), m.group(3), m.start()))
+        for pkg, mod, attr, pos in refs:
+            line = text.count("\n", 0, pos) + 1
+            try:
+                module = importlib.import_module(f"facedeform_tpu.{pkg}.{mod}")
+            except ImportError:
+                bad.append(f"{rel}:{line} no module facedeform_tpu."
+                           f"{pkg}.{mod}")
+                continue
+            if not hasattr(module, attr):
+                bad.append(
+                    f"{rel}:{line} facedeform_tpu.{pkg}.{mod} has no "
+                    f"attribute {attr!r}"
+                )
+    assert not bad, "; ".join(sorted(bad))
