@@ -45,7 +45,7 @@ from facedeform_tpu.geometry.topology import mesh_adjacency
 from facedeform_tpu.capture.flood import find_islands
 from facedeform_tpu.ops.distances import (
     min_sqdist_to_points_auto,
-    min_sqdist_to_triangles,
+    min_sqdist_to_triangles_auto,
 )
 from facedeform_tpu.utils.errors import CaptureError
 
@@ -197,17 +197,17 @@ class ProximityCapture:
             elif metric != "euclidean":
                 raise CaptureError(f"unknown falloff metric {metric!r}")
             else:
+                # host/bucketed dispatch on BOTH branches: the captured-
+                # vertex count changes with every radius/maxedges tweak
+                # and exact-shape jit would recompile each time (the
+                # triangle branch paid a remote compile per UI drag
+                # before round 5)
                 tris = rig.triangles()
                 if tris is not None:
-                    d2 = np.asarray(
-                        min_sqdist_to_triangles(
-                            jnp.asarray(cap_pts), jnp.asarray(rig.points[tris])
-                        )
+                    d2 = min_sqdist_to_triangles_auto(
+                        cap_pts, rig.points[tris]
                     )
                 else:
-                    # host/bucketed dispatch: the captured-vertex count
-                    # changes with every radius/maxedges tweak and
-                    # exact-shape jit would recompile each time
                     d2 = min_sqdist_to_points_auto(cap_pts, rig.points)
             r2 = radius * radius
             if strict_parity:

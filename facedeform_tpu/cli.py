@@ -1354,11 +1354,14 @@ def _cmd_deform_seq(args) -> int:
                     # deform_frames: the checkpoint, the batched
                     # attribute transport and/or the secondary-mesh
                     # evals need the model stack
+                    from facedeform_tpu.utils import errors
+
                     model_all, resid = batched.fit_frames(
                         jnp.asarray(rest_rig.points),
                         jnp.asarray(frames_arr), cfg, params,
                         confidence=rig_confidence,
                     )
+                    errors.check_frames(resid, rest_rig.points, frames_arr)
                     out_frames, _ = batched.apply_frames(
                         model_all, jnp.asarray(mesh.points),
                         jnp.zeros(mesh.num_points, jnp.float32),
@@ -1374,6 +1377,18 @@ def _cmd_deform_seq(args) -> int:
                         jnp.asarray(gate), cfg, params, frame=frame,
                         confidence=rig_confidence,
                     )
+                    # the fused one-dispatch program discards residuals;
+                    # a blown-up solve surfaces as non-finite positions
+                    if not bool(jnp.all(jnp.isfinite(out_frames))):
+                        from facedeform_tpu.utils.errors import (
+                            SolveFailedError,
+                        )
+
+                        raise SolveFailedError(
+                            "sequence solve produced non-finite positions "
+                            "— singular or ill-conditioned rig (duplicate "
+                            "markers?)"
+                        )
                 # ---- secondary accessory meshes: driven by the SAME
                 # batched solves, full displacement (no capture gate —
                 # node.cook(secondary=...) semantics), one dispatch each;

@@ -58,6 +58,81 @@ def min_sqdist_to_points_auto(points, targets):
     return out[:v]
 
 
+def _point_triangle_sqdist_np(p, tris):
+    """Host numpy twin of _point_triangle_sqdist, vectorized over BOTH
+    axes: points (C, 3) x tris (T, 3, 3) -> (C, T).  Same branch-free
+    Eberly region math, np.where instead of jnp.where."""
+    import numpy as np
+
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]          # (T, 3)
+    ab, ac = b - a, c - a
+    p = p[:, None, :]                                      # (C, 1, 3)
+    ap, bp, cp = p - a, p - b, p - c                       # (C, T, 3)
+    d1 = np.sum(ab * ap, -1)
+    d2 = np.sum(ac * ap, -1)
+    d3 = np.sum(ab * bp, -1)
+    d4 = np.sum(ac * bp, -1)
+    d5 = np.sum(ab * cp, -1)
+    d6 = np.sum(ac * cp, -1)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = np.maximum(va + vb + vc, 1e-30)
+    v = (vb / denom)[..., None]
+    w = (vc / denom)[..., None]
+    closest = a + v * ab + w * ac
+    t_ab = np.clip(d1 / np.maximum(d1 - d3, 1e-30), 0.0, 1.0)[..., None]
+    t_ac = np.clip(d2 / np.maximum(d2 - d6, 1e-30), 0.0, 1.0)[..., None]
+    t_bc = np.clip(
+        (d4 - d3) / np.maximum((d4 - d3) + (d5 - d6), 1e-30), 0.0, 1.0
+    )[..., None]
+    closest = np.where(
+        ((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[..., None],
+        b + t_bc * (c - b), closest)
+    closest = np.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None],
+                       a + t_ac * ac, closest)
+    closest = np.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
+                       a + t_ab * ab, closest)
+    closest = np.where(((d6 >= 0) & (d5 <= d6))[..., None],
+                       np.broadcast_to(c, closest.shape), closest)
+    closest = np.where(((d3 >= 0) & (d4 <= d3))[..., None],
+                       np.broadcast_to(b, closest.shape), closest)
+    closest = np.where(((d1 <= 0) & (d2 <= 0))[..., None],
+                       np.broadcast_to(a, closest.shape), closest)
+    diff = p - closest
+    return np.sum(diff * diff, -1)
+
+
+def min_sqdist_to_triangles_auto(points, tris):
+    """min_sqdist_to_triangles with host fallback + V-bucketing — the
+    triangle twin of min_sqdist_to_points_auto, for the same reason:
+    capture's vertex count churns with every radius/maxedges tweak and
+    the exact-shape jit would pay a (remote) compile per tweak.  The rig
+    triangle count is topology-stable, so only V buckets.  Returns numpy;
+    callers are host-side (capture)."""
+    import numpy as np
+
+    points = np.asarray(points, np.float32)
+    tris = np.asarray(tris, np.float32)
+    v, t = points.shape[0], tris.shape[0]
+    # triangle pair math is ~15x the point-distance op count: keep the
+    # host below the same wall-clock by scaling the pair limit down
+    if v * t <= _HOST_PAIR_LIMIT // 8:
+        out = np.empty(v, np.float32)
+        step = max(1, (_HOST_PAIR_LIMIT // 8) // max(t, 1))
+        for lo in range(0, v, step):
+            out[lo:lo + step] = _point_triangle_sqdist_np(
+                points[lo:lo + step], tris
+            ).min(axis=1)
+        return np.maximum(out, 0.0)
+    pad = (-v) % _V_BUCKET
+    pts = np.pad(points, ((0, pad), (0, 0)))
+    out = np.asarray(
+        min_sqdist_to_triangles(jnp.asarray(pts), jnp.asarray(tris))
+    )
+    return out[:v]
+
+
 def _point_triangle_sqdist(p: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     """Squared distance from points (V, 3) to ONE triangle (3, 3).
 

@@ -74,9 +74,14 @@ MAX_FRAME_PAYLOAD_BYTES = 4 << 30
 
 
 def encode_array(a: np.ndarray) -> dict:
+    # shape recorded BEFORE ascontiguousarray: it promotes 0-d arrays to
+    # (1,) (CLAUDE.md trap — write_frame already guards, this path also
+    # must or single-pose scalars like morph_ok grow a bogus axis)
+    a = np.asarray(a)
+    shape = list(a.shape)
     a = np.ascontiguousarray(a)
     return {
-        "shape": list(a.shape),
+        "shape": shape,
         "dtype": str(a.dtype),
         "b64": base64.b64encode(a.tobytes()).decode("ascii"),
     }
@@ -461,6 +466,20 @@ class DeformServer:
             self._counter += 1
             return f"d{self._counter}"
 
+    @staticmethod
+    def _multi_chip_mesh():
+        """Device mesh on a >1-chip server, else None — the same rule
+        fit_shapes uses; PU patch solves accept it so multi-chip servers
+        shard the fit instead of leaving chips idle (round-5 review
+        finding)."""
+        import jax
+
+        if len(jax.devices()) > 1:
+            from facedeform_tpu.parallel.sharding import make_mesh
+
+            return make_mesh()
+        return None
+
     def handle(self, req: dict, raw: bool = False) -> dict:
         """Dispatch one request.  raw=True (binary framing) keeps response
         arrays as np.ndarray values for the frame writer to stream;
@@ -521,8 +540,11 @@ class DeformServer:
                     # same apply() contract, so downstream cmds just work
                     from facedeform_tpu.ops.pu import PUNodeDeformer
 
-                    d = PUNodeDeformer.fit(rest, deformed, cfg, params,
-                                           confidence=conf)
+                    d = PUNodeDeformer.fit(
+                        rest, deformed, cfg, params,
+                        mesh_devices=self._multi_chip_mesh(),
+                        confidence=conf,
+                    )
                 else:
                     from facedeform_tpu.deformer import FitPlan
 
@@ -1207,6 +1229,7 @@ class DeformServer:
 
                     seq = PUSeqDeformer.fit(
                         rest, frames, **node_fit_kwargs(cfg, params),
+                        mesh=self._multi_chip_mesh(),
                         confidence=conf,
                     )
                     errors.check_solve(seq.report)
@@ -1233,6 +1256,10 @@ class DeformServer:
                         if conf is not None else None
                     ),
                 )
+                # same contract as every sibling fit path: a blown-up
+                # solve is an error response, never a stored NaN model
+                # with ok=true (round-5 review finding)
+                errors.check_frames(resid, rest, frames)
                 did = self._new_id()
                 self._deformers[did] = (
                     "seq", model, cfg, params, np.asarray(resid)
@@ -1281,6 +1308,20 @@ class DeformServer:
                     "points": enc(out),          # (F, V, 3)
                     "falloff": enc(falloff),
                 }
+            if cmd == "free":
+                # evict a resident deformer: a long-lived solve-once/
+                # serve-many server accumulates device-resident model
+                # state per fit (PU patch stacks, (F, L, N, 3) weight
+                # stacks) with no other remedy than a restart (round-5
+                # review finding)
+                did = req["deformer"]
+                found = self._deformers.pop(did, None) is not None
+                self._plans.pop(did, None)
+                if not found:
+                    return {
+                        "ok": False, "error": f"unknown deformer {did!r}",
+                    }
+                return {"ok": True, "freed": did}
             if cmd == "info":
                 import jax
 
@@ -1306,23 +1347,41 @@ class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:
         # Protocol sniff: binary frames open with the magic, the JSON line
         # protocol with '{'.  Each connection commits to one protocol.
-        # peek() may return fewer bytes than asked (it surfaces a single
-        # raw read), so consume exactly 4 and hand them to the chosen
-        # handler instead.
+        # Sniff ONE byte first: demanding 4 up front deadlocked a JSON
+        # client whose whole first line is shorter than 4 bytes (e.g.
+        # b'{}\n') and glued pipelined short lines onto the next request
+        # (round-5 review finding).  Only a first byte matching the
+        # magic's (never the case for JSON, which starts with '{' or
+        # whitespace) commits to reading the remaining 3.
         try:
-            first = _read_exact(self.rfile, 4)
+            first = _read_exact(self.rfile, 1)
         except ConnectionError:
             return
-        if first == MAGIC:
-            return self._handle_binary(magic_consumed=True)
+        if first == MAGIC[:1]:
+            try:
+                rest = _read_exact(self.rfile, 3)
+            except ConnectionError:
+                return
+            if first + rest == MAGIC:
+                return self._handle_binary(magic_consumed=True)
+            return self._handle_json(prefix=first + rest)
         self._handle_json(prefix=first)
 
     def _handle_json(self, prefix: bytes = b"") -> None:
         while True:
-            line = prefix + self.rfile.readline()
+            # bounded like the binary header: an un-newlined multi-GB
+            # stream must not balloon the server before validation runs
+            line = prefix + self.rfile.readline(MAX_HEADER_BYTES + 1)
             prefix = b""
             if not line:
                 return
+            if len(line) > MAX_HEADER_BYTES and not line.endswith(b"\n"):
+                self.wfile.write((json.dumps({
+                    "ok": False,
+                    "error": f"JSON line exceeds {MAX_HEADER_BYTES} bytes",
+                }) + "\n").encode())
+                self.wfile.flush()
+                return  # cannot resync mid-line; drop the connection
             try:
                 req = json.loads(line)
             except json.JSONDecodeError as e:

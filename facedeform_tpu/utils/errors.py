@@ -109,6 +109,42 @@ def check_solve(report, rtol: float = SOLVE_BACKWARD_RTOL) -> None:
         )
 
 
+def check_frames(resid_norms, rest_ctrl, frames) -> None:
+    """Per-frame health check for batched RBF sequence fits.
+
+    batched.fit_frames returns only per-frame residual NORMS (the vmapped
+    SolveReports' scale info is reduced away), so this mirrors
+    check_solve's no-scale branch frame-wise: the saddle RHS is the
+    displacement columns over zero tail rows, so ||rhs_f|| is
+    ||deformed_f - rest||_F.  Raises SolveFailedError naming the bad
+    frames — without it a degenerate rig ships a NaN model stack with
+    ok=true and the first symptom is NaN positions out of apply_seq
+    (round-5 review finding: the serve fit_seq dense route and the CLI
+    dense sequence path both skipped any health check)."""
+    import numpy as np
+
+    r = np.asarray(resid_norms, np.float64).reshape(-1)
+    rest = np.asarray(rest_ctrl, np.float64)
+    rhs = np.linalg.norm(
+        np.asarray(frames, np.float64) - rest[None], axis=(1, 2)
+    )
+    bad = ~np.isfinite(r) | (
+        (rhs > 0) & (r > SOLVE_RESIDUAL_RTOL * np.maximum(rhs, 1e-30))
+    )
+    if bad.any():
+        idx = np.nonzero(bad)[0]
+        shown = ", ".join(str(int(i)) for i in idx[:8])
+        more = f" (+{len(idx) - 8} more)" if len(idx) > 8 else ""
+        worst = int(idx[np.argmax(np.where(np.isfinite(r[idx]),
+                                           r[idx], np.inf))])
+        raise SolveFailedError(
+            f"sequence RBF solve failed on frame(s) {shown}{more}: "
+            f"frame {worst} residual {r[worst]:.3e} vs rhs "
+            f"{rhs[worst]:.3e} (rtol {SOLVE_RESIDUAL_RTOL:g}) — singular "
+            "or ill-conditioned system"
+        )
+
+
 def frames_solve_ok(report, rtol: float = SOLVE_BACKWARD_RTOL):
     """Per-frame health mask for a vmapped SolveReport stack.
 

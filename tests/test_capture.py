@@ -124,3 +124,36 @@ def test_end_to_end_with_capture(rng):
     assert (new_pts[~res.captured] == mesh.points[~res.captured]).all()
     moved = np.linalg.norm(new_pts - mesh.points, axis=1)
     assert moved[res.captured].max() > 0.3
+
+
+def test_min_sqdist_to_triangles_auto_parity(rng):
+    """The host numpy twin and the V-bucketed jit path must agree with
+    the exact-shape jit kernel — both branches of the auto dispatch the
+    capture triangle falloff now uses (the direct jit call recompiled on
+    every captured-vertex-count change; round-5 review finding)."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.ops import distances as D
+
+    pts = rng.standard_normal((257, 3)).astype(np.float32) * 2.0
+    tri_pts = rng.standard_normal((23, 3, 3)).astype(np.float32)
+    want = np.asarray(
+        D.min_sqdist_to_triangles(jnp.asarray(pts), jnp.asarray(tri_pts))
+    )
+    # host branch (pair count far below the limit)
+    got_host = D.min_sqdist_to_triangles_auto(pts, tri_pts)
+    np.testing.assert_allclose(got_host, want, rtol=1e-5, atol=1e-6)
+    # bucketed-device branch, forced by shrinking the limit
+    old = D._HOST_PAIR_LIMIT
+    D._HOST_PAIR_LIMIT = 8
+    try:
+        got_dev = D.min_sqdist_to_triangles_auto(pts, tri_pts)
+    finally:
+        D._HOST_PAIR_LIMIT = old
+    np.testing.assert_allclose(got_dev, want, rtol=1e-5, atol=1e-6)
+    # degenerate (collapsed) triangle stays finite and correct: distance
+    # to a point-triangle equals point distance
+    tri0 = np.broadcast_to(np.float32([1.0, 2.0, 3.0]), (1, 3, 3)).copy()
+    got = D.min_sqdist_to_triangles_auto(pts, tri0)
+    want0 = np.sum((pts - [1.0, 2.0, 3.0]) ** 2, -1)
+    np.testing.assert_allclose(got, want0, rtol=1e-4, atol=1e-5)

@@ -849,3 +849,61 @@ def test_serve_reduced_regression(server, rng):
     with pytest.raises(RuntimeError, match="single-layer"):
         c.fit_seq(rest, frames, cfg={"model": 1}, reduce_k=k)  # MULTILAYER
     c.close()
+
+
+# -------------------------------------------------- round-5 review fixes
+def test_serve_short_json_line_no_deadlock(server):
+    """A JSON first line shorter than the 4-byte magic (b'{}\\n') must get
+    an immediate error reply, and a pipelined short line must not corrupt
+    the next request — the sniff used to block for exactly 4 bytes."""
+    with socket.create_connection(server, timeout=10) as s:
+        f = s.makefile("rwb")
+        f.write(b"{}\n" + (json.dumps({"cmd": "info"}) + "\n").encode())
+        f.flush()
+        r1 = json.loads(f.readline())
+        assert not r1["ok"]          # {} has no cmd
+        r2 = json.loads(f.readline())
+        assert r2["ok"] and r2["backend"] == "cpu"
+
+
+def test_serve_free_cmd(server, rng):
+    """cmd free evicts a resident deformer (long-lived servers must not
+    accumulate device state forever)."""
+    rest = fibonacci_points(16)
+    deformed = rest + 0.05 * rng.standard_normal((16, 3)).astype(np.float32)
+    r = _rpc(server, {
+        "cmd": "fit",
+        "rest_ctrl": rest.tolist(), "deformed_ctrl": deformed.tolist(),
+    })
+    did = r["deformer"]
+    assert _rpc(server, {"cmd": "free", "deformer": did})["ok"]
+    info = _rpc(server, {"cmd": "info"})
+    assert did not in info["deformers"]
+    r = _rpc(server, {"cmd": "apply", "deformer": did,
+                      "points": [[0.0, 0.0, 0.0]]})
+    assert not r["ok"]
+    assert not _rpc(server, {"cmd": "free", "deformer": did})["ok"]
+
+
+def test_encode_array_scalar_keeps_rank():
+    """encode_array on a 0-d array must record shape [] — the
+    ascontiguousarray 0-d -> (1,) promotion trap (CLAUDE.md), previously
+    fixed only on the binary write_frame path."""
+    enc = serve_mod.encode_array(np.float32(3.5))
+    assert enc["shape"] == []
+    back = serve_mod.decode_array(enc)
+    assert back.shape == () and float(back) == 3.5
+
+
+def test_serve_fit_seq_degenerate_rig_is_error(server):
+    """fit_seq on a degenerate rig (all-identical markers) must return an
+    error response, not store a NaN model with ok=true (the dense route
+    skipped the health check every sibling fit path has)."""
+    rest = np.zeros((12, 3), np.float32).tolist()
+    frames = np.broadcast_to(
+        np.float32([1.0, 0.0, 0.0]), (2, 12, 3)
+    ).tolist()
+    r = _rpc(server, {
+        "cmd": "fit_seq", "rest_ctrl": rest, "deformed_frames": frames,
+    })
+    assert not r["ok"] and "solve" in r["error"].lower()
