@@ -150,6 +150,25 @@ def fit_rig(
     rest_ctrl = jnp.asarray(rest_ctrl, jnp.float32)
     rest_points = jnp.asarray(rest_points, jnp.float32)
     target_points = jnp.asarray(target_points, jnp.float32)
+    # Dense-route guard (round-5 review finding): the closed form LU-
+    # factorizes the (N+m)^2 system — XLA's LU hits its VMEM panel limit
+    # near 16k and the (V, N+m) map matrix scales with both axes — and
+    # the gradient path cannot reverse-differentiate the Krylov solver's
+    # lax.while_loops.  Fail with the remedy instead of an OOM or an AD
+    # crash mid-trace.
+    n_rig = int(rest_ctrl.shape[0])
+    _grad_path = cfg.n_layers > 1 or (cfg.tangent and frame is not None)
+    if n_rig > fit_mod._KRYLOV_THRESHOLD or (
+        _grad_path and fit_mod.uses_krylov(cfg, n_rig)
+    ):
+        raise ValueError(
+            f"inverse rig fit needs the dense solve route (N <= "
+            f"{fit_mod._KRYLOV_THRESHOLD}; the gradient path additionally "
+            f"needs solver auto/direct — Krylov while_loops don't "
+            f"reverse-differentiate); got N={n_rig}, "
+            f"solver={cfg.solver!r} — decimate the rig first "
+            "(ops.decimate.reduce_rig / CLI deform --reduce-k)"
+        )
     v = rest_points.shape[0]
     if dist2 is None:
         dist2 = jnp.zeros(v, jnp.float32)
@@ -167,9 +186,13 @@ def fit_rig(
 
     use_tangent = cfg.tangent and frame is not None
     if cfg.n_layers == 1 and not use_tangent:
+        # eval_view: the closed form reads model/kernel/term/strict_parity
+        # only, but jit keys on the WHOLE static cfg — without the
+        # normalized view every eval-only toggle (morphspace, dofalloff,
+        # doclampweight, ...) paid a fresh 10-240 s remote compile
         ctrl, rms = _fit_rig_closed_form(
-            rest_ctrl, rest_points, target_points, dist2, cfg, params,
-            jnp.asarray(ridge, jnp.float32),
+            rest_ctrl, rest_points, target_points, dist2, cfg.eval_view(),
+            params, jnp.asarray(ridge, jnp.float32),
         )
         return InverseRigResult(deformed_ctrl=ctrl, residual_rms=rms, iterations=0)
 

@@ -204,6 +204,14 @@ def _resolve_centers(rest, k, idx, eps_select):
         idx, _sel = select_markers(rest, k, eps=eps_select)
     else:
         idx = np.asarray(idx, np.int32)
+        n = rest.shape[0]
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            # -1 and n-1 pass a uniqueness check as distinct values but
+            # index the same marker — duplicate centers in disguise
+            raise ValueError(
+                f"idx out of range: values must be in [0, {n}), got "
+                f"[{idx.min()}, {idx.max()}]"
+            )
         if len(np.unique(idx)) != len(idx):
             raise ValueError("idx has duplicate centers")
     return idx
@@ -257,26 +265,66 @@ def _confidence_weights(confidence, n):
     return jnp.sqrt(confidence_clipped(confidence, n))[:, None]
 
 
-def _ridge_normal_solve(a_w, b_w, ridge):
-    """Solve the ridge normal equations (A'A + diag(ridge)) Z = A'B with
-    two f32 iterative-refinement sweeps.  Returns (z, gram, rhs, resid).
+def _ridge_normal_solve(a_w, b_w, ridge, constraint=None):
+    """Solve the ridge normal equations (A'A + diag(ridge)) Z = A'B,
+    optionally under the equality constraint C Z = 0 (KKT block system).
+    Returns (z, sys, rhs_sys, resid) with z the primal (K+m) block and
+    sys/rhs_sys/resid describing the system actually solved.
 
     Zero-ridge columns (the polynomial tail) get a tiny RELATIVE ridge
     (1e-6 of their own gram diagonal): a coplanar rig makes the tail
     columns linearly dependent and the normal matrix exactly singular —
     the SPD analogue of the dense solver's quasi-definite tail
-    regularization (ops/assemble.py; CLAUDE.md 'coplanar rigs solve')."""
+    regularization (ops/assemble.py; CLAUDE.md 'coplanar rigs solve').
+    The constraint's (2,2) block carries the same -1e-8 quasi-definite
+    shift.  The solve is ops.solve.lu_solve_refined — ONE factorization
+    under the HIGHEST-precision scope + compensated refinement (three
+    bare jnp.linalg.solve calls here used to re-factorize thrice at
+    default bf16 MXU precision; round-5 review finding)."""
+    from facedeform_tpu.ops.solve import lu_solve_refined
+
     _hp = jax.lax.Precision.HIGHEST
     gram = jnp.dot(a_w.T, a_w, precision=_hp)
     ridge = jnp.where(ridge > 0, ridge, 1e-6 * jnp.diag(gram))
     gram = gram + jnp.diag(ridge)
     rhs = jnp.dot(a_w.T, b_w, precision=_hp)
-    z = jnp.linalg.solve(gram, rhs)
-    for _ in range(2):
-        r = rhs - jnp.dot(gram, z, precision=_hp)
-        z = z + jnp.linalg.solve(gram, r)
-    resid = rhs - jnp.dot(gram, z, precision=_hp)
-    return z, gram, rhs, resid
+    if constraint is not None:
+        mc = constraint.shape[0]
+        sys = jnp.block([
+            [gram, constraint.T],
+            [constraint, -1e-8 * jnp.eye(mc, dtype=gram.dtype)],
+        ])
+        rhs_sys = jnp.concatenate(
+            [rhs, jnp.zeros((mc, rhs.shape[1]), rhs.dtype)]
+        )
+    else:
+        sys, rhs_sys = gram, rhs
+    z_full, _rep = lu_solve_refined(sys, rhs_sys)
+    resid = rhs_sys - jnp.dot(sys, z_full, precision=_hp)
+    return z_full[: gram.shape[0]], sys, rhs_sys, resid
+
+
+def _tail_constraint(cfg, centers, kk: int, m: int):
+    """(m, K+m) KKT constraint [P_K^T | 0] enforcing P^T w = 0 — or None.
+
+    Every eval path centers phi for growing kernels by assuming the
+    interpolation invariant sum_j w_j = 0 (ops/evaluate.py:_center_phi);
+    an unconstrained ridge regression violates it and the evaluated
+    field picks up a mean_j(phi_vj) * sum_j(w_j) bias the fit
+    diagnostics never see (round-5 review finding).  Imposing the full
+    CPD side condition P_K^T w = 0 (the standard smoothing-spline /
+    Nystrom form) restores the invariant exactly; strictly-PD kernels
+    (gaussian etc.) skip centering and stay unconstrained."""
+    from facedeform_tpu.ops import fit as fit_mod
+    from facedeform_tpu.ops.assemble import poly_basis
+    from facedeform_tpu.ops.evaluate import _center_phi
+
+    if m == 0 or not _center_phi(fit_mod.effective_kernel(cfg), cfg.term):
+        return None
+    p_k = poly_basis(centers, cfg.term)                     # (K, m)
+    return jnp.concatenate(
+        [p_k.T, jnp.zeros((m, m), p_k.dtype)], axis=1
+    )
 
 
 def fit_reduced(
@@ -340,7 +388,9 @@ def fit_reduced(
         [jnp.full((kk,), lam, jnp.float32), jnp.zeros((m,), jnp.float32)]
     )
     _hp = jax.lax.Precision.HIGHEST
-    z, gram, rhs, resid = _ridge_normal_solve(a_w, delta_w, ridge)
+    z, gram, rhs, resid = _ridge_normal_solve(
+        a_w, delta_w, ridge, constraint=_tail_constraint(cfg, centers, kk, m)
+    )
 
     # solver-health report: backward error of the NORMAL system (the
     # regression misfit below is data, not a solve failure)
@@ -444,7 +494,9 @@ def fit_reduced_frames(
         [jnp.full((kk,), lam, jnp.float32), jnp.zeros((m,), jnp.float32)]
     )
     _hp = jax.lax.Precision.HIGHEST
-    z, gram, rhs, resid = _ridge_normal_solve(a_w, d_w, ridge)
+    z, gram, rhs, resid = _ridge_normal_solve(
+        a_w, d_w, ridge, constraint=_tail_constraint(cfg, centers, kk, m)
+    )
 
     # one report over all 3F columns; per-column backward errors let
     # errors.check_solve catch a single degenerate frame/axis

@@ -401,7 +401,15 @@ def mirror_map(
         # asymmetric mesh those have a positive median, and a tol derived
         # from them marks ~half the vertices unmatched by construction
         tol = 0.1 * _median_nn_spacing(pts)
-    return idx, dist <= float(tol)
+    ok = dist <= float(tol)
+    # MUTUAL matches only (same rule as pair_markers): on a mesh sampled
+    # more densely on one side, idx[v]=m with idx[m]=v' != v makes the
+    # map non-involutive — symmetrize_displacement would then not be the
+    # orthogonal projection its contract promises (not idempotent, and
+    # symmetry_error of the result stays nonzero).  Such vertices count
+    # as unmatched and keep their original displacement.
+    ok = ok & (idx[idx] == np.arange(len(idx)))
+    return idx, ok
 
 
 def symmetrize_displacement(

@@ -27,6 +27,55 @@ from facedeform_tpu.ops.solve import SolveReport
 _FORMAT_VERSION = 1
 
 
+#: marker -> (loader name, human label), in kind()'s dispatch priority
+#: (a pu_seq file also carries dense-seq arrays, so pu_seq outranks seq)
+_KINDS = {
+    "pu_seq": ("load_pu_seq", "PU sequence"),
+    "seq": ("load_seq", "dense sequence"),
+    "pu": ("load_pu", "PU"),
+    "psd": ("load_psd", "PSD"),
+    "skin": ("load_skinning", "skinning"),
+    "shapes": ("load_blendshapes", "blendshape"),
+}
+
+
+def _open_checkpoint(path: str, expect: str | None):
+    """Shared load_* front door: .npz path fallback, kind dispatch, and
+    the format-version gate — previously seven hand-copied blocks that
+    had to be edited in lockstep (round-5 review finding).  `expect` is
+    the marker key the calling loader owns (None = the dense Deformer
+    checkpoint, which has no marker).  Returns (open NpzFile, resolved
+    path); wrong-kind errors name the right loader."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    found = next((k for k in _KINDS if k in data), None)
+    if found != expect:
+        data.close()
+        if expect is None:
+            loader, label = _KINDS[found]
+            raise ValueError(
+                f"{path} is a {label} checkpoint (use {loader}())"
+            )
+        _, want_label = _KINDS[expect]
+        if found is None:
+            raise ValueError(
+                f"{path} is not a {want_label} checkpoint (use load())"
+            )
+        loader, label = _KINDS[found]
+        raise ValueError(
+            f"{path} is not a {want_label} checkpoint (it is a {label} "
+            f"checkpoint — use {loader}())"
+        )
+    version = int(data["format_version"])
+    if version > _FORMAT_VERSION:
+        data.close()
+        raise ValueError(
+            f"checkpoint format {version} is newer than supported"
+        )
+    return data, path
+
+
 def _cfg_to_json(cfg: DeformConfig) -> str:
     d = dataclasses.asdict(cfg)
     for k in ("model", "kernel", "term"):
@@ -76,7 +125,7 @@ def kind(path: str) -> str:
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as data:
-        for k in ("pu_seq", "seq", "pu", "psd", "skin", "shapes"):
+        for k in _KINDS:
             if k in data:
                 return k
     return "dense"
@@ -84,30 +133,7 @@ def kind(path: str) -> str:
 
 def load(path: str) -> Deformer:
     """Restore a Deformer saved by save(); ready for apply() immediately."""
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
-        path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
-    if "pu_seq" in data:
-        raise ValueError(
-            f"{path} is a PU sequence checkpoint (use load_pu_seq())"
-        )
-    if "seq" in data:
-        raise ValueError(f"{path} is a sequence checkpoint (use load_seq())")
-    if "pu" in data:
-        raise ValueError(f"{path} is a PU checkpoint (use load_pu())")
-    if "psd" in data:
-        raise ValueError(f"{path} is a PSD checkpoint (use load_psd())")
-    if "skin" in data:
-        raise ValueError(
-            f"{path} is a skinning checkpoint (use load_skinning())"
-        )
-    if "shapes" in data:
-        raise ValueError(
-            f"{path} is a blendshape checkpoint (use load_blendshapes())"
-        )
-    version = int(data["format_version"])
-    if version > _FORMAT_VERSION:
-        raise ValueError(f"checkpoint format {version} is newer than supported")
+    data, path = _open_checkpoint(path, None)
     cfg = _cfg_from_json(str(data["cfg_json"]))
     pvals = data["params"]
     params = DeformParams(
@@ -216,16 +242,7 @@ def load_seq(path: str):
     """Restore (model, cfg, params, residuals) saved by save_seq().
 
     The model feeds parallel/batched.apply_frames directly."""
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
-        path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
-    if "seq" not in data or "pu_seq" in data:
-        raise ValueError(
-            f"{path} is not a dense sequence checkpoint (kind='{kind(path)}')"
-        )
-    version = int(data["format_version"])
-    if version > _FORMAT_VERSION:
-        raise ValueError(f"checkpoint format {version} is newer than supported")
+    data, path = _open_checkpoint(path, "seq")
     cfg = _cfg_from_json(str(data["cfg_json"]))
     pvals = data["params"]
     params = DeformParams(
@@ -291,16 +308,7 @@ def load_pu_seq(path: str):
         PUDeformer, PUModel, PUPatches, PUSeqDeformer,
     )
 
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
-        path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
-    if "pu_seq" not in data:
-        raise ValueError(
-            f"{path} is not a PU sequence checkpoint (kind='{kind(path)}')"
-        )
-    version = int(data["format_version"])
-    if version > _FORMAT_VERSION:
-        raise ValueError(f"checkpoint format {version} is newer than supported")
+    data, path = _open_checkpoint(path, "pu_seq")
     shared = dict(
         centers=jnp.asarray(data["centers"]), radii=jnp.asarray(data["radii"]),
         ctrl=jnp.asarray(data["ctrl"]), valid=jnp.asarray(data["valid"]),
@@ -377,14 +385,7 @@ def load_pu(path: str):
     from facedeform_tpu.config import PolyTerm, RBFKernel
     from facedeform_tpu.ops.pu import PUDeformer, PUModel, PUPatches
 
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
-        path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
-    if "pu" not in data:
-        raise ValueError(f"{path} is not a PU checkpoint (use load())")
-    version = int(data["format_version"])
-    if version > _FORMAT_VERSION:
-        raise ValueError(f"checkpoint format {version} is newer than supported")
+    data, path = _open_checkpoint(path, "pu")
     model = PUModel(
         centers=jnp.asarray(data["centers"]), radii=jnp.asarray(data["radii"]),
         ctrl=jnp.asarray(data["ctrl"]), valid=jnp.asarray(data["valid"]),
@@ -454,14 +455,7 @@ def load_psd(path: str):
     from facedeform_tpu.config import RBFKernel
     from facedeform_tpu.ops.psd import PSDDeformer, PSDModel
 
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
-        path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
-    if "psd" not in data:
-        raise ValueError(f"{path} is not a PSD checkpoint (use load())")
-    version = int(data["format_version"])
-    if version > _FORMAT_VERSION:
-        raise ValueError(f"checkpoint format {version} is newer than supported")
+    data, path = _open_checkpoint(path, "psd")
     model = PSDModel(
         features=jnp.asarray(data["features"]),
         alpha=jnp.asarray(data["alpha"]),
@@ -520,14 +514,7 @@ def load_skinning(path: str):
     save_skinning()."""
     from facedeform_tpu.ops.skinning import SkinningModel, SkinningReport
 
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
-        path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
-    if "skin" not in data:
-        raise ValueError(f"{path} is not a skinning checkpoint (use load())")
-    version = int(data["format_version"])
-    if version > _FORMAT_VERSION:
-        raise ValueError(f"checkpoint format {version} is newer than supported")
+    data, path = _open_checkpoint(path, "skin")
     model = SkinningModel(
         weights=jnp.asarray(data["weights"]),
         rotations=jnp.asarray(data["rotations"]),
@@ -587,14 +574,7 @@ def load_blendshapes(path: str):
     save_blendshapes()."""
     from facedeform_tpu.ops.blendshapes import BlendshapeModel, BlendshapeReport
 
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
-        path = path + ".npz"
-    data = np.load(path, allow_pickle=False)
-    if "shapes" not in data:
-        raise ValueError(f"{path} is not a blendshape checkpoint (use load())")
-    version = int(data["format_version"])
-    if version > _FORMAT_VERSION:
-        raise ValueError(f"checkpoint format {version} is newer than supported")
+    data, path = _open_checkpoint(path, "shapes")
     model = BlendshapeModel(
         rest=jnp.asarray(data["rest"]),
         targets=jnp.asarray(data["targets"]),

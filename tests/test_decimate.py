@@ -478,3 +478,55 @@ def test_cli_seq_regress(tmp_path):
     assert cli.main(["deform-seq", mesh_p, rest_p, *rig_frames,
                      "-o", str(tmp_path / "y"),
                      "--reduce-mode", "regress"]) == 1
+
+
+def test_fit_reduced_growing_kernel_centering_parity(rng):
+    """fit_reduced on a CENTERING kernel (TPS + linear tail) must impose
+    P_K^T w = 0: every eval path subtracts the per-row phi mean assuming
+    sum(w) = 0, so an unconstrained regression ships a model whose
+    evaluated field is biased by mean(phi) * sum(w) relative to its own
+    fit diagnostics (round-5 review finding)."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import (
+        DeformConfig, DeformParams, PolyTerm, RBFKernel, RBFModelType,
+    )
+    from facedeform_tpu.ops import decimate
+    from facedeform_tpu.ops.evaluate import evaluate_block
+
+    n, k = 300, 60
+    rest = fibonacci_points(n)
+    field = 0.08 * np.sin(2.0 * rest[:, [1, 2, 0]]).astype(np.float32)
+    deformed = rest + field
+    cfg = DeformConfig(
+        model=RBFModelType.KERNEL, kernel=RBFKernel.THIN_PLATE,
+        term=PolyTerm.LINEAR,
+    )
+    params = DeformParams(radius=1.0, lam=0.01)
+    model, report, info = decimate.fit_reduced(rest, deformed, k, cfg, params)
+
+    # the constraint itself
+    w = np.asarray(model.w_rbf[0], np.float64)          # (K, 3)
+    from facedeform_tpu.ops.assemble import poly_basis
+
+    p_k = np.asarray(poly_basis(model.ctrl, cfg.term), np.float64)
+    assert np.abs(p_k.T @ w).max() < 1e-4 * max(np.abs(w).max(), 1.0)
+
+    # the consequence: the centered eval agrees with the regression's own
+    # fit diagnostics (the field the info misfits were measured against)
+    got = np.asarray(evaluate_block(
+        model, jnp.asarray(rest), RBFKernel.THIN_PLATE, PolyTerm.LINEAR
+    ))
+    err = np.linalg.norm(got - field, axis=1)
+    rms = float(np.sqrt(np.mean(err**2)))
+    assert rms < 4.0 * max(info.fit_rms, 1e-6), (rms, info.fit_rms)
+
+
+def test_resolve_centers_rejects_out_of_range():
+    from facedeform_tpu.ops import decimate
+
+    rest = fibonacci_points(10)
+    with pytest.raises(ValueError, match="out of range"):
+        decimate._resolve_centers(rest, 2, np.asarray([-1, 9]), None)
+    with pytest.raises(ValueError, match="out of range"):
+        decimate._resolve_centers(rest, 2, np.asarray([0, 10]), None)

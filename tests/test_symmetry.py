@@ -379,3 +379,41 @@ def test_cli_seq_symmetrize_batch(tmp_path, rng):
         out = load_mesh(f"{outdir}/frame_{f:04d}.obj")
         d = out.points - face.points
         assert sym.symmetry_error(d, idx, ok, "x") < 5e-6
+
+
+def test_mirror_map_mutuality_keeps_projection_idempotent(rng):
+    """Non-involutive nearest matches (one side sampled denser) must be
+    dropped: without mutuality symmetrize_displacement is not the
+    orthogonal projection its contract promises (round-5 review)."""
+    from facedeform_tpu.ops.symmetry import (
+        mirror_map, symmetrize_displacement,
+    )
+
+    # right half dense, left half sparse: several right vertices share a
+    # nearest left partner, so raw nearest-matching is not involutive
+    right = rng.uniform(0.05, 1.0, (120, 3)).astype(np.float32)
+    left = rng.uniform(0.05, 1.0, (30, 3)).astype(np.float32)
+    left[:, 0] *= -1.0
+    pts = np.concatenate([right, left])
+    idx, ok = mirror_map(pts, "x", tol=0.5)
+    # the map restricted to ok vertices is involutive by construction
+    v = np.arange(len(pts))
+    assert np.all(idx[idx[ok]] == v[ok])
+    d = rng.standard_normal((len(pts), 3)).astype(np.float32)
+    once = symmetrize_displacement(d, idx, ok, "x")
+    twice = symmetrize_displacement(once, idx, ok, "x")
+    np.testing.assert_allclose(twice, once, atol=1e-6)
+    assert np.linalg.norm(once) <= np.linalg.norm(d) + 1e-5
+
+
+def test_inverse_fit_rig_rejects_krylov_scale():
+    """fit_rig refuses Krylov-scale / Krylov-forced configs with a clear
+    error instead of an OOM or a while_loop AD crash (round-5 review)."""
+    import pytest
+
+    from facedeform_tpu import DeformConfig, DeformParams, inverse
+
+    rest = np.zeros((8200 + 5, 3), np.float32)  # > dense limit
+    with pytest.raises(ValueError, match="dense solve route"):
+        inverse.fit_rig(rest, rest[:10], rest[:10],
+                        DeformConfig(), DeformParams())
