@@ -244,9 +244,9 @@ def _solve_probe(rest_rig_pts, posed_pts, cfg, params, confidence, out, stats):
         out.append(Finding("error", "solve-invalid", str(e)))
         return
     rep = d.report
-    backward = float(np.asarray(rep.residual_norm)) / max(
-        float(np.asarray(rep.scale_norm)), 1e-30
-    )
+    # THE backward-error definition lives on SolveReport (handles a
+    # missing scale_norm); re-deriving it here let the criterion drift
+    backward = float(np.asarray(rep.backward_error()))
     stats["solve_backward_error"] = backward
     cond = getattr(rep, "cond_est", None)
     if cond is not None:
@@ -329,7 +329,7 @@ def _confidence_check(rest_rig, cfg, out, stats) -> Optional[np.ndarray]:
     return c
 
 
-def _temporal_scan(rest_pts, frame_stack, out, stats) -> None:
+def _temporal_scan(frame_stack, out, stats) -> None:
     from facedeform_tpu.ops import temporal
 
     f_n = frame_stack.shape[0]
@@ -447,7 +447,7 @@ def diagnose(
         _symmetry_scan(rig_pts, first_pose, out, stats)
 
     if posed_stack is not None and posed_stack.shape[0] >= 5:
-        _temporal_scan(rig_pts, posed_stack, out, stats)
+        _temporal_scan(posed_stack, out, stats)
 
     if probe_solve and first_pose is not None:
         _solve_probe(rig_pts, first_pose, cfg, params, confidence, out,

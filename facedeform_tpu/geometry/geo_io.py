@@ -335,6 +335,54 @@ def load_geo(path: str) -> Mesh:
                 continue
             name, arr, _ = decoded
             detail_attrs[name] = np.asarray(arr).reshape(-1)
+        # vertex attributes (Houdini's default class for uv, common for
+        # N): promote to a point attribute when every vertex of a point
+        # carries the same value — the usual case for point-uniform data
+        # exported vertex-class; genuinely per-corner data (UV seams)
+        # can't live on a point Mesh and is recorded as dropped.  Round 5:
+        # these were silently ignored, violating the module's
+        # every-skip-is-recorded contract.
+        for entry in attrs.get("vertexattributes", []) or []:
+            n_vtx = int(pointref.size)
+            decoded = _decode_attribute(entry, n_vtx) if n_vtx else None
+            if decoded is None:
+                load_warnings.append(_skip_reason(entry, "vertex attribute"))
+                continue
+            name, arr, typeinfo = decoded
+            arr = np.asarray(arr)
+            first = np.full(n_points, -1, np.int64)
+            order = np.arange(n_vtx - 1, -1, -1)
+            first[pointref[order]] = order      # first occurrence wins
+            used = first >= 0
+            rep = arr[first[pointref]]
+            if not np.array_equal(arr, rep):
+                load_warnings.append(
+                    f"vertex attribute {name!r} varies per corner "
+                    "(seam data); dropped — only point-uniform vertex "
+                    "attributes promote to point attributes"
+                )
+                continue
+            if name == "P" or name in point_attrs:
+                load_warnings.append(
+                    f"vertex attribute {name!r} shadowed by the point "
+                    "attribute of the same name; dropped"
+                )
+                continue
+            out = np.zeros((n_points,) + arr.shape[1:], arr.dtype)
+            out[used] = arr[first[used]]
+            point_attrs[name] = out
+            if typeinfo:
+                attr_typeinfo[name] = typeinfo
+        for entry in attrs.get("primitiveattributes", []) or []:
+            name = "?"
+            try:
+                name = _pairs(entry[0]).get("name", "?")
+            except Exception:
+                pass
+            load_warnings.append(
+                f"primitive attribute {name!r} dropped (Mesh stores "
+                "point/detail attributes only)"
+            )
 
     faces = None
     prims = top.get("primitives")
@@ -352,6 +400,16 @@ def load_geo(path: str) -> Mesh:
             load_warnings.append(_skip_reason(entry, "point group"))
         else:
             mesh.set_group(decoded[0], decoded[1])
+    for entry in top.get("primitivegroups", []) or []:
+        name = "?"
+        try:
+            name = _pairs(entry[0]).get("name", "?")
+        except Exception:
+            pass
+        load_warnings.append(
+            f"primitive group {name!r} dropped (Mesh stores point "
+            "groups only)"
+        )
     mesh.load_warnings = load_warnings
     return mesh
 

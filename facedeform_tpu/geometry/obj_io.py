@@ -31,19 +31,31 @@ def _load_obj_python(path: str):
     current_groups: list = []
     with open(path) as f:
         for line in f:
-            if line.startswith("v "):
+            # tab-delimited records are valid OBJ and the native scanner
+            # accepts them (fastgeo.cpp tests ' '||'\t'); startswith("v ")
+            # alone silently dropped a tab file's whole geometry on the
+            # Python path (round-5 review finding)
+            key = line.split(maxsplit=1)[0] if line.strip() else ""
+            if key == "v":
                 verts.append([float(x) for x in line.split()[1:4]])
-            elif line.startswith("vn "):
+            elif key == "vn":
                 normals.append([float(x) for x in line.split()[1:4]])
-            elif line.startswith("f "):
-                # keep raw 1-based (possibly negative/relative) indices;
-                # resolve below so negative handling matches the native
-                # parser: idx > 0 -> idx-1, idx < 0 -> n_verts + idx
-                idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+            elif key == "f":
+                # resolve relative (negative) indices NOW, against the
+                # vertices seen SO FAR — the OBJ spec's rule and the
+                # native parser's (fastgeo.cpp vi + idx); deferring to
+                # the final total mis-resolved interleaved v/f blocks
+                # (round-5 review finding)
+                seen = len(verts)
+                idx = [
+                    (v - 1 if v > 0 else seen + v)
+                    for v in (int(tok.split("/")[0])
+                              for tok in line.split()[1:])
+                ]
                 for gname in current_groups:
                     group_faces.setdefault(gname, []).append(len(faces))
                 faces.append(idx)
-            elif line.startswith("g ") or line.strip() == "g":
+            elif key == "g":
                 names = line.split()[1:]
                 # `g` with no name (or "default") resets to no group
                 current_groups = [n for n in names if n != "default"]
@@ -55,7 +67,7 @@ def _load_obj_python(path: str):
     n_verts = len(verts)
     face_arr = np.full((len(faces), arity), -1, np.int32)
     for i, fc in enumerate(faces):
-        face_arr[i, : len(fc)] = [v - 1 if v > 0 else n_verts + v for v in fc]
+        face_arr[i, : len(fc)] = fc
     groups = {}
     for gname, fidx in group_faces.items():
         ids = face_arr[np.asarray(fidx, np.int64)].ravel()
@@ -71,17 +83,17 @@ def _file_has_groups(path: str) -> bool:
     file — a truncated scan would silently drop groups declared late in
     large files, and a full pass reads at memory-bandwidth speed."""
     with open(path, "rb") as f:
+        # prev_tail seeds a leading newline, so the very first line is
+        # covered by the same \ng- substring tests as every other line
         prev_tail = b"\n"
-        first = True
         while True:
             chunk = f.read(1 << 20)
             if not chunk:
                 return False
             block = prev_tail + chunk
-            if b"\ng " in block or (first and block.startswith(b"\ng ")):
+            if b"\ng " in block or b"\ng\t" in block:
                 return True
             prev_tail = chunk[-2:]
-            first = False
 
 
 def load_obj(path: str, load_attrs: bool = True) -> Mesh:
@@ -154,7 +166,11 @@ def save_obj(path: str, mesh: Mesh, save_attrs: bool = True) -> None:
                     f.write(f"vn {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}\n")
             if mesh.faces is not None:
                 for face in mesh.faces:
-                    f.write("f " + " ".join(str(int(i) + 1) for i in face) + "\n")
+                    # skip -1 padding (mixed-arity faces) like the native
+                    # writer — emitting it as index 0 corrupts the file
+                    f.write("f " + " ".join(
+                        str(int(i) + 1) for i in face if int(i) >= 0
+                    ) + "\n")
     if save_attrs:
         payload = {}
         for name, arr in mesh.point_attrs.items():
@@ -167,3 +183,7 @@ def save_obj(path: str, mesh: Mesh, save_attrs: bool = True) -> None:
             payload[f"group:{name}"] = arr
         if payload:
             np.savez(path + ".attrs.npz", **payload)
+        elif os.path.exists(path + ".attrs.npz"):
+            # a stale sidecar from a previous save of a DIFFERENT mesh
+            # would resurrect its attrs/groups onto this geometry on load
+            os.remove(path + ".attrs.npz")

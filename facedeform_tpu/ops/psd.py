@@ -226,12 +226,15 @@ def psd_weights(
 ) -> jnp.ndarray:
     """Pose-space weights for one (D,) or a batch (..., D) of poses.
 
-    normalize=True rescales toward sum(w) = 1 where the sum is
-    significant: w * s / (s^2 + delta) equals w / s for |s| >> sqrt(delta)
+    normalize=True rescales to sum(w) = 1 where the sum is significant:
+    w / sign(s)·max(|s|, delta) is EXACTLY w / s once |s| >= delta = 1e-2
     and fades to zero with the raw weights when every example is out of
     kernel reach — it never divides by a vanishing sum (the f32
     dead-column guard rule, CLAUDE.md).  At an example pose w = e_j sums
-    to 1, so normalization preserves exact sculpt reproduction.
+    to 1, so normalization preserves exact sculpt reproduction (an
+    earlier soft form s/(s^2 + 1e-4) scaled the sculpt by 1/(1+1e-4)
+    even at s = 1 — a 1e-4 error, double the 5e-5 parity budget;
+    round-5 review finding).
     """
     feats = jnp.asarray(feats, jnp.float32)
     squeeze = feats.ndim == 1
@@ -240,7 +243,12 @@ def psd_weights(
     w = jnp.matmul(phi, model.alpha, precision=_HIGHEST)
     if normalize:
         s = jnp.sum(w, axis=-1, keepdims=True)
-        w = w * (s / (s * s + jnp.float32(1e-4)))
+        denom = jnp.where(jnp.abs(s) >= 1e-2, s,
+                          jnp.where(s < 0, -1e-2, 1e-2))
+        # blend to identity (raw w) as |s| -> 0 so far-from-example poses
+        # keep the fade-out instead of being amplified by 1/delta
+        gate = jnp.minimum(jnp.abs(s) / 1e-2, 1.0)
+        w = w * (gate / denom + (1.0 - gate))
     return w[0] if squeeze else w
 
 

@@ -413,3 +413,140 @@ def test_infer_attr_kind_honors_typeinfo():
     assert infer_attr_kind("x", np.zeros((5, 4)), "normal") is None
     assert infer_attr_kind("Cd", np.zeros((5, 4)), "color") is None
     assert infer_attr_kind("x", np.zeros((5, 2)), "vector") is None
+
+
+# ----------------------------------------------- round-5 OBJ review fixes
+def test_obj_python_parser_tabs_and_relative_indices(tmp_path):
+    """Tab-delimited records and interleaved relative (negative) face
+    indices must parse like the native scanner: tabs dropped all geometry
+    and negative indices resolved against the FINAL count instead of
+    vertices-seen-so-far (round-5 review findings)."""
+    from facedeform_tpu.geometry.obj_io import _load_obj_python
+
+    p = tmp_path / "rel.obj"
+    p.write_text(
+        "v\t0\t0\t0\nv\t1\t0\t0\nv\t0\t1\t0\n"
+        "f\t-3\t-2\t-1\n"          # first block: verts 0,1,2
+        "g\tback\n"
+        "v 0 0 1\nv 1 0 1\nv 0 1 1\n"
+        "f -3 -2 -1\n"             # second block: verts 3,4,5
+    )
+    pts, _, faces, groups = _load_obj_python(str(p))
+    assert pts.shape == (6, 3) and faces.shape == (2, 3)
+    np.testing.assert_array_equal(faces[0], [0, 1, 2])
+    np.testing.assert_array_equal(faces[1], [3, 4, 5])
+    assert groups["back"][3:].all() and not groups["back"][:3].any()
+
+
+def test_obj_save_fallback_skips_face_padding(tmp_path, monkeypatch):
+    """The Python writer must skip -1 arity padding like the native one
+    (it used to emit vertex index 0 — corrupt OBJ)."""
+    from facedeform_tpu import native
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.obj_io import load_obj, save_obj
+
+    monkeypatch.setattr(native, "write_obj", lambda *a, **k: False)
+    pts = np.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                      [2, 0, 0]], np.float32)
+    faces = np.asarray([[0, 1, 2, 3], [1, 4, 2, -1]], np.int32)  # quad+tri
+    p = str(tmp_path / "mixed.obj")
+    save_obj(p, Mesh(points=pts, faces=faces))
+    face_lines = [ln for ln in open(p) if ln.startswith("f")]
+    assert all("0" not in ln.split()[1:] for ln in face_lines)  # no idx 0
+    back = load_obj(p)
+    assert back.num_points == 5
+    # mixed arity loads fanned: quad -> 2 tris, plus the tri = 3 faces,
+    # all referencing valid vertices (no bogus index from the padding)
+    got = {tuple(r) for r in np.asarray(back.faces)}
+    assert got == {(0, 1, 2), (0, 2, 3), (1, 4, 2)}
+
+
+def test_obj_save_removes_stale_attr_sidecar(tmp_path):
+    """Saving an attribute-free mesh over a path whose previous save left
+    a sidecar must remove it — or the old attrs resurrect on load."""
+    from facedeform_tpu.geometry.mesh import Mesh
+    from facedeform_tpu.geometry.obj_io import load_obj, save_obj
+
+    pts = np.zeros((4, 3), np.float32)
+    m1 = Mesh(points=pts)
+    m1.set_attr("confidence", np.ones(4, np.float32))
+    p = str(tmp_path / "x.obj")
+    save_obj(p, m1)
+    assert (tmp_path / "x.obj.attrs.npz").exists()
+    save_obj(p, Mesh(points=pts))          # no attrs this time
+    assert not (tmp_path / "x.obj.attrs.npz").exists()
+    assert load_obj(p).attr("confidence") is None
+
+
+def test_geo_vertex_attr_promotion_and_prim_warnings(tmp_path):
+    """Vertex attributes promote to point attributes when point-uniform,
+    warn-and-drop when they vary per corner (seams); primitive
+    attributes/groups warn — none of these may vanish silently (round-5
+    review: the module's every-skip-recorded contract)."""
+    n = 4
+    doc = [
+        "fileversion", "19.0.589",
+        "pointcount", n,
+        "vertexcount", 6,
+        "primitivecount", 2,
+        "topology", ["pointref", ["indices", [0, 1, 2, 0, 2, 3]]],
+        "attributes", [
+            "pointattributes", [
+                [
+                    ["scope", "public", "type", "numeric", "name", "P",
+                     "options", {}],
+                    ["size", 3, "storage", "fpreal32",
+                     "values", ["size", 3, "storage", "fpreal32",
+                                "tuples", [[0, 0, 0], [1, 0, 0],
+                                           [1, 1, 0], [0, 1, 0]]]],
+                ],
+            ],
+            "vertexattributes", [
+                [
+                    # point-uniform over corners -> promotes
+                    ["scope", "public", "type", "numeric", "name", "mass",
+                     "options", {}],
+                    ["size", 1, "storage", "fpreal32",
+                     "values", ["size", 1, "storage", "fpreal32",
+                                "arrays", [[5.0, 6.0, 7.0, 5.0, 7.0,
+                                            8.0]]]],
+                ],
+                [
+                    # varies at the shared corners -> dropped with warning
+                    ["scope", "public", "type", "numeric", "name", "uv",
+                     "options", {}],
+                    ["size", 2, "storage", "fpreal32",
+                     "values", ["size", 2, "storage", "fpreal32",
+                                "tuples", [[0, 0], [1, 0], [1, 1],
+                                           [0.5, 0], [1, 1], [0, 1]]]],
+                ],
+            ],
+            "primitiveattributes", [
+                [
+                    ["scope", "public", "type", "numeric", "name",
+                     "shop_materialpath", "options", {}],
+                    ["size", 1, "storage", "int32",
+                     "values", ["size", 1, "storage", "int32",
+                                "arrays", [[0, 1]]]],
+                ],
+            ],
+        ],
+        "primitives", [
+            [["type", "Polygon"], ["vertex", [0, 1, 2]]],
+            [["type", "Polygon"], ["vertex", [3, 4, 5]]],
+        ],
+        "primitivegroups", [
+            [["name", "half"],
+             ["selection", ["unordered", ["i8", [1, 0]]]]],
+        ],
+    ]
+    path = str(tmp_path / "vtx.geo")
+    with open(path, "w") as fh:
+        json.dump(doc, fh)
+    mesh = load_geo(path)
+    np.testing.assert_allclose(mesh.attr("mass"), [5.0, 6.0, 7.0, 8.0])
+    assert mesh.attr("uv") is None
+    joined = " | ".join(mesh.load_warnings)
+    assert "'uv' varies per corner" in joined
+    assert "shop_materialpath" in joined
+    assert "primitive group 'half'" in joined

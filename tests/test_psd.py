@@ -60,7 +60,9 @@ def test_normalize_preserves_exactness(example_set):
     feats, corr = example_set
     model, _ = psd.fit_psd(feats, corr)
     w = np.asarray(psd.psd_weights(model, feats, normalize=True))
-    np.testing.assert_allclose(w, np.eye(len(feats)), atol=2e-4)
+    # EXACT at example poses (round 5: the old soft 1/(1+1e-4) rescale
+    # cost 1e-4 — double the 5e-5 parity budget)
+    np.testing.assert_allclose(w, np.eye(len(feats)), atol=5e-6)
     # between two examples the normalized weights sum to ~1
     mid = 0.5 * (feats[0] + feats[1])
     wm = np.asarray(psd.psd_weights(model, mid, normalize=True))
