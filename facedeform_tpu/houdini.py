@@ -30,12 +30,18 @@ solve / DBSE caches exactly like the reference's data-ID tracker
 (SOP_FaceDeform.hpp:47-64), and a parameter slide never re-converts
 geometry.
 
-hou API surface used (kept deliberately small and version-stable):
+hou API surface used (kept deliberately small and version-stable; this
+list is the adapter's declared API contract — tests/mock_hou.py and any
+compatibility audit maintain against it, so EVERY member the code touches
+must appear here):
   Geometry: points, prims, pointAttribs, findPointAttrib,
-    point{Float,Int}AttribValues, setPointFloatAttribValues, addAttrib,
-    addArrayAttrib, setGlobalAttribValue, pointGroups, merge
+    findGlobalAttrib, point{Float,Int}AttribValues,
+    setPointFloatAttribValues, addAttrib, addArrayAttrib,
+    setGlobalAttribValue, pointGroups, merge
+  Attrib: name, size, dataType, qualifier (guarded getattr)
   Prim: vertices;  Vertex: point;  Point: number
-  Node: path, parm, parmTuple, evalParm, inputs, geometry
+  Node: path, parm, parmTuple, evalParm, inputs, geometry, cookCount
+  Parm/ParmTuple: eval
   hou.attribType.{Point,Global}, hou.attribData.{Float,Int,String},
   hou.NodeError / hou.NodeWarning
 """
@@ -201,6 +207,14 @@ def mesh_from_geometry(geo, warnings: Optional[List[str]] = None) -> Mesh:
     faces = None
     prims = geo.prims()
     if prims:
+        # O(prims) Python loop, re-run whenever the upstream cook count
+        # changes — including pure P animation where the topology is
+        # identical.  Deliberately NOT cached across cooks: the declared
+        # hou surface above has no version-stable topology data-id, and
+        # a counts-based key can collide on an edit that rewires
+        # connectivity without changing counts (silently wrong faces
+        # beats seconds of Python).  Shots that need the fast path
+        # should convert once and drive FaceDeformNode directly.
         polys = [[vtx.point().number() for vtx in p.vertices()] for p in prims]
         width = max(len(p) for p in polys)
         faces = np.full((len(polys), width), -1, np.int32)
@@ -251,6 +265,17 @@ def write_mesh_to_geometry(geo, mesh: Mesh, extra_attrs=()) -> None:
 
 
 # --------------------------------------------------------------- parameters
+def _checked_index(idx: int, n: int, parm: str) -> int:
+    """Menu-index bounds check: hand-built parm panes may carry a plain
+    int channel whose value exceeds the menu — the cook contract is
+    hou.NodeError, never a raw IndexError."""
+    if not 0 <= idx < n:
+        raise hou.NodeError(
+            f"{parm} parm value {idx} out of range (0..{n - 1})"
+        )
+    return idx
+
+
 def _eval_parm(node, name: str, default):
     """Evaluate a parameter if it exists on the node, else the reference
     default — so a hand-built parameter interface may omit the extension
@@ -270,7 +295,9 @@ def config_from_node(node) -> Tuple[DeformConfig, DeformParams, str]:
     (src/SOP_FaceDeform.cpp:244-263; clamps live in DeformParams.clamped
     and config __post_init__)."""
     wr = _eval_parm_tuple(node, "weightrange", (0.0, 1.0))
-    solver_idx = int(_eval_parm(node, "solver", 0))
+    solver_idx = _checked_index(
+        int(_eval_parm(node, "solver", 0)), len(_SOLVER_NAMES), "solver"
+    )
     cfg = DeformConfig(
         model=int(_eval_parm(node, "model", 0)),
         kernel=int(_eval_parm(node, "kernel", 0)),
@@ -405,8 +432,17 @@ def _reduce_rig_for_cook(state, meshes, cfg, params, k, mode, warnings):
                 "partition-of-unity solver (the K-center regression "
                 "model is already any-N)"
             )
+        # key on the FIT-relevant params only, as plain floats: the whole
+        # params.clamped() tuple (a) invalidates the cached re-solve on
+        # eval-only slider drags (falloffradius etc.) and (b) carries 0-d
+        # jnp device scalars whose == comparison pulls through the ~15 ms
+        # tunnel RTT every cook (round-5 review finding).  fit_reduced
+        # consumes qcoef/zcoef/radius/lam + the confidence attr (keyed
+        # via attr_id already).
+        from facedeform_tpu.node import _fit_params_key
+
         key = (rest_rig.pos_id, rest_rig.attr_id, def_rig.pos_id,
-               cfg.solve_view(), params.clamped(), k)
+               cfg.solve_view(), _fit_params_key(params.clamped()), k)
         cached = state.get("reduce_fit")
         if cached is not None and cached[0] == key:
             return meshes, cached[1]
@@ -508,9 +544,10 @@ def cook_sop(node) -> Optional[CookResult]:
             recompute_normals=bool(
                 _eval_parm(node, "recompute_normals", 0)
             ),
-            symmetrize=_SYMMETRIZE_NAMES[
-                int(_eval_parm(node, "symmetrize", 0))
-            ],
+            symmetrize=_SYMMETRIZE_NAMES[_checked_index(
+                int(_eval_parm(node, "symmetrize", 0)),
+                len(_SYMMETRIZE_NAMES), "symmetrize",
+            )],
             # 0 = auto (5% of median marker spacing, ops/symmetry.py)
             symmetry_tol=sym_tol if sym_tol > 0 else None,
             psd=psd_model,

@@ -394,9 +394,12 @@ def _ssdr_rounds(x, frames, w0, outer, pgd_iters, max_influences,
     never starves the exploration.
 
     `valid` (V,) gates padded rows (sharded callers pad V to the device
-    count): their one-hot rows zero out of every moment, and the PGD
-    leaves all-zero rows at zero (their residual is exactly zero, so
-    alpha clips to 0).  Single-device callers pass ones.
+    count): their one-hot rows zero out of every moment.  NOTE the PGD
+    does NOT keep them at zero by itself — project_capped_simplex
+    re-fills an all-zero row to uniform 1/B, so the `w * valid` re-mask
+    after every PGD call below is LOAD-BEARING (dropping it would fold
+    garbage padded-row weights into the Procrustes moments of sharded
+    fits).  Single-device callers pass ones.
     """
     n_bones = w0.shape[1]
 
@@ -561,10 +564,19 @@ def fit_skinning(
             raise ValueError("edges index outside [0, V)")
         if float(smooth_lambda) > 0.0 and e.size:
             # padded fixed-degree neighbor table, self-padded so padded
-            # slots drop out of L w exactly
+            # slots drop out of L w exactly.  Degree-capped with stride
+            # subsampling like the transport path: uncapped, a 1M
+            # uv-sphere's ~1000-degree poles make the per-PGD-iteration
+            # w[nbr] gather (V, Dmax, B) = 64 GB — the measured OOM class
+            # of geometry/topology.py.  A stride-sampled 16-ring is an
+            # ample stencil for a smoothness REGULARIZER (the returned
+            # effective degrees keep the normalization consistent).
             from facedeform_tpu.geometry.topology import padded_neighbors
+            from facedeform_tpu.ops.jacobian import TRANSPORT_MAX_DEGREE
 
-            nbr_np, deg_np = padded_neighbors(v, e)
+            nbr_np, deg_np = padded_neighbors(
+                v, e, max_degree=TRANSPORT_MAX_DEGREE
+            )
             nbr = jnp.asarray(nbr_np)
             deg = jnp.asarray(deg_np)
             # unitless knob: scale by the data term's natural magnitude
@@ -592,19 +604,21 @@ def fit_skinning(
     )
     model = SkinningModel(w, r, t, jnp.asarray(x))
 
-    # ---- residual report (single scalar pull) ---------------------------
+    # ---- residual report: device reductions, SCALAR pulls only ---------
+    # (pulling the full (F, V) err2 and (V, B) weights cost tens of MB
+    # over the tunnel per fit at film res — round-5 review finding)
     err2 = _reconstruction_err2(model, jnp.asarray(p))
-    err2_host = np.asarray(err2, np.float64)
+    err2_mean = float(jnp.mean(err2))
+    err2_max = float(jnp.max(err2))
     bbox = float(np.linalg.norm(x.max(0) - x.min(0)))
     roughness = None
     if edges is not None and np.asarray(edges).size:
-        e = np.asarray(edges, np.int64)
-        w_host = np.asarray(w, np.float64)
-        jump2 = ((w_host[e[:, 0]] - w_host[e[:, 1]]) ** 2).sum(-1)
-        roughness = float(np.sqrt(jump2.mean()))
+        e_dev = jnp.asarray(np.asarray(edges, np.int64))
+        jump2 = jnp.sum((w[e_dev[:, 0]] - w[e_dev[:, 1]]) ** 2, axis=-1)
+        roughness = float(jnp.sqrt(jnp.mean(jump2)))
     report = SkinningReport(
-        rmse=float(np.sqrt(err2_host.mean())),
-        max_err=float(np.sqrt(err2_host.max())),
+        rmse=float(np.sqrt(err2_mean)),
+        max_err=float(np.sqrt(err2_max)),
         bbox_diag=bbox,
         weight_roughness=roughness,
     )
