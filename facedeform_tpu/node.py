@@ -66,10 +66,14 @@ class CookResult:
 def _fit_params_key(params: DeformParams) -> tuple:
     """Only the params the RBF solve consumes — eval-only knobs (falloff
     rate/radius, weight clamps, maxedges) must not invalidate the cached
-    solve."""
+    solve.  CLAMPED to the cook-time floors in plain host floats
+    (params.clamped() builds 0-d jnp scalars — fine for jit, wrong for a
+    host cache key): sub-floor slider values (lam 0.001 vs 0.005, both
+    floored to 0.01) used to trigger full spurious refits of a
+    byte-identical model (round-5 review finding)."""
     return (
-        float(params.qcoef), float(params.zcoef),
-        float(params.radius), float(params.lam),
+        max(float(params.qcoef), 0.1), max(float(params.zcoef), 0.1),
+        max(float(params.radius), 0.01), max(float(params.lam), 0.01),
     )
 
 
@@ -122,6 +126,9 @@ class FaceDeformNode:
         # model pull the (K, V, 3) tensor through the tunnel only once
         self._psd_ext = None
         self._psd_ext_corr: Optional[np.ndarray] = None
+        # pins the parent-cook external deformer captured in _psd_key (its
+        # id() is part of the key and must not be GC-recycled)
+        self._psd_parent_deformer_pin = None
         # device-resident corrections for the large-K·V route (psd.
         # psd_apply_on_host False): placed once per (psd, mesh) pair —
         # sharded over mesh_devices' vertex axis when a mesh is given
@@ -179,7 +186,7 @@ class FaceDeformNode:
     def _psd_fit(
         self, inputs, examples, cfg, params, group_mask, mesh_devices,
         symmetrize, symmetry_tol, psd_lam, psd_eps, psd_normalize,
-        psd_align, warnings, times,
+        psd_align, warnings, times, deformer=None,
     ):
         """Fit (or reuse) the pose-space correction model for `examples`.
 
@@ -235,6 +242,10 @@ class FaceDeformNode:
             tuple((p.pos_id, s.pos_id) for p, s in valid),
             tuple(b.pos_id for b in blends) if cfg.morphspace else (),
             cfg, _all_params_key(params), mask_key, sym_key,
+            # an external deformer changes what the child cooks evaluate,
+            # so it is part of the corrections' identity (pinned below so
+            # id() cannot be recycled while the cache entry lives)
+            None if deformer is None else id(deformer),
             float(psd_lam),
             None if psd_eps is None else float(psd_eps),
             bool(psd_normalize), bool(psd_align),
@@ -252,6 +263,11 @@ class FaceDeformNode:
                     [mesh_in, rest_rig, posed] + blends, cfg, params,
                     group_mask=group_mask, mesh_devices=mesh_devices,
                     symmetrize=symmetrize, symmetry_tol=symmetry_tol,
+                    # the parent's external checkpoint field, if any: the
+                    # corrections must be measured against the SAME field
+                    # they will be applied on, or the example sculpt is
+                    # not reproduced (round-5 review finding)
+                    deformer=deformer,
                 )
                 c = (sculpt.points.astype(np.float32)
                      - base.mesh.points.astype(np.float32))
@@ -279,9 +295,12 @@ class FaceDeformNode:
                     f"{max_off_group:.3g}; those edits are outside the "
                     "group and were dropped."
                 )
+            corr_arr = np.stack(corr)   # stacked ONCE: reused for the
+            # host cache below (a second stack doubled the peak at the
+            # 128 MiB host-cache bound)
             try:
                 model, report = psd_ops.fit_psd(
-                    np.stack(feats), np.stack(corr),
+                    np.stack(feats), corr_arr,
                     eps=psd_eps, lam=float(psd_lam),
                 )
                 errors.check_solve(report)
@@ -299,11 +318,12 @@ class FaceDeformNode:
                 align=bool(psd_align),
             )
         self._psd_key, self._psd_deformer = key, psd
+        self._psd_parent_deformer_pin = deformer
         # Large K·V skips the persistent host cache: the apply pass then
         # contracts on device against model.corrections (one (V, 3) pull
         # per cook) instead of holding a second full-tensor host copy.
         self._psd_corr_host = (
-            np.stack(corr)
+            corr_arr
             if psd_ops.psd_apply_on_host(len(corr), mesh_in.num_points)
             else None
         )
@@ -687,6 +707,11 @@ class FaceDeformNode:
         # Keyed on cfg.solve_view(), not the full cfg: toggling eval-only
         # flags (tangent, morphspace, dofalloff, doclampweight, ...) must
         # not re-run the solve (it would pay the tunnel RTT every cook).
+        # the EXTERNAL checkpoint argument, captured before the local is
+        # rebound to the resolved/fitted deformer below — the PSD pass
+        # must see the caller's checkpoint (None on ordinary cooks), not
+        # a fresh per-cook fit whose id() would bust the PSD cache
+        ext_deformer = deformer
         if deformer is not None:
             # Precomputed-solve cook: merge solve fields from the
             # deformer's fit with this cook's eval toggles, then skip the
@@ -961,10 +986,19 @@ class FaceDeformNode:
                     "Can't compute weights for morphspace deformation. Ignoring it."
                 )
             else:
-                morphed = dbse_ops.morph_apply(
+                morphed = np.asarray(dbse_ops.morph_apply(
                     dbse_model, cur, rest_attr, w, cfg, params
-                )
-                new_pts = np.asarray(morphed)
+                ))
+                if group_mask is not None:
+                    # group contract: the blend reconstruction writes all
+                    # V rows; off-group vertices keep the (already gated)
+                    # eval output — reproduced moving 0.014 off-group
+                    # before this gate (round-5 review finding)
+                    morphed = np.where(
+                        np.asarray(group_mask, bool)[:, None],
+                        morphed, new_pts,
+                    )
+                new_pts = morphed
                 weights_out = np.asarray(w)
                 out.detail_attrs["weights"] = weights_out
 
@@ -978,7 +1012,7 @@ class FaceDeformNode:
             psd = self._psd_fit(
                 inputs, examples, cfg, params, group_mask, mesh_devices,
                 symmetrize, symmetry_tol, psd_lam, psd_eps, psd_normalize,
-                psd_align, warnings, times,
+                psd_align, warnings, times, deformer=ext_deformer,
             )
             corr_host = self._psd_corr_host
         elif psd is not None:
@@ -986,11 +1020,16 @@ class FaceDeformNode:
             # cache a host copy of the corrections (identity-keyed)
             kk, v_corr, _ = (int(s) for s in psd.model.corrections.shape)
             d_feat = int(psd.model.features.shape[1])
-            if v_corr != mesh_in.num_points or d_feat != 3 * rest_rig.num_points:
+            # validate against the ORIGINAL inputs[1] rig: pose_feature
+            # below reads inputs[1]/inputs[2], NOT the locally
+            # symmetrized rest_rig (whose appended mirrors would
+            # spuriously reject a valid checkpoint; round-5 review)
+            n_rig_orig = inputs[1].num_points
+            if v_corr != mesh_in.num_points or d_feat != 3 * n_rig_orig:
                 warnings.append(
                     f"psd: checkpoint was fitted for {v_corr} mesh points / "
                     f"{d_feat // 3} rig markers; inputs have "
-                    f"{mesh_in.num_points} / {rest_rig.num_points}. "
+                    f"{mesh_in.num_points} / {n_rig_orig}. "
                     "Ignoring pose-space deformation."
                 )
                 psd = None
@@ -1054,6 +1093,16 @@ class FaceDeformNode:
                         # rest-frame corrections ride the query pose's
                         # rigid rotation back to world (rigid equivariance)
                         delta = delta @ r_q.T
+                    if group_mask is not None:
+                        # group contract (src/SOP_FaceDeform.cpp:485):
+                        # writes cap to the group.  The examples route
+                        # zeroes corrections at fit time; a checkpoint
+                        # fitted without (or with another) group must be
+                        # gated HERE too (round-5 review finding)
+                        delta = np.where(
+                            np.asarray(group_mask, bool)[:, None],
+                            delta, np.float32(0.0),
+                        )
                     new_pts = new_pts + delta
                     psd_applied = True
                 out.detail_attrs["psd_weights"] = w_psd

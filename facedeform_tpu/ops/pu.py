@@ -760,6 +760,27 @@ def _tile_f32_disp(model: PUModel, kidx, xl, local, valid,
     return disp, phi, d2
 
 
+
+def _lru_hit(cache: dict, key):
+    """Bounded-LRU lookup: a hit re-inserts at MRU position."""
+    val = cache.pop(key, None)
+    if val is not None:
+        cache[key] = val
+    return val
+
+
+def _lru_put(cache: dict, key, val, cap: int = 8) -> None:
+    """Bounded-LRU insert: evict the oldest entries past `cap`.
+
+    ONE implementation for both plan caches (PUDeformer._cached_plan and
+    PUNodeDeformer's keyed cache) so the eviction policy cannot drift
+    between them (round-5 review finding)."""
+    cache.pop(key, None)
+    while len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+
+
 def _tile_blend_weight(model: PUModel, kidx, xl, vidx, force):
     """Wendland partition weight with the forced-fallback and padding
     gates applied; returns (bw, d2c, r_k)."""
@@ -1076,13 +1097,23 @@ class PUDeformer:
             plan.num_points,
         )
 
-    def make_plan(self, points_np: np.ndarray):
-        """Build the eval plan displacement()'s auto route would use for
-        these points (tile plan on TPU f32, XLA plan otherwise) — for
-        callers that key plans themselves (e.g. the node's pos_id cache)
-        instead of paying the content-digest hash per call."""
+    def make_plan(self, points_np: np.ndarray, backend: str = "auto"):
+        """Build the eval plan displacement()'s route would use for these
+        points (tile plan on TPU f32, XLA plan otherwise) — for callers
+        that key plans themselves (e.g. the node's pos_id cache) instead
+        of paying the content-digest hash per call.  `backend` mirrors
+        displacement()'s forcing: "xla" always builds the XLA plan,
+        "pallas" the Mosaic tile plan (f32 route only)."""
         precise = not self.auto_eps
-        if not precise and on_tpu():
+        if backend == "pallas" and precise:
+            raise ValueError(
+                "backend='pallas' drives the f32 Mosaic kernel; a "
+                "forced-global-eps fit evaluates through the df XLA "
+                "tiles — use backend='xla' or refit with eps='auto'"
+            )
+        if backend == "pallas" or (
+            backend == "auto" and not precise and on_tpu()
+        ):
             from facedeform_tpu.ops.pallas_pu import plan_eval_tiles
 
             return plan_eval_tiles(self.patches, points_np)
@@ -1096,14 +1127,10 @@ class PUDeformer:
             hashlib.blake2b(points_np.tobytes(), digest_size=16).digest(),
             tag,
         )
-        plan = self._plan_cache.pop(key, None)
+        plan = _lru_hit(self._plan_cache, key)
         if plan is None:
             plan = build()
-            while len(self._plan_cache) >= 8:  # bound the cache (LRU)
-                self._plan_cache.pop(next(iter(self._plan_cache)))
-        # (re)insert at the end: hits move to MRU position so a hot plan
-        # alternating with others doesn't re-pay its host KD build
-        self._plan_cache[key] = plan
+            _lru_put(self._plan_cache, key, plan)
         return plan
 
     def _run_tiles(self, points, tplan):
@@ -1254,9 +1281,11 @@ class PUSeqDeformer:
         composition — falloff from capture distances (frame-invariant),
         gate folded in, displacement added per frame.  `frame`
         (tangentu, tangentv, N) projects each frame's displacement into
-        the tangent basis before the falloff multiply, the same order as
+        the tangent basis before the falloff multiply — gated on
+        cfg.tangent AND a frame being given, the same composition as
         PUNodeDeformer.apply / the reference eval loop
-        (src/SOP_FaceDeform.cpp:404-439)."""
+        (src/SOP_FaceDeform.cpp:404-439; a frame passed with
+        cfg.tangent=False is ignored, matching the single-frame path)."""
         from facedeform_tpu.config import DeformConfig, DeformParams
         from facedeform_tpu.ops.falloff import falloff_weight
 
@@ -1278,7 +1307,7 @@ class PUSeqDeformer:
         )
         w = w * g
         disp = self.displacement_frames(points, mesh=mesh)
-        if frame is not None:
+        if cfg.tangent and frame is not None:
             from facedeform_tpu.ops.tangent import project_to_tangents
 
             disp = jnp.stack([
@@ -1332,20 +1361,14 @@ class PUNodeDeformer:
 
     def _plan_get(self, key):
         """LRU hit: move the key to the end so it outlives colder plans."""
-        plan = self._plans.pop(key, None)
-        if plan is not None:
-            self._plans[key] = plan
-        return plan
+        return _lru_hit(self._plans, key)
 
     def _plan_put(self, key, plan, cap: int = 8) -> None:
         """Bounded LRU insert.  A cook serves the main mesh PLUS its
         secondary accessories off one deformer (node.cook(secondary=...)),
         so a clear-on-miss single slot would rebuild every mesh's host KD
         plan each cook — keep the last `cap` plans, evict the oldest."""
-        self._plans.pop(key, None)
-        while len(self._plans) >= cap:
-            self._plans.pop(next(iter(self._plans)))
-        self._plans[key] = plan
+        _lru_put(self._plans, key, plan, cap)
 
     @classmethod
     def fit(cls, rest_ctrl, deformed_ctrl, cfg, params,
@@ -1395,15 +1418,23 @@ class PUNodeDeformer:
                 self.pud, points_np, mesh_devices, splan=splan
             )
         else:
+            # honor PU's own backend forcing ("xla"/"pallas" — the plan
+            # TYPE selects the path); the node autotune's global-family
+            # names ("dense"/"culled") and "auto" take the auto route.
+            # The parameter used to be silently ignored (round-5 review).
+            pu_backend = backend if backend in ("xla", "pallas") else "auto"
             plan = None
             if plan_key is not None:
                 # node path: key the plan on the mesh's pos_id instead of
                 # re-hashing the full point buffer every cook/frame
-                plan = self._plan_get(plan_key)
+                # (+ the forced backend: each backend has its own plan)
+                plan = self._plan_get((plan_key, pu_backend))
                 if plan is None:
-                    plan = self.pud.make_plan(points_np)
-                    self._plan_put(plan_key, plan)
-            disp = self.pud.displacement(points_np, plan=plan)
+                    plan = self.pud.make_plan(points_np, backend=pu_backend)
+                    self._plan_put((plan_key, pu_backend), plan)
+            disp = self.pud.displacement(
+                points_np, plan=plan, backend=pu_backend
+            )
         if self.cfg.tangent and frame is not None:
             disp = project_to_tangents(*frame, jnp.asarray(disp))
         v = pts.shape[0]

@@ -555,3 +555,96 @@ def test_checkpoint_align_roundtrip(rng, tmp_path):
         np.asarray(d2.delta(rest, q)), np.asarray(d.delta(rest, q)),
         atol=1e-6,
     )
+
+
+# ------------------------------------------------- round-5 contract fixes
+def test_node_morph_respects_group_mask():
+    """Morphspace cooks must not move off-group vertices: the blend
+    reconstruction writes all V rows and used to skip the group gate
+    (reproduced moving off-group by 0.014; round-5 review)."""
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    # blend carries the SAME y-scaling the rig pose drives, so the morph
+    # projection finds a substantial weight (an orthogonal pair would
+    # project to w ~ 0 and the gate would be vacuously satisfied)
+    blend = Mesh(points=(mesh.points * np.float32([1.0, 1.1, 1.0])))
+    mask = mesh.points[:, 1] > 0.0
+    res = FaceDeformNode().cook(
+        [mesh, rest, pose, blend], DeformConfig(morphspace=True),
+        DeformParams(radius=2.0), group_mask=mask,
+    )
+    out = np.asarray(res.mesh.points)
+    np.testing.assert_array_equal(out[~mask], mesh.points[~mask])
+    assert np.abs(out[mask] - mesh.points[mask]).max() > 1e-3  # it did move
+
+
+def test_node_psd_checkpoint_valid_under_symmetrize():
+    """A PSD checkpoint fitted for the ORIGINAL rig must keep applying
+    when the cook symmetrizes (mirrors appended to the local rig used to
+    spuriously reject it; round-5 review)."""
+    mesh, rest_sym = _node_inputs()
+    # an asymmetric rig: symmetrize appends mirrors (N grows)
+    pts = rest_sym.points.copy()
+    pts[:, 0] = np.abs(pts[:, 0]) + 0.05
+    rest = Mesh(points=pts)
+    pose = _posed(rest, 1.08)
+    node = FaceDeformNode()
+    node.cook([mesh, rest, pose], examples=[_make_example((mesh, rest), pose)])
+    fitted = node._psd_deformer
+    assert fitted is not None
+    res = FaceDeformNode().cook(
+        [mesh, rest, pose], psd=fitted, symmetrize="x",
+    )
+    assert not any("Ignoring pose-space" in w for w in res.warnings), (
+        res.warnings
+    )
+    assert "psd_weights" in res.mesh.detail_attrs
+
+
+def test_node_psd_checkpoint_respects_group_mask():
+    """Checkpoint-loaded PSD corrections must gate by the cook's group
+    mask (the examples route gates at fit time; the checkpoint route used
+    to move off-group vertices; round-5 review)."""
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    node = FaceDeformNode()
+    node.cook([mesh, rest, pose], examples=[_make_example((mesh, rest), pose)])
+    fitted = node._psd_deformer
+    mask = mesh.points[:, 2] < 0.0   # the sculpt bump sits at +z
+    res_m = FaceDeformNode().cook(
+        [mesh, rest, pose], psd=fitted, group_mask=mask,
+    )
+    res_0 = FaceDeformNode().cook([mesh, rest, pose], group_mask=mask)
+    out_m = np.asarray(res_m.mesh.points)
+    out_0 = np.asarray(res_0.mesh.points)
+    # off-group: PSD adds nothing on top of the plain cook
+    np.testing.assert_array_equal(out_m[~mask], out_0[~mask])
+
+
+def test_node_external_deformer_examples_reproduce_sculpt(tmp_path):
+    """cook(deformer=checkpoint, examples=...): the corrections must be
+    measured against the CHECKPOINT field, not a fresh re-fit, or the
+    example sculpt is not reproduced (round-5 review)."""
+    from facedeform_tpu.utils import checkpoint
+    from facedeform_tpu.deformer import Deformer
+
+    mesh, rest = _node_inputs()
+    pose = _posed(rest, 1.1)
+    # checkpoint field deliberately DIFFERENT from what a fresh fit of
+    # [rest, pose] would give: fitted against a stronger pose
+    d = Deformer.fit(rest.points, _posed(rest, 1.3).points,
+                     DeformConfig(), DeformParams())
+    path = str(tmp_path / "d.npz")
+    checkpoint.save(path, d)
+    loaded = checkpoint.load(path)
+
+    node = FaceDeformNode()
+    base = node.cook([mesh, rest, pose], deformer=loaded).mesh
+    g = np.exp(-4.0 * np.sum((base.points - [0, 0, 1]) ** 2, -1))
+    sculpt = Mesh(points=(base.points
+                          + 0.1 * g[:, None] * np.float32([0, 0, 1])))
+    res = node.cook([mesh, rest, pose], deformer=loaded,
+                    examples=[(pose, sculpt)])
+    np.testing.assert_allclose(
+        np.asarray(res.mesh.points), sculpt.points, atol=5e-5
+    )

@@ -484,3 +484,37 @@ def test_cli_deform_seq_batch_pu_save_sequence(tmp_path):
     q = (fibonacci_points(100) * 1.01).astype(np.float32)
     out = np.asarray(seq.displacement_frames(q))
     assert out.shape == (3, 100, 3) and np.isfinite(out).all()
+
+
+def test_pu_node_backend_forcing(rng):
+    """PUNodeDeformer.apply(backend=) must honor 'xla'/'pallas' (it was
+    silently ignored; round-5 review): both forced paths agree with auto
+    at the auto-eps f32 accuracy level."""
+    from facedeform_tpu import DeformConfig, DeformParams
+    from facedeform_tpu.config import PolyTerm
+    from facedeform_tpu.ops.pu import PUNodeDeformer
+
+    rest = fibonacci_points(300)
+    deformed = rest + 0.05 * rng.standard_normal((300, 3)).astype(np.float32)
+    cfg = DeformConfig(solver="pu", term=PolyTerm.LINEAR)
+    d = PUNodeDeformer.fit(rest, deformed, cfg, DeformParams(lam=0.01))
+    q = fibonacci_points(500) * 0.9
+    outs = {}
+    for b in ("auto", "xla", "pallas"):
+        pts, w = d.apply(q, backend=b, plan_key=("t", b))
+        outs[b] = np.asarray(pts)
+    # plumbing check: each forced backend runs its intended path; the
+    # paths differ in summation order (interpret-mode Mosaic vs XLA
+    # composition), so the bar is agreement at f32 field accuracy
+    np.testing.assert_allclose(outs["xla"], outs["auto"], atol=5e-5)
+    np.testing.assert_allclose(outs["pallas"], outs["auto"], atol=2e-3)
+    # forcing pallas on a forced-global-eps (df) fit raises clearly
+    d2 = PUNodeDeformer.fit(rest, deformed, cfg,
+                            DeformParams(lam=0.01, radius=1.0))
+    import pytest as _pytest
+
+    from facedeform_tpu.ops import pu as pu_mod
+
+    pud_df = pu_mod.PUDeformer.fit(rest, deformed, eps=2.0, lam=0.01)
+    with _pytest.raises(ValueError, match="pallas"):
+        pud_df.make_plan(np.asarray(q, np.float32), backend="pallas")
