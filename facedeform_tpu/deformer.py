@@ -196,11 +196,22 @@ class Deformer:
         )
 
     def displacement(self, points) -> jnp.ndarray:
-        """Raw RBF displacement field at arbitrary points (V, 3) -> (V, 3)."""
+        """Raw RBF displacement field at arbitrary points (V, 3) -> (V, 3).
+
+        Routes growing kernels through the double-float eval like apply()
+        does — the plain f32 field for TPS/MQ measured 2.8e-3 error at 4k
+        controls vs the 5e-5 budget, and a field sampled here must match
+        what apply() composes (round-5 review: this path silently stayed
+        f32)."""
+        from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
         kernel = fit_mod.effective_kernel(self.cfg)
-        return evaluate(
-            self.model, jnp.asarray(points, jnp.float32), kernel, self.cfg.term
-        )
+        pts = jnp.asarray(points, jnp.float32)
+        if kernel in GROWING_KERNELS:
+            from facedeform_tpu.ops.precise_eval import evaluate_precise
+
+            return evaluate_precise(self.model, pts, kernel, self.cfg.term)
+        return evaluate(self.model, pts, kernel, self.cfg.term)
 
     def jacobian(self, points) -> jnp.ndarray:
         """Spatial Jacobian of the displacement field, (V, 3, 3)."""
@@ -353,6 +364,15 @@ class Deformer:
                 )
             else:
                 backend = "dense"
+        if backend not in ("dense", "dense_precise", "pallas",
+                           "pallas_culled"):
+            # a typo used to fall through every branch to the plain f32
+            # dense path — silently trading the 5e-5 budget for 2.8e-3 on
+            # growing kernels (round-5 review finding)
+            raise ValueError(
+                f"unknown backend {backend!r}; expected 'auto', 'dense', "
+                "'dense_precise', 'pallas' or 'pallas_culled'"
+            )
         if backend == "dense_precise":
             params = self.params.clamped()
             if on_tpu():

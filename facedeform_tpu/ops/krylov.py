@@ -131,91 +131,23 @@ def make_saddle_matvec_df(
     the practical wall at scale).
 
     eps must be uniform (symmetry), like make_saddle_matvec.
+
+    Implemented as the f32 collapse of make_saddle_matvec_df_pair on a
+    zero low word — ONE df sweep implementation instead of two ~45-line
+    copies that had to be edited in lockstep (round-5 review).  Costs
+    one f32 sweep of the zero low word (~10% of the df sweep's work);
+    the pair path also carries the ridge/tail terms in df, so this is
+    marginally MORE accurate than the old standalone body (f32 tail
+    adds).
     """
-    from facedeform_tpu.ops.dfloat import (
-        _df_sum_axis0, _phi_df, _sqdist_df, _two_prod, df, df_add,
-        df_mul, df_recip,
-    )
-
-    n = ctrl.shape[0]
-    p = poly_basis(ctrl, term)  # (N, m)
-    m = p.shape[1]
-    lam = jnp.asarray(lam, jnp.float32)
-    lam = lam[:, None] if lam.ndim == 1 else lam
-
-    n_pad = (-n) % ctrl_block
-    ctrl_pad = jnp.pad(ctrl.astype(jnp.float32), ((0, n_pad), (0, 0)))
-    nb = ctrl_pad.shape[0] // ctrl_block
-    eps_v = jnp.broadcast_to(jnp.asarray(eps, jnp.float32), (n,))
-    eps_pad = jnp.pad(eps_v, (0, n_pad), constant_values=1.0)
-    e2 = _two_prod(eps_pad, eps_pad)
-    inv_e2 = df_recip(e2)
-
-    v_pad = (-n) % chunk
-    pts_pad = jnp.pad(ctrl.astype(jnp.float32), ((0, v_pad), (0, 0)))
-    row_chunks = pts_pad.reshape(-1, chunk, 3)
-
-    hp = dict(
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    pair = make_saddle_matvec_df_pair(
+        ctrl, kernel, term, eps, lam, tail_reg, chunk, ctrl_block
     )
 
     def matvec(x: jnp.ndarray) -> jnp.ndarray:  # (N + m, k)
         x = x.astype(jnp.float32)
-        k = x.shape[1]
-        xw, xc = x[:n], x[n:]
-        xw_pad = jnp.pad(xw, ((0, n_pad), (0, 0)))  # padded cols multiply 0
-
-        def row_chunk(pts):
-            c = pts.shape[0]
-
-            def block_body(b, acc):
-                acc_hi, acc_lo = acc
-                lo_idx = b * ctrl_block
-                cblk = jax.lax.dynamic_slice(
-                    ctrl_pad, (lo_idx, 0), (ctrl_block, 3)
-                )
-                ie_hi = jax.lax.dynamic_slice(
-                    inv_e2[0], (lo_idx,), (ctrl_block,)
-                )[None, :]
-                ie_lo = jax.lax.dynamic_slice(
-                    inv_e2[1], (lo_idx,), (ctrl_block,)
-                )[None, :]
-                xb = jax.lax.dynamic_slice(
-                    xw_pad, (lo_idx, 0), (ctrl_block, k)
-                )
-                d2 = _sqdist_df(pts, cblk)                    # df (c, B)
-                s = df_mul(d2, (ie_hi, ie_lo))
-                phi = _phi_df(kernel, s)                      # df (c, B)
-                # padded control columns: phi(s of a real row vs the
-                # origin-padded control) is junk — mask to exact zero
-                valid = (
-                    jnp.arange(ctrl_block) + lo_idx < n
-                )[None, :]
-                phi = (jnp.where(valid, phi[0], 0.0),
-                       jnp.where(valid, phi[1], 0.0))
-                # exact main products phi_hi * x, tree-summed over B
-                pm, em = _two_prod(
-                    phi[0].T[:, :, None], xb[:, None, :]
-                )                                             # (B, c, k)
-                s_hi, s_lo = _df_sum_axis0(pm, em)
-                cross = jnp.dot(phi[1], xb, **hp)             # <= u relative
-                return df_add((acc_hi, acc_lo),
-                              df_add((s_hi, s_lo), df(cross)))
-
-            zero = jnp.zeros((c, k), jnp.float32)
-            out_hi, out_lo = jax.lax.fori_loop(
-                0, nb, block_body, (zero, zero)
-            )
-            return out_hi + out_lo
-
-        y_top = jax.lax.map(row_chunk, row_chunks).reshape(-1, k)[:n]
-        y_top = y_top + lam * xw
-        if m:
-            y_top = y_top + jnp.dot(p, xc, **hp)
-            y_bot = jnp.dot(p.T, xw, **hp) - tail_reg * xc
-            return jnp.concatenate([y_top, y_bot], axis=0)
-        return y_top
+        hi, lo = pair((x, jnp.zeros_like(x)))
+        return hi + lo
 
     return matvec
 
@@ -269,7 +201,8 @@ def make_block_jacobi(
         return phi + (l + jitter) * jnp.eye(block, dtype=jnp.float32)
 
     blocks = jax.vmap(one_block)(cb, eb, lb)          # (nb, B, B)
-    inv_blocks = jnp.linalg.inv(blocks)               # batched
+    with jax.default_matmul_precision("highest"):
+        inv_blocks = jnp.linalg.inv(blocks)           # batched
 
     def msolve(r: jnp.ndarray) -> jnp.ndarray:        # (N + m, k)
         top, tail = r[:n], r[n:]
@@ -354,7 +287,8 @@ def make_abs_block_jacobi(
         return jnp.where(mask, phi, jnp.eye(block, dtype=jnp.float32))
 
     blocks = jax.vmap(one_block)(cb, eb, lb, vb)      # (nb, B, B)
-    w_eig, q = jnp.linalg.eigh(blocks)                # batched, once
+    with jax.default_matmul_precision("highest"):
+        w_eig, q = jnp.linalg.eigh(blocks)            # batched, once
     amax = jnp.max(jnp.abs(w_eig), axis=-1, keepdims=True)
     inv_abs = 1.0 / jnp.maximum(
         jnp.abs(w_eig), jnp.maximum(amax * 1e-7, 1e-20)
@@ -473,8 +407,18 @@ def pminres(
     st = jax.lax.while_loop(cond, body, state)
     x = st["x"] if x0 is None else st["x"] + x0.astype(jnp.float32)
     r_final = b - matvec(x)
-    anorm = jnp.max(st["anorm"])
-    col_scale = anorm * jnp.linalg.norm(x, axis=0) + jnp.linalg.norm(b, axis=0)
+    xnorm = jnp.linalg.norm(x, axis=0)
+    # the Lanczos estimate measures the PRECONDITIONED operator
+    # ||M^-1/2 A M^-1/2|| (~1 by block-Jacobi construction), not ||A|| —
+    # without the Rayleigh-style correction the backward-error scale
+    # shrinks by ||A|| and healthy solves read as failures (gmres already
+    # corrects this way; round-5 review finding)
+    ax_norm = jnp.linalg.norm(b - r_final, axis=0)
+    anorm = jnp.maximum(
+        jnp.max(st["anorm"]),
+        jnp.max(ax_norm / jnp.maximum(xnorm, 1e-30)),
+    )
+    col_scale = anorm * xnorm + jnp.linalg.norm(b, axis=0)
     report = SolveReport(
         residual_norm=jnp.linalg.norm(r_final),
         rhs_norm=jnp.linalg.norm(b),
@@ -748,17 +692,23 @@ def pminres_df(
     x = st["x"] if x0d is None else df_add(st["x"], x0d)
     ax = matvec_df(x)
     r_hi, r_lo = df_add(bd, (-ax[0], -ax[1]))
-    r_norm = jnp.sqrt(jnp.maximum(
-        jnp.sum(df_dot((r_hi, r_lo), (r_hi, r_lo))), 0.0
-    ))
-    anorm = jnp.max(st["anorm"])
-    x_f = x[0] + x[1]
+    # ONE compensated self-dot: col_r is the per-column 2-norm, the
+    # Frobenius r_norm follows from it (the O((N+m)k) df reduction used
+    # to run twice; round-5 review)
     col_r = jnp.sqrt(jnp.maximum(
         df_dot((r_hi, r_lo), (r_hi, r_lo)), 0.0
     ))
-    col_scale = anorm * jnp.linalg.norm(x_f, axis=0) + jnp.linalg.norm(
-        b, axis=0
+    r_norm = jnp.sqrt(jnp.sum(col_r * col_r))
+    x_f = x[0] + x[1]
+    xnorm = jnp.linalg.norm(x_f, axis=0)
+    # same ||A|| correction as f32 pminres: the Lanczos estimate measures
+    # the preconditioned operator, not A
+    ax_norm = jnp.linalg.norm(ax[0] + ax[1], axis=0)
+    anorm = jnp.maximum(
+        jnp.max(st["anorm"]),
+        jnp.max(ax_norm / jnp.maximum(xnorm, 1e-30)),
     )
+    col_scale = anorm * xnorm + jnp.linalg.norm(b, axis=0)
     report = SolveReport(
         residual_norm=r_norm,
         rhs_norm=jnp.linalg.norm(b),
@@ -855,7 +805,12 @@ def gmres(
         g = jnp.zeros((k, m + 1, 1), jnp.float32).at[:, 0, 0].set(beta)
         hth = jnp.einsum("kij,kmj->kim", hT, hT, **hp) + 1e-12 * jnp.eye(m)
         htg = jnp.einsum("kij,kjo->kio", hT, g, **hp)
-        y = jnp.linalg.solve(hth, htg)[..., 0]             # (k, m)
+        # the tiny solve's INTERNAL matmuls need the precision scope too:
+        # jnp.linalg.solve takes no precision= and its blocked updates
+        # default to bf16 MXU passes — the comment above already calls
+        # that fatal for the reconstruction (round-5 review finding)
+        with jax.default_matmul_precision("highest"):
+            y = jnp.linalg.solve(hth, htg)[..., 0]         # (k, m)
         dx = jnp.einsum("ink,ki->nk", basis[:m], y, **hp)
         return msolve(dx)
 

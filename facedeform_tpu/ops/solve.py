@@ -82,39 +82,18 @@ def _report_from(a_norm, lu_diag, x, b, r) -> SolveReport:
     )
 
 
-def _split_hi(a: jnp.ndarray) -> jnp.ndarray:
-    """Dekker split: high part of `a` with the low 12 mantissa bits zeroed,
-    so hi*hi products of two split operands are exact in f32."""
-    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
-    return jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFFF000), jnp.float32)
+# the rounding-critical EFT primitives live in ONE place (ops/dfloat.py:
+# its header documents the compiler-interference policy — barriers, the
+# Pallas no-barrier switch); solve.py used to carry private byte-identical
+# copies that a future dfloat fix would silently miss (round-5 review)
+from facedeform_tpu.ops.dfloat import _df_sum_axis0, _split_hi
 
 
 def _df_tree_sum(p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Double-float pairwise-tree sum over axis 0 of `p`.
-
-    Returns (hi, lo) with hi + lo ~= sum(p) to ~2^-45 relative.  Each tree
-    level performs a vectorized TwoSum of the high words and accumulates the
-    rounding errors into the low words — O(n log n) VPU work, fully parallel
-    per level, no sequential scan.
-    """
-    hi = p
-    lo = jnp.zeros_like(p)
-    while hi.shape[0] > 1:
-        n = hi.shape[0]
-        if n % 2:
-            pad = [(0, 1)] + [(0, 0)] * (hi.ndim - 1)
-            hi = jnp.pad(hi, pad)
-            lo = jnp.pad(lo, pad)
-            n += 1
-        a, b = hi[0::2], hi[1::2]
-        al, bl = lo[0::2], lo[1::2]
-        # Guarded Knuth TwoSum (ops/dfloat.py): XLA rewrites unguarded
-        # float chains as if arithmetic were exact, zeroing error terms.
-        from facedeform_tpu.ops.dfloat import _two_sum
-
-        s, e = _two_sum(a, b)
-        hi, lo = s, al + bl + e
-    return hi[0], lo[0]
+    """Double-float pairwise-tree sum over axis 0 of `p`; (hi, lo) with
+    hi + lo ~= sum(p) to ~2^-45 relative.  Thin alias over
+    dfloat._df_sum_axis0 with a zero low word."""
+    return _df_sum_axis0(p, jnp.zeros_like(p))
 
 
 def residual_compensated(a: jnp.ndarray, x: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -416,6 +395,13 @@ def _lu_refined_impl(a, b, n_refine, want_lo, lu_piv=None):
         # Wide RHS (3F frame columns) refines in 3-column blocks so the
         # compensated-residual temps stay single-pose-sized (_map_col_blocks).
         x_hi, x_lo, r = _map_col_blocks(_refine, b)
+        if not want_lo:
+            # the caller receives x_hi ALONE — report the residual of
+            # that f32 solution, not of the internal df pair (which is
+            # up to u^2-level smaller and would overstate the accuracy
+            # of the returned weights; round-5 review finding).  One
+            # extra HIGHEST matmul restores the dropped A x_lo term.
+            r = r + jnp.dot(a, x_lo, **hp)
     report = _report_from(jnp.linalg.norm(a), jnp.diagonal(lu), x_hi, b, r)
     if not want_lo:
         x_lo = jnp.zeros_like(x_hi)
