@@ -46,8 +46,24 @@ def _vmap_fit_bytes(n_rows: int, f: int) -> float:
     return 3.5 * f * n_rows * n_rows * 3 * 4
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def fit_frames(
+    rest_ctrl: jnp.ndarray,
+    deformed_frames: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams = DeformParams(),
+    confidence: jnp.ndarray | None = None,
+) -> tuple[RBFModel, jnp.ndarray]:
+    """Public entry: normalizes the jit key BEFORE the cache lookup.
+    cfg.solve_view() used to run inside the jitted body, so the cache
+    still keyed on the full cfg and eval-only UI toggles re-traced the
+    whole program (round-5 review; CLAUDE.md jit-key rule)."""
+    return _fit_frames_jit(
+        rest_ctrl, deformed_frames, cfg.solve_view(), params, confidence
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fit_frames_jit(
     rest_ctrl: jnp.ndarray,
     deformed_frames: jnp.ndarray,
     cfg: DeformConfig,
@@ -71,7 +87,7 @@ def fit_frames(
     Krylov-size rigs always keep the vmapped fit (multi-RHS Krylov
     convergence is per-column business).
     """
-    solve_cfg = cfg.solve_view()  # eval-only toggles must not recompile
+    solve_cfg = cfg  # already a solve_view (the public wrapper normalizes)
     n, f = rest_ctrl.shape[0], deformed_frames.shape[0]
     if not fit_mod.uses_krylov(solve_cfg, n) and (
         _vmap_fit_bytes(n + solve_cfg.n_poly, f) > vmap_fit_hbm_budget
@@ -92,6 +108,11 @@ def fit_frames(
         w_rbf=models.w_rbf,      # (F, L, N, 3)
         w_poly=models.w_poly,    # (F, m, 3)
         eps=models.eps[0],       # (L, N)
+        # growing kernels solve in df: the sub-f32 weight bits MUST ride
+        # along or the precise frames eval can't meet the 5e-5 budget
+        # (they were silently dropped here; round-5 review)
+        w_rbf_lo=models.w_rbf_lo,
+        w_poly_lo=models.w_poly_lo,
     )
     return model, reports.residual_norm
 
@@ -151,8 +172,30 @@ def _frame_model(batched: RBFModel, f: int | jnp.ndarray) -> RBFModel:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def apply_frames(
+    batched_model: RBFModel,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams,
+    mesh: Mesh | None = None,
+    frame=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Public entry: eval_view()-normalized jit key (round-5 review — the
+    full-cfg key re-traced on solve-only toggles), and the tangent
+    projection gated on cfg.tangent like every single-frame path (a frame
+    passed with tangent off used to project anyway)."""
+    cfg_e = cfg.eval_view()
+    if not cfg_e.tangent:
+        frame = None
+    return _apply_frames_jit(
+        batched_model, points, dist2, gate, cfg_e, params, mesh, frame
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _apply_frames_jit(
     batched_model: RBFModel,
     points: jnp.ndarray,
     dist2: jnp.ndarray,
@@ -185,7 +228,42 @@ def apply_frames(
         _mesh_on_tpu(mesh) if mesh is not None else on_tpu()
     )
 
+    from facedeform_tpu.ops.precise_eval import GROWING_KERNELS
+
     def eval_frames_local(model, pts, wloc, frm):
+        if kernel in GROWING_KERNELS:
+            # the frames kernel is f32-only; growing kernels break the
+            # 5e-5 budget there (2.8e-3 measured at 4k controls) — run
+            # the double-float eval per frame under a SEQUENTIAL map so
+            # the df temps stay single-frame-sized.  Same routing rule
+            # as Deformer.apply / sharding._local_apply; the batched
+            # path used to skip it (round-5 review).
+            from facedeform_tpu.ops.precise_eval import evaluate_precise
+
+            has_lo = model.w_rbf_lo is not None
+
+            def one(ws):
+                m = RBFModel(
+                    ctrl=model.ctrl, w_rbf=ws[0], w_poly=ws[1],
+                    eps=model.eps,
+                    w_rbf_lo=ws[2] if has_lo else None,
+                    w_poly_lo=ws[3] if has_lo else None,
+                )
+                disp = evaluate_precise(m, pts, kernel, cfg.term)
+                if frm is not None:
+                    from facedeform_tpu.ops.tangent import (
+                        project_to_tangents,
+                    )
+
+                    disp = project_to_tangents(*frm, disp)
+                return pts + disp * wloc[:, None]
+
+            operands = (
+                (model.w_rbf, model.w_poly, model.w_rbf_lo,
+                 model.w_poly_lo)
+                if has_lo else (model.w_rbf, model.w_poly)
+            )
+            return jax.lax.map(one, operands)
         if use_pallas:
             return _eval_frames_pallas_chunked(
                 model, pts, wloc, frm, kernel, cfg.term
@@ -234,8 +312,37 @@ def apply_frames(
     return out[:, :v], w
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def deform_frames(
+    rest_ctrl: jnp.ndarray,
+    deformed_frames: jnp.ndarray,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams = DeformParams(),
+    mesh: Mesh | None = None,
+    frame=None,
+    confidence: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Public entry: jit key normalized to the union of the solve + eval
+    fields (morph/falloff/clamp/dbse toggles never enter this program);
+    tangent gated on cfg.tangent (round-5 review)."""
+    import dataclasses as _dc
+
+    cfg_n = _dc.replace(
+        cfg, morphspace=False, dofalloff=False, doclampweight=False,
+        dbse_lstsq=True, dbse_robust=False, falloff_metric="euclidean",
+    )
+    if not cfg_n.tangent:
+        frame = None
+    return _deform_frames_jit(
+        rest_ctrl, deformed_frames, points, dist2, gate, cfg_n, params,
+        mesh, frame, confidence,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _deform_frames_jit(
     rest_ctrl: jnp.ndarray,
     deformed_frames: jnp.ndarray,
     points: jnp.ndarray,

@@ -121,10 +121,29 @@ def _local_apply(
     return pts + disp * w[:, None], w
 
 
+def sharded_apply(
+    model: RBFModel,
+    points: jnp.ndarray,
+    dist2: jnp.ndarray,
+    gate: jnp.ndarray,
+    cfg: DeformConfig,
+    params: DeformParams,
+    mesh: Mesh,
+    frame=None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Public entry: eval_view() BEFORE the jit cache lookup — the view
+    used to be applied inside the jitted body, where it cannot stop a
+    solve-only toggle from re-tracing the whole sharded program (round-5
+    review; CLAUDE.md jit-key rule)."""
+    return _sharded_apply_jit(
+        model, points, dist2, gate, cfg.eval_view(), params, mesh, frame
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "mesh"), donate_argnums=()
 )
-def sharded_apply(
+def _sharded_apply_jit(
     model: RBFModel,
     points: jnp.ndarray,
     dist2: jnp.ndarray,
@@ -154,7 +173,7 @@ def sharded_apply(
             for f in frame
         )
 
-    cfg = cfg.eval_view()  # eval-only jit key: no recompiles on UI toggles
+    # cfg is already an eval_view (the public wrapper normalizes)
     params = params.clamped()
     body = functools.partial(
         _local_apply, cfg=cfg, params=params,

@@ -53,8 +53,8 @@ def test_sharded_eval_has_zero_collectives(rng):
     d2 = jnp.zeros(v, jnp.float32)
     gate = jnp.ones(v, jnp.float32)
     txt = (
-        sharding.sharded_apply
-        .lower(model, pts, d2, gate, cfg, params, mesh)
+        sharding._sharded_apply_jit
+        .lower(model, pts, d2, gate, cfg.eval_view(), params, mesh)
         .compile()
         .as_text()
     )
@@ -125,9 +125,15 @@ def test_whole_shot_and_transport_and_pu_are_collective_free(rng):
     gate = jnp.ones(v, jnp.float32)
 
     frames = jnp.stack([deformed, rest + 0.01])
+    import dataclasses as _dc
+
+    cfg_n = _dc.replace(
+        cfg, morphspace=False, dofalloff=False, doclampweight=False,
+        dbse_lstsq=True, dbse_robust=False, falloff_metric="euclidean",
+    )
     txt = (
-        batched.deform_frames
-        .lower(rest, frames, pts, d2, gate, cfg, params, mesh, None)
+        batched._deform_frames_jit
+        .lower(rest, frames, pts, d2, gate, cfg_n, params, mesh, None)
         .compile().as_text()
     )
     assert _collective_counts(txt) == {}, "deform_frames"

@@ -250,3 +250,37 @@ def test_secondary_pu_plan_cache_retained():
         secondary=[sec_in],
     )
     assert list(node._deformer._plans) == keys_after_first
+
+
+def test_batched_frames_growing_kernel_meets_budget(rng):
+    """Batched TPS frames eval must match the single-frame PRECISE apply
+    within the 5e-5 budget: the f32 frames kernel broke it silently and
+    fit_frames dropped the df weight parts (round-5 review)."""
+    import jax.numpy as jnp
+
+    from facedeform_tpu.config import (
+        DeformConfig, DeformParams, RBFKernel, RBFModelType,
+    )
+    from facedeform_tpu.deformer import Deformer
+    from facedeform_tpu.geometry.primitives import fibonacci_points
+    from facedeform_tpu.parallel import batched
+
+    rest = fibonacci_points(60)
+    frames = np.stack([
+        rest + 0.04 * rng.standard_normal((60, 3)).astype(np.float32)
+        for _ in range(3)
+    ])
+    cfg = DeformConfig(model=RBFModelType.KERNEL,
+                       kernel=RBFKernel.THIN_PLATE)
+    params = DeformParams(lam=0.01)
+    m, _ = batched.fit_frames(jnp.asarray(rest), jnp.asarray(frames),
+                              cfg, params)
+    assert m.w_rbf_lo is not None          # df weight bits ride along
+    pts = fibonacci_points(400) * 0.9
+    out, _ = batched.apply_frames(
+        m, jnp.asarray(pts), jnp.zeros(400), jnp.ones(400), cfg, params,
+    )
+    for f in range(3):
+        d = Deformer.fit(rest, frames[f], cfg, params)
+        want, _ = d.apply(pts)
+        assert np.abs(np.asarray(out[f]) - np.asarray(want)).max() < 5e-5
